@@ -1,0 +1,58 @@
+"""Panel-table operator library (SURVEY.md §2 inventory)."""
+
+from .asof import latest_two_releases_delta, release_delta
+from .derived import (
+    calculate_by_adjacent_column,
+    calculate_pair_summations,
+    negative_to_zero,
+    ratio_to_percentage,
+)
+from .hashing import row_hash_blake2, row_hash_sha2
+from .homogenise import homogenise_dates
+from .nesting import nest_records, wrap_payload, wrap_payload_column
+from .normalise import normalise_demographics_records, normalise_records
+from .pivoting import melt, pivot_max
+from .rates import calculate_rates
+from .rolling import (
+    change_by_sum,
+    cumulative_sum,
+    direction_col,
+    percentage_change_col,
+    rolling_mean_centered,
+)
+from .suppress import suppress_by_rolling_sum, weekly_thin
+from .topk import latest_date_only, latest_per_group
+from .trim import trim_end, trim_sides
+from .util import with_scalar
+
+__all__ = [
+    "calculate_by_adjacent_column",
+    "calculate_pair_summations",
+    "calculate_rates",
+    "change_by_sum",
+    "cumulative_sum",
+    "direction_col",
+    "homogenise_dates",
+    "latest_date_only",
+    "latest_per_group",
+    "latest_two_releases_delta",
+    "melt",
+    "negative_to_zero",
+    "nest_records",
+    "normalise_demographics_records",
+    "normalise_records",
+    "percentage_change_col",
+    "pivot_max",
+    "ratio_to_percentage",
+    "release_delta",
+    "rolling_mean_centered",
+    "row_hash_blake2",
+    "row_hash_sha2",
+    "suppress_by_rolling_sum",
+    "trim_end",
+    "trim_sides",
+    "weekly_thin",
+    "with_scalar",
+    "wrap_payload",
+    "wrap_payload_column",
+]

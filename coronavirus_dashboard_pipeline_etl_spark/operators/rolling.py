@@ -1,0 +1,218 @@
+"""Rolling-window metric family: RollingSum / Change / Direction /
+ChangePercentage (+ small-count pre-suppression).
+
+Re-expresses the reference's pandas pipeline
+(``db_etl/processors/rolling.py:65-231`` — ``change_by_sum``,
+``calculate_percentage_change``, ``replace_all_zero``, ``get_directions``)
+as pure Spark window expressions. No UDFs: every edge case is a ``when``
+chain, so the whole family stays inside WholeStageCodegen and shuffles
+exactly once per group-key set (all windows share one
+``partitionBy(areaType, areaCode) orderBy(date)`` exchange).
+
+pandas-parity notes (the hard part, SURVEY.md §7):
+
+* ``rolling(7).sum()`` defaults to ``min_periods=7`` *counting non-null
+  observations*: the result is null unless all 7 rows exist AND are
+  non-null.  → ``count(col) over (rows 6 preceding) == 7`` guard.
+* ``rolling(8).apply(pct_change)`` likewise needs 8 non-null rows.
+* ``replace_all_zero``: if a group's rolling-sum column sums to 0, the
+  whole group becomes null (``rolling.py:58-62``).
+* ``calculate_percentage_change`` (``rolling.py:65-77``):
+  cur = window[7], prev = window[0];
+  ``cur == 0 and prev > 0``            -> -100
+  ``fraction = cur / (prev or 1) - 1`` (prev==0 -> divide by 1)
+  ``fraction == -1``                   -> 0
+  else ``fraction * 100`` rounded to 1 dp.
+* masking order (``rolling.py:100-231``): min-sum substitution happens
+  *before* the zero-group/diff/pct steps; rows where the raw metric is
+  null get all four derived columns nulled; rows where the (substituted)
+  rolling sum equals ``min_sum_sub`` get the derived columns *and the raw
+  metric* nulled (MSOA small-count suppression,
+  ``msoa_etl_db/processor.py:279-281``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..config import (
+    CHANGE_PERIOD,
+    GROUP_KEYS,
+    ROLLING_WINDOW,
+    SUFFIX_CHANGE,
+    SUFFIX_CHANGE_PERCENTAGE,
+    SUFFIX_DIRECTION,
+    SUFFIX_ROLLING_SUM,
+)
+
+
+def _rolling_sum_col(col: str, w_rows) -> Column:
+    """pandas ``rolling(n).sum()`` with default min_periods=n."""
+    return F.when(
+        F.count(F.col(col)).over(w_rows) == ROLLING_WINDOW,
+        F.sum(F.col(col)).over(w_rows),
+    )
+
+
+def direction_col(change: Column) -> Column:
+    """Sign of the 7-day change -> UP/DOWN/SAME (rolling.py:51-55)."""
+    return (
+        F.when(change < 0, F.lit("DOWN"))
+        .when(change > 0, F.lit("UP"))
+        .when(change == 0, F.lit("SAME"))
+    )
+
+
+def percentage_change_col(cur: Column, prev: Column) -> Column:
+    """``calculate_percentage_change`` (rolling.py:65-77) as one expression."""
+    denom = F.when(prev != 0, prev).otherwise(F.lit(1.0))
+    fraction = cur / denom - F.lit(1.0)
+    return (
+        F.when((cur == 0) & (prev > 0), F.lit(-100.0))
+        .when(fraction == -1, F.lit(0.0))
+        .otherwise(F.round(fraction * 100, 1))
+    )
+
+
+def change_by_sum(
+    df: DataFrame,
+    metrics: Iterable[str],
+    group_keys: Sequence[str] = tuple(GROUP_KEYS),
+    date_col: str = "date",
+    min_sum_allowed: float | None = None,
+    min_sum_sub: float | None = None,
+) -> DataFrame:
+    """Add ``{m}RollingSum/Change/Direction/ChangePercentage`` per metric.
+
+    One shuffle total: all four derived columns per metric ride the same
+    window exchange, and all metrics share it too (same partition keys),
+    so Catalyst plans a single sort + exchange regardless of how many
+    metrics are configured — at 100 TB this is the difference between 1
+    and ~120 shuffles.
+    """
+    metrics = sorted(set(metrics) & set(df.columns))
+    if not metrics:
+        return df
+
+    keys = list(group_keys)
+    w = Window.partitionBy(*keys).orderBy(date_col)
+    w_roll = w.rowsBetween(-(ROLLING_WINDOW - 1), 0)
+    w_all = Window.partitionBy(*keys)
+
+    for m in metrics:
+        rsum, chg = f"{m}{SUFFIX_ROLLING_SUM}", f"{m}{SUFFIX_CHANGE}"
+        dirn, pct = f"{m}{SUFFIX_DIRECTION}", f"{m}{SUFFIX_CHANGE_PERCENTAGE}"
+
+        raw = F.col(m).cast("double")
+        df = df.withColumn("__raw", raw)
+
+        rsum_expr = _rolling_sum_col("__raw", w_roll)
+        if min_sum_allowed is not None:
+            # substituted BEFORE zero-group/diff/pct (rolling.py:126-128)
+            rsum_expr = F.when(
+                rsum_expr < F.lit(min_sum_allowed), F.lit(float(min_sum_sub))
+            ).otherwise(rsum_expr)
+        df = df.withColumn(rsum, rsum_expr)
+
+        # replace_all_zero: group whose rolling sums total 0 -> all null
+        df = df.withColumn(
+            rsum,
+            F.when(F.sum(F.col(rsum)).over(w_all) == 0, F.lit(None)).otherwise(
+                F.col(rsum)
+            ),
+        )
+
+        change = F.col(rsum) - F.lag(rsum, CHANGE_PERIOD).over(w)
+        prev = F.lag(rsum, ROLLING_WINDOW).over(w)
+        pct_guard = F.count(F.col(rsum)).over(w.rowsBetween(-ROLLING_WINDOW, 0))
+        df = (
+            df.withColumn(chg, change)
+            .withColumn(dirn, direction_col(F.col(chg)))
+            .withColumn(
+                pct,
+                F.when(
+                    pct_guard == ROLLING_WINDOW + 1,
+                    percentage_change_col(F.col(rsum), prev),
+                ),
+            )
+        )
+
+        # raw-null rows carry no derived stats (rolling.py:216-219)
+        raw_null = F.col("__raw").isNull()
+        for c in (rsum, chg, pct):
+            df = df.withColumn(c, F.when(raw_null, F.lit(None)).otherwise(F.col(c)))
+        df = df.withColumn(dirn, F.when(raw_null, F.lit(None)).otherwise(F.col(dirn)))
+
+        if min_sum_allowed is not None:
+            # suppression: substituted rows null everything incl. raw metric
+            # (rolling.py:222-231)
+            suppressed = F.col(rsum) == F.lit(float(min_sum_sub))
+            for c in (chg, pct, m):
+                df = df.withColumn(
+                    c, F.when(suppressed, F.lit(None)).otherwise(F.col(c))
+                )
+            df = df.withColumn(
+                dirn, F.when(suppressed, F.lit(None)).otherwise(F.col(dirn))
+            )
+            df = df.withColumn(
+                rsum, F.when(suppressed, F.lit(None)).otherwise(F.col(rsum))
+            )
+
+        df = df.drop("__raw")
+
+    return df
+
+
+def rolling_mean_centered(
+    df: DataFrame,
+    col: str,
+    out: str,
+    group_keys: Sequence[str] = tuple(GROUP_KEYS),
+    date_col: str = "date",
+    window: int = 7,
+) -> DataFrame:
+    """Centered rolling mean for viz smoothing
+    (``db_etl_homepage_graphs/utils.py:105`` — ``rolling(7, center=True).mean()``).
+
+    pandas centering for window=7 is rows [-3, +3]; min_periods defaults
+    to the window, so require 7 non-null observations.
+    """
+    half = window // 2
+    w = (
+        Window.partitionBy(*group_keys)
+        .orderBy(date_col)
+        .rowsBetween(-half, window - half - 1)
+    )
+    return df.withColumn(
+        out,
+        F.when(F.count(F.col(col)).over(w) == window, F.avg(F.col(col)).over(w)),
+    )
+
+
+def cumulative_sum(
+    df: DataFrame,
+    metrics: Iterable[str],
+    group_keys: Sequence[str] = tuple(GROUP_KEYS),
+    date_col: str = "date",
+    prefix: str = "cum",
+) -> DataFrame:
+    """Per-group cumulative sum (db_etl/etl.py:938-958, ``groupby.cumsum``).
+
+    pandas cumsum skips nulls (null in -> null out, running total keeps
+    going), which is exactly ``sum over unboundedPreceding`` + null gate.
+    """
+    metrics = sorted(set(metrics) & set(df.columns))
+    w = (
+        Window.partitionBy(*group_keys)
+        .orderBy(date_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for m in metrics:
+        out = f"{prefix}{m[0].upper()}{m[1:]}" if not m.startswith(prefix) else m
+        df = df.withColumn(
+            out,
+            F.when(F.col(m).isNotNull(), F.sum(F.col(m)).over(w)),
+        )
+    return df

@@ -1,0 +1,94 @@
+"""Trims: tail masking by freshness rule, and long-format side trimming.
+
+* ``trim_end`` — event-date metrics are masked for the trailing N days
+  relative to the *global* max date (``db_etl/processors/trimmer.py:40-50``;
+  N=5 per ``db_etl/etl.py:466-472``).
+* ``trim_sides`` — on the melted long frame, per (area, metric) series:
+  null out the leading rows through one row past the first non-zero
+  payload, null out the last valid row and the one before it (except the
+  ``variants`` metric), then drop all-null payload rows
+  (``db_etl_upload/uploader.py:55-90``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..config import TAIL_TRIM_DAYS
+from .util import with_scalar
+
+
+def trim_end(
+    df: DataFrame,
+    metrics: Iterable[str],
+    days_to_trim: int = TAIL_TRIM_DAYS,
+    date_col: str = "date",
+) -> DataFrame:
+    """Mask `metrics` where date > (global max date - days_to_trim)."""
+    metrics = sorted(set(metrics) & set(df.columns))
+    if not metrics:
+        return df
+    df = with_scalar(df, "__max_date", F.max(date_col))
+    cutoff = F.date_sub(F.to_date("__max_date"), days_to_trim)
+    keep = F.to_date(date_col) <= cutoff
+    for m in metrics:
+        df = df.withColumn(m, F.when(keep, F.col(m)))
+    return df.drop("__max_date")
+
+
+def trim_sides(
+    df: DataFrame,
+    series_keys: Sequence[str] = ("area_type", "area_code", "metric"),
+    date_col: str = "date",
+    payload_col: str = "payload",
+    keep_tail_metrics: Iterable[str] = ("variants",),
+) -> DataFrame:
+    """Strip unstable leading/trailing points of each long series.
+
+    Semantics (uploader.py:55-90), per series ordered by date:
+      1. leading strip: rows up to and including (first row where the
+         running sum of |payload| becomes > 0) + 1 further row -> payload
+         nulled. If the payload is non-numeric (nested cells), fall back
+         to the first non-null row.
+      2. trailing strip: the last non-null row and its predecessor ->
+         nulled, unless the metric keeps its tail (``variants``).
+      3. rows whose payload ends up null are dropped
+         (``dropna(how="all")`` on the value column).
+
+    Expressed as two passes over one window exchange; no Python loop over
+    metrics (the reference iterates per metric in the driver).
+    """
+    keys = list(series_keys)
+    w = Window.partitionBy(*keys).orderBy(date_col)
+    w_all = Window.partitionBy(*keys)
+
+    abs_payload = F.abs(F.col(payload_col).cast("double"))
+    df = df.withColumn("__rn", F.row_number().over(w))
+    df = df.withColumn("__cumabs", F.sum(abs_payload).over(w))
+    # first row where running |sum| > 0; fall back to first non-null row
+    first_nonzero = F.min(F.when(F.col("__cumabs") > 0, F.col("__rn"))).over(w_all)
+    first_valid = F.min(
+        F.when(F.col(payload_col).isNotNull(), F.col("__rn"))
+    ).over(w_all)
+    lead_cut = F.coalesce(first_nonzero, first_valid) + 1
+    df = df.withColumn(
+        payload_col,
+        F.when(F.col("__rn") <= lead_cut, F.lit(None)).otherwise(F.col(payload_col)),
+    )
+
+    # trailing strip on the POST-leading-strip payload (the reference
+    # recomputes last_valid_index after the leading mask)
+    last_valid = F.max(
+        F.when(F.col(payload_col).isNotNull(), F.col("__rn"))
+    ).over(w_all)
+    keep_tail = F.col("metric").isin(*keep_tail_metrics) if keep_tail_metrics else F.lit(False)
+    df = df.withColumn(
+        payload_col,
+        F.when(
+            (~keep_tail) & (F.col("__rn") >= last_valid - 1), F.lit(None)
+        ).otherwise(F.col(payload_col)),
+    )
+
+    return df.filter(F.col(payload_col).isNotNull()).drop("__rn", "__cumabs")

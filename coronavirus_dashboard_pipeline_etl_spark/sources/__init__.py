@@ -1,0 +1,5 @@
+"""Sources & sinks (SURVEY.md §2.1)."""
+
+from .tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]

@@ -1,0 +1,126 @@
+"""Parity tests for the rolling family against a pandas oracle that
+re-implements the reference semantics (db_etl/processors/rolling.py)
+independently: rolling(7).sum min_periods, diff(7), direction,
+calculate_percentage_change edge cases, replace_all_zero, min-sum
+suppression.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from coronavirus_dashboard_pipeline_etl_spark.operators import change_by_sum
+
+
+def oracle_change_by_sum(pdf, metric, min_sum_allowed=None, min_sum_sub=None):
+    """pandas oracle implementing reference rolling.py semantics."""
+    out = pdf.sort_values(["areaType", "areaCode", "date"]).copy()
+    g = out.groupby(["areaType", "areaCode"], group_keys=False)
+    rsum = g[metric].rolling(7, min_periods=7).sum().reset_index(level=[0, 1], drop=True)
+    if min_sum_allowed is not None:
+        rsum = rsum.where(~(rsum < min_sum_allowed), min_sum_sub)
+    out["rsum"] = rsum
+    # replace_all_zero per group
+    def zero_grp(s):
+        return s.mask(pd.Series(True, index=s.index)) if s.sum() == 0 else s
+    out["rsum"] = out.groupby(["areaType", "areaCode"], group_keys=False)["rsum"].apply(zero_grp)
+    out["chg"] = out.groupby(["areaType", "areaCode"], group_keys=False)["rsum"].diff(7)
+    out["dirn"] = np.sign(out["chg"]).map({-1.0: "DOWN", 0.0: "SAME", 1.0: "UP"})
+
+    def pct_change(win):
+        cur, prev = win.iloc[7], win.iloc[0]
+        if cur == 0 and prev > 0:
+            return -100
+        frac = (cur / (prev or 1)) - 1
+        if frac == -1:
+            return 0
+        return frac * 100
+
+    pct = (
+        out.groupby(["areaType", "areaCode"], group_keys=False)["rsum"]
+        .rolling(8, min_periods=8)
+        .apply(pct_change)
+        .round(1)
+        .reset_index(level=[0, 1], drop=True)
+    )
+    out["pct"] = pct
+    raw_null = out[metric].isna()
+    out.loc[raw_null, ["rsum", "chg", "dirn", "pct"]] = np.nan
+    if min_sum_allowed is not None:
+        mask = out["rsum"] == min_sum_sub
+        out.loc[mask, ["chg", "dirn", "pct", metric, "rsum"]] = np.nan
+    return out
+
+
+def panel_fixture():
+    rng = np.random.RandomState(7)
+    rows = []
+    for at, ac in [("nation", "E92000001"), ("ltla", "E06000001"), ("ltla", "E06000002")]:
+        dates = pd.date_range("2021-01-01", periods=40).strftime("%Y-%m-%d")
+        vals = rng.randint(0, 50, size=40).astype(float)
+        vals[5:9] = np.nan          # null run inside the series
+        if ac == "E06000002":
+            vals[:] = 0.0           # all-zero group -> replace_all_zero
+        rows += [
+            {"areaType": at, "areaCode": ac, "date": d, "m": v}
+            for d, v in zip(dates, vals)
+        ]
+    # short series (< 7 rows) -> min_periods NaNs throughout
+    rows += [
+        {"areaType": "ltla", "areaCode": "E06000003", "date": d, "m": 3.0}
+        for d in pd.date_range("2021-01-01", periods=4).strftime("%Y-%m-%d")
+    ]
+    # decreasing-to-zero series to hit the -100 and frac==-1 pct edges
+    vals = [10, 10, 10, 10, 10, 10, 10] + [0] * 14
+    rows += [
+        {"areaType": "ltla", "areaCode": "E06000004", "date": d, "m": float(v)}
+        for d, v in zip(pd.date_range("2021-01-01", periods=21).strftime("%Y-%m-%d"), vals)
+    ]
+    return pd.DataFrame(rows)
+
+
+def _cmp(spark_df, oracle_pdf, metric):
+    got = (
+        spark_df.toPandas()
+        .sort_values(["areaType", "areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    exp = oracle_pdf.sort_values(["areaType", "areaCode", "date"]).reset_index(drop=True)
+    pairs = [
+        (f"{metric}RollingSum", "rsum"),
+        (f"{metric}Change", "chg"),
+        (f"{metric}Direction", "dirn"),
+        (f"{metric}ChangePercentage", "pct"),
+        (metric, metric),
+    ]
+    for g_col, e_col in pairs:
+        g = got[g_col]
+        e = exp[e_col]
+        for i in range(len(exp)):
+            gv, ev = g.iloc[i], e.iloc[i]
+            if isinstance(ev, float) and math.isnan(ev):
+                assert gv is None or (isinstance(gv, float) and math.isnan(gv)), (
+                    f"{g_col}[{i}] ({exp.areaCode[i]} {exp.date[i]}): got {gv}, want NaN"
+                )
+            elif ev is None or (not isinstance(ev, str) and pd.isna(ev)):
+                assert gv is None or pd.isna(gv), f"{g_col}[{i}]: got {gv}, want null"
+            elif isinstance(ev, str):
+                assert gv == ev, f"{g_col}[{i}]: got {gv}, want {ev}"
+            else:
+                assert gv == pytest.approx(ev, abs=1e-9), (
+                    f"{g_col}[{i}] ({exp.areaCode[i]} {exp.date[i]}): got {gv}, want {ev}"
+                )
+
+
+def test_change_by_sum_matches_pandas_oracle(spark):
+    pdf = panel_fixture()
+    sdf = change_by_sum(spark.createDataFrame(pdf), ["m"])
+    _cmp(sdf, oracle_change_by_sum(pdf, "m"), "m")
+
+
+def test_change_by_sum_with_suppression(spark):
+    pdf = panel_fixture()
+    sdf = change_by_sum(spark.createDataFrame(pdf), ["m"], min_sum_allowed=3, min_sum_sub=2)
+    _cmp(sdf, oracle_change_by_sum(pdf, "m", min_sum_allowed=3, min_sum_sub=2), "m")
