@@ -1,0 +1,36 @@
+"""Column-function library + large-scale training-data pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing)."""
+
+from .dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    md5_prefix_long,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from .similarity import cosine_similarity_col, cosine_topk, cosine_topk_ivf
+from .text import (
+    fingerprint,
+    langid_scores,
+    quality_stats,
+    token_stats,
+    tokens,
+)
+
+__all__ = [
+    "cosine_similarity_col",
+    "cosine_topk",
+    "cosine_topk_ivf",
+    "exact_dedup",
+    "fingerprint",
+    "langid_scores",
+    "lsh_candidate_pairs",
+    "md5_prefix_long",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_stats",
+    "simhash",
+    "token_stats",
+    "tokens",
+]

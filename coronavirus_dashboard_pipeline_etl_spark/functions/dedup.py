@@ -1,0 +1,177 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Design for 100 TB:
+* exact dedup is a hash-groupBy — one shuffle on the fingerprint;
+* MinHash/SimHash signatures are computed per-row with JVM higher-order
+  functions (no Python, no shuffle);
+* candidate generation is banded LSH: explode (doc, band) pairs and
+  self-join on (band_index, band_hash) — the join key is the bucket, so
+  only genuinely colliding docs ever meet. A full pairwise compare never
+  happens; the blocked/banded joins keep the candidate set ~linear.
+* every step is deterministic (seeded affine hash family over a shared
+  md5-based base hash) so a SQL oracle can verify signatures exactly.
+
+Base hash: ``int(md5(token)[:15], 16)`` — 60 bits, identical in any
+engine with md5 (Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB
+list_reduce over hex digits). Affine family: h_i = (a_i * (h mod P) +
+b_i) mod P with P = 2^31 - 1 (Mersenne), keeping every intermediate
+< 2^62 so 64-bit signed arithmetic never overflows in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .text import fingerprint, tokens
+
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
+
+
+def hash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic affine coefficients (a odd, non-zero; b) for k hashes.
+    Fixed linear-congruential derivation — NOT random at call time, so
+    Spark and the SQL oracle agree by construction."""
+    params = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for _ in range(k):
+        x = (a * x + b) % MERSENNE_P
+        ai = (x | 1) % MERSENNE_P or 1
+        x = (a * x + b) % MERSENNE_P
+        bi = x % MERSENNE_P
+        params.append((ai, bi))
+    return params
+
+
+def md5_prefix_long(col: Column) -> Column:
+    """60-bit integer from the first 15 hex chars of md5 — the shared
+    cross-engine base hash."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact near-identity dedup on the normalised fingerprint: one row
+    per distinct content with the representative (min id) and the
+    duplicate count."""
+    return (
+        df.withColumn("fp", fingerprint(text_col))
+        .groupBy("fp")
+        .agg(
+            F.min(F.col(id_col)).alias("rep_id"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )
+
+
+def _token_hashes(text_col: str) -> Column:
+    """Distinct word-shingle base hashes, reduced mod P."""
+    toks = F.array_distinct(tokens(text_col))
+    return F.transform(toks, lambda t: md5_prefix_long(t) % MERSENNE_P)
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16
+) -> DataFrame:
+    """k-wide MinHash signature columns mh0..mh{k-1} over distinct word
+    shingles. Pure expression work — scales embarrassingly."""
+    hashes = _token_hashes(text_col)
+    df = df.withColumn("__th", hashes)
+    cols = {}
+    for i, (a, b) in enumerate(hash_params(k)):
+        cols[f"mh{i}"] = F.array_min(
+            F.transform(F.col("__th"), lambda h: (F.lit(a) * h + F.lit(b)) % MERSENNE_P)
+        )
+    return df.withColumns(cols).drop("__th")
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+) -> DataFrame:
+    """Banded LSH over a minhash_signatures frame: docs sharing any band
+    become a candidate pair (id_a < id_b, distinct).
+
+    Shuffle profile: one explode (k/bands rows per doc) + one self-join on
+    the band bucket key. Bucket skew is handled by AQE skew-join.
+    """
+    rows_per_band = k // bands
+    band_cols = []
+    for bidx in range(bands):
+        members = [F.col(f"mh{i}") for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(bidx).alias("band"), F.concat_ws("_", *members).alias("sig"))
+        )
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    left = exploded.alias("l")
+    right = exploded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.sig") == F.col("r.sig"),
+                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", out: str = "simhash", bits: int = 32
+) -> DataFrame:
+    """SimHash over distinct word shingles: bit j is 1 iff the sum of
+    (2*bit_j(h)-1) over token hashes is positive. 32-bit by default —
+    enough for word-level near-dup at corpus scale, and safely inside
+    64-bit signed arithmetic for the oracle."""
+    df = df.withColumn("__th", _token_hashes(text_col))
+    acc = F.lit(0).cast("long")
+    for j in range(bits):
+        vote = F.aggregate(
+            F.col("__th"),
+            F.lit(0).cast("long"),
+            lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
+        )
+        acc = acc + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
+    return df.withColumn(out, acc).drop("__th")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked pairwise word-set Jaccard: candidate pairs only form inside
+    a block (cheap blocking key = same lang/source/length bucket), so the
+    quadratic compare is bounded per block. Emits (id_a, id_b, jaccard).
+    """
+    toks = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(tokens(text_col)).alias("toks"),
+    )
+    left, right = toks.alias("l"), toks.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
+    union = (
+        F.size(F.col("l.toks")) + F.size(F.col("r.toks")) - inter
+    )
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        left.join(right, on=cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,100 @@
+"""Text-analysis operators for training-data pipelines: tokenisation
+stats, quality scoring, language-ID heuristic, document fingerprinting.
+
+All JVM-side expressions (split / HOFs / md5) — no Python UDFs — so they
+run inside WholeStageCodegen and scale linearly with input splits. Each
+has an exact ANSI-SQL equivalent (see __spark_entry__.oracle_sql) so the
+duckdb gate verifies them value-for-value.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenisation (the reference treats text as opaque; this
+    is the standard LLM-pipeline whitespace pass)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token count, char counts, mean token length."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    chars_no_space = F.length(F.replace(F.col(text_col), F.lit(" "), F.lit("")))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("long"),
+            "n_chars_total": F.length(text_col).cast("long"),
+            "n_chars_alpha": chars_no_space.cast("long"),
+            "mean_token_len": chars_no_space.cast("double") / n_tokens.cast("double"),
+        }
+    )
+
+
+def quality_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    stopwords: Sequence[str] = ("the", "a", "of", "and", "to"),
+    min_tokens: int = 20,
+) -> DataFrame:
+    """Heuristic quality signals: stopword ratio, distinct-token ratio,
+    length gate — the usual cheap pre-filters before expensive dedup."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    n_distinct = F.size(F.array_distinct(toks))
+    return df.withColumns(
+        {
+            "n_tokens": n_tokens.cast("long"),
+            "stopword_ratio": n_stop.cast("double") / n_tokens.cast("double"),
+            "distinct_ratio": n_distinct.cast("double") / n_tokens.cast("double"),
+            "len_ok": (n_tokens >= min_tokens).cast("boolean"),
+        }
+    )
+
+
+def langid_scores(
+    df: DataFrame,
+    text_col: str = "text",
+    markers: Mapping[str, Sequence[str]] | None = None,
+) -> DataFrame:
+    """Marker-token language ID: count marker hits per language, argmax
+    with deterministic lexicographic tie-break.
+
+    A real deployment swaps the marker lists for n-gram frequency tables;
+    the operator shape (per-language score columns + argmax) is identical.
+    """
+    markers = markers or {
+        "en": ["the", "a", "and"],
+        "fr": ["le", "la", "et"],
+        "de": ["der", "die", "und"],
+    }
+    toks = tokens(text_col)
+    langs = sorted(markers)
+    for lang in langs:
+        marker_arr = F.array(*[F.lit(m) for m in markers[lang]])
+        df = df.withColumn(
+            f"score_{lang}",
+            F.size(F.filter(toks, lambda t: F.array_contains(marker_arr, t))).cast(
+                "long"
+            ),
+        )
+    # argmax, ties -> lexicographically first language
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pick = F.lit(None).cast("string")
+    for lang in reversed(langs):
+        pick = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pick)
+    return df.withColumn("lang_pred", F.when(best > 0, pick).otherwise(F.lit("und")))
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the lower-cased,
+    whitespace-collapsed text. Stable across engines (md5 is md5)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

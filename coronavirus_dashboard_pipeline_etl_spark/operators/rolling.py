@@ -65,14 +65,24 @@ def direction_col(change: Column) -> Column:
     )
 
 
-def percentage_change_col(cur: Column, prev: Column) -> Column:
-    """``calculate_percentage_change`` (rolling.py:65-77) as one expression."""
-    denom = F.when(prev != 0, prev).otherwise(F.lit(1.0))
-    fraction = cur / denom - F.lit(1.0)
+def percentage_change_col(cur: Column, prev: Column, precision: int | None = 1) -> Column:
+    """``calculate_percentage_change`` (rolling.py:65-77) as one expression.
+
+    The division runs in IEEE double (cast from whatever exact type the
+    rolling sum carries) — deterministic across engines. ``precision``
+    mirrors the reference's ``.round(1)``; pass None to skip rounding
+    (the gate queries do, for bit-exact oracle comparison).
+    """
+    cur_d, prev_d = cur.cast("double"), prev.cast("double")
+    denom = F.when(prev_d != 0, prev_d).otherwise(F.lit(1.0))
+    fraction = cur_d / denom - F.lit(1.0)
+    pct = fraction * 100
+    if precision is not None:
+        pct = F.round(pct, precision)
     return (
-        F.when((cur == 0) & (prev > 0), F.lit(-100.0))
+        F.when((cur_d == 0) & (prev_d > 0), F.lit(-100.0))
         .when(fraction == -1, F.lit(0.0))
-        .otherwise(F.round(fraction * 100, 1))
+        .otherwise(pct)
     )
 
 
@@ -83,6 +93,7 @@ def change_by_sum(
     date_col: str = "date",
     min_sum_allowed: float | None = None,
     min_sum_sub: float | None = None,
+    pct_precision: int | None = 1,
 ) -> DataFrame:
     """Add ``{m}RollingSum/Change/Direction/ChangePercentage`` per metric.
 
@@ -91,10 +102,17 @@ def change_by_sum(
     so Catalyst plans a single sort + exchange regardless of how many
     metrics are configured — at 100 TB this is the difference between 1
     and ~120 shuffles.
+
+    Numeric note: the reference does ``astype(float)`` first; we keep
+    DECIMAL inputs as decimals instead so the rolling/cumulative sums are
+    exact (associativity makes the result independent of partition
+    evaluation order — required for the duckdb gate, and simply better
+    arithmetic). Double inputs behave exactly like the reference.
     """
     metrics = sorted(set(metrics) & set(df.columns))
     if not metrics:
         return df
+    dtypes = dict(df.dtypes)
 
     keys = list(group_keys)
     w = Window.partitionBy(*keys).orderBy(date_col)
@@ -105,7 +123,8 @@ def change_by_sum(
         rsum, chg = f"{m}{SUFFIX_ROLLING_SUM}", f"{m}{SUFFIX_CHANGE}"
         dirn, pct = f"{m}{SUFFIX_DIRECTION}", f"{m}{SUFFIX_CHANGE_PERCENTAGE}"
 
-        raw = F.col(m).cast("double")
+        keep_exact = dtypes.get(m, "").startswith("decimal")
+        raw = F.col(m) if keep_exact else F.col(m).cast("double")
         df = df.withColumn("__raw", raw)
 
         rsum_expr = _rolling_sum_col("__raw", w_roll)
@@ -134,7 +153,7 @@ def change_by_sum(
                 pct,
                 F.when(
                     pct_guard == ROLLING_WINDOW + 1,
-                    percentage_change_col(F.col(rsum), prev),
+                    percentage_change_col(F.col(rsum), prev, pct_precision),
                 ),
             )
         )

@@ -1,0 +1,1133 @@
+"""Driver-gate query registry: every SURVEY.md §2 operator exercised on
+the driver's synthetic tables, each with an exact DuckDB oracle.
+
+Determinism contract (what makes value-hash comparison possible):
+
+* every SUM/rolling/cumulative aggregation runs on DECIMAL(18,6) casts —
+  decimal addition is associative, so Spark's partition-order-dependent
+  aggregation and DuckDB's sequential one agree bit-for-bit;
+* derived ratios/averages cast the exact decimals to DOUBLE first and
+  then do plain IEEE ops (deterministic), never ROUND (engines differ in
+  decimal-vs-binary rounding of doubles);
+* dates cross the boundary as ISO 'yyyy-MM-dd' strings;
+* hashes are md5-based (identical everywhere);
+* every computed column is aliased identically in the DataFrame plan and
+  the oracle SQL (the driver sorts columns by name before hashing).
+
+The Spark side deliberately goes through the library operators
+(operators/*, functions/*) rather than spark.sql, so the gate verifies
+the engine's public surface.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.dedup import (
+    MERSENNE_P,
+    exact_dedup,
+    hash_params,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ..functions.similarity import cosine_topk, cosine_topk_ivf
+from ..functions.text import fingerprint, langid_scores, quality_stats, token_stats
+from ..operators import (
+    calculate_pair_summations,
+    change_by_sum,
+    homogenise_dates,
+    latest_date_only,
+    latest_per_group,
+    latest_two_releases_delta,
+    melt,
+    normalise_records,
+    pivot_max,
+    rolling_mean_centered,
+    trim_end,
+    weekly_thin,
+)
+from ..operators.nesting import wrap_payload
+from ..sources import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+DEC = "decimal(18,6)"
+
+
+# --------------------------------------------------------------------------
+# shared builders
+# --------------------------------------------------------------------------
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day) panel with an exact-decimal value sum — the
+    engine's canonical wide-panel input built from the events table."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("val_d"))
+
+
+_DAILY_SQL = """
+daily AS (
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS val_d
+    FROM events
+    GROUP BY 1, 2
+)
+"""
+
+def _sparse_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gappy variant of the daily panel so densify/fill operators have
+    real holes to repair at EVERY scale factor: a deterministic day-of-
+    month pattern knocks out mid-series days for 'click', the tail for
+    'error', and the head for 'signup' (leading/trailing null runs
+    exercise the ffill/zero-fill bounds)."""
+    daily = _daily(spark, sf_dir)
+    dom = F.substring("date", 9, 2).cast("int")
+    keep = ~(
+        ((F.col("event_type") == "click") & (dom % 3 == 0))
+        | ((F.col("event_type") == "error") & (dom > 10))
+        | ((F.col("event_type") == "signup") & (dom <= 5))
+    )
+    return daily.filter(keep)
+
+
+_SPARSE_DAILY_SQL = """
+daily AS (
+    SELECT * FROM (
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS date,
+               SUM(CAST(value AS DECIMAL(18,6))) AS val_d
+        FROM events
+        GROUP BY 1, 2
+    )
+    WHERE NOT ((event_type = 'click'  AND CAST(substr(date, 9, 2) AS INT) % 3 = 0)
+            OR (event_type = 'error'  AND CAST(substr(date, 9, 2) AS INT) > 10)
+            OR (event_type = 'signup' AND CAST(substr(date, 9, 2) AS INT) <= 5))
+)
+"""
+
+_DENSE_SQL = """
+bounds AS (
+    SELECT CAST(min(date) AS DATE) AS lo, CAST(max(date) AS DATE) AS hi FROM daily
+),
+scaffold AS (
+    SELECT t.event_type, strftime(g.d, '%Y-%m-%d') AS date
+    FROM (SELECT DISTINCT event_type FROM daily) t
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds) g
+),
+dense AS (
+    SELECT s.event_type, s.date, d.val_d
+    FROM scaffold s LEFT JOIN daily d
+      ON s.event_type = d.event_type AND s.date = d.date
+)
+"""
+
+
+def _dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return homogenise_dates(
+        _sparse_daily(spark, sf_dir), group_keys=("event_type",)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H-ish core (scan/filter/join/agg)
+# --------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship grouped aggregation (A-family; TPC-H Q1 shape)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-08-06"
+    )
+    qty = F.col("l_quantity").cast(DEC)
+    price = F.col("l_extendedprice").cast(DEC)
+    disc_price = price * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(qty).alias("__sq"),
+        F.sum(price).alias("__sp"),
+        F.sum(disc_price).alias("__sd"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    # NB: wide-scale decimals (scale 12 from the 2dp*2dp product) must be
+    # re-cast to a narrow scale BEFORE the double cast: DuckDB converts
+    # decimal->double as unscaled/10^scale, which double-rounds once the
+    # unscaled value exceeds 2^53. DECIMAL(18,4) is lossless here (the
+    # product is exactly 4dp) and keeps the unscaled value small.
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("__sq").cast("double").alias("sum_qty"),
+        F.col("__sp").cast("double").alias("sum_base_price"),
+        F.col("__sd").cast("decimal(18,4)").cast("double").alias("sum_disc_price"),
+        (F.col("__sq").cast("double") / F.col("count_order")).alias("avg_qty"),
+        (F.col("__sp").cast("double") / F.col("count_order")).alias("avg_price"),
+        "count_order",
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '2001-08-06'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + agg + deterministic top-k (broadcast dims, J-family)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
+        .agg(F.sum(rev).alias("__rev"))
+        .select(
+            "o_orderkey",
+            F.col("__rev").cast("decimal(18,4)").cast("double").alias("revenue"),
+            "o_orderdate",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT o_orderkey,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def q5_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join revenue by nation inside one region (J7 star joins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("__rev"))
+        .select("n_name", F.col("__rev").cast("decimal(18,4)").cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+def p2_filter_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate scan (P1/P2) — filters reach the parquet
+    reader as PushedFilters (verified in tests/test_plans.py)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R")
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+    )
+
+
+P2_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice,
+       strftime(l_shipdate, '%Y-%m-%d') AS l_shipdate
+FROM lineitem
+WHERE l_quantity > 45 AND l_returnflag = 'R'
+"""
+
+
+def p7_melt_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide->long melt (P7) — values pass through bit-identical."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    return melt(li, id_vars=["l_orderkey", "l_linenumber"])
+
+
+P7_SQL = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS payload FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+"""
+
+
+def p8_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long->wide pivot with max agg (P8/A7)."""
+    piv = pivot_max(
+        _daily(spark, sf_dir),
+        index=["date"],
+        column="event_type",
+        value="val_d",
+        values=["click", "error", "purchase", "signup", "view"],
+    )
+    return piv.select(
+        "date", *[F.col(c).cast("double").alias(c) for c in piv.columns if c != "date"]
+    )
+
+
+P8_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT date,
+       CAST(MAX(val_d) FILTER (WHERE event_type = 'click')    AS DOUBLE) AS click,
+       CAST(MAX(val_d) FILTER (WHERE event_type = 'error')    AS DOUBLE) AS error,
+       CAST(MAX(val_d) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS purchase,
+       CAST(MAX(val_d) FILTER (WHERE event_type = 'signup')   AS DOUBLE) AS signup,
+       CAST(MAX(val_d) FILTER (WHERE event_type = 'view')     AS DOUBLE) AS view
+FROM daily
+GROUP BY date
+"""
+
+
+# --------------------------------------------------------------------------
+# panel/window family (the reference's processor pipeline)
+# --------------------------------------------------------------------------
+
+def j4_homogenise_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date densification (J4) on a gappy panel: scaffold rows appear with
+    null values."""
+    return _dense(spark, sf_dir).select(
+        "event_type", "date", F.col("val_d").cast("double").alias("val")
+    )
+
+
+J4_SQL = f"""
+WITH {_SPARSE_DAILY_SQL}, {_DENSE_SQL}
+SELECT event_type, date, CAST(val_d AS DOUBLE) AS val FROM dense
+"""
+
+
+def w1_normalise_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded forward-fill of cumulative metrics (W1) after densify."""
+    dense = _dense(spark, sf_dir).withColumn(
+        "cum", F.col("val_d").cast("double")
+    )
+    out = normalise_records(dense, cumulative=["cum"], group_keys=("event_type",))
+    return out.select("event_type", "date", "cum")
+
+
+W1_SQL = f"""
+WITH {_SPARSE_DAILY_SQL}, {_DENSE_SQL}
+, b AS (
+    SELECT event_type, date, CAST(val_d AS DOUBLE) AS cum,
+           MIN(CASE WHEN val_d IS NOT NULL THEN date END) OVER (PARTITION BY event_type) AS lo,
+           MAX(CASE WHEN val_d IS NOT NULL THEN date END) OVER (PARTITION BY event_type) AS hi
+    FROM dense
+)
+SELECT event_type, date,
+       CASE WHEN cum IS NULL AND date >= lo AND date < hi
+            THEN last_value(cum IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ELSE cum END AS cum
+FROM b
+"""
+
+
+def w2_normalise_zerofill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded zero-fill of new-metrics (W2) after densify."""
+    dense = _dense(spark, sf_dir).withColumn("val", F.col("val_d").cast("double"))
+    out = normalise_records(dense, zero_filled=["val"], group_keys=("event_type",))
+    return out.select("event_type", "date", "val")
+
+
+W2_SQL = f"""
+WITH {_SPARSE_DAILY_SQL}, {_DENSE_SQL}
+, b AS (
+    SELECT event_type, date, CAST(val_d AS DOUBLE) AS val,
+           MIN(CASE WHEN val_d IS NOT NULL THEN date END) OVER (PARTITION BY event_type) AS lo,
+           MAX(CASE WHEN val_d IS NOT NULL THEN date END) OVER (PARTITION BY event_type) AS hi
+    FROM dense
+)
+SELECT event_type, date,
+       CASE WHEN val IS NULL AND date >= lo AND date < hi THEN 0.0 ELSE val END AS val
+FROM b
+"""
+
+
+def _rolling_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dense = _dense(spark, sf_dir)
+    panel = dense.withColumn("val", F.coalesce(F.col("val_d"), F.lit(0).cast(DEC)))
+    return change_by_sum(
+        panel, ["val"], group_keys=("event_type",), pct_precision=None
+    )
+
+
+def a1_rolling_sum_7day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _rolling_family(spark, sf_dir)
+    return out.select(
+        "event_type", "date", F.col("valRollingSum").cast("double").alias("rsum")
+    )
+
+
+_ROLLING_CORE_SQL = f"""
+WITH {_SPARSE_DAILY_SQL}, {_DENSE_SQL}
+, panel AS (
+    SELECT event_type, date, COALESCE(val_d, CAST(0 AS DECIMAL(18,6))) AS val FROM dense
+),
+r1 AS (
+    SELECT event_type, date, val,
+           CASE WHEN COUNT(val) OVER w7 = 7 THEN SUM(val) OVER w7 END AS rsum0
+    FROM panel
+    WINDOW w7 AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+r2 AS (
+    SELECT event_type, date, val,
+           CASE WHEN SUM(rsum0) OVER (PARTITION BY event_type) = 0 THEN NULL ELSE rsum0 END AS rsum
+    FROM r1
+)
+"""
+
+
+A1_SQL = (
+    _ROLLING_CORE_SQL
+    + """
+SELECT event_type, date,
+       CASE WHEN val IS NULL THEN NULL ELSE CAST(rsum AS DOUBLE) END AS rsum
+FROM r2
+"""
+)
+
+
+def a234_change_direction_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _rolling_family(spark, sf_dir)
+    return out.select(
+        "event_type",
+        "date",
+        F.col("valChange").cast("double").alias("chg"),
+        F.col("valDirection").alias("direction"),
+        F.col("valChangePercentage").cast("double").alias("pct"),
+    )
+
+
+A234_SQL = (
+    _ROLLING_CORE_SQL
+    + """
+, r3 AS (
+    SELECT event_type, date, val, rsum,
+           CAST(rsum - LAG(rsum, 7) OVER w AS DOUBLE) AS chg,
+           CAST(rsum AS DOUBLE) AS cur,
+           CAST(LAG(rsum, 7) OVER w AS DOUBLE) AS prev,
+           COUNT(rsum) OVER w8 AS cnt8
+    FROM r2
+    WINDOW w  AS (PARTITION BY event_type ORDER BY date),
+           w8 AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, date,
+       CASE WHEN val IS NULL THEN NULL ELSE chg END AS chg,
+       CASE WHEN val IS NULL THEN NULL
+            WHEN chg < 0 THEN 'DOWN' WHEN chg > 0 THEN 'UP' WHEN chg = 0 THEN 'SAME' END AS direction,
+       CASE WHEN val IS NULL THEN NULL
+            WHEN cnt8 = 8 THEN
+              CASE WHEN cur = 0 AND prev > 0 THEN -100.0
+                   WHEN (cur / (CASE WHEN prev <> 0 THEN prev ELSE 1.0 END)) - 1.0 = -1.0 THEN 0.0
+                   ELSE ((cur / (CASE WHEN prev <> 0 THEN prev ELSE 1.0 END)) - 1.0) * 100.0 END
+            END AS pct
+FROM r3
+"""
+)
+
+
+def a5_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cumulative sum (A5) — exact decimal running total."""
+    daily = _daily(spark, sf_dir)
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return daily.select(
+        "event_type",
+        "date",
+        F.sum("val_d").over(w).cast("double").alias("cum_val"),
+    )
+
+
+A5_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT event_type, date,
+       CAST(SUM(val_d) OVER (PARTITION BY event_type ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum_val
+FROM daily
+"""
+
+
+def a6_group_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+A6_SQL = """
+SELECT c_nationkey, MAX(c_acctbal) AS max_acctbal, COUNT(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def a8_pair_summation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-gated pair sum (A8): null unless both present."""
+    piv = pivot_max(
+        _sparse_daily(spark, sf_dir),
+        index=["date"],
+        column="event_type",
+        value="val_d",
+        values=["click", "purchase"],
+    )
+    out = calculate_pair_summations(
+        piv, [("click", "purchase", "click_plus_purchase")]
+    )
+    return out.select(
+        "date",
+        F.col("click").cast("double").alias("click"),
+        F.col("purchase").cast("double").alias("purchase"),
+        F.col("click_plus_purchase").cast("double").alias("click_plus_purchase"),
+    )
+
+
+A8_SQL = f"""
+WITH {_SPARSE_DAILY_SQL},
+piv AS (
+    SELECT date,
+           MAX(val_d) FILTER (WHERE event_type = 'click')    AS click,
+           MAX(val_d) FILTER (WHERE event_type = 'purchase') AS purchase
+    FROM daily GROUP BY date
+)
+SELECT date, CAST(click AS DOUBLE) AS click, CAST(purchase AS DOUBLE) AS purchase,
+       CAST(CASE WHEN click IS NOT NULL AND purchase IS NOT NULL THEN click + purchase END AS DOUBLE) AS click_plus_purchase
+FROM piv
+"""
+
+
+def a10_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (A10) on integer-valued quantities."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+    )
+
+
+A10_SQL = """
+SELECT l_returnflag,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.25) AS p25,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.5)  AS p50,
+       quantile_cont(CAST(l_quantity AS DOUBLE), 0.75) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def a11_nest_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nesting aggregation (A11): deterministic ordered record list per key
+    (string form so the oracle can reproduce it exactly)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("o_orderkey")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("orderkeys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+A11_SQL = """
+SELECT o_custkey,
+       string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS orderkeys,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
+def a12_rank_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank-latest extraction (A12/W7): newest event per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "event_type", "date")
+    )
+
+
+A12_SQL = """
+SELECT user_id, event_id, event_type, strftime(ts, '%Y-%m-%d') AS date
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+) WHERE rn = 1
+"""
+
+
+def a15_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+A15_SQL = "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders"
+
+
+def w5_trim_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tail freshness mask (W5): null metrics in the last 5 days."""
+    daily = _daily(spark, sf_dir).withColumn("val", F.col("val_d").cast("double"))
+    out = trim_end(daily.select("event_type", "date", "val"), ["val"], days_to_trim=5)
+    return out.select("event_type", "date", "val")
+
+
+W5_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT event_type, date,
+       CASE WHEN CAST(date AS DATE) <= (SELECT CAST(max(date) AS DATE) - INTERVAL 5 DAY FROM daily)
+            THEN CAST(val_d AS DOUBLE) END AS val
+FROM daily
+"""
+
+
+def w6_centered_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered rolling mean (W6) — sum/count in exact decimal, IEEE divide."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("date").rowsBetween(-3, 3)
+    return daily.select(
+        "event_type",
+        "date",
+        F.when(
+            F.count("val_d").over(w) == 7,
+            F.sum("val_d").over(w).cast("double") / F.lit(7.0),
+        ).alias("smoothed"),
+    )
+
+
+W6_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT event_type, date,
+       CASE WHEN COUNT(val_d) OVER w = 7 THEN CAST(SUM(val_d) OVER w AS DOUBLE) / 7.0 END AS smoothed
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+"""
+
+
+def w8_weekly_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly output cadence (W8): keep the -7D grid from the max date."""
+    daily = _daily(spark, sf_dir).withColumn("val", F.col("val_d").cast("double"))
+    out = weekly_thin(daily.select("event_type", "date", "val"))
+    return out.select("event_type", "date", "val")
+
+
+W8_SQL = f"""
+WITH {_DAILY_SQL},
+mx AS (SELECT CAST(max(date) AS DATE) AS anchor FROM daily)
+SELECT event_type, date, CAST(val_d AS DOUBLE) AS val
+FROM daily, mx
+WHERE date_diff('day', CAST(date AS DATE), anchor) % 7 = 0
+  AND CAST(date AS DATE) <= anchor
+"""
+
+
+def j9_release_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Today-vs-previous-snapshot delta (J9), clamped at 0."""
+    daily = _daily(spark, sf_dir).withColumn("val", F.col("val_d").cast("double"))
+    out = latest_two_releases_delta(
+        daily.select("event_type", "date", "val"),
+        group_keys=["event_type"],
+        release_col="date",
+        value_col="val",
+        out="delta",
+    )
+    return out.select("event_type", "date", "val", "delta")
+
+
+J9_SQL = f"""
+WITH {_DAILY_SQL},
+ranked AS (
+    SELECT event_type, date, CAST(val_d AS DOUBLE) AS val,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY date DESC) AS rn
+    FROM daily
+)
+SELECT t.event_type, t.date, t.val,
+       GREATEST(t.val - COALESCE(p.val, 0), 0) AS delta
+FROM (SELECT * FROM ranked WHERE rn = 1) t
+LEFT JOIN (SELECT * FROM ranked WHERE rn = 2) p USING (event_type)
+"""
+
+
+def j10_latest_date_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-date membership restriction (J10) per group."""
+    daily = _daily(spark, sf_dir).withColumn("val", F.col("val_d").cast("double"))
+    out = latest_date_only(
+        daily.select("event_type", "date", "val"), scope_keys=("event_type",)
+    )
+    return out.select("event_type", "date", "val")
+
+
+J10_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT event_type, date, CAST(val_d AS DOUBLE) AS val
+FROM daily
+QUALIFY date = MAX(date) OVER (PARTITION BY event_type)
+"""
+
+
+def u1_union_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op concat (§2.7): tagged union of two filtered projections."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(
+        F.lit("returned").alias("bucket"), "l_orderkey", "l_linenumber"
+    )
+    b = li.filter(F.col("l_quantity") >= 49).select(
+        F.lit("bulk").alias("bucket"), "l_orderkey", "l_linenumber"
+    )
+    return a.unionByName(b)
+
+
+U1_SQL = """
+SELECT 'returned' AS bucket, l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag = 'R'
+UNION ALL
+SELECT 'bulk', l_orderkey, l_linenumber FROM lineitem WHERE l_quantity >= 49
+"""
+
+
+def s11_payload_wrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload construction (P10/S11): {"value": n} cells."""
+    daily = _daily(spark, sf_dir)
+    return daily.select(
+        "event_type",
+        "date",
+        wrap_payload(
+            F.floor(F.col("val_d")).cast("bigint").alias("value")
+        ).alias("payload"),
+    )
+
+
+S11_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT event_type, date,
+       to_json(struct_pack(value := CAST(FLOOR(val_d) AS BIGINT)))::VARCHAR AS payload
+FROM daily
+"""
+
+
+# --------------------------------------------------------------------------
+# LLM-training-data pipeline operators (BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+# DuckDB equivalent of functions.dedup.md5_prefix_long — same 60-bit int.
+def _md5int_sql(x: str) -> str:
+    return (
+        "list_reduce(list_transform(string_split(substr(md5(" + x + "),1,15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+
+
+_TH_SQL = (
+    "list_transform(list_distinct(string_split(text, ' ')), t -> "
+    + _md5int_sql("t")
+    + f" % {MERSENNE_P})"
+)
+
+
+def d1_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+D1_SQL = r"""
+SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+       MIN(doc_id) AS rep_id, COUNT(*) AS n_dups
+FROM documents
+GROUP BY 1
+"""
+
+
+def d2_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, block_cols=("lang", "source"), threshold=0.5
+    )
+
+
+D2_SQL = """
+WITH toks AS (
+    SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks
+    FROM documents
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+       / CAST(len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)) AS DOUBLE) AS jaccard
+FROM toks l JOIN toks r
+  ON l.lang = r.lang AND l.source = r.source AND l.doc_id < r.doc_id
+WHERE CAST(len(list_intersect(l.toks, r.toks)) AS DOUBLE)
+      / CAST(len(l.toks) + len(r.toks) - len(list_intersect(l.toks, r.toks)) AS DOUBLE) >= 0.5
+"""
+
+
+def d3_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=16)
+    return sigs.select("doc_id", *[f"mh{i}" for i in range(16)])
+
+
+def _d3_sql() -> str:
+    sig_exprs = ",\n       ".join(
+        f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(hash_params(16))
+    )
+    return f"""
+WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents)
+SELECT doc_id,
+       {sig_exprs}
+FROM th
+"""
+
+
+D3_SQL = _d3_sql()
+
+
+def d3b_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=16)
+    return lsh_candidate_pairs(sigs, k=16, bands=4)
+
+
+def _d3b_sql() -> str:
+    bands = []
+    for bidx in range(4):
+        members = ", ".join(f"mh{i}" for i in range(bidx * 4, (bidx + 1) * 4))
+        bands.append(
+            f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig FROM sig"
+        )
+    return f"""
+WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+sig AS (
+    SELECT doc_id,
+           {','.join(f'list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}' for i, (a, b) in enumerate(hash_params(16)))}
+    FROM th
+),
+bands AS ({' UNION ALL '.join(bands)})
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+"""
+
+
+D3B_SQL = _d3b_sql()
+
+
+def d4_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash(docs).select("doc_id", "simhash")
+
+
+def _d4_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(th, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 THEN CAST({2**j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(32)
+    )
+    return f"""
+WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents)
+SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM th
+"""
+
+
+D4_SQL = _d4_sql()
+
+
+def t1_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_stats(docs).select(
+        "doc_id", "n_tokens", "n_chars_total", "n_chars_alpha", "mean_token_len"
+    )
+
+
+T1_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars_total,
+       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_alpha,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS mean_token_len
+FROM documents
+"""
+
+
+def t2_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return quality_stats(docs).select(
+        "doc_id", "n_tokens", "stopword_ratio", "distinct_ratio", "len_ok"
+    )
+
+
+T2_SQL = """
+SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+       CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+       len(string_split(text, ' ')) >= 20 AS len_ok
+FROM documents
+"""
+
+
+def t3_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return langid_scores(docs).select(
+        "doc_id", "score_de", "score_en", "score_fr", "lang_pred"
+    )
+
+
+T3_SQL = """
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','und'], t))) AS BIGINT) AS score_de,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and'], t))) AS BIGINT) AS score_en,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','et'], t))) AS BIGINT) AS score_fr
+    FROM documents
+)
+SELECT doc_id, score_de, score_en, score_fr,
+       CASE WHEN GREATEST(score_de, score_en, score_fr) > 0 THEN
+           CASE WHEN score_de = GREATEST(score_de, score_en, score_fr) THEN 'de'
+                WHEN score_en = GREATEST(score_de, score_en, score_fr) THEN 'en'
+                WHEN score_fr = GREATEST(score_de, score_en, score_fr) THEN 'fr' END
+       ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
+def t4_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+T4_SQL = r"""
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def s1_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, k=5).select("query_id", "rank", "neighbor_id")
+
+
+S1_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rn AS rank, neighbor_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 5
+"""
+
+
+def s2_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk_ivf(emb, queries, bucket_col="label", k=5).select(
+        "query_id", "rank", "neighbor_id"
+    )
+
+
+S2_SQL = """
+WITH q AS (SELECT vec_id AS query_id, label, embedding FROM embeddings WHERE vec_id % 50 = 0),
+scored AS (
+    SELECT q.query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) AS score
+    FROM embeddings e JOIN q ON e.label = q.label
+    WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, rn AS rank, neighbor_id
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+WHERE rn <= 5
+"""
+
+
+def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by the coarse bucket."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from ..functions.similarity import cosine_similarity_col
+
+    left = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
+    )
+    right = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+    )
+    return (
+        left.join(right, on=[F.col("la") == F.col("lb"), F.col("id_a") < F.col("id_b")])
+        .withColumn("score", cosine_similarity_col(F.col("ea"), F.col("eb")))
+        .filter(F.col("score") >= 0.9)
+        .select("id_a", "id_b")
+    )
+
+
+D5_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+"""
+
+
+def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary column + typed metadata
+    (functions.multimodal handles decode; here the byte-level path)."""
+    docs = load_table(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.col("text")).cast("long").alias("n_bytes"),
+        F.md5(blob.cast("string")).alias("content_md5"),
+    )
+
+
+M1_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS content_md5
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, QueryFn] = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_top_revenue_orders": q3_top_revenue_orders,
+    "q5_region_volume": q5_region_volume,
+    "p2_filter_pushdown_scan": p2_filter_pushdown_scan,
+    "p7_melt_lineitem": p7_melt_lineitem,
+    "p8_pivot_events": p8_pivot_events,
+    "j4_homogenise_dates": j4_homogenise_dates,
+    "w1_normalise_ffill": w1_normalise_ffill,
+    "w2_normalise_zerofill": w2_normalise_zerofill,
+    "a1_rolling_sum_7day": a1_rolling_sum_7day,
+    "a234_change_direction_pct": a234_change_direction_pct,
+    "a5_cumulative_sum": a5_cumulative_sum,
+    "a6_group_max": a6_group_max,
+    "a8_pair_summation": a8_pair_summation,
+    "a10_percentiles": a10_percentiles,
+    "a11_nest_records": a11_nest_records,
+    "a12_rank_latest": a12_rank_latest,
+    "a15_distinct": a15_distinct,
+    "w5_trim_end": w5_trim_end,
+    "w6_centered_mean": w6_centered_mean,
+    "w8_weekly_thin": w8_weekly_thin,
+    "j9_release_delta": j9_release_delta,
+    "j10_latest_date_semi": j10_latest_date_semi,
+    "u1_union_frames": u1_union_frames,
+    "s11_payload_wrap": s11_payload_wrap,
+    "d1_exact_dedup": d1_exact_dedup,
+    "d2_jaccard_pairs": d2_jaccard_pairs,
+    "d3_minhash_signatures": d3_minhash_signatures,
+    "d3b_lsh_pairs": d3b_lsh_pairs,
+    "d4_simhash": d4_simhash,
+    "d5_embedding_neardup": d5_embedding_neardup,
+    "t1_token_stats": t1_token_stats,
+    "t2_quality_stats": t2_quality_stats,
+    "t3_langid": t3_langid,
+    "t4_fingerprint": t4_fingerprint,
+    "s1_ann_cosine_topk": s1_ann_cosine_topk,
+    "s2_ann_ivf_topk": s2_ann_ivf_topk,
+    "m1_binary_meta": m1_binary_meta,
+}
+
+ORACLE: dict[str, str] = {
+    "q1_pricing_summary": Q1_SQL,
+    "q3_top_revenue_orders": Q3_SQL,
+    "q5_region_volume": Q5_SQL,
+    "p2_filter_pushdown_scan": P2_SQL,
+    "p7_melt_lineitem": P7_SQL,
+    "p8_pivot_events": P8_SQL,
+    "j4_homogenise_dates": J4_SQL,
+    "w1_normalise_ffill": W1_SQL,
+    "w2_normalise_zerofill": W2_SQL,
+    "a1_rolling_sum_7day": A1_SQL,
+    "a234_change_direction_pct": A234_SQL,
+    "a5_cumulative_sum": A5_SQL,
+    "a6_group_max": A6_SQL,
+    "a8_pair_summation": A8_SQL,
+    "a10_percentiles": A10_SQL,
+    "a11_nest_records": A11_SQL,
+    "a12_rank_latest": A12_SQL,
+    "a15_distinct": A15_SQL,
+    "w5_trim_end": W5_SQL,
+    "w6_centered_mean": W6_SQL,
+    "w8_weekly_thin": W8_SQL,
+    "j9_release_delta": J9_SQL,
+    "j10_latest_date_semi": J10_SQL,
+    "u1_union_frames": U1_SQL,
+    "s11_payload_wrap": S11_SQL,
+    "d1_exact_dedup": D1_SQL,
+    "d2_jaccard_pairs": D2_SQL,
+    "d3_minhash_signatures": D3_SQL,
+    "d3b_lsh_pairs": D3B_SQL,
+    "d4_simhash": D4_SQL,
+    "d5_embedding_neardup": D5_SQL,
+    "t1_token_stats": T1_SQL,
+    "t2_quality_stats": T2_SQL,
+    "t3_langid": T3_SQL,
+    "t4_fingerprint": T4_SQL,
+    "s1_ann_cosine_topk": S1_SQL,
+    "s2_ann_ivf_topk": S2_SQL,
+    "m1_binary_meta": M1_SQL,
+}

@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run every queries()
+entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
+row count, schema width, and order-insensitive values.
+
+Usage: python tools/run_gate.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+sys.path.insert(0, ".")
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entry_mod
+from coronavirus_dashboard_pipeline_etl_spark.session import get_spark
+from coronavirus_dashboard_pipeline_etl_spark.sources import TABLES
+
+
+def normalise(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    def norm_cell(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        if isinstance(v, float):
+            return float(v)
+        if hasattr(v, "item"):
+            return v.item()
+        return v
+    out = df.apply(lambda c: c.map(norm_cell))
+    return out.sort_values(by=list(out.columns), key=lambda s: s.map(repr)).reset_index(
+        drop=True
+    )
+
+
+def compare(name, spark_pdf, duck_pdf) -> list[str]:
+    problems = []
+    if list(sorted(spark_pdf.columns)) != list(sorted(duck_pdf.columns)):
+        problems.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return problems
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+        return problems
+    s, d = normalise(spark_pdf), normalise(duck_pdf)
+    for col in s.columns:
+        for i in range(len(s)):
+            a, b = s[col].iloc[i], d[col].iloc[i]
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if a != b and not (math.isnan(a) and math.isnan(b)):
+                    problems.append(f"{col}[{i}]: spark={a!r} duck={b!r}")
+            elif a != b:
+                problems.append(f"{col}[{i}]: spark={a!r} duck={b!r}")
+            if len(problems) > 5:
+                return problems
+    return problems
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    passed = failed = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+            duck_pdf = con.sql(oracles[name]).df()
+            problems = compare(name, spark_pdf, duck_pdf)
+        except Exception as e:  # noqa: BLE001
+            problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        if problems:
+            failed += 1
+            print(f"FAIL {name} ({len(spark_pdf) if 'spark_pdf' in dir() else '?'} rows)")
+            for p in problems[:6]:
+                print(f"     {p}")
+        else:
+            passed += 1
+            print(f"ok   {name} ({len(spark_pdf)} rows)")
+    print(f"\n{passed} passed, {failed} failed")
+    spark.stop()
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
