@@ -49,26 +49,78 @@ def cosine_topk(
     k: int = 5,
     exclude_self: bool = True,
 ) -> DataFrame:
-    """Exact top-k neighbours per query: (query_id, rank, neighbor_id, score)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-    )
+    """Exact top-k neighbours per query: (query_id, rank, neighbor_id, score).
+
+    Scale design: the query matrix is collected once (queries are the
+    small side by construction — if they weren't, this would be the wrong
+    algorithm) and shipped to executors as a broadcast numpy array; each
+    corpus partition scores itself against ALL queries with one float64
+    matmul (Arrow-batched mapInPandas) and emits only its LOCAL top-k per
+    query. The global top-k is then a window over ≤ k·|queries| rows per
+    partition — the shuffle is tiny no matter how big the corpus is.
+    Ties break by (score desc, neighbor_id asc) at both levels, so the
+    local prune is exactly global-consistent.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).collect()
+    if not q_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, score double"
+        )
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_mat, q_norm))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
     )
-    scored = c.crossJoin(broadcast(q))
-    if exclude_self:
-        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn(
-        "score", cosine_similarity_col(F.col("__qvec"), F.col("__cvec"))
+
+    def score_batches(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cmat = np.array(list(pdf["__cvec"]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            # scores[i, j] = cos(corpus_i, query_j)
+            scores = (cmat @ mat_b.T) / np.outer(cnorm, norm_b)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids_b)):
+                col = scores[:, j]
+                mask = cids != ids_b[j] if exclude_self else slice(None)
+                cand_ids, cand_s = cids[mask], col[mask]
+                if len(cand_ids) == 0:
+                    continue
+                # local top-k, tie-break by neighbor id (matches the
+                # global window's ordering)
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([ids_b[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    candidates = c.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score")
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+        )
     )
 
 
@@ -82,29 +134,79 @@ def cosine_topk_ivf(
     exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-bucketed top-k: search only the query's own coarse bucket.
+
     The bucket column plays the role of the IVF centroid assignment (a
-    real deployment computes it with k-means once and stores it)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(bucket_col).alias("__qb"),
-        F.col(vec_col).alias("__qvec"),
-    )
+    real deployment computes it with k-means once and stores it; here the
+    label column stands in). Same broadcast-queries + batched-matmul +
+    local-top-k shape as cosine_topk, but each corpus batch only scores
+    against queries sharing its bucket — the IVF pruning happens inside
+    the kernel with a bucket equality mask, cutting FLOPs by ~1/n_buckets
+    without any extra shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(bucket_col).alias("qb"),
+        F.col(vec_col).alias("qv"),
+    ).collect()
+    if not q_rows:
+        spark = corpus.sparkSession
+        return spark.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, score double"
+        )
+    import numpy as np
+
+    q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
+    q_buckets = np.array([r["qb"] for r in q_rows])
+    q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((q_ids, q_buckets, q_mat, q_norm))
+
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(bucket_col).alias("__cb"),
         F.col(vec_col).alias("__cvec"),
     )
-    scored = c.join(broadcast(q), on=F.col("__cb") == F.col("__qb"))
-    if exclude_self:
-        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
-    scored = scored.withColumn(
-        "score", cosine_similarity_col(F.col("__qvec"), F.col("__cvec"))
+
+    def score_batches(batches):
+        ids_b, buckets_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cbuckets = pdf["__cb"].to_numpy()
+            cmat = np.array(list(pdf["__cvec"]), dtype=np.float64)
+            cnorm = np.sqrt((cmat * cmat).sum(axis=1))
+            scores = (cmat @ mat_b.T) / np.outer(cnorm, norm_b)
+            out_q, out_n, out_s = [], [], []
+            for j in range(len(ids_b)):
+                mask = cbuckets == buckets_b[j]
+                if exclude_self:
+                    mask = mask & (cids != ids_b[j])
+                cand_ids, cand_s = cids[mask], scores[mask, j]
+                if len(cand_ids) == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand_s))[:k]
+                out_q.extend([ids_b[j]] * len(order))
+                out_n.extend(cand_ids[order])
+                out_s.extend(cand_s[order])
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "score": out_s}
+            )
+
+    candidates = c.mapInPandas(
+        score_batches, "query_id long, neighbor_id long, score double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        candidates.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score")
+        .select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
+        )
     )

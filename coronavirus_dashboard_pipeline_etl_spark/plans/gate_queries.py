@@ -837,15 +837,19 @@ D3_SQL = _d3_sql()
 
 
 def d3b_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded LSH candidate pairs. 2 bands x 8 rows targets a ~0.92
+    Jaccard threshold ((1/2)^(1/8)) — near-dup detection; with the
+    synthetic corpus's shared vocabulary, wider bands would flood the
+    candidate set with merely-similar (not near-dup) pairs."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=16)
-    return lsh_candidate_pairs(sigs, k=16, bands=4)
+    return lsh_candidate_pairs(sigs, k=16, bands=2)
 
 
 def _d3b_sql() -> str:
     bands = []
-    for bidx in range(4):
-        members = ", ".join(f"mh{i}" for i in range(bidx * 4, (bidx + 1) * 4))
+    for bidx in range(2):
+        members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
         bands.append(
             f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig FROM sig"
         )
