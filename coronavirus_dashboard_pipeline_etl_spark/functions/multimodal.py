@@ -1,0 +1,100 @@
+"""Multimodal columns — image/audio/video as opaque binary + typed
+metadata, with decode/feature-extract as Arrow-batched Pandas transforms.
+
+Design (BASELINE.json north star): media rides as a ``binary`` column
+next to a metadata struct; all Spark-side plumbing (schema, partitioning,
+mapInPandas batch shape) is real and tested. The codec step itself is
+STUBBED — this container has no image/audio libraries — behind
+``_decode_image_bytes``: a deterministic fake "decoder" that parses our
+synthetic header format. A real deployment swaps in PIL/ffmpeg inside
+the same batch function; nothing else changes.
+
+Why mapInPandas: codecs are Python-only, so the exchange must cross into
+Python — Arrow batches amortise that to one transfer per ~10k rows, and
+per-batch numpy work keeps the Python side vectorised. The decode stage
+is embarrassingly parallel: no shuffle, scales with input splits.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, kind string, content binary, "
+    "meta struct<mime:string, n_bytes:long>"
+)
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_pixels long, "
+    "mean_luma double"
+)
+
+
+def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Typed metadata struct for an opaque binary column."""
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(F.col(content_col)).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
+    """STUB decoder (deterministic fake).
+
+    Real deployments replace this with e.g. PIL.Image.open(BytesIO(buf)).
+    The fake format is ``b"IMG:<width>x<height>:"`` followed by payload
+    bytes; "luma" is the mean payload byte value. Unknown formats raise,
+    like a real codec would.
+    """
+    if not buf.startswith(b"IMG:"):
+        raise NotImplementedError(
+            "real image decoding requires an image library (PIL); "
+            "this container ships the plumbing with a stub codec"
+        )
+    header, _, payload = buf[4:].partition(b":")
+    w, h = (int(x) for x in header.split(b"x"))
+    luma = (sum(payload) / len(payload)) if payload else 0.0
+    return w, h, luma
+
+
+def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Binary image column -> per-image features via Arrow-batched
+    mapInPandas (the decode stage of a multimodal training pipeline)."""
+    import pandas as pd
+
+    cols = df.select("media_id", "kind", content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "width": [], "height": [],
+                "n_pixels": [], "mean_luma": [],
+            }
+            for mid, kind, buf in zip(
+                pdf["media_id"], pdf["kind"], pdf[content_col]
+            ):
+                w, h, luma = _decode_image_bytes(bytes(buf))
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_luma"].append(luma)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, DECODED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    frame_col: str = "frame_index",
+) -> DataFrame:
+    """Frame-sampling for video tables: keep every n-th frame per media.
+    Pure filter — no data movement, fully pushed down."""
+    return df.filter(F.col(frame_col) % every_n == 0)

@@ -64,7 +64,11 @@ def trim_sides(
     w = Window.partitionBy(*keys).orderBy(date_col)
     w_all = Window.partitionBy(*keys)
 
-    abs_payload = F.abs(F.col(payload_col).cast("double"))
+    # try_cast: nested/string payloads (direction cells, variants arrays)
+    # are not numeric — they take the first-valid-index fallback exactly
+    # like the reference's TypeError branch (uploader.py:66-70). A plain
+    # cast would THROW under ANSI mode (Spark 4 default).
+    abs_payload = F.abs(F.col(payload_col).try_cast("double"))
     df = df.withColumn("__rn", F.row_number().over(w))
     df = df.withColumn("__cumabs", F.sum(abs_payload).over(w))
     # first row where running |sum| > 0; fall back to first non-null row

@@ -1,0 +1,195 @@
+"""EP1 — the main daily-release pipeline, end to end.
+
+The reference's processor chain (``db_etl/etl.py:996-1022``, "These must
+be done in a specific order") re-expressed as one composed Spark plan:
+
+    nested JSON -> long -> pivot (wide panel)
+    -> homogenise_dates          (J4 scaffold densify)
+    -> normalise_records         (W1-W3 bounded fills)
+    -> negative_to_zero          (P4)
+    -> calculate_pair_summations (A8)
+    -> calculate_by_adjacent_column (J3)
+    -> calculate_rates           (J2 + A1 per-100k)
+    -> change_by_sum             (A1-A4 rolling family)
+    -> ratio_to_percentage
+    -> trim_end                  (W5 freshness mask)
+    -> releaseTimestamp + canonical sort
+
+and the load side (``db_etl_upload/uploader.py:546-655``):
+
+    melt (P7) -> trim_sides (W4) -> payload wrap (P10) -> keyed hash
+    -> partition_id -> partitioned parquet write (S8/S10 as
+    partitionBy + dynamic overwrite instead of Postgres DDL + upsert).
+
+Where the reference runs one Azure Function per area and rides blob
+storage between stages, this is a single lazy plan: area fan-out is
+partition parallelism, the orchestrator barrier is a stage boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..config import DEFAULT_METRICS, MetricConfig, TAIL_TRIM_DAYS
+from ..operators import (
+    calculate_by_adjacent_column,
+    calculate_pair_summations,
+    calculate_rates,
+    change_by_sum,
+    homogenise_dates,
+    melt,
+    negative_to_zero,
+    normalise_records,
+    ratio_to_percentage,
+    row_hash_blake2,
+    trim_end,
+    trim_sides,
+)
+from ..operators.nesting import wrap_payload
+from ..sources.nested_json import (
+    area_names,
+    explode_timeseries,
+    pivot_panel,
+    read_nested_release,
+)
+
+PANEL_META = ["areaType", "areaCode", "areaName", "date"]
+
+
+def build_panel(spark: SparkSession, json_path: str) -> DataFrame:
+    """Raw release JSON -> canonical wide panel."""
+    long = read_nested_release(spark, json_path)
+    obs = explode_timeseries(long)
+    return pivot_panel(obs, names=area_names(long))
+
+
+def process_panel(
+    panel: DataFrame,
+    population: DataFrame,
+    config: MetricConfig = DEFAULT_METRICS,
+    release_timestamp: str | None = None,
+) -> DataFrame:
+    """The processor chain on an existing wide panel (reference order)."""
+    metrics = [c for c in panel.columns if c not in PANEL_META]
+
+    out = homogenise_dates(panel)
+    out = normalise_records(
+        out,
+        zero_filled=config.fill_with_zeros,
+        cumulative=config.start_with_zero,
+    )
+    out = negative_to_zero(out, config.negative_to_zero)
+    out = calculate_pair_summations(out, config.pair_sums)
+    out = calculate_by_adjacent_column(out, config.adjacent_fill)
+    out = calculate_rates(
+        out,
+        population,
+        rolling_rate=config.rolling_rate,
+        incidence_rate=config.incidence_rate,
+    )
+    # change_by_sum skips metrics whose RollingSum already exists (made by
+    # calculate_rates) for the sum itself, exactly like the reference
+    # (rolling.py:118-140) — our operator recomputes identically, which
+    # is idempotent, so no special-casing is needed.
+    out = change_by_sum(out, config.sum_change_direction)
+    out = ratio_to_percentage(out, config.ratio_to_percentage)
+    out = trim_end(out, config.trim_end, TAIL_TRIM_DAYS)
+    if release_timestamp is not None:
+        out = out.withColumn("releaseTimestamp", F.lit(release_timestamp))
+    return out.orderBy(
+        F.col("areaType"), F.col("areaCode"), F.col("date").desc()
+    )
+
+
+def to_long_store(
+    panel: DataFrame,
+    release_id: int,
+    partition_group_expr: F.Column | None = None,
+    hash_key: bytes | None = None,
+) -> DataFrame:
+    """Processed wide panel -> serving-store long rows.
+
+    Mirrors deploy() (uploader.py:546-655): melt, trim unstable series
+    edges, wrap payloads as JSON cells, stamp release/partition ids, key
+    each row with the keyed digest the reference uses for upsert identity
+    (uploader.py:171-179).
+    """
+    id_vars = [c for c in PANEL_META if c in panel.columns] + (
+        ["releaseTimestamp"] if "releaseTimestamp" in panel.columns else []
+    )
+    # the panel mixes numeric metrics and string metrics (Direction
+    # columns); pandas melts them into one object column — Spark melts
+    # each type family separately, trims + wraps, then unions the JSON
+    # payload rows. areaNameLower is derived metadata, not a metric.
+    dtypes = dict(panel.dtypes)
+    skip = set(id_vars) | {"areaNameLower"}
+    num_vars = [
+        c
+        for c, t in dtypes.items()
+        if c not in skip
+        and (t in ("double", "float", "bigint", "int") or t.startswith("decimal"))
+    ]
+    str_vars = [c for c in dtypes if c not in skip and c not in num_vars]
+
+    def prep(value_vars):
+        part = melt(panel, id_vars=id_vars, value_vars=value_vars)
+        part = part.withColumnRenamed("areaType", "area_type").withColumnRenamed(
+            "areaCode", "area_code"
+        )
+        part = trim_sides(part)
+        return part.withColumn("payload", wrap_payload(F.col("payload")))
+
+    parts = [prep(v) for v in (num_vars, str_vars) if v]
+    long = parts[0]
+    for p in parts[1:]:
+        long = long.unionByName(p)
+
+    if partition_group_expr is None:
+        partition_group_expr = F.when(
+            F.col("area_type").isin("utla", "ltla", "nhsTrust", "msoa"),
+            F.lower(F.col("area_type")),
+        ).otherwise(F.lit("other"))
+    long = long.withColumn("partition_id", partition_group_expr)
+    long = long.withColumn("release_id", F.lit(release_id))
+    return row_hash_blake2(
+        long,
+        ["area_type", "area_code", "metric", "date", "release_id"],
+        out="hash",
+        key=hash_key,
+    )
+
+
+def write_store(long: DataFrame, path: str) -> None:
+    """S8/S10 — the serving store write.
+
+    ``partitionBy(partition_id)`` + dynamic partition overwrite replaces
+    the reference's per-release Postgres partition DDL
+    (uploader.py:255-295) and hash-upsert: re-running a release replaces
+    exactly its own partitions, so the write is idempotent like the
+    reference's ON CONFLICT path.
+    """
+    (
+        long.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("partition_id")
+        .parquet(path)
+    )
+
+
+def run_main(
+    spark: SparkSession,
+    json_path: str,
+    population: DataFrame,
+    store_path: str | None = None,
+    release_id: int = 1,
+    config: MetricConfig = DEFAULT_METRICS,
+    release_timestamp: str | None = None,
+) -> DataFrame:
+    """Full EP1: returns the long store rows (and writes them if a store
+    path is given)."""
+    panel = build_panel(spark, json_path)
+    processed = process_panel(panel, population, config, release_timestamp)
+    long = to_long_store(processed, release_id=release_id)
+    if store_path:
+        write_store(long, store_path)
+    return long

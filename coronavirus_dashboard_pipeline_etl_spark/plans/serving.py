@@ -1,0 +1,221 @@
+"""Serving-side query layer — the reference's hand-written PostgreSQL
+re-expressed as Spark plans over the long store + registry dimensions
+(F10 star schema: time_series ⋈ release/metric/area reference tables).
+
+Each function mirrors a production query family:
+
+* ``latest_metrics``      — RANK()=1 latest value per (area, metric)
+  (``main_etl_postprocessors/private_report/queries.py:3-24``,
+  ``despatch_ops_workers/og_images/queries.py:13-23``).
+* ``latest_n_dates``      — RANK() < n+1 per area
+  (``main_etl_nested_metrics_converter/queries.py:22-56``).
+* ``dose_alignment``      — FULL OUTER join of dose-1/2/3 uptake frames
+  on (date, area) (``db_etl_homepage_graphs/queries.py:63-128``).
+* ``release_over_release_delta`` — today LEFT JOIN previous release with
+  GREATEST(delta, 0) (``chunk_etl_postprocessing/vaccinations/queries.py:
+  22-91``).
+* ``area_percentiles``    — percentile_disc(.25/.5/.75) WITHIN GROUP per
+  metric over the latest date (``despatch_ops_workers/map_percentiles/
+  queries.py:14-90``).
+* ``landing_cache_rows``  — jsonb_agg(jsonb_build_object(...)) per (area,
+  metric) for the Redis landing cache (``cache_prepopulate/query.sql``).
+
+All dimension joins are broadcast (registry tables are tiny); the fact
+table shuffles only when a window needs its grouping.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
+
+from ..operators.topk import latest_per_group
+
+def _value() -> F.Column:
+    """payload ->> 'value' (built lazily: Column construction needs a JVM)."""
+    return F.get_json_object("payload", "$.value")
+
+
+def _joined(
+    time_series: DataFrame,
+    areas: DataFrame | None = None,
+    metrics: DataFrame | None = None,
+    releases: DataFrame | None = None,
+) -> DataFrame:
+    out = time_series
+    if areas is not None:
+        out = out.join(broadcast(areas), on="area_id")
+    if metrics is not None:
+        out = out.join(broadcast(metrics), on="metric_id")
+    if releases is not None:
+        out = out.join(
+            broadcast(releases.withColumnRenamed("id", "release_id")),
+            on="release_id",
+        )
+    return out
+
+
+def latest_metrics(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    metric_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Latest numeric value per (area, metric): RANK()=1 by date."""
+    df = _joined(time_series, areas, metrics)
+    if metric_names:
+        df = df.filter(F.col("metric").isin(*metric_names))
+    latest = latest_per_group(
+        df, group_keys=["area_id", "metric_id"], order_col="date", k=1
+    )
+    return latest.select(
+        "area_type",
+        "area_code",
+        "area_name",
+        "metric",
+        "date",
+        _value().cast("double").alias("value"),
+    )
+
+
+def latest_n_dates(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    n: int = 3,
+    metric_names: Sequence[str] | None = None,
+) -> DataFrame:
+    """All metrics for each area's n most recent dates (RANK() < n+1)."""
+    df = _joined(time_series, areas, metrics)
+    if metric_names:
+        df = df.filter(F.col("metric").isin(*metric_names))
+    dates = df.select("area_id", "date").distinct()
+    keep = latest_per_group(dates, group_keys=["area_id"], order_col="date", k=n)
+    return df.join(keep, on=["area_id", "date"], how="left_semi").select(
+        "area_type", "area_code", "metric", "date", "payload"
+    )
+
+
+def dose_alignment(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    dose_metrics: Sequence[str] = (
+        "cumVaccinationFirstDoseUptakeByPublishDatePercentage",
+        "cumVaccinationSecondDoseUptakeByPublishDatePercentage",
+        "cumVaccinationThirdInjectionUptakeByPublishDatePercentage",
+    ),
+    release_id: int | None = None,
+) -> DataFrame:
+    """FULL OUTER alignment of the three dose-uptake series on
+    (date, area_code) — J8. Pivot expresses the reference's three-way
+    FULL OUTER join in one pass over the fact table (no self-joins).
+    The reference query is scoped to one release partition; pass
+    ``release_id`` to match (None = all releases, max-deduped)."""
+    df = _joined(time_series, areas, metrics).filter(
+        F.col("metric").isin(*dose_metrics)
+    )
+    if release_id is not None:
+        df = df.filter(F.col("release_id") == release_id)
+    return (
+        df.groupBy("date", "area_code")
+        .pivot("metric", list(dose_metrics))
+        .agg(F.max(_value().cast("double")))
+        .withColumnRenamed(dose_metrics[0], "first_dose")
+        .withColumnRenamed(dose_metrics[1], "second_dose")
+        .withColumnRenamed(dose_metrics[2], "third_dose")
+    )
+
+
+def release_over_release_delta(
+    time_series: DataFrame,
+    metrics: DataFrame,
+    metric_name: str,
+) -> DataFrame:
+    """Publish-date "new" metric derived from a cumulative one: latest
+    release vs the previous release per (area, date), clamped at 0 — J9.
+
+    One window over the release dimension replaces the reference's
+    today/yesterday self-join (two scans -> one).
+    """
+    df = _joined(time_series, metrics=metrics).filter(
+        F.col("metric") == metric_name
+    )
+    w = Window.partitionBy("area_id", "date").orderBy("release_id")
+    delta = _value().cast("double") - F.lag(_value().cast("double")).over(w)
+    out = df.withColumn("delta", F.greatest(delta, F.lit(0.0)))
+    w_latest = Window.partitionBy("area_id", "date").orderBy(
+        F.col("release_id").desc()
+    )
+    return (
+        out.withColumn("__rn", F.row_number().over(w_latest))
+        .filter((F.col("__rn") == 1) & F.col("delta").isNotNull())
+        .select("area_id", "date", "delta")
+    )
+
+
+def area_percentiles(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    metric_name: str,
+) -> DataFrame:
+    """Rate percentiles across areas at each area-type's latest date —
+    the map colour-scale query (A10 SQL)."""
+    df = _joined(time_series, areas, metrics).filter(
+        F.col("metric") == metric_name
+    )
+    latest = latest_per_group(
+        df.select("area_type", "date").distinct(),
+        group_keys=["area_type"],
+        order_col="date",
+        k=1,
+    )
+    at_latest = df.join(latest, on=["area_type", "date"], how="left_semi")
+    val = _value().cast("double")
+    return at_latest.groupBy("area_type", "date").agg(
+        F.expr(
+            f"percentile(cast(get_json_object(payload, '$.value') as double), 0.25)"
+        ).alias("p25"),
+        F.expr(
+            f"percentile(cast(get_json_object(payload, '$.value') as double), 0.5)"
+        ).alias("p50"),
+        F.expr(
+            f"percentile(cast(get_json_object(payload, '$.value') as double), 0.75)"
+        ).alias("p75"),
+        F.min(val).alias("min"),
+        F.max(val).alias("max"),
+    )
+
+
+def landing_cache_rows(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    metric_names: Sequence[str],
+    last_n_days: int = 30,
+) -> DataFrame:
+    """The Redis landing-page cache payload: per (area, metric), a JSON
+    array of {date, value} records over the trailing window —
+    jsonb_agg(jsonb_build_object(...)) as collect_list + to_json.
+
+    The sink side (caching.redis_sink) writes these via foreachPartition.
+    """
+    df = _joined(time_series, areas, metrics).filter(
+        F.col("metric").isin(*metric_names)
+    )
+    w_max = Window.partitionBy("area_id", "metric_id")
+    df = df.withColumn("__mx", F.max("date").over(w_max)).filter(
+        F.datediff(F.to_date("__mx"), F.to_date("date")) < last_n_days
+    )
+    rec = F.struct(F.col("date"), _value().cast("double").alias("value"))
+    return (
+        df.groupBy("area_type", "area_code", "metric")
+        .agg(F.to_json(F.sort_array(F.collect_list(rec), asc=False)).alias("cache_value"))
+        .withColumn(
+            "cache_key",
+            F.concat_ws("|", F.col("area_type"), F.col("area_code"), F.col("metric")),
+        )
+    )

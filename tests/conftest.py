@@ -14,6 +14,8 @@ def spark():
         app_name="tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.driver.memory": "4g", "spark.sql.ansi.enabled": "false"},
+        # no ANSI override: tests must see the same cast/overflow behavior
+        # as production sessions (Spark 4 defaults ANSI on)
+        extra_conf={"spark.driver.memory": "4g"},
     )
     yield s

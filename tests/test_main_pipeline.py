@@ -1,0 +1,142 @@
+"""End-to-end EP1 test on an F1-shaped nested-JSON fixture (FIXTURES.md):
+date gaps, a negative value, cumulative series with holes, short series —
+asserting the reference pipeline semantics survive the full composition.
+"""
+
+import json
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.config import MetricConfig
+from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+    build_panel,
+    process_panel,
+    to_long_store,
+)
+
+CONFIG = MetricConfig(
+    sum_change_direction=frozenset({"newCasesBySpecimenDate"}),
+    rolling_rate=frozenset({"newCasesBySpecimenDate"}),
+    incidence_rate=frozenset({"cumCasesBySpecimenDate"}),
+    negative_to_zero=frozenset({"newCasesBySpecimenDate"}),
+    fill_with_zeros=frozenset({"newCasesBySpecimenDate"}),
+    start_with_zero=frozenset({"cumCasesBySpecimenDate"}),
+    trim_end=frozenset({"newCasesBySpecimenDate"}),
+)
+
+
+def fixture_json():
+    days = [f"2021-01-{d:02d}" for d in range(1, 21)]
+    new_cases = [
+        {"date": d, "value": v}
+        for d, v in zip(days, [5, -3, 4, 0, 2, 6, 1, 3, 2, 4, 5, 1, 0, 2, 3, 4, 1, 2, 3, 4])
+        if d != "2021-01-05"  # gap -> homogenise + zero-fill must repair
+    ]
+    cum_cases = [
+        {"date": d, "value": v}
+        for d, v in zip(days, range(100, 120))
+        if d not in ("2021-01-03", "2021-01-04")  # hole -> ffill
+    ]
+    return {
+        "nations": {
+            "E92000001": {
+                "name": {"value": "England"},
+                "newCasesBySpecimenDate": new_cases,
+                "cumCasesBySpecimenDate": cum_cases,
+            }
+        },
+        "utlas": {
+            "E06000001": {
+                "name": {"value": "Hartlepool"},
+                "newCasesBySpecimenDate": [
+                    {"date": d, "value": 2} for d in days[:4]  # short series
+                ],
+            }
+        },
+    }
+
+
+@pytest.fixture(scope="module")
+def processed(spark, tmp_path_factory):
+    p = tmp_path_factory.mktemp("release") / "release.json"
+    p.write_text(json.dumps(fixture_json()))
+    panel = build_panel(spark, str(p))
+    population = spark.createDataFrame(
+        [("E92000001", 56_000_000.0), ("E06000001", 93_000.0)],
+        "areaCode string, population double",
+    )
+    out = process_panel(panel, population, CONFIG, release_timestamp="2021-01-21T00:00:005Z")
+    return {r["areaCode"] + "|" + r["date"]: r.asDict() for r in out.collect()}
+
+
+def test_panel_densified_and_zero_filled(processed):
+    # the missing 2021-01-05 row exists and the new-cases gap is zero-filled
+    row = processed["E92000001|2021-01-05"]
+    assert row["newCasesBySpecimenDate"] == 0.0
+
+
+def test_negative_clipped(processed):
+    assert processed["E92000001|2021-01-02"]["newCasesBySpecimenDate"] == 0.0
+
+
+def test_cumulative_ffilled(processed):
+    assert processed["E92000001|2021-01-03"]["cumCasesBySpecimenDate"] == 101.0
+    assert processed["E92000001|2021-01-04"]["cumCasesBySpecimenDate"] == 101.0
+
+
+def test_area_name_propagated(processed):
+    assert processed["E92000001|2021-01-05"]["areaName"] == "England"
+    assert processed["E06000001|2021-01-02"]["areaNameLower"] == "hartlepool"
+
+
+def test_rolling_sum_min_periods(processed):
+    # first 6 days null; day 7 = 5 + 0(clipped) + 4 + 0 + 0(zero-filled gap)
+    # + 6 + 1 = 16
+    assert processed["E92000001|2021-01-06"]["newCasesBySpecimenDateRollingSum"] is None
+    assert processed["E92000001|2021-01-07"]["newCasesBySpecimenDateRollingSum"] == 16.0
+
+
+def test_rolling_rate_per_100k(processed):
+    v = processed["E92000001|2021-01-07"]["newCasesBySpecimenDateRollingRate"]
+    assert v == round(16 / 56_000_000 * 100_000, 1)
+
+
+def test_incidence_rate(processed):
+    v = processed["E92000001|2021-01-01"]["cumCasesBySpecimenDateRate"]
+    assert v == round(100 / 56_000_000 * 100_000, 1)
+
+
+def test_trim_end_masks_last_5_days(processed):
+    # global max date 2021-01-20; dates after the 15th are masked
+    assert processed["E92000001|2021-01-16"]["newCasesBySpecimenDate"] is None
+    assert processed["E92000001|2021-01-15"]["newCasesBySpecimenDate"] is not None
+
+
+def test_short_series_all_null_rolling(processed):
+    for d in range(1, 5):
+        v = processed[f"E06000001|2021-01-{d:02d}"]["newCasesBySpecimenDateRollingSum"]
+        assert v is None
+
+
+def test_long_store_rows(spark, processed, tmp_path_factory):
+    p = tmp_path_factory.mktemp("release2") / "release.json"
+    p.write_text(json.dumps(fixture_json()))
+    population = spark.createDataFrame(
+        [("E92000001", 56_000_000.0), ("E06000001", 93_000.0)],
+        "areaCode string, population double",
+    )
+    panel = process_panel(build_panel(spark, str(p)), population, CONFIG)
+    long = to_long_store(panel, release_id=7, hash_key=b"testkey")
+    rows = long.collect()
+    assert rows, "long store must not be empty"
+    one = rows[0]
+    assert set(long.columns) >= {
+        "area_type", "area_code", "date", "metric", "payload", "hash",
+        "partition_id", "release_id",
+    }
+    assert one["payload"].startswith('{"value":')
+    assert len(one["hash"]) == 24  # 12-byte keyed blake2s hex
+    groups = {r["partition_id"] for r in rows}
+    assert groups <= {"other", "utla", "ltla", "nhstrust", "msoa"}

@@ -1,0 +1,102 @@
+"""Serving-layer tests on an F10-shaped star fixture: two consecutive
+releases, >=4 dates per area, three dose metrics."""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.plans import serving
+
+DOSES = (
+    "cumVaccinationFirstDoseUptakeByPublishDatePercentage",
+    "cumVaccinationSecondDoseUptakeByPublishDatePercentage",
+    "cumVaccinationThirdInjectionUptakeByPublishDatePercentage",
+)
+
+
+@pytest.fixture(scope="module")
+def star(spark):
+    areas = spark.createDataFrame(
+        [(1, "nation", "E92000001", "England"), (2, "utla", "E06000001", "Hartlepool")],
+        "area_id int, area_type string, area_code string, area_name string",
+    )
+    metrics = spark.createDataFrame(
+        [(10, "newCasesBySpecimenDate"), (11, DOSES[0]), (12, DOSES[1]), (13, DOSES[2])],
+        "metric_id int, metric string",
+    )
+    releases = spark.createDataFrame(
+        [(100, "2021-05-01"), (101, "2021-05-02")], "id int, timestamp string"
+    )
+    rows = []
+    for area_id in (1, 2):
+        for i, d in enumerate(["2021-04-28", "2021-04-29", "2021-04-30", "2021-05-01"]):
+            # cases metric across 4 dates, release 101
+            rows.append((f"h{area_id}c{i}", 101, area_id, 10, d, json.dumps({"value": 100 + i})))
+        # dose metrics at the latest date only (dose3 missing for area 2)
+        rows.append((f"h{area_id}d1", 101, area_id, 11, "2021-05-01", json.dumps({"value": 88.5})))
+        rows.append((f"h{area_id}d2", 101, area_id, 12, "2021-05-01", json.dumps({"value": 77.0})))
+        if area_id == 1:
+            rows.append((f"h{area_id}d3", 101, area_id, 13, "2021-05-01", json.dumps({"value": 55.1})))
+    # release 100 (previous day's snapshot) for the delta query
+    rows.append(("p1", 100, 1, 11, "2021-05-01", json.dumps({"value": 88.0})))
+    rows.append(("p2", 100, 2, 11, "2021-05-01", json.dumps({"value": 89.0})))  # decrease -> clamp
+    ts = spark.createDataFrame(
+        rows,
+        "hash string, release_id int, area_id int, metric_id int, date string, payload string",
+    )
+    return {"ts": ts, "areas": areas, "metrics": metrics, "releases": releases}
+
+
+def test_latest_metrics(star):
+    out = serving.latest_metrics(star["ts"], star["areas"], star["metrics"],
+                                 metric_names=["newCasesBySpecimenDate"])
+    got = {r["area_code"]: r for r in out.collect()}
+    assert got["E92000001"]["date"] == "2021-05-01"
+    assert got["E92000001"]["value"] == 103.0
+
+
+def test_latest_n_dates(star):
+    out = serving.latest_n_dates(star["ts"], star["areas"], star["metrics"], n=3,
+                                 metric_names=["newCasesBySpecimenDate"])
+    dates = {r["date"] for r in out.filter(F.col("area_code") == "E92000001").collect()}
+    assert dates == {"2021-04-29", "2021-04-30", "2021-05-01"}
+
+
+def test_dose_alignment_full_outer(star):
+    out = serving.dose_alignment(
+        star["ts"], star["areas"], star["metrics"], release_id=101
+    )
+    got = {r["area_code"]: r for r in out.collect()}
+    assert got["E92000001"]["third_dose"] == 55.1
+    assert got["E06000001"]["third_dose"] is None  # missing dose-3 -> null, row kept
+    assert got["E06000001"]["first_dose"] == 88.5
+
+
+def test_release_over_release_delta(star):
+    out = serving.release_over_release_delta(
+        star["ts"], star["metrics"], DOSES[0]
+    )
+    got = {r["area_id"]: r["delta"] for r in out.collect()}
+    assert got[1] == pytest.approx(0.5)  # 88.5 - 88.0
+    assert got[2] == 0.0  # 88.5 - 89.0 clamped
+
+
+def test_area_percentiles(star):
+    out = serving.area_percentiles(
+        star["ts"], star["areas"], star["metrics"], "newCasesBySpecimenDate"
+    )
+    got = {r["area_type"]: r for r in out.collect()}
+    assert got["nation"]["p50"] == 103.0
+    assert got["nation"]["min"] == 103.0
+
+
+def test_landing_cache_rows(star):
+    out = serving.landing_cache_rows(
+        star["ts"], star["areas"], star["metrics"], ["newCasesBySpecimenDate"]
+    )
+    got = {r["cache_key"]: r for r in out.collect()}
+    key = "nation|E92000001|newCasesBySpecimenDate"
+    recs = json.loads(got[key]["cache_value"])
+    assert recs[0] == {"date": "2021-05-01", "value": 103.0}
+    assert len(recs) == 4
