@@ -1135,3 +1135,145 @@ ORACLE: dict[str, str] = {
     "s2_ann_ivf_topk": S2_SQL,
     "m1_binary_meta": M1_SQL,
 }
+
+
+# --------------------------------------------------------------------------
+# round-1 additions: A13 release stats, J3 adjacent fill, W4 trim_sides
+# --------------------------------------------------------------------------
+
+def a13_release_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-release row stats (A13: COUNT(*) GROUP BY release_id,
+    db_etl_update_db/update.py:24-38) — on events keyed by type."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+A13_SQL = """
+SELECT event_type, COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
+def j3_adjacent_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-column fill (J3, derived_metrics.py:24-101): where the
+    target is null on the global latest date, fill with the per-group max
+    of the source column."""
+    from ..operators import calculate_by_adjacent_column
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(
+        F.sum(F.col("value").cast(DEC)).alias("val_d"),
+        F.count(F.lit(1)).cast("double").alias("cnt"),
+    )
+    dom = F.substring("date", 9, 2).cast("int")
+    keep = ~((F.col("event_type") == "click") & (dom % 3 == 0))
+    sparse = daily.filter(keep)
+    dense = homogenise_dates(sparse, group_keys=("event_type",)).withColumn(
+        "val", F.col("val_d").cast("double")
+    )
+    out = calculate_by_adjacent_column(
+        dense, [("val", "cnt")], group_keys=("event_type",)
+    )
+    return out.select("event_type", "date", "val", "cnt")
+
+
+J3_SQL = """
+WITH daily0 AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS val_d,
+           CAST(COUNT(*) AS DOUBLE) AS cnt
+    FROM events GROUP BY 1, 2
+),
+daily AS (
+    SELECT * FROM daily0
+    WHERE NOT (event_type = 'click' AND CAST(substr(date, 9, 2) AS INT) % 3 = 0)
+),
+bounds AS (SELECT CAST(min(date) AS DATE) AS lo, CAST(max(date) AS DATE) AS hi FROM daily),
+scaffold AS (
+    SELECT t.event_type, strftime(g.d, '%Y-%m-%d') AS date
+    FROM (SELECT DISTINCT event_type FROM daily) t
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds) g
+),
+dense AS (
+    SELECT s.event_type, s.date, CAST(d.val_d AS DOUBLE) AS val, d.cnt
+    FROM scaffold s LEFT JOIN daily d ON s.event_type = d.event_type AND s.date = d.date
+),
+mx AS (SELECT max(date) AS max_date FROM dense),
+grp AS (SELECT event_type, MAX(cnt) AS fill FROM dense GROUP BY event_type)
+SELECT d.event_type, d.date,
+       CASE WHEN d.val IS NULL AND d.date = (SELECT max_date FROM mx) THEN g.fill ELSE d.val END AS val,
+       d.cnt
+FROM dense d JOIN grp g ON d.event_type = g.event_type
+"""
+
+
+def w4_trim_sides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-series side trimming (W4, uploader.py:55-90) on a panel with
+    forced leading zeros."""
+    from ..operators import trim_sides
+
+    daily = _daily(spark, sf_dir)
+    dom = F.substring("date", 9, 2).cast("int")
+    long = daily.select(
+        F.lit("event").alias("area_type"),
+        F.col("event_type").alias("area_code"),
+        F.lit("val").alias("metric"),
+        "date",
+        F.when(dom <= 3, F.lit(0.0)).otherwise(F.col("val_d").cast("double")).alias("payload"),
+    )
+    out = trim_sides(long)
+    return out.select("area_code", "metric", "date", "payload")
+
+
+W4_SQL = f"""
+WITH {_DAILY_SQL},
+long AS (
+    SELECT event_type AS area_code, 'val' AS metric, date,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) <= 3 THEN 0.0
+                ELSE CAST(val_d AS DOUBLE) END AS payload
+    FROM daily
+),
+r1 AS (
+    SELECT *, ROW_NUMBER() OVER w AS rn,
+           SUM(ABS(payload)) OVER (PARTITION BY area_code, metric ORDER BY date
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumabs
+    FROM long
+    WINDOW w AS (PARTITION BY area_code, metric ORDER BY date)
+),
+r2 AS (
+    SELECT *,
+           MIN(CASE WHEN cumabs > 0 THEN rn END) OVER (PARTITION BY area_code, metric) AS first_nonzero,
+           MIN(CASE WHEN payload IS NOT NULL THEN rn END) OVER (PARTITION BY area_code, metric) AS first_valid
+    FROM r1
+),
+r3 AS (
+    SELECT area_code, metric, date, rn,
+           CASE WHEN rn <= COALESCE(first_nonzero, first_valid) + 1 THEN NULL ELSE payload END AS payload
+    FROM r2
+),
+r4 AS (
+    SELECT *,
+           MAX(CASE WHEN payload IS NOT NULL THEN rn END) OVER (PARTITION BY area_code, metric) AS last_valid
+    FROM r3
+)
+SELECT area_code, metric, date,
+       CASE WHEN rn >= last_valid - 1 THEN NULL ELSE payload END AS payload
+FROM r4
+WHERE (CASE WHEN rn >= last_valid - 1 THEN NULL ELSE payload END) IS NOT NULL
+"""
+
+QUERIES.update({
+    "a13_release_counts": a13_release_counts,
+    "j3_adjacent_fill": j3_adjacent_fill,
+    "w4_trim_sides": w4_trim_sides,
+})
+ORACLE.update({
+    "a13_release_counts": A13_SQL,
+    "j3_adjacent_fill": J3_SQL,
+    "w4_trim_sides": W4_SQL,
+})

@@ -1,0 +1,71 @@
+"""Physical-plan regression tests — the properties that matter at 100 TB.
+
+These assert the *shape* of the executed plan, not results: filters reach
+the parquet scan, column pruning holds, dimension joins broadcast, and
+the whole rolling family shares ONE exchange. A refactor that silently
+turns these into extra shuffles or full scans fails here long before a
+bench run would catch it.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.operators import change_by_sum
+from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark):
+    plan = executed_plan(QUERIES["p2_filter_pushdown_scan"](spark, SF))
+    assert "PushedFilters: [" in plan
+    # (plan toString truncates the filter list — match what survives)
+    assert "GreaterThan(l_quantity" in plan
+    assert "l_returnflag" in plan.split("PushedFilters:")[1].splitlines()[0]
+    # column pruning: the scan's column list must exclude unused columns
+    scan_cols = plan.split("FileScan parquet [")[1].split("]")[0]
+    assert "l_tax" not in scan_cols and "l_suppkey" not in scan_cols
+
+
+def test_star_join_broadcasts_dimensions(spark):
+    plan = executed_plan(QUERIES["q5_region_volume"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2, (
+        "nation/region dimension joins must broadcast, not shuffle"
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_family_single_exchange(spark):
+    """All derived columns for ALL metrics must ride one shuffle."""
+    df = spark.range(0, 1000).select(
+        F.lit("t").alias("areaType"),
+        (F.col("id") % 10).cast("string").alias("areaCode"),
+        F.date_format(
+            F.date_add(F.lit("2021-01-01"), (F.col("id") % 100).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        *[(F.rand(i) * 10).alias(f"m{i}") for i in range(5)],
+    )
+    plan = executed_plan(change_by_sum(df, [f"m{i}" for i in range(5)]))
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2
+
+
+def test_ann_shuffle_is_candidate_sized(spark):
+    """The ANN global top-k must shuffle candidates, not the corpus: the
+    exchange below the window sees only mapInPandas output."""
+    plan = executed_plan(QUERIES["s1_ann_cosine_topk"](spark, SF))
+    # window (global top-k) sits above the python-worker stage, and the
+    # corpus-side scan feeds the python stage directly without a join
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_melt_is_shuffle_free(spark):
+    plan = executed_plan(QUERIES["p7_melt_lineitem"](spark, SF))
+    assert "Exchange" not in plan, "melt must compile to Expand, no shuffle"
+    assert "Expand" in plan
