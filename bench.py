@@ -27,6 +27,7 @@ HEADLINE = [
     "q5_region_volume",
     "p7_melt_lineitem",
     "a234_change_direction_pct",
+    "a1v_rolling_qty_by_part",
     "a5_cumulative_sum",
     "a12_rank_latest",
     "d3_minhash_signatures",

@@ -1277,3 +1277,35 @@ ORACLE.update({
     "j3_adjacent_fill": J3_SQL,
     "w4_trim_sides": W4_SQL,
 })
+
+
+def a1v_rolling_qty_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOLUME variant of the rolling family: 7-row rolling quantity sum +
+    lag-7 change per part over every lineitem row. Unlike the 150-row
+    daily panels, this scales linearly with sf — the bench's honest
+    window workload (one exchange over ~600k rows at sf0.1)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    w7 = w.rowsBetween(-6, 0)
+    qty = F.col("l_quantity").cast(DEC)
+    rsum = F.when(F.count(qty).over(w7) == 7, F.sum(qty).over(w7))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rsum.cast("double").alias("qty_rolling7"),
+    )
+
+
+A1V_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CASE WHEN COUNT(l_quantity) OVER w7 = 7
+                 THEN SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER w7 END AS DOUBLE) AS qty_rolling7
+FROM lineitem
+WINDOW w7 AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["a1v_rolling_qty_by_part"] = a1v_rolling_qty_by_part
+ORACLE["a1v_rolling_qty_by_part"] = A1V_SQL

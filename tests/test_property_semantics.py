@@ -1,0 +1,160 @@
+"""Property-based parity: hypothesis generates adversarial panels (null
+runs, all-zero groups, short series, constant series) and the Spark
+operators must match an independent pandas implementation of the
+reference semantics row-for-row.
+
+This is the test style SURVEY.md §5 calls for on the hard parts: the
+reference's behaviour lives in pandas quirks (min_periods, ffill bounds,
+`denominator or 1`), and example-based tests alone under-sample the edge
+space.
+"""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from coronavirus_dashboard_pipeline_etl_spark.operators import (
+    change_by_sum,
+    normalise_records,
+)
+from tests.test_rolling import oracle_change_by_sum
+
+# one series = up to 20 days of values from a nasty domain
+value_strategy = st.lists(
+    st.one_of(
+        st.none(),
+        st.integers(min_value=-3, max_value=5).map(float),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+def build_panel(series_per_area):
+    rows = []
+    for i, values in enumerate(series_per_area):
+        code = f"A{i:03d}"
+        dates = pd.date_range("2021-01-01", periods=len(values)).strftime("%Y-%m-%d")
+        rows += [
+            {"areaType": "t", "areaCode": code, "date": d, "m": v}
+            for d, v in zip(dates, values)
+        ]
+    return pd.DataFrame(rows)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(value_strategy, min_size=1, max_size=3))
+def test_change_by_sum_property(spark, series_per_area):
+    pdf = build_panel(series_per_area)
+    sdf = spark.createDataFrame(pdf.astype({"m": "float64"}))
+    got = (
+        change_by_sum(sdf, ["m"])
+        .toPandas()
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle_change_by_sum(pdf, "m")
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    for g_col, e_col in [
+        ("mRollingSum", "rsum"),
+        ("mChange", "chg"),
+        ("mDirection", "dirn"),
+        ("mChangePercentage", "pct"),
+    ]:
+        for i in range(len(exp)):
+            gv, ev = got[g_col].iloc[i], exp[e_col].iloc[i]
+            if ev is None or (not isinstance(ev, str) and pd.isna(ev)):
+                assert gv is None or pd.isna(gv), (g_col, i, gv, ev, pdf)
+            elif isinstance(ev, str):
+                assert gv == ev, (g_col, i, gv, ev, pdf)
+            else:
+                assert gv == pytest.approx(ev, abs=1e-9), (g_col, i, gv, ev, pdf)
+
+
+def oracle_normalise(pdf, zero_filled=(), cumulative=()):
+    """Independent pandas implementation of normalisation.py:26-89."""
+    out = pdf.sort_values(["areaCode", "date"]).copy()
+    for col in zero_filled:
+        for code in out.areaCode.unique():
+            sel = out.areaCode == code
+            dm = out.loc[sel, [col, "date"]].dropna()
+            if dm.empty:
+                continue
+            idx = sel & (out.date >= dm.date.min()) & (out.date < dm.date.max())
+            out.loc[idx, col] = out.loc[idx, col].fillna(0)
+    for col in cumulative:
+        for code in out.areaCode.unique():
+            sel = out.areaCode == code
+            dm = out.loc[sel, [col, "date"]].dropna()
+            if dm.empty:
+                continue
+            idx = sel & (out.date >= dm.date.min()) & (out.date < dm.date.max())
+            out.loc[idx, col] = out.loc[sel, col].ffill()[idx]
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(value_strategy, min_size=1, max_size=3))
+def test_normalise_property(spark, series_per_area):
+    pdf = build_panel(series_per_area)
+    sdf = spark.createDataFrame(pdf.astype({"m": "float64"}))
+    got = (
+        normalise_records(sdf, zero_filled=["m"])
+        .toPandas()
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle_normalise(pdf, zero_filled=["m"])
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    for i in range(len(exp)):
+        gv, ev = got["m"].iloc[i], exp["m"].iloc[i]
+        if ev is None or pd.isna(ev):
+            assert gv is None or pd.isna(gv), (i, gv, ev, pdf)
+        else:
+            assert gv == pytest.approx(ev), (i, gv, ev, pdf)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(value_strategy, min_size=1, max_size=3))
+def test_normalise_cumulative_property(spark, series_per_area):
+    pdf = build_panel(series_per_area)
+    sdf = spark.createDataFrame(pdf.astype({"m": "float64"}))
+    got = (
+        normalise_records(sdf, cumulative=["m"])
+        .toPandas()
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle_normalise(pdf, cumulative=["m"])
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    for i in range(len(exp)):
+        gv, ev = got["m"].iloc[i], exp["m"].iloc[i]
+        if ev is None or pd.isna(ev):
+            assert gv is None or pd.isna(gv), (i, gv, ev, pdf)
+        else:
+            assert gv == pytest.approx(ev), (i, gv, ev, pdf)

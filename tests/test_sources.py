@@ -1,0 +1,73 @@
+"""F7 population loaders + S11 QA sinks."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.sources.population import (
+    load_age_population_csv,
+    load_msoa_population_csv,
+    load_population_json,
+)
+from coronavirus_dashboard_pipeline_etl_spark.sources.qa_outputs import (
+    write_archive_csv,
+    write_records_json,
+)
+
+
+def test_population_json(spark, tmp_path):
+    doc = {
+        "general": {"E92000001": 56550138, "E06000001": 93663},
+        "ageSexBroadBreakdown": {"total": {"E92000001": {"0_to_4": 3300000}}},
+        "ageSex5YearBreakdown": {
+            "male": {"E92000001": {"0_4": 1700000, "5_9": 1800000}},
+            "female": {"E92000001": {"0_4": 1600000}},
+        },
+    }
+    p = tmp_path / "population.json"
+    p.write_text(json.dumps(doc))
+    dims = load_population_json(spark, str(p))
+    general = {r["areaCode"]: r["population"] for r in dims["general"].collect()}
+    assert general == {"E92000001": 56550138.0, "E06000001": 93663.0}
+    five = dims["age_sex_5yr"].collect()
+    assert {(r["sex"], r["age"]) for r in five} == {
+        ("male", "0_4"), ("male", "5_9"), ("female", "0_4"),
+    }
+
+
+def test_population_csvs(spark, tmp_path):
+    (tmp_path / "age.csv").write_text(
+        "areaCode,age,population\nE06000001,00_04,5147\nE06000001,05_09,6201\n"
+    )
+    (tmp_path / "msoa.csv").write_text(
+        "areaCode,population\nE02002483,10332\n"
+    )
+    age = load_age_population_csv(spark, str(tmp_path / "age.csv")).collect()
+    assert {(r["age"], r["population"]) for r in age} == {
+        ("00_04", 5147.0), ("05_09", 6201.0),
+    }
+    msoa = load_msoa_population_csv(spark, str(tmp_path / "msoa.csv")).collect()
+    assert msoa[0]["population"] == 10332.0
+
+
+def test_qa_outputs(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("b", 5.5), ("c", None)],
+        "k string, v double",
+    )
+    write_records_json(df, str(tmp_path / "out_json"), numeric_cols=["v"])
+    back = [
+        json.loads(line)
+        for f in (tmp_path / "out_json").glob("part-*")
+        for line in f.read_text().splitlines()
+    ]
+    by_k = {r["k"]: r.get("v") for r in back}
+    assert by_k["a"] == "5"          # whole float coerced to int form
+    assert by_k["b"] == "5.5"
+    assert by_k["c"] is None
+
+    write_archive_csv(df, str(tmp_path / "out_csv"))
+    text = "".join(
+        f.read_text() for f in (tmp_path / "out_csv").glob("part-*")
+    )
+    assert "k,v" in text and "a,5.0" in text
