@@ -28,6 +28,7 @@ HEADLINE = [
     "p7_melt_lineitem",
     "a234_change_direction_pct",
     "a1v_rolling_qty_by_part",
+    "j2_rolling_rate_per100k",
     "a5_cumulative_sum",
     "a12_rank_latest",
     "d3_minhash_signatures",

@@ -42,6 +42,7 @@ def calculate_rates(
     join_keys: Sequence[str] = ("areaCode",),
     date_col: str = "date",
     rate_per_n: int = RATE_PER,
+    precision: int | None = RATE_PRECISION,
 ) -> DataFrame:
     """Add {m}RollingSum/{m}RollingRate and {m}Rate columns.
 
@@ -49,6 +50,13 @@ def calculate_rates(
     For the age-demographics variant pass group_keys=("areaType",
     "areaCode","age"), join_keys=("areaCode","age")
     (generic_rate.py:180-199).
+
+    ``precision=None`` skips the reference's round-to-1dp — used by the
+    cross-engine gate (decimal-rounding of doubles differs per engine)
+    and callers that round at the edge. Decimal-typed metrics keep exact
+    decimal rolling sums (associative => partition-order independent);
+    rates always compute in IEEE double with a fixed (sum / pop) * per_n
+    operation order.
     """
     rolling_rate = sorted(set(rolling_rate) & set(df.columns))
     incidence_rate = sorted(set(incidence_rate) & set(df.columns))
@@ -68,6 +76,7 @@ def calculate_rates(
         .rowsBetween(-(ROLLING_WINDOW - 1), 0)
     )
     w_all = Window.partitionBy(*keys)
+    dtypes = dict(df.dtypes)
 
     if rolling_rate:
         df = with_scalar(df, "__max_date", F.max(date_col))
@@ -78,14 +87,16 @@ def calculate_rates(
     for m in rolling_rate:
         rsum = f"{m}{SUFFIX_ROLLING_SUM}"
         rrate = f"{m}{SUFFIX_ROLLING_RATE}"
-        raw = F.col(m).cast("double")
+        keep_exact = dtypes.get(m, "").startswith("decimal")
+        raw = F.col(m) if keep_exact else F.col(m).cast("double")
+        rate = F.col(rsum).cast("double") / F.col("population") * rate_per_n
         df = df.withColumn(
             rsum,
             F.when(
                 F.count(raw).over(w_roll) == ROLLING_WINDOW, F.sum(raw).over(w_roll)
             ),
         ).withColumn(
-            rrate, F.round(F.col(rsum) / F.col("population") * rate_per_n, RATE_PRECISION)
+            rrate, rate if precision is None else F.round(rate, precision)
         )
 
         # tail freshness rule (generic_rate.py:107-117)
@@ -98,12 +109,9 @@ def calculate_rates(
             df = df.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
 
     for m in incidence_rate:
+        inc = F.col(m).cast("double") / F.col("population") * rate_per_n
         df = df.withColumn(
-            f"{m}Rate",
-            F.round(
-                F.col(m).cast("double") / F.col("population") * rate_per_n,
-                RATE_PRECISION,
-            ),
+            f"{m}Rate", inc if precision is None else F.round(inc, precision)
         )
 
     drop = ["population"] + (["__max_date"] if rolling_rate else [])

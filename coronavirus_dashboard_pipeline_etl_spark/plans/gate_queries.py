@@ -1309,3 +1309,417 @@ WINDOW w7 AS (PARTITION BY l_partkey ORDER BY l_shipdate, l_orderkey, l_linenumb
 
 QUERIES["a1v_rolling_qty_by_part"] = a1v_rolling_qty_by_part
 ORACLE["a1v_rolling_qty_by_part"] = A1V_SQL
+
+
+# --------------------------------------------------------------------------
+# serving-layer + remaining §2 operators (J8, A14, W3, W7, A9, P4, J2+A1,
+# hash, MSOA suppression)
+# --------------------------------------------------------------------------
+
+from ..operators import (  # noqa: E402
+    calculate_rates,
+    negative_to_zero,
+    row_hash_sha2,
+    suppress_by_rolling_sum,
+)
+from .serving import dose_alignment, landing_cache_rows  # noqa: E402
+
+
+def _mini_star(spark: SparkSession, sf_dir: str):
+    """A tiny long-store star schema synthesised from events: time_series
+    (area_id, metric_id, date, payload JSON) + areas + metrics dims — the
+    substrate the serving layer queries run on (SURVEY.md §1.1)."""
+    ev = load_table(spark, sf_dir, "events")
+    long = ev.groupBy(
+        (F.col("user_id") % 5).alias("area_id"),
+        F.col("event_type").alias("metric"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    ).agg(F.floor(F.sum(F.col("value").cast(DEC))).cast("bigint").alias("v"))
+    ts = long.select(
+        "area_id",
+        F.col("metric").alias("metric_id"),
+        "date",
+        F.to_json(F.struct(F.col("v").alias("value"))).alias("payload"),
+    )
+    areas = (
+        long.select("area_id")
+        .distinct()
+        .select(
+            "area_id",
+            F.lit("nation").alias("area_type"),
+            F.concat(F.lit("A"), F.col("area_id").cast("string")).alias("area_code"),
+            F.concat(F.lit("Area "), F.col("area_id").cast("string")).alias("area_name"),
+        )
+    )
+    metrics = (
+        long.select("metric")
+        .distinct()
+        .select(F.col("metric").alias("metric_id"), "metric")
+    )
+    return ts, areas, metrics
+
+
+_MINI_STAR_SQL = """
+long AS (
+    SELECT user_id % 5 AS area_id, event_type AS metric,
+           strftime(ts, '%Y-%m-%d') AS date,
+           CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,6)))) AS BIGINT) AS v
+    FROM events GROUP BY 1, 2, 3
+)
+"""
+
+
+def j8_full_outer_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: FULL OUTER alignment of three series on (date, area) — the
+    dose-uptake query (db_etl_homepage_graphs/queries.py:63-128),
+    expressed as one pivot pass instead of three self-joins."""
+    ts, areas, metrics = _mini_star(spark, sf_dir)
+    return dose_alignment(
+        ts, areas, metrics, dose_metrics=("click", "error", "signup")
+    )
+
+
+J8_SQL = f"""
+WITH {_MINI_STAR_SQL}
+SELECT date, 'A' || CAST(area_id AS VARCHAR) AS area_code,
+       CAST(MAX(CASE WHEN metric = 'click'  THEN v END) AS DOUBLE) AS first_dose,
+       CAST(MAX(CASE WHEN metric = 'error'  THEN v END) AS DOUBLE) AS second_dose,
+       CAST(MAX(CASE WHEN metric = 'signup' THEN v END) AS DOUBLE) AS third_dose
+FROM long
+WHERE metric IN ('click', 'error', 'signup')
+GROUP BY 1, 2
+"""
+
+
+def a14_cache_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14/S12: the Redis landing-cache rows — jsonb_agg(jsonb_build_object)
+    per (area, metric) over the trailing 30 days (cache_prepopulate/query.sql)."""
+    ts, areas, metrics = _mini_star(spark, sf_dir)
+    return landing_cache_rows(
+        ts, areas, metrics,
+        metric_names=["click", "purchase"],
+        last_n_days=30,
+        value_cast="bigint",
+    )
+
+
+A14_SQL = f"""
+WITH {_MINI_STAR_SQL},
+scoped AS (
+    SELECT *, MAX(date) OVER (PARTITION BY area_id, metric) AS mx
+    FROM long WHERE metric IN ('click', 'purchase')
+)
+SELECT 'nation' AS area_type,
+       'A' || CAST(area_id AS VARCHAR) AS area_code,
+       metric,
+       CAST(to_json(list(struct_pack(date := date, value := v) ORDER BY date DESC)) AS VARCHAR) AS cache_value,
+       'nation' || '|' || 'A' || CAST(area_id AS VARCHAR) || '|' || metric AS cache_key
+FROM scoped
+WHERE date_diff('day', CAST(date AS DATE), CAST(mx AS DATE)) < 30
+GROUP BY area_id, metric
+"""
+
+
+def w3_name_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: areaName propagation — first non-null name per areaCode in date
+    order, broadcast to every row (normalisation.py:70-73, 88-89)."""
+    daily = _daily(spark, sf_dir)
+    dom = F.substring("date", 9, 2).cast("int")
+    panel = daily.select(
+        F.col("event_type").alias("areaCode"),
+        "date",
+        F.when(dom % 4 == 1, F.upper("event_type")).alias("areaName"),
+    )
+    out = normalise_records(panel, group_keys=("areaCode",))
+    return out.select("areaCode", "date", "areaName", "areaNameLower")
+
+
+W3_SQL = f"""
+WITH {_DAILY_SQL},
+named AS (
+    SELECT event_type AS areaCode, date,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 4 = 1
+                THEN upper(event_type) END AS nm
+    FROM daily
+)
+SELECT areaCode, date,
+       first_value(nm IGNORE NULLS) OVER w AS areaName,
+       lower(first_value(nm IGNORE NULLS) OVER w) AS areaNameLower
+FROM named
+WINDOW w AS (PARTITION BY areaCode ORDER BY date
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def w7_latest_n_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: latest-3-dates-per-group rank filter
+    (main_etl_nested_metrics_converter/queries.py:22-56)."""
+    daily = _daily(spark, sf_dir).withColumn("val", F.col("val_d").cast("double"))
+    return latest_per_group(
+        daily.select("event_type", "date", "val"),
+        group_keys=["event_type"],
+        order_col="date",
+        k=3,
+    )
+
+
+W7_SQL = f"""
+WITH {_DAILY_SQL}
+SELECT event_type, date, CAST(val_d AS DOUBLE) AS val
+FROM daily
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY date DESC) <= 3
+"""
+
+
+def a9_allzero_group_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: a group whose rolling sums total zero has ALL its rolling stats
+    nulled (replace_all_zero, rolling.py:58-62,164-168) — forced here by
+    zeroing one event_type's series."""
+    dense = _dense(spark, sf_dir)
+    zero = F.lit(0).cast(DEC)
+    panel = dense.withColumn(
+        "val",
+        F.when(F.col("event_type") == "click", zero).otherwise(
+            F.coalesce(F.col("val_d"), zero)
+        ),
+    )
+    out = change_by_sum(panel, ["val"], group_keys=("event_type",), pct_precision=None)
+    return out.select(
+        "event_type", "date", F.col("valRollingSum").cast("double").alias("rsum")
+    )
+
+
+A9_SQL = f"""
+WITH {_SPARSE_DAILY_SQL}, {_DENSE_SQL},
+panel AS (
+    SELECT event_type, date,
+           CASE WHEN event_type = 'click' THEN CAST(0 AS DECIMAL(18,6))
+                ELSE COALESCE(val_d, CAST(0 AS DECIMAL(18,6))) END AS val
+    FROM dense
+),
+r1 AS (
+    SELECT event_type, date, val,
+           CASE WHEN COUNT(val) OVER w7 = 7 THEN SUM(val) OVER w7 END AS rsum0
+    FROM panel
+    WINDOW w7 AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, date,
+       CAST(CASE WHEN SUM(rsum0) OVER (PARTITION BY event_type) = 0
+                 THEN NULL ELSE rsum0 END AS DOUBLE) AS rsum
+FROM r1
+"""
+
+
+def p4_negative_to_zero(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: clip negatives to zero, preserving nulls (etl.py:925-935), on a
+    day-over-day delta that actually goes negative."""
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("date")
+    d = daily.withColumn(
+        "delta", (F.col("val_d") - F.lag("val_d").over(w)).cast("double")
+    )
+    out = negative_to_zero(d, ["delta"])
+    return out.select("event_type", "date", "delta")
+
+
+P4_SQL = f"""
+WITH {_DAILY_SQL},
+d AS (
+    SELECT event_type, date,
+           CAST(val_d - LAG(val_d) OVER (PARTITION BY event_type ORDER BY date) AS DOUBLE) AS delta
+    FROM daily
+)
+SELECT event_type, date,
+       CASE WHEN delta < 0 THEN 0.0 ELSE delta END AS delta
+FROM d
+"""
+
+
+def j2_rolling_rate_per100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A1: the engine's signature rate — 7-row rolling spend per nation,
+    per-100k of a broadcast population dimension
+    (generic_rate.py:78-105). The fact side never shuffles for the join
+    (population is broadcast); one window exchange total."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pop = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("population")
+    )
+    joined = orders.join(
+        broadcast(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"),
+                F.col("c_nationkey").alias("nation"),
+            )
+        ),
+        on="o_custkey",
+    )
+    daily = joined.groupBy(
+        "nation", F.date_format("o_orderdate", "yyyy-MM-dd").alias("date")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+    out = calculate_rates(
+        daily,
+        pop,
+        rolling_rate=["spend"],
+        group_keys=("nation",),
+        join_keys=("nation",),
+        precision=None,
+    )
+    return out.select(
+        "nation",
+        "date",
+        F.col("spendRollingSum").cast("double").alias("rsum"),
+        F.col("spendRollingRate").alias("rrate"),
+    )
+
+
+J2_SQL = """
+WITH pop AS (
+    SELECT c_nationkey AS nation, COUNT(*) AS population FROM customer GROUP BY 1
+),
+daily AS (
+    SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m-%d') AS date,
+           SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+),
+r AS (
+    SELECT nation, date,
+           CASE WHEN COUNT(spend) OVER w7 = 7 THEN SUM(spend) OVER w7 END AS rsum
+    FROM daily
+    WINDOW w7 AS (PARTITION BY nation ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT nation, date, CAST(rsum AS DOUBLE) AS rsum,
+       CAST(rsum AS DOUBLE) / population * 100000 AS rrate
+FROM r JOIN pop USING (nation)
+"""
+
+
+def h1_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-identity hash (§2.8): sha256 of the concatenated key columns,
+    truncated to the reference's 12-byte digest width
+    (db_etl_upload/uploader.py:171-179 — blake2s variant is
+    row_hash_blake2, not SQL-expressible)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag"
+    )
+    return row_hash_sha2(li, ["l_orderkey", "l_linenumber", "l_returnflag"])
+
+
+H1_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       substr(sha256(CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR) || l_returnflag), 1, 24) AS hash
+FROM lineitem
+"""
+
+
+def sup1_small_count_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSOA small-count disclosure control (SURVEY §7 hard-part 7): rolling
+    sums below 3 substituted with 2 inside change_by_sum
+    (msoa_etl_db/processor.py:279-281), then every stat nulled where the
+    rolling sum is <= 2 or missing (processor.py:211-226)."""
+    ev = load_table(spark, sf_dir, "events")
+    panel = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(
+            (F.col("user_id") % 97).alias("bucket"),
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        )
+        .agg(F.count("*").cast(DEC).alias("cases"))
+    )
+    out = change_by_sum(
+        panel,
+        ["cases"],
+        group_keys=("bucket",),
+        min_sum_allowed=3.0,
+        min_sum_sub=2.0,
+        pct_precision=None,
+    )
+    out = suppress_by_rolling_sum(
+        out,
+        "casesRollingSum",
+        ["cases", "casesChange", "casesDirection"],
+        threshold=2,
+    )
+    return out.select(
+        "bucket",
+        "date",
+        F.col("cases").cast("double").alias("cases"),
+        F.col("casesRollingSum").cast("double").alias("rsum"),
+        F.col("casesChange").cast("double").alias("chg"),
+        F.col("casesDirection").alias("direction"),
+    )
+
+
+SUP1_SQL = """
+WITH panel AS (
+    SELECT user_id % 97 AS bucket, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(COUNT(*) AS DECIMAL(18,6)) AS cases
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY 1, 2
+),
+r1 AS (
+    SELECT bucket, date, cases,
+           CASE WHEN COUNT(cases) OVER w7 = 7 THEN
+               CASE WHEN SUM(cases) OVER w7 < 3 THEN 2.0
+                    ELSE CAST(SUM(cases) OVER w7 AS DOUBLE) END
+           END AS rsum0
+    FROM panel
+    WINDOW w7 AS (PARTITION BY bucket ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+r2 AS (
+    SELECT bucket, date, cases,
+           CASE WHEN SUM(rsum0) OVER (PARTITION BY bucket) = 0
+                THEN NULL ELSE rsum0 END AS rsum
+    FROM r1
+),
+r3 AS (
+    SELECT bucket, date, cases, rsum,
+           rsum - LAG(rsum, 7) OVER (PARTITION BY bucket ORDER BY date) AS chg
+    FROM r2
+),
+r4 AS (
+    SELECT bucket, date, cases, rsum, chg,
+           CASE WHEN chg < 0 THEN 'DOWN' WHEN chg > 0 THEN 'UP'
+                WHEN chg = 0 THEN 'SAME' END AS direction
+    FROM r3
+),
+r5 AS (
+    SELECT bucket, date,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE CAST(cases AS DOUBLE) END AS cases,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE rsum END AS rsum2,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE chg END AS chg,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE direction END AS direction
+    FROM r4
+)
+SELECT bucket, date,
+       CASE WHEN rsum2 IS NULL OR rsum2 <= 2 THEN NULL ELSE cases END AS cases,
+       rsum2 AS rsum,
+       CASE WHEN rsum2 IS NULL OR rsum2 <= 2 THEN NULL ELSE chg END AS chg,
+       CASE WHEN rsum2 IS NULL OR rsum2 <= 2 THEN NULL ELSE direction END AS direction
+FROM r5
+"""
+
+
+QUERIES.update({
+    "j8_full_outer_align": j8_full_outer_align,
+    "a14_cache_payload": a14_cache_payload,
+    "w3_name_propagation": w3_name_propagation,
+    "w7_latest_n_dates": w7_latest_n_dates,
+    "a9_allzero_group_null": a9_allzero_group_null,
+    "p4_negative_to_zero": p4_negative_to_zero,
+    "j2_rolling_rate_per100k": j2_rolling_rate_per100k,
+    "h1_row_hash": h1_row_hash,
+    "sup1_small_count_suppression": sup1_small_count_suppression,
+})
+ORACLE.update({
+    "j8_full_outer_align": J8_SQL,
+    "a14_cache_payload": A14_SQL,
+    "w3_name_propagation": W3_SQL,
+    "w7_latest_n_dates": W7_SQL,
+    "a9_allzero_group_null": A9_SQL,
+    "p4_negative_to_zero": P4_SQL,
+    "j2_rolling_rate_per100k": J2_SQL,
+    "h1_row_hash": H1_SQL,
+    "sup1_small_count_suppression": SUP1_SQL,
+})

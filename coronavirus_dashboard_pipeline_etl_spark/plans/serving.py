@@ -196,10 +196,15 @@ def landing_cache_rows(
     metrics: DataFrame,
     metric_names: Sequence[str],
     last_n_days: int = 30,
+    value_cast: str = "double",
 ) -> DataFrame:
     """The Redis landing-page cache payload: per (area, metric), a JSON
     array of {date, value} records over the trailing window —
     jsonb_agg(jsonb_build_object(...)) as collect_list + to_json.
+
+    ``value_cast`` sets the JSON value type ("bigint" for count metrics —
+    also what the cross-engine gate uses, since integer JSON rendering is
+    identical everywhere while double rendering is not).
 
     The sink side (caching.redis_sink) writes these via foreachPartition.
     """
@@ -210,7 +215,7 @@ def landing_cache_rows(
     df = df.withColumn("__mx", F.max("date").over(w_max)).filter(
         F.datediff(F.to_date("__mx"), F.to_date("date")) < last_n_days
     )
-    rec = F.struct(F.col("date"), _value().cast("double").alias("value"))
+    rec = F.struct(F.col("date"), _value().cast(value_cast).alias("value"))
     return (
         df.groupBy("area_type", "area_code", "metric")
         .agg(F.to_json(F.sort_array(F.collect_list(rec), asc=False)).alias("cache_value"))
