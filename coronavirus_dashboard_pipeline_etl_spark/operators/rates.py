@@ -78,7 +78,12 @@ def calculate_rates(
     w_all = Window.partitionBy(*keys)
     dtypes = dict(df.dtypes)
 
-    if rolling_rate:
+    # The global-max-date cutoff is only consulted for event-dated metrics;
+    # computing it costs a second pass over the upstream subtree (the
+    # scalar branch re-executes the fact scan), so skip it entirely when no
+    # configured metric is event-dated.
+    needs_cutoff = any("SpecimenDate" in m or "DeathDate" in m for m in rolling_rate)
+    if needs_cutoff:
         df = with_scalar(df, "__max_date", F.max(date_col))
         event_cutoff = F.date_format(
             F.date_sub(F.to_date("__max_date"), TAIL_TRIM_DAYS), "yyyy-MM-dd"
@@ -114,5 +119,5 @@ def calculate_rates(
             f"{m}Rate", inc if precision is None else F.round(inc, precision)
         )
 
-    drop = ["population"] + (["__max_date"] if rolling_rate else [])
+    drop = ["population"] + (["__max_date"] if needs_cutoff else [])
     return df.drop(*drop)

@@ -1341,20 +1341,19 @@ def _mini_star(spark: SparkSession, sf_dir: str):
         "date",
         F.to_json(F.struct(F.col("v").alias("value"))).alias("payload"),
     )
-    areas = (
-        long.select("area_id")
-        .distinct()
-        .select(
-            "area_id",
-            F.lit("nation").alias("area_type"),
-            F.concat(F.lit("A"), F.col("area_id").cast("string")).alias("area_code"),
-            F.concat(F.lit("Area "), F.col("area_id").cast("string")).alias("area_name"),
-        )
+    # Registry dims are their own tiny tables in production — building
+    # them here from literals (not from the fact table) keeps the plan at
+    # ONE fact scan; deriving them from `long` would re-execute the events
+    # subtree once per dim.
+    areas = spark.range(5).select(
+        F.col("id").alias("area_id"),
+        F.lit("nation").alias("area_type"),
+        F.concat(F.lit("A"), F.col("id").cast("string")).alias("area_code"),
+        F.concat(F.lit("Area "), F.col("id").cast("string")).alias("area_name"),
     )
-    metrics = (
-        long.select("metric")
-        .distinct()
-        .select(F.col("metric").alias("metric_id"), "metric")
+    metrics = spark.createDataFrame(
+        [(m, m) for m in ("click", "error", "purchase", "signup", "view")],
+        "metric_id string, metric string",
     )
     return ts, areas, metrics
 

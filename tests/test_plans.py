@@ -69,3 +69,31 @@ def test_melt_is_shuffle_free(spark):
     plan = executed_plan(QUERIES["p7_melt_lineitem"](spark, SF))
     assert "Exchange" not in plan, "melt must compile to Expand, no shuffle"
     assert "Expand" in plan
+
+
+def test_rolling_rate_broadcasts_population_single_fact_scan(spark):
+    """J2+A1: population dim must broadcast-join and the fact table must be
+    scanned exactly once (the event-date cutoff scalar, which would
+    re-execute the subtree, is skipped for non-event-dated metrics)."""
+    plan = executed_plan(QUERIES["j2_rolling_rate_per100k"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert plan.count("orders.parquet") == 1, (
+        "fact side scanned more than once — scalar cutoff branch leaked in"
+    )
+
+
+def test_dose_alignment_is_one_pivot_pass(spark):
+    """J8: the three-way FULL OUTER alignment must be one aggregation over
+    the fact table, not self-joins."""
+    plan = executed_plan(QUERIES["j8_full_outer_align"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("events.parquet") == 1
+
+
+def test_suppression_pipeline_single_window_exchange(spark):
+    """MSOA suppression: pre-suppression, zero-group rule, change, direction
+    and post-suppression must all ride the groupBy+window exchanges (2
+    total), never one per derived column."""
+    plan = executed_plan(QUERIES["sup1_small_count_suppression"](spark, SF))
+    assert plan.count("Exchange") <= 2, plan
