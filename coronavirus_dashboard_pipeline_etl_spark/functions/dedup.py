@@ -92,8 +92,14 @@ def lsh_candidate_pairs(
     """Banded LSH over a minhash_signatures frame: docs sharing any band
     become a candidate pair (id_a < id_b, distinct).
 
-    Shuffle profile: one explode (k/bands rows per doc) + one self-join on
-    the band bucket key. Bucket skew is handled by AQE skew-join.
+    Shuffle profile: one explode (bands rows per doc) + ONE groupBy on the
+    bucket key; pairs are expanded inside each bucket with JVM
+    higher-order functions. A self-join formulation would execute the
+    (expensive) minhash subtree twice and shuffle both sides — this
+    executes it once. Bucket sizes are near-dup-cluster sizes, so the
+    per-bucket quadratic expansion is bounded by data duplication, not
+    corpus size; a pathological giant bucket is a data-quality signal, not
+    a plan hazard (and AQE still splits the skewed reduce task).
     """
     rows_per_band = k // bands
     band_cols = []
@@ -105,20 +111,24 @@ def lsh_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-    left = exploded.alias("l")
-    right = exploded.alias("r")
+    buckets = (
+        exploded.groupBy("band", "sig")
+        .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    ids = F.col("ids")
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + F.lit(2), F.size(ids)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        left.join(
-            right,
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.sig") == F.col("r.sig"),
-                F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
-            ],
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
