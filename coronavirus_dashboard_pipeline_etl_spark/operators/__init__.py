@@ -8,6 +8,7 @@ from .derived import (
     ratio_to_percentage,
 )
 from .hashing import row_hash_blake2, row_hash_sha2
+from .relabel import drop_empty_rows, relabel_area_names
 from .homogenise import homogenise_dates
 from .nesting import nest_records, wrap_payload, wrap_payload_column
 from .normalise import normalise_demographics_records, normalise_records
@@ -32,6 +33,7 @@ __all__ = [
     "change_by_sum",
     "cumulative_sum",
     "direction_col",
+    "drop_empty_rows",
     "homogenise_dates",
     "latest_date_only",
     "latest_per_group",
@@ -44,6 +46,7 @@ __all__ = [
     "percentage_change_col",
     "pivot_max",
     "ratio_to_percentage",
+    "relabel_area_names",
     "release_delta",
     "rolling_mean_centered",
     "row_hash_blake2",

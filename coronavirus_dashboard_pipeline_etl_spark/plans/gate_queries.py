@@ -1722,3 +1722,69 @@ ORACLE.update({
     "h1_row_hash": H1_SQL,
     "sup1_small_count_suppression": SUP1_SQL,
 })
+
+
+from ..operators import drop_empty_rows, relabel_area_names  # noqa: E402
+
+
+def j5_relabel_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: drop incoming labels, broadcast-join the canonical ones from
+    the geog reference list (match_area_names.py:53-68). Customers carry
+    a scrambled nation label; the nation dim restores the canonical one."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_nationkey").alias("areaCode"),
+        F.lit("mangled").alias("areaType"),
+        F.upper("c_name").alias("areaName"),
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("areaCode"),
+        F.lit("nation").alias("areaType"),
+        F.col("n_name").alias("areaName"),
+    )
+    return relabel_area_names(cust, nation)
+
+
+J5_SQL = """
+SELECT c_nationkey AS areaCode, c_custkey AS id,
+       'nation' AS areaType, n_name AS areaName
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+"""
+
+
+def p6_drop_all_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6: dropna(how='all') over the metric columns — a two-metric panel
+    where the deterministic gap patterns leave some days fully empty."""
+    daily = _sparse_daily(spark, sf_dir)
+    dom = F.substring("date", 9, 2).cast("int")
+    panel = daily.select(
+        "event_type",
+        "date",
+        F.when(dom % 2 == 0, F.col("val_d").cast("double")).alias("val_a"),
+        F.when(dom % 3 == 0, F.col("val_d").cast("double")).alias("val_b"),
+    )
+    return drop_empty_rows(panel, ["val_a", "val_b"])
+
+
+P6_SQL = f"""
+WITH {_SPARSE_DAILY_SQL},
+panel AS (
+    SELECT event_type, date,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 2 = 0
+                THEN CAST(val_d AS DOUBLE) END AS val_a,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 3 = 0
+                THEN CAST(val_d AS DOUBLE) END AS val_b
+    FROM daily
+)
+SELECT * FROM panel WHERE val_a IS NOT NULL OR val_b IS NOT NULL
+"""
+
+
+QUERIES.update({
+    "j5_relabel_names": j5_relabel_names,
+    "p6_drop_all_null": p6_drop_all_null,
+})
+ORACLE.update({
+    "j5_relabel_names": J5_SQL,
+    "p6_drop_all_null": P6_SQL,
+})
