@@ -1788,3 +1788,66 @@ ORACLE.update({
     "j5_relabel_names": J5_SQL,
     "p6_drop_all_null": P6_SQL,
 })
+
+
+def j2a_age_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 age variant (generic_rate.py:180-199): rolling rate per 100k
+    with (group, age-band) group keys against an (area, age)-keyed
+    population dim — the demographics path's rate join."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (F.col("user_id") % 3).alias("age_band")
+    panel = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        band,
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("cases"))
+    pop = (
+        ev.groupBy(
+            F.col("event_type").alias("areaCode"),
+            (F.col("user_id") % 3).alias("age_band"),
+        )
+        .agg(F.countDistinct("user_id").alias("population"))
+    )
+    out = calculate_rates(
+        panel,
+        pop,
+        rolling_rate=["cases"],
+        group_keys=("areaCode", "age_band"),
+        join_keys=("areaCode", "age_band"),
+        precision=None,
+    )
+    return out.select(
+        "areaCode",
+        "age_band",
+        "date",
+        F.col("casesRollingSum").cast("double").alias("rsum"),
+        F.col("casesRollingRate").alias("rrate"),
+    )
+
+
+J2A_SQL = """
+WITH panel AS (
+    SELECT event_type AS areaCode, user_id % 3 AS age_band,
+           strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS cases
+    FROM events GROUP BY 1, 2, 3
+),
+pop AS (
+    SELECT event_type AS areaCode, user_id % 3 AS age_band,
+           COUNT(DISTINCT user_id) AS population
+    FROM events GROUP BY 1, 2
+),
+r AS (
+    SELECT areaCode, age_band, date,
+           CASE WHEN COUNT(cases) OVER w7 = 7 THEN SUM(cases) OVER w7 END AS rsum
+    FROM panel
+    WINDOW w7 AS (PARTITION BY areaCode, age_band ORDER BY date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT areaCode, age_band, date, CAST(rsum AS DOUBLE) AS rsum,
+       CAST(rsum AS DOUBLE) / population * 100000 AS rrate
+FROM r JOIN pop USING (areaCode, age_band)
+"""
+
+QUERIES["j2a_age_rate"] = j2a_age_rate
+ORACLE["j2a_age_rate"] = J2A_SQL

@@ -158,3 +158,69 @@ def test_normalise_cumulative_property(spark, series_per_area):
             assert gv is None or pd.isna(gv), (i, gv, ev, pdf)
         else:
             assert gv == pytest.approx(ev), (i, gv, ev, pdf)
+
+
+def oracle_msoa_suppress(pdf, metric="m"):
+    """Reference EP3 semantics: pre-suppression (rolling sums < 3 become
+    2) inside the rolling family, then null ALL stats where the rolling
+    sum is <= 2 or missing (msoa_etl_db/processor.py:211-226, 279-281)."""
+    out = oracle_change_by_sum(pdf, metric, min_sum_allowed=3, min_sum_sub=2)
+    suppressed = out["rsum"].isna() | (out["rsum"] <= 2)
+    out.loc[suppressed, [metric, "chg", "dirn", "pct"]] = np.nan
+    return out
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.lists(
+            st.one_of(
+                st.none(), st.integers(min_value=0, max_value=4).map(float)
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_msoa_suppression_property(spark, series_per_area):
+    """Small-count panels where the 3/2 substitution actually fires."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators import (
+        suppress_by_rolling_sum,
+    )
+
+    pdf = build_panel(series_per_area)
+    sdf = spark.createDataFrame(pdf.astype({"m": "float64"}))
+    got = change_by_sum(sdf, ["m"], min_sum_allowed=3, min_sum_sub=2)
+    got = (
+        suppress_by_rolling_sum(
+            got, "mRollingSum", ["m", "mChange", "mDirection", "mChangePercentage"]
+        )
+        .toPandas()
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        oracle_msoa_suppress(pdf)
+        .sort_values(["areaCode", "date"])
+        .reset_index(drop=True)
+    )
+    for g_col, e_col in [
+        ("m", "m"),
+        ("mChange", "chg"),
+        ("mDirection", "dirn"),
+        ("mChangePercentage", "pct"),
+    ]:
+        for i in range(len(exp)):
+            gv, ev = got[g_col].iloc[i], exp[e_col].iloc[i]
+            if ev is None or (not isinstance(ev, str) and pd.isna(ev)):
+                assert gv is None or pd.isna(gv), (g_col, i, gv, ev, pdf)
+            elif isinstance(ev, str):
+                assert gv == ev, (g_col, i, gv, ev, pdf)
+            else:
+                assert gv == pytest.approx(ev, abs=1e-9), (g_col, i, gv, ev, pdf)
