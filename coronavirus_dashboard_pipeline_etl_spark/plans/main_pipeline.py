@@ -176,6 +176,29 @@ def write_store(long: DataFrame, path: str) -> None:
     )
 
 
+def write_store_bucketed(
+    long: DataFrame, table_name: str, buckets: int = 64
+) -> None:
+    """Bucketed variant of the serving store for shuffle-free serving.
+
+    The serving queries window/group by (area, metric) over the fact
+    table (serving.py: latest_per_group, latest_n_dates, landing cache).
+    Bucketing + in-bucket sorting by those keys means a reader's
+    groupBy/window on (area_code, metric) needs NO exchange — at 100 TB
+    the per-query shuffle of the whole fact table is the serving
+    bottleneck, and this removes it. Writes through the catalog
+    (``saveAsTable``) because bucket metadata lives in the metastore.
+    """
+    (
+        long.write.mode("overwrite")
+        .partitionBy("partition_id")
+        .bucketBy(buckets, "area_code", "metric")
+        .sortBy("area_code", "metric", "date")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def run_main(
     spark: SparkSession,
     json_path: str,

@@ -97,3 +97,32 @@ def test_suppression_pipeline_single_window_exchange(spark):
     total), never one per derived column."""
     plan = executed_plan(QUERIES["sup1_small_count_suppression"](spark, SF))
     assert plan.count("Exchange") <= 2, plan
+
+
+def test_bucketed_store_groupby_is_shuffle_free(spark, tmp_path):
+    """write_store_bucketed: a groupBy on the bucket keys must read the
+    bucket layout instead of exchanging the fact table."""
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        write_store_bucketed,
+    )
+
+    long = spark.range(0, 1000).select(
+        F.concat(F.lit("A"), (F.col("id") % 7).cast("string")).alias("area_code"),
+        F.concat(F.lit("m"), (F.col("id") % 3).cast("string")).alias("metric"),
+        F.date_format(
+            F.date_add(F.lit("2021-01-01"), (F.col("id") % 50).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        F.lit("other").alias("partition_id"),
+        F.col("id").cast("double").alias("value"),
+    )
+    spark.sql("DROP TABLE IF EXISTS bucketed_store_test")
+    write_store_bucketed(long, "bucketed_store_test", buckets=4)
+    try:
+        read = spark.table("bucketed_store_test")
+        agg = read.groupBy("area_code", "metric").agg(F.max("date").alias("mx"))
+        plan = executed_plan(agg)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_store_test")
