@@ -9,6 +9,7 @@ from .derived import (
 )
 from .hashing import row_hash_blake2, row_hash_sha2
 from .relabel import drop_empty_rows, relabel_area_names
+from .skew import salted_join
 from .homogenise import homogenise_dates
 from .nesting import nest_records, wrap_payload, wrap_payload_column
 from .normalise import normalise_demographics_records, normalise_records
@@ -51,6 +52,7 @@ __all__ = [
     "rolling_mean_centered",
     "row_hash_blake2",
     "row_hash_sha2",
+    "salted_join",
     "suppress_by_rolling_sum",
     "trim_end",
     "trim_sides",

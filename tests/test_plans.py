@@ -126,3 +126,21 @@ def test_bucketed_store_groupby_is_shuffle_free(spark, tmp_path):
         assert "Bucketed: true" in plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_store_test")
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be a pure physical rewrite: same rows out."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators import salted_join
+
+    big = spark.range(0, 5000).select(
+        # hot key: 80% of rows share key 0
+        F.when(F.col("id") % 5 != 0, F.lit(0)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    got = salted_join(big, small, on=["k"], salt_buckets=8)
+    exp = big.join(small, on="k")
+    assert got.count() == exp.count()
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

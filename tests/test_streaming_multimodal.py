@@ -99,3 +99,61 @@ def test_frame_sampling(spark):
     )
     kept = sample_frames(frames, every_n=10).collect()
     assert [r["frame_index"] for r in kept] == [0, 10, 20, 30, 40, 50, 60, 70, 80, 90]
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-group totals must carry across
+    micro-batches through the state store (batch 2 continues batch 1's
+    cumulative, not restart at zero)."""
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.stateful import (
+        running_totals_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"areaCode": "A", "date": "2021-01-01", "value": 1.0},
+                {"areaCode": "A", "date": "2021-01-02", "value": 2.0},
+                {"areaCode": "B", "date": "2021-01-01", "value": 10.0},
+            ]
+        )
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"areaCode": "A", "date": "2021-01-03", "value": 4.0},
+                {"areaCode": "B", "date": "2021-01-02", "value": None},
+            ]
+        )
+    )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("areaCode string, date string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    out = running_totals_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["areaCode"], r["date"]): r["cumulative"]
+        for r in spark.table("running_totals").collect()
+    }
+    assert rows[("A", "2021-01-01")] == 1.0
+    assert rows[("A", "2021-01-02")] == 3.0
+    assert rows[("A", "2021-01-03")] == 7.0   # state carried across batches
+    assert rows[("B", "2021-01-01")] == 10.0
+    assert rows[("B", "2021-01-02")] == 10.0  # null increment = +0
