@@ -4,10 +4,10 @@ Design for 100 TB:
 * exact dedup is a hash-groupBy — one shuffle on the fingerprint;
 * MinHash/SimHash signatures are computed per-row with JVM higher-order
   functions (no Python, no shuffle);
-* candidate generation is banded LSH: explode (doc, band) pairs and
-  self-join on (band_index, band_hash) — the join key is the bucket, so
-  only genuinely colliding docs ever meet. A full pairwise compare never
-  happens; the blocked/banded joins keep the candidate set ~linear.
+* candidate generation is banded LSH: explode (doc, band) rows, ONE
+  groupBy on the bucket key, and in-bucket pair expansion — only
+  genuinely colliding docs ever meet. A full pairwise compare never
+  happens; pathological buckets route through a size-gated join path.
 * every step is deterministic (seeded affine hash family over a shared
   md5-based base hash) so a SQL oracle can verify signatures exactly.
 
@@ -20,7 +20,7 @@ b_i) mod P with P = 2^31 - 1 (Mersenne), keeping every intermediate
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .text import fingerprint, tokens
 
@@ -87,19 +87,30 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, id_col: str = "doc_id", k: int = 16, bands: int = 4
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 16,
+    bands: int = 4,
+    max_bucket: int = 1000,
 ) -> DataFrame:
     """Banded LSH over a minhash_signatures frame: docs sharing any band
     become a candidate pair (id_a < id_b, distinct).
 
-    Shuffle profile: one explode (bands rows per doc) + ONE groupBy on the
-    bucket key; pairs are expanded inside each bucket with JVM
-    higher-order functions. A self-join formulation would execute the
-    (expensive) minhash subtree twice and shuffle both sides — this
-    executes it once. Bucket sizes are near-dup-cluster sizes, so the
-    per-bucket quadratic expansion is bounded by data duplication, not
-    corpus size; a pathological giant bucket is a data-quality signal, not
-    a plan hazard (and AQE still splits the skewed reduce task).
+    Shuffle profile: one explode (bands rows per doc), one bucket-count
+    window, then per bucket size:
+
+    * buckets <= ``max_bucket`` (the overwhelming majority): pairs expand
+      inside the bucket via posexplode + slice — streamed row-at-a-time,
+      never materialising an O(n^2) array, and the groupBy reuses the
+      window's exchange (no extra shuffle);
+    * giant buckets (> ``max_bucket``): a conventional equi-join on the
+      bucket key, restricted to those buckets, where AQE's skew-join
+      splitting applies — a single collect_list task would OOM there.
+
+    Docs with no shingles (null signature — empty/stop-word-only text)
+    are dropped up front: every such doc would otherwise collide into one
+    degenerate '' bucket in every band, and minhash similarity is
+    undefined for an empty set anyway.
     """
     rows_per_band = k // bands
     band_cols = []
@@ -108,29 +119,42 @@ def lsh_candidate_pairs(
         band_cols.append(
             F.struct(F.lit(bidx).alias("band"), F.concat_ws("_", *members).alias("sig"))
         )
-    exploded = sigs.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("b")
-    ).select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-    buckets = (
-        exploded.groupBy("band", "sig")
+    exploded = (
+        sigs.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b"))
+        .select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    )
+    counted = exploded.withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
+    )
+
+    small = (
+        counted.filter(F.col("__n") <= max_bucket)
+        .groupBy("band", "sig")
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    ids = F.col("ids")
-    pairs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + F.lit(2), F.size(ids)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
-        )
+    small_pairs = small.select(
+        "ids", F.posexplode("ids").alias("__i", "id_a")
+    ).select(
+        "id_a",
+        F.explode(
+            F.slice("ids", F.col("__i") + F.lit(2), F.size("ids"))
+        ).alias("id_b"),
     )
-    return (
-        buckets.select(F.explode(pairs).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+
+    giant = counted.filter(F.col("__n") > max_bucket)
+    left, right = giant.alias("l"), giant.alias("r")
+    giant_pairs = left.join(
+        right,
+        on=[
+            F.col("l.band") == F.col("r.band"),
+            F.col("l.sig") == F.col("r.sig"),
+            F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
+        ],
+    ).select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+
+    return small_pairs.unionByName(giant_pairs).distinct()
 
 
 def simhash(

@@ -42,11 +42,7 @@ def drop_empty_rows(
     payload rows entirely."""
     value_cols = [c for c in value_cols if c in df.columns]
     if value_cols:
-        any_present = None
-        for c in value_cols:
-            cond = F.col(c).isNotNull()
-            any_present = cond if any_present is None else (any_present | cond)
-        df = df.filter(any_present)
+        df = df.na.drop(how="all", subset=value_cols)
     weekly = sorted(set(weekly_metrics))
     if weekly and "metric" in df.columns and "payload" in df.columns:
         df = df.filter(

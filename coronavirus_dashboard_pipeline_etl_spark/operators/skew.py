@@ -36,7 +36,18 @@ def salted_join(
     Deterministic: the salt is a hash of the big side's whole row (task
     retries re-derive the same salt). The small side grows by the bucket
     factor — keep it the genuinely-small side.
+
+    Only join types where every output row is anchored to a big-side row
+    are valid: right/full joins would emit each unmatched small-side row
+    once per salt replica (and null-extend matched keys for the replicas
+    a big row didn't land on), silently corrupting results.
     """
+    valid = {"inner", "left", "leftouter", "left_outer", "left_semi",
+             "leftsemi", "left_anti", "leftanti"}
+    if how.lower().replace("_", "") not in {v.replace("_", "") for v in valid}:
+        raise ValueError(
+            f"salted_join supports big-side-anchored joins only, not {how!r}"
+        )
     on = list(on)
     big_salted = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets))

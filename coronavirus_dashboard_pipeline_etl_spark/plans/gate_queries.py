@@ -851,7 +851,8 @@ def _d3b_sql() -> str:
     for bidx in range(2):
         members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
         bands.append(
-            f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig FROM sig"
+            f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig "
+            "FROM sig WHERE mh0 IS NOT NULL"
         )
     return f"""
 WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
@@ -1616,15 +1617,25 @@ def sup1_small_count_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MSOA small-count disclosure control (SURVEY §7 hard-part 7): rolling
     sums below 3 substituted with 2 inside change_by_sum
     (msoa_etl_db/processor.py:279-281), then every stat nulled where the
-    rolling sum is <= 2 or missing (processor.py:211-226)."""
-    ev = load_table(spark, sf_dir, "events")
+    rolling sum is <= 2 or missing (processor.py:211-226).
+
+    The panel is zero-DENSIFIED (bucket x every purchase date, missing
+    days = 0 cases, like the MSOA zero-padding msoa_etl_db/processor.py:
+    146-171): without the zero days every present row has >= 1 case and
+    7-row sums are always >= 7, leaving both suppression branches dead."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    counts = ev.groupBy(
+        (F.col("user_id") % 29).alias("bucket"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    ).agg(F.count("*").cast(DEC).alias("cases"))
+    dates = ev.select(F.date_format("ts", "yyyy-MM-dd").alias("date")).distinct()
+    buckets = spark.range(29).select(F.col("id").alias("bucket"))
     panel = (
-        ev.filter(F.col("event_type") == "purchase")
-        .groupBy(
-            (F.col("user_id") % 97).alias("bucket"),
-            F.date_format("ts", "yyyy-MM-dd").alias("date"),
-        )
-        .agg(F.count("*").cast(DEC).alias("cases"))
+        dates.crossJoin(buckets)
+        .join(counts, on=["bucket", "date"], how="left")
+        .withColumn("cases", F.coalesce(F.col("cases"), F.lit(0).cast(DEC)))
     )
     out = change_by_sum(
         panel,
@@ -1651,11 +1662,22 @@ def sup1_small_count_suppression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SUP1_SQL = """
-WITH panel AS (
-    SELECT user_id % 97 AS bucket, strftime(ts, '%Y-%m-%d') AS date,
+WITH counts AS (
+    SELECT user_id % 29 AS bucket, strftime(ts, '%Y-%m-%d') AS date,
            CAST(COUNT(*) AS DECIMAL(18,6)) AS cases
     FROM events WHERE event_type = 'purchase'
     GROUP BY 1, 2
+),
+dates AS (
+    SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS date
+    FROM events WHERE event_type = 'purchase'
+),
+buckets AS (SELECT range AS bucket FROM range(29)),
+panel AS (
+    SELECT b.bucket, d.date,
+           COALESCE(c.cases, CAST(0 AS DECIMAL(18,6))) AS cases
+    FROM dates d CROSS JOIN buckets b
+    LEFT JOIN counts c ON c.bucket = b.bucket AND c.date = d.date
 ),
 r1 AS (
     SELECT bucket, date, cases,

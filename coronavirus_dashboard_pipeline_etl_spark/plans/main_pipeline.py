@@ -188,15 +188,37 @@ def write_store_bucketed(
     the per-query shuffle of the whole fact table is the serving
     bottleneck, and this removes it. Writes through the catalog
     (``saveAsTable``) because bucket metadata lives in the metastore.
+
+    Re-runs keep write_store's idempotence: once the table exists, the
+    write goes through ``insertInto`` with dynamic partition overwrite,
+    replacing ONLY the partitions present in ``long`` (a plain
+    ``saveAsTable(overwrite)`` would drop every other release's
+    partitions). Spark enforces the table's bucket spec on insertInto, so
+    inserted partitions stay bucket-readable.
     """
-    (
-        long.write.mode("overwrite")
-        .partitionBy("partition_id")
-        .bucketBy(buckets, "area_code", "metric")
-        .sortBy("area_code", "metric", "date")
-        .format("parquet")
-        .saveAsTable(table_name)
-    )
+    spark = long.sparkSession
+    if spark.catalog.tableExists(table_name):
+        # insertInto is positional: match the table's column order
+        # (partition column last). The dynamic-overwrite writer OPTION is
+        # ignored on the insertInto path — only the session conf governs
+        # it — so set and restore it around the write.
+        cols = spark.table(table_name).columns
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "static")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            long.select(*cols).write.mode("overwrite").insertInto(table_name)
+        finally:
+            spark.conf.set(conf_key, prev)
+    else:
+        (
+            long.write.mode("overwrite")
+            .partitionBy("partition_id")
+            .bucketBy(buckets, "area_code", "metric")
+            .sortBy("area_code", "metric", "date")
+            .format("parquet")
+            .saveAsTable(table_name)
+        )
 
 
 def run_main(

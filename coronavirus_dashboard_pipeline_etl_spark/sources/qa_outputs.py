@@ -21,22 +21,42 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def int_coerced(col: Column) -> Column:
-    """JSON-facing value: whole floats as integers, else the double.
-    (the reference's nullable-Int64 dance, db_etl/etl.py:1183-1185)."""
-    as_long = col.cast("long")
+    """JSON-facing value rendered as a raw number string: whole floats as
+    integers, else the double (the reference's nullable-Int64 dance,
+    db_etl/etl.py:1183-1185). NaN/±Inf become null (pandas-JSON
+    behaviour); ``try_cast`` because a plain long cast THROWS under
+    Spark 4 ANSI mode on NaN/overflow and would abort the whole write."""
+    as_long = col.try_cast("long")
+    finite = (
+        col.isNotNull()
+        & ~F.isnan(col)
+        & (col != F.lit(float("inf")))
+        & (col != F.lit(float("-inf")))
+    )
     return F.when(
-        col.isNotNull() & (col == as_long.cast("double")), as_long.cast("string")
-    ).otherwise(col.cast("string"))
+        finite & (as_long.cast("double") == col), as_long.cast("string")
+    ).when(finite, col.cast("string"))
+
+
+_NUM_RE = r'"(-?\d+(\.\d+)?(E-?\d+)?)"'
 
 
 def write_records_json(
     df: DataFrame, path: str, numeric_cols: Sequence[str] = ()
 ) -> None:
-    """Newline-delimited records JSON with integer coercion."""
+    """Newline-delimited records JSON with integer coercion.
+
+    Coerced values must land as JSON *numbers* ({"v": 5}, {"v": 5.5}),
+    not strings — a typed Spark column can't mix long and double, so the
+    record line is rendered via to_json and the strictly-numeric quoted
+    values are unquoted per configured column."""
     out = df
     for c in numeric_cols:
         out = out.withColumn(c, int_coerced(F.col(c)))
-    out.write.mode("overwrite").json(path)
+    line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    for c in numeric_cols:
+        line = F.regexp_replace(line, f'"{c}":{_NUM_RE}', f'"{c}":$1')
+    out.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
 def write_archive_csv(df: DataFrame, path: str) -> None:

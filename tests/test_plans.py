@@ -93,10 +93,30 @@ def test_dose_alignment_is_one_pivot_pass(spark):
 
 def test_suppression_pipeline_single_window_exchange(spark):
     """MSOA suppression: pre-suppression, zero-group rule, change, direction
-    and post-suppression must all ride the groupBy+window exchanges (2
-    total), never one per derived column."""
-    plan = executed_plan(QUERIES["sup1_small_count_suppression"](spark, SF))
-    assert plan.count("Exchange") <= 2, plan
+    and post-suppression must ALL ride one window exchange, never one per
+    derived column or per suppression stage."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators import (
+        suppress_by_rolling_sum,
+    )
+
+    panel = spark.range(0, 1000).select(
+        (F.col("id") % 20).alias("bucket"),
+        F.date_format(
+            F.date_add(F.lit("2021-01-01"), (F.col("id") % 50).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("date"),
+        (F.col("id") % 3).cast("double").alias("cases"),
+    )
+    out = change_by_sum(
+        panel, ["cases"], group_keys=("bucket",),
+        min_sum_allowed=3.0, min_sum_sub=2.0,
+    )
+    out = suppress_by_rolling_sum(
+        out, "casesRollingSum",
+        ["cases", "casesChange", "casesDirection", "casesChangePercentage"],
+    )
+    plan = executed_plan(out)
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_bucketed_store_groupby_is_shuffle_free(spark, tmp_path):
@@ -124,6 +144,33 @@ def test_bucketed_store_groupby_is_shuffle_free(spark, tmp_path):
         plan = executed_plan(agg)
         assert "Exchange" not in plan, plan
         assert "Bucketed: true" in plan
+
+        # re-running one partition must replace ONLY that partition
+        # (dynamic insertInto), never drop the others
+        p2 = long.withColumn("partition_id", F.lit("ltla")).limit(100)
+        write_store_bucketed(p2, "bucketed_store_test", buckets=4)
+        counts = {
+            r["partition_id"]: r["count"]
+            for r in spark.table("bucketed_store_test")
+            .groupBy("partition_id")
+            .count()
+            .collect()
+        }
+        assert counts["other"] == 1000   # untouched partition survives
+        assert counts["ltla"] == 100
+        rerun = long.filter(F.col("area_code") == "A1").withColumn(
+            "partition_id", F.lit("ltla")
+        )
+        write_store_bucketed(rerun, "bucketed_store_test", buckets=4)
+        counts = {
+            r["partition_id"]: r["count"]
+            for r in spark.table("bucketed_store_test")
+            .groupBy("partition_id")
+            .count()
+            .collect()
+        }
+        assert counts["other"] == 1000
+        assert counts["ltla"] == rerun.count()  # partition replaced, not appended
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_store_test")
 

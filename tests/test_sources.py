@@ -52,7 +52,14 @@ def test_population_csvs(spark, tmp_path):
 
 def test_qa_outputs(spark, tmp_path):
     df = spark.createDataFrame(
-        [("a", 5.0), ("b", 5.5), ("c", None)],
+        [
+            ("a", 5.0),
+            ("b", 5.5),
+            ("c", None),
+            ("d", float("nan")),
+            ("e", float("inf")),
+            ("f", 1e20),
+        ],
         "k string, v double",
     )
     write_records_json(df, str(tmp_path / "out_json"), numeric_cols=["v"])
@@ -62,9 +69,13 @@ def test_qa_outputs(spark, tmp_path):
         for line in f.read_text().splitlines()
     ]
     by_k = {r["k"]: r.get("v") for r in back}
-    assert by_k["a"] == "5"          # whole float coerced to int form
-    assert by_k["b"] == "5.5"
+    assert by_k["a"] == 5            # whole float -> JSON integer
+    assert isinstance(by_k["a"], int)
+    assert by_k["b"] == 5.5          # fractional -> JSON double
     assert by_k["c"] is None
+    assert by_k["d"] is None         # NaN -> null (pandas-JSON behaviour)
+    assert by_k["e"] is None         # Inf -> null, write must not throw
+    assert by_k["f"] == 1e20         # beyond-long double survives try_cast
 
     write_archive_csv(df, str(tmp_path / "out_csv"))
     text = "".join(
