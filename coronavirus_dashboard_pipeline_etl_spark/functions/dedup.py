@@ -209,3 +209,61 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Resolve candidate pairs into connected components: every doc maps
+    to its component's minimum id (``canonical_id``) — the drop list for
+    near-dup removal is then ``doc_id != canonical_id``.
+
+    Iterative min-label propagation: each round is one join + one
+    aggregation (two shuffles), and labels converge in O(component
+    diameter) rounds — LSH components are unions of bucket-cliques, so
+    diameters are small. ``localCheckpoint`` truncates the lineage each
+    round (an unbounded iterative plan would otherwise grow per round and
+    re-execute from the scan on every action). The fixpoint is unique
+    regardless of iteration order, so the result is engine-independent
+    (the oracle computes the same closure with a recursive CTE).
+    """
+    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+
+    labels = ids.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = (
+            labels.join(nbr, labels.node == nbr.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), on="node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    )

@@ -98,3 +98,40 @@ def fingerprint(col: Column | str) -> Column:
     whitespace-collapsed text. Stable across engines (md5 is md5)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    training-data chunking pass. Emits (id, chunk_index, chunk_tokens,
+    chunk_text); the final window may be short.
+
+    Pure expression work (sequence + explode + slice): rows fan out
+    ~n_tokens/stride per doc with no shuffle, so it composes with a
+    downstream repartition/write at any scale.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(step)
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("__start", F.explode(starts))
+        .withColumn("__chunk", F.slice("__toks", F.col("__start") + 1, chunk_tokens))
+        .filter(F.size("__chunk") > 0)
+        .select(
+            F.col(id_col),
+            (F.col("__start") / F.lit(step)).cast("long").alias("chunk_index"),
+            F.size("__chunk").cast("long").alias("chunk_tokens"),
+            F.array_join("__chunk", " ").alias("chunk_text"),
+        )
+    )

@@ -1873,3 +1873,88 @@ FROM r JOIN pop USING (areaCode, age_band)
 
 QUERIES["j2a_age_rate"] = j2a_age_rate
 ORACLE["j2a_age_rate"] = J2A_SQL
+
+
+from ..functions.dedup import dedup_components  # noqa: E402
+
+
+def d6_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup RESOLUTION: LSH candidate pairs -> connected components ->
+    (doc_id, canonical_id). The drop-list query for corpus dedup; the
+    Spark side iterates min-label propagation to the (unique) fixpoint,
+    the oracle takes the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sigs, k=16, bands=2)
+    return dedup_components(pairs, docs.select("doc_id"))
+
+
+def _d6_sql() -> str:
+    bands = []
+    for bidx in range(2):
+        members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
+        bands.append(
+            f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig "
+            "FROM sig WHERE mh0 IS NOT NULL"
+        )
+    return f"""
+WITH RECURSIVE th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+sig AS (
+    SELECT doc_id,
+           {','.join(f'list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}' for i, (a, b) in enumerate(hash_params(16)))}
+    FROM th
+),
+bands AS ({' UNION ALL '.join(bands)}),
+pairs AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+reach(node, other) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+)
+SELECT node AS doc_id, MIN(other) AS canonical_id
+FROM reach GROUP BY node
+"""
+
+
+QUERIES["d6_dedup_resolve"] = d6_dedup_resolve
+ORACLE["d6_dedup_resolve"] = _d6_sql()
+
+
+from ..functions.text import chunk_documents  # noqa: E402
+
+
+def t5_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (64-token windows, 8-token overlap)
+    — the training-data chunking pass over the documents table."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=64, overlap=8)
+
+
+T5_SQL = """
+WITH toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(range(0, greatest(len(t) - 1, 0) + 1, 56)) AS s
+    FROM toks
+)
+SELECT doc_id,
+       CAST(s // 56 AS BIGINT) AS chunk_index,
+       CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS chunk_tokens,
+       array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+FROM starts
+WHERE len(t[s + 1 : s + 64]) > 0
+"""
+
+QUERIES["t5_chunking"] = t5_chunking
+ORACLE["t5_chunking"] = T5_SQL
