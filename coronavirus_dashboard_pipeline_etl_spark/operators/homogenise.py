@@ -10,10 +10,13 @@ the left (preserved) side. Since the scaffold spans the global date range
 and contains every area key present in the data, scaffold-LEFT-JOIN-data
 is exactly the reference's outer merge.
 
-Scale note: distinct-areas is a tiny frame (≤ ~7k keys for MSOA); the
-scaffold (areas × dates) is at most a few million rows, built with one
-shuffle for distinct(); the join against the fact table shuffles on the
-same keys every downstream window uses, so AQE reuses the exchange.
+Scale note: the scaffold needs three facts about the input — global date
+bounds, the distinct group keys, and (demographics path) the distinct
+nesting values. Deriving each one directly from ``df`` would re-execute
+the fact subtree once per branch (3 full scans at 100 TB). Instead ONE
+per-group aggregation (tiny: ≤ ~7k rows for MSOA) is locally
+checkpointed and all three are derived from it — the fact table is
+scanned exactly once for the stats and once as the join's right side.
 """
 
 from __future__ import annotations
@@ -23,19 +26,14 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
-from .util import with_scalar
 
-
-def _date_scaffold(df: DataFrame, date_col: str, frequency: str) -> DataFrame:
-    """1-column frame of all dates in [global min, global max].
+def _date_scaffold(bounds: DataFrame, frequency: str) -> DataFrame:
+    """1-column frame of all dates in [lo, hi] from a 1-row bounds frame.
 
     ``frequency`` 'D' = daily; 'W' = pandas ``date_range(freq="W")``
     parity: weekly anchored on Sundays, first Sunday >= min date
     (homogenise_demographics_dates, homogenisation.py:88-96).
     """
-    bounds = df.agg(
-        F.min(F.to_date(date_col)).alias("lo"), F.max(F.to_date(date_col)).alias("hi")
-    )
     if frequency == "D":
         seq = F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
     elif frequency == "W":
@@ -67,11 +65,22 @@ def homogenise_dates(
     format).
     """
     keys = list(group_keys)
-    areas = df.select(*keys).distinct()
-    dates = _date_scaffold(df, date_col, frequency)
-    scaffold = areas.crossJoin(broadcast(dates))
+    aggs = [
+        F.min(F.to_date(date_col)).alias("__lo"),
+        F.max(F.to_date(date_col)).alias("__hi"),
+    ]
     for k in extra_keys:
-        scaffold = scaffold.crossJoin(broadcast(df.select(k).distinct()))
+        aggs.append(F.collect_set(F.col(k)).alias(f"__set_{k}"))
+    # One pass over the fact table; tiny result; checkpoint truncates the
+    # lineage so the three derivations below share a single execution.
+    stats = df.groupBy(*keys).agg(*aggs).localCheckpoint(eager=False)
+
+    bounds = stats.agg(F.min("__lo").alias("lo"), F.max("__hi").alias("hi"))
+    dates = _date_scaffold(bounds, frequency)
+    scaffold = stats.select(*keys).crossJoin(broadcast(dates))
+    for k in extra_keys:
+        vals = stats.select(F.explode(f"__set_{k}").alias(k)).distinct()
+        scaffold = scaffold.crossJoin(broadcast(vals))
     scaffold = scaffold.withColumn(
         date_col, F.date_format("__scaffold_date", "yyyy-MM-dd")
     ).drop("__scaffold_date")
