@@ -1958,3 +1958,81 @@ WHERE len(t[s + 1 : s + 64]) > 0
 
 QUERIES["t5_chunking"] = t5_chunking
 ORACLE["t5_chunking"] = T5_SQL
+
+
+from ..operators import ratio_to_percentage  # noqa: E402
+
+
+def r1_ratio_to_percentage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ratio->percentage with the reference's round-to-1dp
+    (db_etl/etl.py:961-972): exact on DECIMAL inputs, so the rounding is
+    engine-independent (decimal HALF_UP == round-half-away for the
+    positive ratios involved)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", F.col("l_discount").cast(DEC).alias("ratio")
+    )
+    out = ratio_to_percentage(li, ["ratio"], precision=1)
+    return out.select(
+        "l_orderkey", "l_linenumber", F.col("ratio").cast("double").alias("ratio")
+    )
+
+
+R1_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(ROUND(CAST(l_discount AS DECIMAL(18,6)) * 100, 1) AS DOUBLE) AS ratio
+FROM lineitem
+"""
+
+QUERIES["r1_ratio_to_percentage"] = r1_ratio_to_percentage
+ORACLE["r1_ratio_to_percentage"] = R1_SQL
+
+
+def j2b_incidence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incidence rate (no window): value / population * 100k against the
+    broadcast population dim (generic_rate.py:100-105 incidence path)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    pop = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
+        F.count("*").alias("population")
+    )
+    daily = (
+        orders.join(
+            broadcast(
+                cust.select(
+                    F.col("c_custkey").alias("o_custkey"),
+                    F.col("c_nationkey").alias("nation"),
+                )
+            ),
+            on="o_custkey",
+        )
+        .groupBy("nation", F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"))
+        .agg(F.count("*").cast("double").alias("n_orders"))
+    )
+    out = calculate_rates(
+        daily,
+        pop,
+        incidence_rate=["n_orders"],
+        group_keys=("nation",),
+        join_keys=("nation",),
+        precision=None,
+    )
+    return out.select("nation", "date", "n_orders", F.col("n_ordersRate").alias("rate"))
+
+
+J2B_SQL = """
+WITH pop AS (
+    SELECT c_nationkey AS nation, COUNT(*) AS population FROM customer GROUP BY 1
+),
+daily AS (
+    SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m-%d') AS date,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2
+)
+SELECT nation, date, n_orders,
+       n_orders / population * 100000 AS rate
+FROM daily JOIN pop USING (nation)
+"""
+
+QUERIES["j2b_incidence_rate"] = j2b_incidence_rate
+ORACLE["j2b_incidence_rate"] = J2B_SQL
