@@ -43,7 +43,7 @@ def trim_sides(
     series_keys: Sequence[str] = ("area_type", "area_code", "metric"),
     date_col: str = "date",
     payload_col: str = "payload",
-    keep_tail_metrics: Iterable[str] = ("variants",),
+    exempt_metrics: Iterable[str] = ("variants",),
 ) -> DataFrame:
     """Strip unstable leading/trailing points of each long series.
 
@@ -53,9 +53,16 @@ def trim_sides(
          nulled. If the payload is non-numeric (nested cells), fall back
          to the first non-null row.
       2. trailing strip: the last non-null row and its predecessor ->
-         nulled, unless the metric keeps its tail (``variants``).
+         nulled.
       3. rows whose payload ends up null are dropped
          (``dropna(how="all")`` on the value column).
+
+    ``exempt_metrics`` (``variants``) skip BOTH strips: the reference
+    computes the masks on a per-metric COPY and only writes it back
+    inside the ``metric != "variants"`` branch (uploader.py:82-88), so
+    variants rows reach the store untouched — verified against the
+    reference's own golden fixture
+    (db_etl_upload/tests/test_uploader.py:21-27).
 
     Expressed as two passes over one window exchange; no Python loop over
     metrics (the reference iterates per metric in the driver).
@@ -76,10 +83,15 @@ def trim_sides(
     first_valid = F.min(
         F.when(F.col(payload_col).isNotNull(), F.col("__rn"))
     ).over(w_all)
+    exempt = (
+        F.col("metric").isin(*exempt_metrics) if exempt_metrics else F.lit(False)
+    )
     lead_cut = F.coalesce(first_nonzero, first_valid) + 1
     df = df.withColumn(
         payload_col,
-        F.when(F.col("__rn") <= lead_cut, F.lit(None)).otherwise(F.col(payload_col)),
+        F.when(
+            (~exempt) & (F.col("__rn") <= lead_cut), F.lit(None)
+        ).otherwise(F.col(payload_col)),
     )
 
     # trailing strip on the POST-leading-strip payload (the reference
@@ -87,11 +99,10 @@ def trim_sides(
     last_valid = F.max(
         F.when(F.col(payload_col).isNotNull(), F.col("__rn"))
     ).over(w_all)
-    keep_tail = F.col("metric").isin(*keep_tail_metrics) if keep_tail_metrics else F.lit(False)
     df = df.withColumn(
         payload_col,
         F.when(
-            (~keep_tail) & (F.col("__rn") >= last_valid - 1), F.lit(None)
+            (~exempt) & (F.col("__rn") >= last_valid - 1), F.lit(None)
         ).otherwise(F.col(payload_col)),
     )
 

@@ -140,3 +140,21 @@ def test_long_store_rows(spark, processed, tmp_path_factory):
     assert len(one["hash"]) == 24  # 12-byte keyed blake2s hex
     groups = {r["partition_id"] for r in rows}
     assert groups <= {"other", "utla", "ltla", "nhstrust", "msoa"}
+
+
+def test_trim_sides_reference_golden_fixture(spark):
+    """Parity with the reference's own unit test: trim_sides on its
+    captured fixture must keep exactly 14 rows x 9 columns
+    (/root/reference/db_etl_upload/tests/test_uploader.py:21-27, fixture
+    test_data-trim_sides.csv). The variants metric's nested payloads take
+    the non-numeric fallback path; its tail is preserved."""
+    import pandas as pd
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import trim_sides
+
+    fixture = "/root/reference/db_etl_upload/tests/test_data-trim_sides.csv"
+    pdf = pd.read_csv(fixture, dtype=str)
+    sdf = spark.createDataFrame(pdf.where(pd.notnull(pdf), None))
+    out = trim_sides(sdf)
+    assert len(out.columns) == 9
+    assert out.count() == 14
