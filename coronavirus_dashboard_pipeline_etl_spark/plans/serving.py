@@ -224,3 +224,34 @@ def landing_cache_rows(
             F.concat_ws("|", F.col("area_type"), F.col("area_code"), F.col("metric")),
         )
     )
+
+
+def age_band_values(
+    df: DataFrame,
+    band: str = "75+",
+    value_field: str = "cumPeopleVaccinatedSpring23ByVaccinationDate",
+    pct_field: str = "cumVaccinationSpring23UptakeByVaccinationDatePercentage",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Homepage waffle-chart extraction: from a nested age-demographics
+    payload cell (array<struct>), pick the requested band's cumulative
+    and uptake values as integers
+    (``db_etl_homepage_graphs/grapher.py:133-169`` get_value_*_plus;
+    golden values from its test fixture
+    ``tests/test_data/db_data.py`` — 75+, 4178999, 48).
+
+    The reference loops rows in Python; here ``filter``/``element_at``
+    higher-order functions keep the extraction JVM-side per row.
+    """
+    entry = F.element_at(
+        F.filter(F.col(payload_col), lambda x: x["age"] == band), 1
+    )
+    val = F.coalesce(entry[value_field], F.lit(0.0))
+    pct = F.coalesce(entry[pct_field], F.lit(0.0))
+    return df.select(
+        "area_type",
+        "area_code",
+        "date",
+        F.round(val, 1).cast("long").alias("vaccination_date"),
+        F.round(pct, 1).cast("long").alias("vaccination_date_percentage_dose"),
+    )

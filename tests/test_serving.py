@@ -100,3 +100,41 @@ def test_landing_cache_rows(star):
     recs = json.loads(got[key]["cache_value"])
     assert recs[0] == {"date": "2021-05-01", "value": 103.0}
     assert len(recs) == 4
+
+
+def test_age_band_values_reference_golden(spark):
+    """Parity with the reference waffle-chart test
+    (db_etl_homepage_graphs/tests/test_waffle_chart.py:32-37): the 75+
+    band of its captured payload fixture must yield vaccination_date
+    4178999 and percentage 48."""
+    import importlib.util
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.serving import age_band_values
+
+    spec = importlib.util.spec_from_file_location(
+        "db_data",
+        "/root/reference/db_etl_homepage_graphs/tests/test_data/db_data.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    payload = [
+        {
+            "age": o.get("age"),
+            "cumPeopleVaccinatedSpring23ByVaccinationDate": o.get(
+                "cumPeopleVaccinatedSpring23ByVaccinationDate"
+            ),
+            "cumVaccinationSpring23UptakeByVaccinationDatePercentage": o.get(
+                "cumVaccinationSpring23UptakeByVaccinationDatePercentage"
+            ),
+        }
+        for o in mod.VACCINATIONS_QUERY_PLUS
+    ]
+    df = spark.createDataFrame(
+        [("nation", "E92000001", "2022-11-17", payload)],
+        "area_type string, area_code string, date string, payload array<struct<"
+        "age string, cumPeopleVaccinatedSpring23ByVaccinationDate double, "
+        "cumVaccinationSpring23UptakeByVaccinationDatePercentage double>>",
+    )
+    row = age_band_values(df).collect()[0]
+    assert row["vaccination_date"] == 4178999
+    assert row["vaccination_date_percentage_dose"] == 48
