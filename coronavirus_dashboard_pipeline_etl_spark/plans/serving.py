@@ -255,3 +255,24 @@ def age_band_values(
         F.round(val, 1).cast("long").alias("vaccination_date"),
         F.round(pct, 1).cast("long").alias("vaccination_date_percentage_dose"),
     )
+
+
+COLOUR_SCALE_BINNING = [0, 10, 50, 100, 200, 400, 800, 1600, 10000]
+
+
+def colour_scale_binning(
+    df: DataFrame,
+    value_col: str = "newCasesBySpecimenDateRollingRate",
+    bins: Sequence[int] = tuple(COLOUR_SCALE_BINNING),
+) -> list[int]:
+    """Landing-page map colour bins, reduced to the data's range: keep
+    the bins below the observed max plus one more
+    (``despatch_ops_workers/landing_page_map/generate.py:106-137``).
+    The max is a distributed aggregation; the slice is a driver constant
+    feeding the renderer."""
+    row = df.agg(F.max(F.col(value_col)).alias("mx")).collect()[0]
+    mx = row["mx"]
+    if mx is None:
+        return list(bins[:1])
+    below = [b for b in bins if b < mx]
+    return list(bins[: len(below) + 1])

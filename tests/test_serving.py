@@ -138,3 +138,22 @@ def test_age_band_values_reference_golden(spark):
     row = age_band_values(df).collect()[0]
     assert row["vaccination_date"] == 4178999
     assert row["vaccination_date_percentage_dose"] == 48
+
+
+def test_colour_scale_binning_reference_golden(spark):
+    """Parity with the reference's map-binning test
+    (despatch_ops_workers/landing_page_map/tests/test_generate.py:77-87):
+    its fixture must reduce the bin list to [0, 10, 50, 100]."""
+    import pandas as pd
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.serving import (
+        colour_scale_binning,
+    )
+
+    pdf = pd.read_csv(
+        "/root/reference/despatch_ops_workers/landing_page_map/tests/test_data.csv"
+    )
+    sdf = spark.createDataFrame(
+        pdf[["areaType", "areaCode", "newCasesBySpecimenDateRollingRate"]]
+    )
+    assert colour_scale_binning(sdf) == [0, 10, 50, 100]
