@@ -2036,3 +2036,80 @@ FROM daily JOIN pop USING (nation)
 
 QUERIES["j2b_incidence_rate"] = j2b_incidence_rate
 ORACLE["j2b_incidence_rate"] = J2B_SQL
+
+
+from ..operators import homogenise_dates as _homogenise  # noqa: E402
+from ..operators import normalise_demographics_records  # noqa: E402
+
+
+def w2b_demographics_normalise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP2 nested-path normalisation (normalisation.py:97-147): scaffold
+    densify crossed with the nesting dimension, cumulative metrics
+    zero-seeded at the global min date, then bounded-ffilled per
+    (area, band)."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        (F.col("user_id") % 3).alias("band"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    ).agg(F.sum(F.col("value").cast(DEC)).alias("cum"))
+    dom = F.substring("date", 9, 2).cast("int")
+    keep = ~(
+        ((F.col("areaCode") == "click") & (dom % 3 == 0))
+        | ((F.col("areaCode") == "error") & (dom > 10))
+        | ((F.col("areaCode") == "signup") & (dom <= 5))
+    )
+    sparse = raw.filter(keep)
+    dense = _homogenise(
+        sparse, group_keys=("areaCode",), extra_keys=("band",)
+    ).withColumn("cum", F.col("cum").cast("double"))
+    out = normalise_demographics_records(dense, "band", cumulative=["cum"])
+    return out.select("areaCode", "band", "date", "cum")
+
+
+W2B_SQL = """
+WITH raw AS (
+    SELECT event_type AS areaCode, user_id % 3 AS band,
+           strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS cum
+    FROM events GROUP BY 1, 2, 3
+),
+sparse AS (
+    SELECT * FROM raw
+    WHERE NOT ((areaCode = 'click'  AND CAST(substr(date, 9, 2) AS INT) % 3 = 0)
+            OR (areaCode = 'error'  AND CAST(substr(date, 9, 2) AS INT) > 10)
+            OR (areaCode = 'signup' AND CAST(substr(date, 9, 2) AS INT) <= 5))
+),
+bounds AS (SELECT CAST(MIN(date) AS DATE) AS lo, CAST(MAX(date) AS DATE) AS hi FROM sparse),
+scaffold AS (
+    SELECT a.areaCode, b.band, strftime(g.d, '%Y-%m-%d') AS date
+    FROM (SELECT DISTINCT areaCode FROM sparse) a
+    CROSS JOIN (SELECT DISTINCT band FROM sparse) b
+    CROSS JOIN (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d FROM bounds) g
+),
+dense AS (
+    SELECT s.areaCode, s.band, s.date, CAST(r.cum AS DOUBLE) AS cum
+    FROM scaffold s LEFT JOIN sparse r USING (areaCode, band, date)
+),
+seeded AS (
+    SELECT areaCode, band, date,
+           CASE WHEN date = (SELECT MIN(date) FROM dense) AND cum IS NULL
+                THEN 0.0 ELSE cum END AS cum
+    FROM dense
+),
+b2 AS (
+    SELECT *,
+           MIN(CASE WHEN cum IS NOT NULL THEN date END) OVER (PARTITION BY areaCode, band) AS lo,
+           MAX(CASE WHEN cum IS NOT NULL THEN date END) OVER (PARTITION BY areaCode, band) AS hi
+    FROM seeded
+)
+SELECT areaCode, band, date,
+       CASE WHEN cum IS NULL AND date >= lo AND date < hi
+            THEN last_value(cum IGNORE NULLS) OVER (PARTITION BY areaCode, band ORDER BY date
+                                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            ELSE cum END AS cum
+FROM b2
+"""
+
+QUERIES["w2b_demographics_normalise"] = w2b_demographics_normalise
+ORACLE["w2b_demographics_normalise"] = W2B_SQL
