@@ -2,6 +2,7 @@
 (dedup, similarity search, text analysis, multimodal plumbing)."""
 
 from .dedup import (
+    dedup_components,
     exact_dedup,
     lsh_candidate_pairs,
     md5_prefix_long,
@@ -11,6 +12,7 @@ from .dedup import (
 )
 from .similarity import cosine_similarity_col, cosine_topk, cosine_topk_ivf
 from .text import (
+    chunk_documents,
     fingerprint,
     langid_scores,
     quality_stats,
@@ -19,9 +21,11 @@ from .text import (
 )
 
 __all__ = [
+    "chunk_documents",
     "cosine_similarity_col",
     "cosine_topk",
     "cosine_topk_ivf",
+    "dedup_components",
     "exact_dedup",
     "fingerprint",
     "langid_scores",
