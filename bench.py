@@ -25,6 +25,7 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_region_volume",
+    "q6_forecast_revenue",
     "p7_melt_lineitem",
     "a234_change_direction_pct",
     "a1v_rolling_qty_by_part",

@@ -2113,3 +2113,94 @@ FROM b2
 
 QUERIES["w2b_demographics_normalise"] = w2b_demographics_normalise
 ORACLE["w2b_demographics_normalise"] = W2B_SQL
+
+
+def pipe1_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data cleaning pipeline: quality gates
+    (length / stopword ratio / distinct ratio) -> language keep (en) ->
+    exact-dedup canonical keep. One pass of JVM expressions + a
+    broadcast-able semi-join against the representatives frame — the
+    shape every corpus-prep job starts from."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_stats(docs)
+    kept = q.filter(
+        F.col("len_ok")
+        & (F.col("stopword_ratio") <= 0.5)
+        & (F.col("distinct_ratio") >= 0.3)
+    )
+    lang = langid_scores(kept).filter(F.col("lang_pred") == "en")
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    out = lang.join(reps, on="doc_id", how="left_semi")
+    return out.select("doc_id", "n_tokens")
+
+
+PIPE1_SQL = r"""
+WITH q AS (
+    SELECT doc_id, text,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','of','and','to'], t))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio,
+           len(string_split(text, ' ')) >= 20 AS len_ok
+    FROM documents
+),
+kept AS (
+    SELECT doc_id, text, n_tokens FROM q
+    WHERE len_ok AND stopword_ratio <= 0.5 AND distinct_ratio >= 0.3
+),
+lang AS (
+    SELECT doc_id, n_tokens,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['der','die','und'], t))) AS BIGINT) AS s_de,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['the','a','and'], t))) AS BIGINT) AS s_en,
+           CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['le','la','et'], t))) AS BIGINT) AS s_fr
+    FROM kept
+),
+en AS (
+    SELECT doc_id, n_tokens FROM lang
+    WHERE GREATEST(s_de, s_en, s_fr) > 0
+      AND NOT (s_de = GREATEST(s_de, s_en, s_fr))
+      AND s_en = GREATEST(s_de, s_en, s_fr)
+),
+reps AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp FROM documents)
+    GROUP BY fp
+)
+SELECT doc_id, n_tokens FROM en JOIN reps USING (doc_id)
+"""
+
+QUERIES["pipe1_corpus_clean"] = pipe1_corpus_clean
+ORACLE["pipe1_corpus_clean"] = PIPE1_SQL
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + aggregate. Every predicate reaches
+    the parquet scan (date range, discount band, quantity cap) — the
+    pushdown-efficiency benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+    return sel.agg(
+        F.sum(rev).cast("decimal(18,4)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+Q6_SQL = """
+SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6)) * CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
+ORACLE["q6_forecast_revenue"] = Q6_SQL
