@@ -238,6 +238,7 @@ def dedup_components(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
 
+    changed = -1
     for _ in range(max_iter):
         nbr = (
             edges.join(labels, edges.dst == labels.node)
@@ -263,6 +264,14 @@ def dedup_components(
         labels = new
         if changed == 0:
             break
+    if changed != 0:
+        # returning intermediate labels would silently split components;
+        # fail loudly instead (diameter > max_iter is a data signal)
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} iterations "
+            f"({changed} labels still moving); raise max_iter for "
+            "long-chain components"
+        )
 
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("canonical_id")

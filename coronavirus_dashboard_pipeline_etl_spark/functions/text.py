@@ -126,6 +126,10 @@ def chunk_documents(
     return (
         df.withColumn("__toks", toks)
         .withColumn("__start", F.explode(starts))
+        # a window starting at s only adds tokens beyond the previous
+        # window's coverage (which ends at s + overlap) when s < n -
+        # overlap; otherwise it is a fully-duplicated tail chunk
+        .filter((F.col("__start") == 0) | (F.col("__start") < n - F.lit(overlap)))
         .withColumn("__chunk", F.slice("__toks", F.col("__start") + 1, chunk_tokens))
         .filter(F.size("__chunk") > 0)
         .select(

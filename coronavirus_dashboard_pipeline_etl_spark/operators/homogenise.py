@@ -70,7 +70,10 @@ def homogenise_dates(
         F.max(F.to_date(date_col)).alias("__hi"),
     ]
     for k in extra_keys:
+        # collect_set drops nulls; track them separately (pandas .unique()
+        # keeps NaN, so a null nesting value is a real scaffold member)
         aggs.append(F.collect_set(F.col(k)).alias(f"__set_{k}"))
+        aggs.append(F.max(F.col(k).isNull()).alias(f"__has_null_{k}"))
     # One pass over the fact table; tiny result; checkpoint truncates the
     # lineage so the three derivations below share a single execution.
     stats = df.groupBy(*keys).agg(*aggs).localCheckpoint(eager=False)
@@ -80,7 +83,13 @@ def homogenise_dates(
     scaffold = stats.select(*keys).crossJoin(broadcast(dates))
     for k in extra_keys:
         vals = stats.select(F.explode(f"__set_{k}").alias(k)).distinct()
-        scaffold = scaffold.crossJoin(broadcast(vals))
+        dtype = df.schema[k].dataType
+        null_val = (
+            stats.agg(F.max(f"__has_null_{k}").alias("__hn"))
+            .filter(F.col("__hn"))
+            .select(F.lit(None).cast(dtype).alias(k))
+        )
+        scaffold = scaffold.crossJoin(broadcast(vals.unionByName(null_val)))
     scaffold = scaffold.withColumn(
         date_col, F.date_format("__scaffold_date", "yyyy-MM-dd")
     ).drop("__scaffold_date")

@@ -5,9 +5,10 @@
   N=5 per ``db_etl/etl.py:466-472``).
 * ``trim_sides`` — on the melted long frame, per (area, metric) series:
   null out the leading rows through one row past the first non-zero
-  payload, null out the last valid row and the one before it (except the
-  ``variants`` metric), then drop all-null payload rows
-  (``db_etl_upload/uploader.py:55-90``).
+  payload and the last valid row plus the one before it, then drop
+  all-null payload rows (``db_etl_upload/uploader.py:55-90``). The
+  ``variants`` metric is exempt from BOTH strips (the reference only
+  writes its masks back for non-variants metrics).
 """
 
 from __future__ import annotations

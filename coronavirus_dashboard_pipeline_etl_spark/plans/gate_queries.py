@@ -1281,10 +1281,10 @@ ORACLE.update({
 
 
 def a1v_rolling_qty_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VOLUME variant of the rolling family: 7-row rolling quantity sum +
-    lag-7 change per part over every lineitem row. Unlike the 150-row
-    daily panels, this scales linearly with sf — the bench's honest
-    window workload (one exchange over ~600k rows at sf0.1)."""
+    """VOLUME variant of the rolling sum: 7-row rolling quantity sum per
+    part over every lineitem row. Unlike the 150-row daily panels, this
+    scales linearly with sf — the bench's honest window workload (one
+    exchange over ~600k rows at sf0.1)."""
     li = load_table(spark, sf_dir, "lineitem")
     w = Window.partitionBy("l_partkey").orderBy(
         "l_shipdate", "l_orderkey", "l_linenumber"
@@ -1535,11 +1535,10 @@ FROM d
 """
 
 
-def j2_rolling_rate_per100k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2+A1: the engine's signature rate — 7-row rolling spend per nation,
-    per-100k of a broadcast population dimension
-    (generic_rate.py:78-105). The fact side never shuffles for the join
-    (population is broadcast); one window exchange total."""
+def _nation_daily(spark: SparkSession, sf_dir: str, agg: str):
+    """Shared J2-family builder: population dim (customers per nation) +
+    per-(nation, order-date) aggregate of orders joined to the broadcast
+    customer slice. ``agg`` = 'spend' (decimal total) or 'count'."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     pop = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
@@ -1554,9 +1553,29 @@ def j2_rolling_rate_per100k(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         on="o_custkey",
     )
-    daily = joined.groupBy(
+    grouped = joined.groupBy(
         "nation", F.date_format("o_orderdate", "yyyy-MM-dd").alias("date")
-    ).agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+    )
+    if agg == "spend":
+        daily = grouped.agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spend"))
+    else:
+        daily = grouped.agg(F.count("*").cast("double").alias("n_orders"))
+    return daily, pop
+
+
+_NATION_POP_SQL = """
+pop AS (
+    SELECT c_nationkey AS nation, COUNT(*) AS population FROM customer GROUP BY 1
+)
+"""
+
+
+def j2_rolling_rate_per100k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+A1: the engine's signature rate — 7-row rolling spend per nation,
+    per-100k of a broadcast population dimension
+    (generic_rate.py:78-105). The fact side never shuffles for the join
+    (population is broadcast); one window exchange total."""
+    daily, pop = _nation_daily(spark, sf_dir, "spend")
     out = calculate_rates(
         daily,
         pop,
@@ -1573,10 +1592,8 @@ def j2_rolling_rate_per100k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-J2_SQL = """
-WITH pop AS (
-    SELECT c_nationkey AS nation, COUNT(*) AS population FROM customer GROUP BY 1
-),
+J2_SQL = f"""
+WITH {_NATION_POP_SQL},
 daily AS (
     SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m-%d') AS date,
            SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS spend
@@ -1953,7 +1970,8 @@ SELECT doc_id,
        CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS chunk_tokens,
        array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
 FROM starts
-WHERE len(t[s + 1 : s + 64]) > 0
+WHERE (s = 0 OR s < len(t) - 8)
+  AND len(t[s + 1 : s + 64]) > 0
 """
 
 QUERIES["t5_chunking"] = t5_chunking
@@ -1990,24 +2008,7 @@ ORACLE["r1_ratio_to_percentage"] = R1_SQL
 def j2b_incidence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incidence rate (no window): value / population * 100k against the
     broadcast population dim (generic_rate.py:100-105 incidence path)."""
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    pop = cust.groupBy(F.col("c_nationkey").alias("nation")).agg(
-        F.count("*").alias("population")
-    )
-    daily = (
-        orders.join(
-            broadcast(
-                cust.select(
-                    F.col("c_custkey").alias("o_custkey"),
-                    F.col("c_nationkey").alias("nation"),
-                )
-            ),
-            on="o_custkey",
-        )
-        .groupBy("nation", F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"))
-        .agg(F.count("*").cast("double").alias("n_orders"))
-    )
+    daily, pop = _nation_daily(spark, sf_dir, "count")
     out = calculate_rates(
         daily,
         pop,
@@ -2019,10 +2020,8 @@ def j2b_incidence_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("nation", "date", "n_orders", F.col("n_ordersRate").alias("rate"))
 
 
-J2B_SQL = """
-WITH pop AS (
-    SELECT c_nationkey AS nation, COUNT(*) AS population FROM customer GROUP BY 1
-),
+J2B_SQL = f"""
+WITH {_NATION_POP_SQL},
 daily AS (
     SELECT c_nationkey AS nation, strftime(o_orderdate, '%Y-%m-%d') AS date,
            CAST(COUNT(*) AS DOUBLE) AS n_orders

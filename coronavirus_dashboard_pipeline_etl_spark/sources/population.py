@@ -14,31 +14,42 @@ parsed with variant explode — same machinery as the release source.
 
 from __future__ import annotations
 
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 
 def load_population_json(spark: SparkSession, path: str) -> dict[str, DataFrame]:
     """Returns {'general': (areaCode, population),
-    'age_sex_5yr': (sex, areaCode, age, population)}."""
-    raw = spark.read.text(path, wholetext=True)
-    raw.createOrReplaceTempView("__population_json")
-    general = spark.sql(
-        """
-        SELECT l1.key AS areaCode, CAST(l1.value AS DOUBLE) AS population
-        FROM __population_json,
-        LATERAL variant_explode(variant_get(parse_json(value), '$.general')) AS l1
-        """
-    )
-    age_sex = spark.sql(
-        """
-        SELECT sexes.key AS sex, areas.key AS areaCode, bands.key AS age,
-               CAST(bands.value AS DOUBLE) AS population
-        FROM __population_json,
-        LATERAL variant_explode(variant_get(parse_json(value), '$.ageSex5YearBreakdown')) AS sexes,
-        LATERAL variant_explode(sexes.value) AS areas,
-        LATERAL variant_explode(areas.value) AS bands
-        """
-    )
+    'age_sex_5yr': (sex, areaCode, age, population)}.
+
+    The LATERAL variant_explode SQL needs a named relation; the view name
+    is per-call unique and dropped before returning (spark.sql resolves
+    the view into the plan at analysis time, so the returned lazy frames
+    survive the drop) — a fixed name would clobber/race across
+    concurrent loads in one session."""
+    view = f"__population_json_{uuid.uuid4().hex}"
+    spark.read.text(path, wholetext=True).createOrReplaceTempView(view)
+    try:
+        general = spark.sql(
+            f"""
+            SELECT l1.key AS areaCode, CAST(l1.value AS DOUBLE) AS population
+            FROM {view},
+            LATERAL variant_explode(variant_get(parse_json(value), '$.general')) AS l1
+            """
+        )
+        age_sex = spark.sql(
+            f"""
+            SELECT sexes.key AS sex, areas.key AS areaCode, bands.key AS age,
+                   CAST(bands.value AS DOUBLE) AS population
+            FROM {view},
+            LATERAL variant_explode(variant_get(parse_json(value), '$.ageSex5YearBreakdown')) AS sexes,
+            LATERAL variant_explode(sexes.value) AS areas,
+            LATERAL variant_explode(areas.value) AS bands
+            """
+        )
+    finally:
+        spark.catalog.dropTempView(view)
     return {"general": general, "age_sex_5yr": age_sex}
 
 

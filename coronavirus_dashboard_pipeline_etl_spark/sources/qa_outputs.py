@@ -15,6 +15,7 @@ files stay byte-stable across partitions.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -53,9 +54,14 @@ def write_records_json(
     out = df
     for c in numeric_cols:
         out = out.withColumn(c, int_coerced(F.col(c)))
-    line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    # ignoreNullFields=false: nulls must render as {"v": null}, not vanish
+    # (pandas records-JSON keeps the key; consumers key on field presence)
+    line = F.to_json(
+        F.struct(*[F.col(c) for c in df.columns]),
+        {"ignoreNullFields": "false"},
+    )
     for c in numeric_cols:
-        line = F.regexp_replace(line, f'"{c}":{_NUM_RE}', f'"{c}":$1')
+        line = F.regexp_replace(line, f'"{re.escape(c)}":{_NUM_RE}', f'"{c}":$1')
     out.select(line.alias("value")).write.mode("overwrite").text(path)
 
 

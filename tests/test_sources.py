@@ -68,7 +68,8 @@ def test_qa_outputs(spark, tmp_path):
         for f in (tmp_path / "out_json").glob("part-*")
         for line in f.read_text().splitlines()
     ]
-    by_k = {r["k"]: r.get("v") for r in back}
+    assert all("v" in r for r in back)  # null fields render, never vanish
+    by_k = {r["k"]: r["v"] for r in back}
     assert by_k["a"] == 5            # whole float -> JSON integer
     assert isinstance(by_k["a"], int)
     assert by_k["b"] == 5.5          # fractional -> JSON double
