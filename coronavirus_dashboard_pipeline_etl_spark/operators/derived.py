@@ -26,9 +26,10 @@ from .util import with_scalar
 def negative_to_zero(df: DataFrame, metrics: Iterable[str]) -> DataFrame:
     metrics = sorted(set(metrics) & set(df.columns))
     for m in metrics:
-        df = df.withColumn(
-            m, F.when(F.col(m) < 0, F.lit(0.0)).otherwise(F.col(m))
-        )
+        # typed zero keeps DECIMAL metric columns exact (lit(0.0) would
+        # promote the whole column to double)
+        zero = F.lit(0).cast(df.schema[m].dataType)
+        df = df.withColumn(m, F.when(F.col(m) < 0, zero).otherwise(F.col(m)))
     return df
 
 

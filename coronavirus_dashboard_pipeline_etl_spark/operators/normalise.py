@@ -65,13 +65,16 @@ def normalise_records(
 
     for col in zero_filled:
         lo, hi = _valid_bounds(col, w_group)
+        # typed zero: lit(0.0) would coerce DECIMAL metric columns to
+        # double and silently lose exact arithmetic downstream
+        zero = F.lit(0).cast(df.schema[col].dataType)
         df = df.withColumn(
             col,
             F.when(
                 F.col(col).isNull()
                 & (F.col(date_col) >= lo)
                 & (F.col(date_col) < hi),
-                F.lit(0.0),
+                zero,
             ).otherwise(F.col(col)),
         )
 
@@ -117,7 +120,8 @@ def normalise_demographics_records(
     cumulative = sorted(set(cumulative) & set(df.columns))
 
     for col in zero_filled:
-        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(0.0)))
+        zero = F.lit(0).cast(df.schema[col].dataType)
+        df = df.withColumn(col, F.coalesce(F.col(col), zero))
 
     if "areaName" in df.columns:
         w_area = (
@@ -133,12 +137,13 @@ def normalise_demographics_records(
         # zero-seed the first date across all bands (normalisation.py:128-133)
         df = with_scalar(df, "__global_min_date", F.min(date_col))
         for col in cumulative:
+            zero = F.lit(0).cast(df.schema[col].dataType)
             df = df.withColumn(
                 col,
                 F.when(
                     (F.col(date_col) == F.col("__global_min_date"))
                     & F.col(col).isNull(),
-                    F.lit(0.0),
+                    zero,
                 ).otherwise(F.col(col)),
             )
         df = df.drop("__global_min_date")

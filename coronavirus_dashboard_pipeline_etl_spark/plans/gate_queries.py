@@ -2203,3 +2203,96 @@ WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
 
 QUERIES["q6_forecast_revenue"] = q6_forecast_revenue
 ORACLE["q6_forecast_revenue"] = Q6_SQL
+
+
+def pipe2_main_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP1's processor pipeline composed end-to-end as ONE lazy plan:
+    densify (J4) -> bounded zero-fill (W2) -> rolling family (A1-A4) ->
+    5-day tail trim (W5) — the reference's `.pipe()` order
+    (db_etl/etl.py:996-1022) over the gappy events panel. The panel
+    value stays exact DECIMAL through every stage (type-preserving
+    fills), so the whole composition is bit-deterministic across
+    engines. Physically: the scaffold stats scan + ONE window exchange
+    shared by all four derived columns + a broadcast 1-row cross-join
+    for the trim cutoff."""
+    dense = _dense(spark, sf_dir)
+    panel = dense.withColumnRenamed("val_d", "val")
+    panel = normalise_records(panel, zero_filled=["val"], group_keys=("event_type",))
+    fam = change_by_sum(panel, ["val"], group_keys=("event_type",), pct_precision=None)
+    out = trim_end(
+        fam,
+        ["valRollingSum", "valChange", "valDirection", "valChangePercentage"],
+        days_to_trim=5,
+    )
+    return out.select(
+        "event_type",
+        "date",
+        F.col("val").cast("double").alias("val"),
+        F.col("valRollingSum").cast("double").alias("rsum"),
+        F.col("valChange").cast("double").alias("chg"),
+        F.col("valDirection").alias("direction"),
+        F.col("valChangePercentage").alias("pct"),
+    )
+
+
+PIPE2_SQL = f"""
+WITH {_SPARSE_DAILY_SQL}, {_DENSE_SQL}
+, b AS (
+    SELECT event_type, date, val_d,
+           MIN(CASE WHEN val_d IS NOT NULL THEN date END) OVER (PARTITION BY event_type) AS lo,
+           MAX(CASE WHEN val_d IS NOT NULL THEN date END) OVER (PARTITION BY event_type) AS hi
+    FROM dense
+),
+panel AS (
+    SELECT event_type, date,
+           CASE WHEN val_d IS NULL AND date >= lo AND date < hi
+                THEN CAST(0 AS DECIMAL(18,6)) ELSE val_d END AS val
+    FROM b
+),
+r1 AS (
+    SELECT event_type, date, val,
+           CASE WHEN COUNT(val) OVER w7 = 7 THEN SUM(val) OVER w7 END AS rsum0
+    FROM panel
+    WINDOW w7 AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+r2 AS (
+    SELECT event_type, date, val,
+           CASE WHEN SUM(rsum0) OVER (PARTITION BY event_type) = 0 THEN NULL ELSE rsum0 END AS rsum
+    FROM r1
+),
+r3 AS (
+    SELECT event_type, date, val, rsum,
+           CAST(rsum - LAG(rsum, 7) OVER w AS DOUBLE) AS chg,
+           CAST(rsum AS DOUBLE) AS cur,
+           CAST(LAG(rsum, 7) OVER w AS DOUBLE) AS prev,
+           COUNT(rsum) OVER w8 AS cnt8
+    FROM r2
+    WINDOW w  AS (PARTITION BY event_type ORDER BY date),
+           w8 AS (PARTITION BY event_type ORDER BY date ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+),
+r4 AS (
+    SELECT event_type, date,
+           CAST(val AS DOUBLE) AS val,
+           CASE WHEN val IS NULL THEN NULL ELSE CAST(rsum AS DOUBLE) END AS rsum,
+           CASE WHEN val IS NULL THEN NULL ELSE chg END AS chg,
+           CASE WHEN val IS NULL THEN NULL
+                WHEN chg < 0 THEN 'DOWN' WHEN chg > 0 THEN 'UP' WHEN chg = 0 THEN 'SAME' END AS direction,
+           CASE WHEN val IS NULL THEN NULL
+                WHEN cnt8 = 8 THEN
+                  CASE WHEN cur = 0 AND prev > 0 THEN -100.0
+                       WHEN (cur / (CASE WHEN prev <> 0 THEN prev ELSE 1.0 END)) - 1.0 = -1.0 THEN 0.0
+                       ELSE ((cur / (CASE WHEN prev <> 0 THEN prev ELSE 1.0 END)) - 1.0) * 100.0 END
+           END AS pct
+    FROM r3
+),
+mx AS (SELECT CAST(max(date) AS DATE) - INTERVAL 5 DAY AS cutoff FROM r4)
+SELECT event_type, date, val,
+       CASE WHEN CAST(date AS DATE) <= cutoff THEN rsum END AS rsum,
+       CASE WHEN CAST(date AS DATE) <= cutoff THEN chg END AS chg,
+       CASE WHEN CAST(date AS DATE) <= cutoff THEN direction END AS direction,
+       CASE WHEN CAST(date AS DATE) <= cutoff THEN pct END AS pct
+FROM r4, mx
+"""
+
+QUERIES["pipe2_main_panel"] = pipe2_main_panel
+ORACLE["pipe2_main_panel"] = PIPE2_SQL
