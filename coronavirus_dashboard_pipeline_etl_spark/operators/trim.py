@@ -26,10 +26,26 @@ def trim_end(
     metrics: Iterable[str],
     days_to_trim: int = TAIL_TRIM_DAYS,
     date_col: str = "date",
+    max_date: str | None = None,
 ) -> DataFrame:
-    """Mask `metrics` where date > (global max date - days_to_trim)."""
+    """Mask `metrics` where date > (max date - days_to_trim).
+
+    ``max_date`` defaults to the frame's global max (the reference's
+    ``d.date.max()``, trimmer.py:43-45), which costs a second pass over
+    the upstream plan for the 1-row aggregate. Release pipelines that
+    already know the release date (the reference's generic_rate.py:59-60
+    derives the cutoff from the run timestamp) should pass it explicitly
+    — the mask then folds into the main stage with no extra scan.
+    """
     metrics = sorted(set(metrics) & set(df.columns))
     if not metrics:
+        return df
+    if max_date is not None:
+        keep = F.to_date(date_col) <= F.date_sub(
+            F.to_date(F.lit(max_date)), days_to_trim
+        )
+        for m in metrics:
+            df = df.withColumn(m, F.when(keep, F.col(m)))
         return df
     df = with_scalar(df, "__max_date", F.max(date_col))
     cutoff = F.date_sub(F.to_date("__max_date"), days_to_trim)

@@ -114,6 +114,25 @@ def test_trim_end_masks_last_5_days(processed):
     assert processed["E92000001|2021-01-15"]["newCasesBySpecimenDate"] is not None
 
 
+def test_trim_end_explicit_cutoff_matches_scan_and_skips_aggregate(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.trim import trim_end
+
+    df = spark.createDataFrame(
+        [("a", f"2021-01-{d:02d}", float(d)) for d in range(1, 21)],
+        ["k", "date", "v"],
+    )
+    scanned = trim_end(df, ["v"], days_to_trim=5)
+    explicit = trim_end(df, ["v"], days_to_trim=5, max_date="2021-01-20")
+    assert sorted(map(tuple, scanned.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    # the explicit path must fold into the main stage: no aggregate, no
+    # join, no exchange anywhere in the plan
+    plan = explicit._jdf.queryExecution().executedPlan().toString()
+    for node in ("Aggregate", "Join", "Exchange"):
+        assert node not in plan, f"unexpected {node} in explicit-cutoff plan"
+
+
 def test_short_series_all_null_rolling(processed):
     for d in range(1, 5):
         v = processed[f"E06000001|2021-01-{d:02d}"]["newCasesBySpecimenDateRollingSum"]
