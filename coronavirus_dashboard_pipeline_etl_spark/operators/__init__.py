@@ -11,7 +11,12 @@ from .hashing import row_hash_blake2, row_hash_sha2
 from .relabel import drop_empty_rows, relabel_area_names
 from .skew import salted_join
 from .homogenise import homogenise_dates
-from .nesting import nest_records, wrap_payload, wrap_payload_column
+from .nesting import (
+    flatten_nested_metrics,
+    nest_records,
+    wrap_payload,
+    wrap_payload_column,
+)
 from .normalise import normalise_demographics_records, normalise_records
 from .pivoting import melt, pivot_max
 from .rates import calculate_rates
@@ -41,6 +46,7 @@ __all__ = [
     "latest_two_releases_delta",
     "melt",
     "negative_to_zero",
+    "flatten_nested_metrics",
     "nest_records",
     "normalise_demographics_records",
     "normalise_records",

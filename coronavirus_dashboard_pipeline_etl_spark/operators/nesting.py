@@ -7,6 +7,8 @@
   ``groupBy(keys).agg(sort_array(collect_list(struct(...))))`` — typed
   ``ArrayType(StructType)`` end-to-end with deterministic ordering for
   golden comparison.
+* ``flatten_nested_metrics`` — the inverse: nested age arrays ->
+  flat suffixed metrics (``main_etl_nested_metrics_converter``).
 * ``wrap_payload`` — scalar -> ``{"value": x}`` JSON payload cells
   (``db_etl_upload/uploader.py:501-508``); arrays pass through as JSON
   arrays. The serving store's JSONB ``payload`` column equivalent.
@@ -14,7 +16,7 @@
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -37,6 +39,59 @@ def nest_records(
         cols = [sort_key] + [c for c in cols if c != sort_key]
     rec = F.struct(*[F.col(c) for c in cols])
     return df.groupBy(*group_keys).agg(F.sort_array(F.collect_list(rec)).alias(out))
+
+
+def flatten_nested_metrics(
+    df: DataFrame,
+    age_metric_mapping: Mapping[str, Sequence[str]],
+    nested_col: str = "payload",
+    age_field: str = "age",
+    metric_out: str = "metric",
+    value_out: str = "value",
+    suffix_mapping: Mapping[str, str] | None = None,
+) -> DataFrame:
+    """Nested age-array payload -> flat per-band metric rows.
+
+    The inverse of ``nest_records``, mirroring the reference's
+    nested-metrics converter
+    (``main_etl_nested_metrics_converter/converter.py:226-283``): each
+    array entry whose ``age`` is configured emits one row per configured
+    metric, named ``metric + suffix`` where the suffix is the age band
+    with ``+`` spelt out (``suffix_mapping`` at ``converter.py:70-74``,
+    e.g. ``65+`` -> ``65plus``); entries with unknown/null ages are
+    skipped (``converter.py:240-246``).
+
+    Physically: a generated candidate array per row + one explode — a
+    narrow map-side transform, no shuffle, no Python.
+    """
+    if suffix_mapping is None:
+        suffix_mapping = {
+            age: age.replace("+", "plus") for age in age_metric_mapping
+        }
+    entry = F.col("__entry")
+    candidates = []
+    for age, metric_names in age_metric_mapping.items():
+        for m in metric_names:
+            candidates.append(
+                F.when(
+                    entry[age_field] == age,
+                    F.struct(
+                        F.lit(m + suffix_mapping[age]).alias(metric_out),
+                        entry[m].alias(value_out),
+                    ),
+                )
+            )
+    keep = [c for c in df.columns if c != nested_col]
+    return (
+        df.select(*keep, F.explode(nested_col).alias("__entry"))
+        .select(
+            *keep,
+            F.explode(
+                F.filter(F.array(*candidates), lambda x: x.isNotNull())
+            ).alias("__flat"),
+        )
+        .select(*keep, f"__flat.{metric_out}", f"__flat.{value_out}")
+    )
 
 
 def wrap_payload(value: Column) -> Column:

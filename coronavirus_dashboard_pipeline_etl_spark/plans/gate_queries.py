@@ -2296,3 +2296,46 @@ FROM r4, mx
 
 QUERIES["pipe2_main_panel"] = pipe2_main_panel
 ORACLE["pipe2_main_panel"] = PIPE2_SQL
+
+
+from ..operators import flatten_nested_metrics, nest_records  # noqa: E402
+
+
+def n2_flatten_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-metrics converter round trip: build array<struct> age-band
+    cells per (user, date) with nest_records (A11), then flatten them
+    back to flat suffixed metrics (main_etl_nested_metrics_converter
+    semantics) — proving the typed nested cells survive a full
+    nest -> flatten cycle. Narrow after the nesting groupBy: the flatten
+    itself never shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    per_band = ev.groupBy(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        F.col("event_type").alias("age"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("nEvents"))
+    nested = nest_records(
+        per_band,
+        group_keys=["user_id", "date"],
+        record_cols=["age", "nEvents"],
+        out="payload",
+        sort_key="age",
+    )
+    flat = flatten_nested_metrics(
+        nested,
+        {"click": ["nEvents"], "error": ["nEvents"]},
+    )
+    return flat.select("user_id", "date", "metric", "value")
+
+
+N2_SQL = """
+SELECT user_id, strftime(ts, '%Y-%m-%d') AS date,
+       'nEvents' || event_type AS metric,
+       CAST(COUNT(*) AS DOUBLE) AS value
+FROM events
+WHERE event_type IN ('click', 'error')
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["n2_flatten_nested"] = n2_flatten_nested
+ORACLE["n2_flatten_nested"] = N2_SQL

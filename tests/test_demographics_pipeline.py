@@ -80,3 +80,37 @@ def test_weekly_variant_scaffold(spark):
     recs = got["2021-02-14"]["variants"]
     assert [x["variant"] for x in recs] == ["Alpha", "Other"]
     assert recs[0]["newWeeklyPercentage"] == 0.0  # blanket zero-fill (nested path)
+
+
+def test_flatten_nested_metrics_suffix_and_skip(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators import (
+        flatten_nested_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                "E1",
+                "2023-10-01",
+                [
+                    {"age": "65+", "newVax": 10.0, "cumVax": 100.0},
+                    {"age": "75+", "newVax": 5.0, "cumVax": 50.0},
+                    {"age": "unknown", "newVax": 1.0, "cumVax": 2.0},
+                    {"age": None, "newVax": 3.0, "cumVax": 4.0},
+                ],
+            )
+        ],
+        "areaCode string, date string, payload array<struct<age:string,newVax:double,cumVax:double>>",
+    )
+    out = flatten_nested_metrics(
+        df, {"65+": ["newVax", "cumVax"], "75+": ["newVax"]}
+    )
+    rows = {(r.metric, r.value) for r in out.collect()}
+    # '+' spelt out in the metric name (converter.py:70-74); unknown and
+    # null ages skipped entirely (converter.py:240-246)
+    assert rows == {
+        ("newVax65plus", 10.0),
+        ("cumVax65plus", 100.0),
+        ("newVax75plus", 5.0),
+    }
+    assert set(out.columns) == {"areaCode", "date", "metric", "value"}
