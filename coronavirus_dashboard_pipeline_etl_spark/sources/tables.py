@@ -35,6 +35,10 @@ _NANO_TS_COLS: dict[str, list[str]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The caller's session may not have been built by our get_spark();
+    # the conf is runtime-settable, so set it here so reading TIMESTAMP(NANOS)
+    # parquet never depends on who constructed the session.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":

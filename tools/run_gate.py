@@ -16,7 +16,6 @@ import duckdb
 import pandas as pd
 
 import __spark_entry__ as entry_mod
-from coronavirus_dashboard_pipeline_etl_spark.session import get_spark
 from coronavirus_dashboard_pipeline_etl_spark.sources import TABLES
 
 
@@ -65,7 +64,17 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
-    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    # Deliberately a PLAIN session (NOT our get_spark()) to replicate the
+    # external driver faithfully — round-1 lesson: queries must not depend
+    # on session confs only our own builder sets.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .getOrCreate()
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
