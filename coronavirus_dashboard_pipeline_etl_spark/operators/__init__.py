@@ -1,5 +1,10 @@
 """Panel-table operator library (SURVEY.md §2 inventory)."""
 
+from .agearrays import (
+    calculate_pair_tested,
+    calculate_sex_people_tested,
+    enrich_nested_rates,
+)
 from .asof import latest_two_releases_delta, release_delta
 from .derived import (
     calculate_by_adjacent_column,
@@ -34,6 +39,9 @@ from .util import with_scalar
 
 __all__ = [
     "calculate_by_adjacent_column",
+    "calculate_pair_tested",
+    "calculate_sex_people_tested",
+    "enrich_nested_rates",
     "calculate_pair_summations",
     "calculate_rates",
     "change_by_sum",

@@ -18,8 +18,12 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from collections.abc import Mapping
+
 from ..config import TAIL_TRIM_DAYS
 from ..operators import (
+    calculate_sex_people_tested,
+    enrich_nested_rates,
     homogenise_dates,
     nest_records,
     normalise_demographics_records,
@@ -92,3 +96,28 @@ def run_demographics(
     return nested.join(F.broadcast(names), ["areaType", "areaCode"], "left").select(
         "areaType", "areaCode", "areaName", "date", out_col
     )
+
+
+def run_pair_metrics(
+    wide: DataFrame,
+    population: DataFrame | None,
+    pairs: Mapping[str, Sequence[str]],
+    rate_enrich: Sequence[str] = (),
+    **kwargs,
+) -> DataFrame:
+    """Post-nesting stage of the demographics pathway: once several
+    ``run_demographics`` outputs are joined into one wide frame of
+    nested cells, derive the paired metrics (reference
+    ``calculate_sex_people_tested``, ``db_etl/etl.py:784-799`` — e.g.
+    maleTested + femaleTested -> peopleTested with per-age rates) and
+    rate-enrich any additional nested cells (``process_outlier``,
+    ``db_etl/etl.py:678-711``).
+
+    All map-side: broadcast population map + JVM HOFs, no shuffle on the
+    wide frame.
+    """
+    wide = calculate_sex_people_tested(wide, population, pairs, **kwargs)
+    if population is not None:
+        for col in rate_enrich:
+            wide = enrich_nested_rates(wide, col, population, **kwargs)
+    return wide

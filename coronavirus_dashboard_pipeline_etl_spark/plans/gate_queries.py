@@ -2339,3 +2339,143 @@ GROUP BY 1, 2, 3
 
 QUERIES["n2_flatten_nested"] = n2_flatten_nested
 ORACLE["n2_flatten_nested"] = N2_SQL
+
+
+# --------------------------------------------------------------------------
+# N3/N4 — nested age-array row math (db_etl/etl.py:678-799)
+# --------------------------------------------------------------------------
+
+def _age_panel(spark: SparkSession, sf_dir: str):
+    """Per (areaCode, date, age-band) pair panel + population dim built
+    from events: side a = value sum over even users, side b = over odd
+    users (either may be empty -> coalesced to exact-decimal zero)."""
+    from ..operators.agearrays import calculate_pair_tested  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    age = (F.col("user_id") % 3).cast("string").alias("age")
+    zero = F.lit(0).cast(DEC)
+    base = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        age,
+    ).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 0, F.col("value")).cast(DEC)), zero
+        ).alias("a"),
+        F.coalesce(
+            F.sum(F.when(F.col("user_id") % 2 == 1, F.col("value")).cast(DEC)), zero
+        ).alias("b"),
+    )
+    pop = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        (F.col("user_id") % 3).cast("string").alias("age"),
+    ).agg(F.countDistinct("user_id").alias("population"))
+    return base, pop
+
+
+def n3_pair_tested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """calculate_pair_tested (db_etl/etl.py:760-799): element-wise sum of
+    two nested age arrays + rate per 100k against the per-(area, age)
+    population dim — zip_with/withField HOFs over typed array<struct>
+    cells, population as a broadcast map<age, pop>. Exploded back to
+    flat rows for the oracle."""
+    from ..operators.agearrays import calculate_pair_tested
+
+    base, pop = _age_panel(spark, sf_dir)
+    nested = base.groupBy("areaCode", "date").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("age"), F.col("a").alias("value")))
+        ).alias("sideA"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("age"), F.col("b").alias("value")))
+        ).alias("sideB"),
+    )
+    paired = calculate_pair_tested(
+        nested, ("sideA", "sideB"), "pairTested", population=pop, precision=None
+    )
+    e = F.explode("pairTested").alias("e")
+    return paired.select("areaCode", "date", e).select(
+        "areaCode",
+        "date",
+        F.col("e.age").alias("age"),
+        F.col("e.value").cast("double").alias("pair_value"),
+        F.col("e.rate").alias("pair_rate"),
+    )
+
+
+N3_SQL = """
+WITH base AS (
+    SELECT event_type AS areaCode, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(user_id % 3 AS VARCHAR) AS age,
+           COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                             THEN CAST(value AS DECIMAL(18,6)) END), 0) AS a,
+           COALESCE(SUM(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,6)) END), 0) AS b
+    FROM events GROUP BY 1, 2, 3
+),
+pop AS (
+    SELECT event_type AS areaCode, CAST(user_id % 3 AS VARCHAR) AS age,
+           COUNT(DISTINCT user_id) AS population
+    FROM events GROUP BY 1, 2
+)
+SELECT base.areaCode, base.date, base.age,
+       CAST(a + b AS DOUBLE) AS pair_value,
+       CAST(a + b AS DOUBLE) / population * 100000 AS pair_rate
+FROM base JOIN pop ON base.areaCode = pop.areaCode AND base.age = pop.age
+"""
+
+
+def n4_age_rate_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """process_outlier rate enrichment (db_etl/etl.py:678-711): nest per
+    (area, date) age cells with nest_records, then add rate = value /
+    population[age] * 100k to every entry via transform + withField over
+    the broadcast population map. Exploded for the oracle."""
+    from ..operators.agearrays import enrich_nested_rates
+
+    base, pop = _age_panel(spark, sf_dir)
+    per_age = base.select(
+        "areaCode", "date", "age", (F.col("a") + F.col("b")).alias("value")
+    )
+    nested = nest_records(
+        per_age,
+        group_keys=["areaCode", "date"],
+        record_cols=["age", "value"],
+        out="cell",
+        sort_key="age",
+    )
+    enriched = enrich_nested_rates(nested, "cell", pop, precision=None)
+    e = F.explode("cell").alias("e")
+    return enriched.select("areaCode", "date", e).select(
+        "areaCode",
+        "date",
+        F.col("e.age").alias("age"),
+        F.col("e.value").cast("double").alias("value"),
+        F.col("e.rate").alias("rate"),
+    )
+
+
+N4_SQL = """
+WITH base AS (
+    SELECT event_type AS areaCode, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(user_id % 3 AS VARCHAR) AS age,
+           COALESCE(SUM(CASE WHEN user_id % 2 = 0
+                             THEN CAST(value AS DECIMAL(18,6)) END), 0)
+         + COALESCE(SUM(CASE WHEN user_id % 2 = 1
+                             THEN CAST(value AS DECIMAL(18,6)) END), 0) AS value
+    FROM events GROUP BY 1, 2, 3
+),
+pop AS (
+    SELECT event_type AS areaCode, CAST(user_id % 3 AS VARCHAR) AS age,
+           COUNT(DISTINCT user_id) AS population
+    FROM events GROUP BY 1, 2
+)
+SELECT base.areaCode, base.date, base.age,
+       CAST(value AS DOUBLE) AS value,
+       CAST(value AS DOUBLE) / population * 100000 AS rate
+FROM base JOIN pop ON base.areaCode = pop.areaCode AND base.age = pop.age
+"""
+
+QUERIES["n3_pair_tested"] = n3_pair_tested
+ORACLE["n3_pair_tested"] = N3_SQL
+QUERIES["n4_age_rate_enrich"] = n4_age_rate_enrich
+ORACLE["n4_age_rate_enrich"] = N4_SQL
