@@ -182,19 +182,77 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     block_cols: tuple[str, ...] = ("lang",),
     threshold: float = 0.5,
+    length_banding: bool = True,
+    max_block: int | None = 100_000,
 ) -> DataFrame:
-    """Blocked pairwise word-set Jaccard: candidate pairs only form inside
-    a block (cheap blocking key = same lang/source/length bucket), so the
-    quadratic compare is bounded per block. Emits (id_a, id_b, jaccard).
+    """Blocked pairwise word-set Jaccard. Emits (id_a, id_b, jaccard).
+
+    This is the exact small-block tool; ``lsh_candidate_pairs`` is the
+    scale path for corpora where any block is web-scale.
+
+    Candidate pairs only form inside a block. The block key is the
+    caller's ``block_cols`` PLUS (by default) a geometric token-count
+    bucket: Jaccard >= t forces the two token-set sizes within a factor
+    1/t of each other, so with buckets of base ~1/t a qualifying pair
+    can sit at most one bucket apart — each left row probes buckets
+    {b-1, b, b+1} via a 3-element explode and the join stays a pure
+    equi-join on (block_cols, bucket). The base is widened 1%% so float
+    log rounding can never push a qualifying pair two buckets apart:
+    the output is IDENTICAL to unbanded blocking, but a single-language
+    corpus no longer plans an all-pairs self-join — the quadratic cost
+    is bounded per (block, length-bucket) cell.
+
+    ``max_block`` is a loud guard, not a silent cap: if any cell
+    exceeds it the operator raises (one cheap aggregate action — far
+    cheaper than the quadratic join it prevents) and names the
+    offending blocks; route such corpora through the LSH path.
     """
+    import math
+
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.array_distinct(tokens(text_col)).alias("toks"),
     )
+    if length_banding:
+        base = 1.01 / threshold
+        bucket = F.floor(
+            F.log(F.greatest(F.size("toks"), F.lit(1)).cast("double"))
+            / math.log(base)
+        ).alias("__len_bucket")
+        toks = toks.select("*", bucket)
+
+    if max_block is not None:
+        cell_cols = list(block_cols) + (
+            ["__len_bucket"] if length_banding else []
+        )
+        oversized = (
+            toks.groupBy(*cell_cols)
+            .count()
+            .filter(F.col("count") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            raise RuntimeError(
+                f"ngram_jaccard_pairs: block(s) over max_block={max_block}: "
+                f"{[r.asDict() for r in oversized]}; use lsh_candidate_pairs "
+                "for corpora with blocks this size"
+            )
+
     left, right = toks.alias("l"), toks.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    if length_banding:
+        b = F.col("__len_bucket")
+        left = (
+            toks.withColumn(
+                "__probe", F.explode(F.array(b - 1, b, b + 1))
+            ).alias("l")
+        )
+        cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+        cond.append(F.col("l.__probe") == F.col("r.__len_bucket"))
+        cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
     inter = F.size(F.array_intersect(F.col("l.toks"), F.col("r.toks")))
     union = (
         F.size(F.col("l.toks")) + F.size(F.col("r.toks")) - inter

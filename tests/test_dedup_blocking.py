@@ -1,0 +1,54 @@
+"""Scale guards on the exact Jaccard pair tool (functions/dedup.py)."""
+
+import pytest
+from pyspark.sql import Row
+
+from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+    ngram_jaccard_pairs,
+)
+
+
+def _docs(spark, n=60):
+    # single-language corpus with a wide length spread: the worst case
+    # for lang-only blocking (one block = whole corpus)
+    rows = []
+    for i in range(n):
+        length = 2 ** (i % 8 + 1)  # 2..256 tokens
+        rows.append(
+            Row(
+                doc_id=i,
+                lang="en",
+                text=" ".join(f"w{i}t{j}" for j in range(length)),
+            )
+        )
+    # one true near-dup pair, same length bucket
+    rows.append(Row(doc_id=n, lang="en", text="a b c d e f g h"))
+    rows.append(Row(doc_id=n + 1, lang="en", text="a b c d e f g x"))
+    return spark.createDataFrame(rows)
+
+
+def test_banded_output_matches_unbanded(spark):
+    docs = _docs(spark)
+    banded = ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=None)
+    unbanded = ngram_jaccard_pairs(
+        docs, block_cols=("lang",), length_banding=False, max_block=None
+    )
+    assert sorted(map(tuple, banded.collect())) == sorted(
+        map(tuple, unbanded.collect())
+    )
+    assert banded.count() >= 1  # the planted near-dup pair survives
+
+
+def test_single_lang_corpus_joins_on_length_bucket(spark):
+    """lang-only blocking must NOT plan an unrestricted self-join: the
+    equi-join keys must include the derived length bucket."""
+    docs = _docs(spark)
+    out = ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=None)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__len_bucket" in plan and "__probe" in plan
+
+
+def test_max_block_guard_raises_loudly(spark):
+    docs = _docs(spark, n=30)
+    with pytest.raises(RuntimeError, match="lsh_candidate_pairs"):
+        ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=3)
