@@ -46,6 +46,11 @@ def normalise_records(
     """Bounded zero-fill + bounded ffill + areaName propagation.
 
     Mirrors ``normalise_records`` (normalisation.py:26-89).
+
+    Every output column depends only on its own input column, so the
+    whole normalisation is ONE projection (``withColumns``) regardless
+    of metric count — a ~120-metric panel stays a 1-node plan addition
+    instead of a 120-deep ``withColumn`` chain.
     """
     zero_filled = sorted(set(zero_filled) & set(df.columns))
     cumulative = sorted(set(cumulative) & set(df.columns))
@@ -63,42 +68,34 @@ def normalise_records(
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
 
+    out: dict[str, F.Column] = {}
     for col in zero_filled:
         lo, hi = _valid_bounds(col, w_group)
         # typed zero: lit(0.0) would coerce DECIMAL metric columns to
         # double and silently lose exact arithmetic downstream
         zero = F.lit(0).cast(df.schema[col].dataType)
-        df = df.withColumn(
-            col,
-            F.when(
-                F.col(col).isNull()
-                & (F.col(date_col) >= lo)
-                & (F.col(date_col) < hi),
-                zero,
-            ).otherwise(F.col(col)),
-        )
-
-    if "areaName" in df.columns:
-        df = df.withColumn(
-            "areaName", F.first("areaName", ignorenulls=True).over(w_first)
-        )
+        out[col] = F.when(
+            F.col(col).isNull()
+            & (F.col(date_col) >= lo)
+            & (F.col(date_col) < hi),
+            zero,
+        ).otherwise(F.col(col))
 
     for col in cumulative:
         lo, hi = _valid_bounds(col, w_group)
-        df = df.withColumn(
-            col,
-            F.when(
-                F.col(col).isNull()
-                & (F.col(date_col) >= lo)
-                & (F.col(date_col) < hi),
-                F.last(F.col(col), ignorenulls=True).over(w_ffill),
-            ).otherwise(F.col(col)),
-        )
+        out[col] = F.when(
+            F.col(col).isNull()
+            & (F.col(date_col) >= lo)
+            & (F.col(date_col) < hi),
+            F.last(F.col(col), ignorenulls=True).over(w_ffill),
+        ).otherwise(F.col(col))
 
     if "areaName" in df.columns:
-        df = df.withColumn("areaNameLower", F.lower(F.col("areaName")))
+        name = F.first("areaName", ignorenulls=True).over(w_first)
+        out["areaName"] = name
+        out["areaNameLower"] = F.lower(name)
 
-    return df
+    return df.withColumns(out)
 
 
 def normalise_demographics_records(
@@ -119,9 +116,12 @@ def normalise_demographics_records(
     zero_filled = sorted(set(zero_filled) & set(df.columns))
     cumulative = sorted(set(cumulative) & set(df.columns))
 
+    # stage 1 (one projection): blanket zero-fills, areaName propagation,
+    # and the cumulative zero-seed at the global min date
+    stage1: dict[str, F.Column] = {}
     for col in zero_filled:
         zero = F.lit(0).cast(df.schema[col].dataType)
-        df = df.withColumn(col, F.coalesce(F.col(col), zero))
+        stage1[col] = F.coalesce(F.col(col), zero)
 
     if "areaName" in df.columns:
         w_area = (
@@ -129,25 +129,26 @@ def normalise_demographics_records(
             .orderBy(date_col)
             .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
         )
-        df = df.withColumn(
-            "areaName", F.first("areaName", ignorenulls=True).over(w_area)
-        )
+        name = F.first("areaName", ignorenulls=True).over(w_area)
+        stage1["areaName"] = name
+        stage1["areaNameLower"] = F.lower(name)
 
     if cumulative:
         # zero-seed the first date across all bands (normalisation.py:128-133)
         df = with_scalar(df, "__global_min_date", F.min(date_col))
         for col in cumulative:
             zero = F.lit(0).cast(df.schema[col].dataType)
-            df = df.withColumn(
-                col,
-                F.when(
-                    (F.col(date_col) == F.col("__global_min_date"))
-                    & F.col(col).isNull(),
-                    zero,
-                ).otherwise(F.col(col)),
-            )
-        df = df.drop("__global_min_date")
+            stage1[col] = F.when(
+                (F.col(date_col) == F.col("__global_min_date"))
+                & F.col(col).isNull(),
+                zero,
+            ).otherwise(F.col(col))
+    df = df.withColumns(stage1).drop("__global_min_date")
 
+    if cumulative:
+        # stage 2 (one projection): bounded ffill over the seeded values —
+        # a separate projection because the fill window must observe the
+        # stage-1 seeds
         keys = ["areaCode", nesting_param]
         w_group = Window.partitionBy(*keys)
         w_ffill = (
@@ -155,19 +156,15 @@ def normalise_demographics_records(
             .orderBy(date_col)
             .rowsBetween(Window.unboundedPreceding, 0)
         )
+        stage2: dict[str, F.Column] = {}
         for col in cumulative:
             lo, hi = _valid_bounds(col, w_group)
-            df = df.withColumn(
-                col,
-                F.when(
-                    F.col(col).isNull()
-                    & (F.col(date_col) >= lo)
-                    & (F.col(date_col) < hi),
-                    F.last(F.col(col), ignorenulls=True).over(w_ffill),
-                ).otherwise(F.col(col)),
-            )
-
-    if "areaName" in df.columns:
-        df = df.withColumn("areaNameLower", F.lower(F.col("areaName")))
+            stage2[col] = F.when(
+                F.col(col).isNull()
+                & (F.col(date_col) >= lo)
+                & (F.col(date_col) < hi),
+                F.last(F.col(col), ignorenulls=True).over(w_ffill),
+            ).otherwise(F.col(col))
+        df = df.withColumns(stage2)
 
     return df

@@ -103,6 +103,13 @@ def change_by_sum(
     metrics are configured — at 100 TB this is the difference between 1
     and ~120 shuffles.
 
+    Plan-size note: the whole family is built in FOUR projections total
+    (one ``withColumns`` per dependency stage — the stages exist only
+    because window functions cannot nest), not ~10 chained
+    ``withColumn`` per metric: at the reference's real ~120-metric width
+    a chained build produces a 1000+-node plan whose analysis time
+    dominates small batches.
+
     Numeric note: the reference does ``astype(float)`` first; we keep
     DECIMAL inputs as decimals instead so the rolling/cumulative sums are
     exact (associativity makes the result independent of partition
@@ -119,69 +126,83 @@ def change_by_sum(
     w_roll = w.rowsBetween(-(ROLLING_WINDOW - 1), 0)
     w_all = Window.partitionBy(*keys)
 
-    for m in metrics:
-        rsum, chg = f"{m}{SUFFIX_ROLLING_SUM}", f"{m}{SUFFIX_CHANGE}"
-        dirn, pct = f"{m}{SUFFIX_DIRECTION}", f"{m}{SUFFIX_CHANGE_PERCENTAGE}"
+    def names(m: str) -> tuple[str, str, str, str]:
+        return (
+            f"{m}{SUFFIX_ROLLING_SUM}",
+            f"{m}{SUFFIX_CHANGE}",
+            f"{m}{SUFFIX_DIRECTION}",
+            f"{m}{SUFFIX_CHANGE_PERCENTAGE}",
+        )
 
+    def raw(m: str) -> Column:
         keep_exact = dtypes.get(m, "").startswith("decimal")
-        raw = F.col(m) if keep_exact else F.col(m).cast("double")
-        df = df.withColumn("__raw", raw)
+        return F.col(m) if keep_exact else F.col(m).cast("double")
 
-        rsum_expr = _rolling_sum_col("__raw", w_roll)
+    # stage 1 — guarded rolling sum (+ min-sum substitution BEFORE the
+    # zero-group/diff/pct steps, rolling.py:126-128)
+    stage1: dict[str, Column] = {}
+    for m in metrics:
+        rsum_expr = F.when(
+            F.count(raw(m)).over(w_roll) == ROLLING_WINDOW,
+            F.sum(raw(m)).over(w_roll),
+        )
         if min_sum_allowed is not None:
-            # substituted BEFORE zero-group/diff/pct (rolling.py:126-128)
             rsum_expr = F.when(
                 rsum_expr < F.lit(min_sum_allowed), F.lit(float(min_sum_sub))
             ).otherwise(rsum_expr)
-        df = df.withColumn(rsum, rsum_expr)
+        stage1[names(m)[0]] = rsum_expr
+    df = df.withColumns(stage1)
 
-        # replace_all_zero: group whose rolling sums total 0 -> all null
-        df = df.withColumn(
-            rsum,
-            F.when(F.sum(F.col(rsum)).over(w_all) == 0, F.lit(None)).otherwise(
-                F.col(rsum)
-            ),
-        )
+    # stage 2 — replace_all_zero: group whose rolling sums total 0 -> null
+    df = df.withColumns(
+        {
+            names(m)[0]: F.when(
+                F.sum(F.col(names(m)[0])).over(w_all) == 0, F.lit(None)
+            ).otherwise(F.col(names(m)[0]))
+            for m in metrics
+        }
+    )
 
+    # stage 3 — change / direction / pct over the gated rolling sum
+    stage3: dict[str, Column] = {}
+    for m in metrics:
+        rsum, chg, dirn, pct = names(m)
         change = F.col(rsum) - F.lag(rsum, CHANGE_PERIOD).over(w)
         prev = F.lag(rsum, ROLLING_WINDOW).over(w)
         pct_guard = F.count(F.col(rsum)).over(w.rowsBetween(-ROLLING_WINDOW, 0))
-        df = (
-            df.withColumn(chg, change)
-            .withColumn(dirn, direction_col(F.col(chg)))
-            .withColumn(
-                pct,
-                F.when(
-                    pct_guard == ROLLING_WINDOW + 1,
-                    percentage_change_col(F.col(rsum), prev, pct_precision),
-                ),
-            )
+        stage3[chg] = change
+        stage3[dirn] = direction_col(change)
+        stage3[pct] = F.when(
+            pct_guard == ROLLING_WINDOW + 1,
+            percentage_change_col(F.col(rsum), prev, pct_precision),
         )
+    df = df.withColumns(stage3)
 
-        # raw-null rows carry no derived stats (rolling.py:216-219)
-        raw_null = F.col("__raw").isNull()
-        for c in (rsum, chg, pct):
-            df = df.withColumn(c, F.when(raw_null, F.lit(None)).otherwise(F.col(c)))
-        df = df.withColumn(dirn, F.when(raw_null, F.lit(None)).otherwise(F.col(dirn)))
+    # stage 4 — row-level gates: raw-null rows carry no derived stats
+    # (rolling.py:216-219); substituted rows null everything incl. the
+    # raw metric (MSOA suppression, rolling.py:222-231)
+    stage4: dict[str, Column] = {}
+    for m in metrics:
+        rsum, chg, dirn, pct = names(m)
+        raw_null = raw(m).isNull()
 
+        def gate(c: Column) -> Column:
+            return F.when(raw_null, F.lit(None)).otherwise(c)
+
+        rsum_f = gate(F.col(rsum))
+        chg_f, dirn_f, pct_f = gate(F.col(chg)), gate(F.col(dirn)), gate(F.col(pct))
         if min_sum_allowed is not None:
-            # suppression: substituted rows null everything incl. raw metric
-            # (rolling.py:222-231)
-            suppressed = F.col(rsum) == F.lit(float(min_sum_sub))
-            for c in (chg, pct, m):
-                df = df.withColumn(
-                    c, F.when(suppressed, F.lit(None)).otherwise(F.col(c))
-                )
-            df = df.withColumn(
-                dirn, F.when(suppressed, F.lit(None)).otherwise(F.col(dirn))
-            )
-            df = df.withColumn(
-                rsum, F.when(suppressed, F.lit(None)).otherwise(F.col(rsum))
-            )
+            suppressed = rsum_f == F.lit(float(min_sum_sub))
 
-        df = df.drop("__raw")
+            def sup(c: Column) -> Column:
+                return F.when(suppressed, F.lit(None)).otherwise(c)
 
-    return df
+            stage4[m] = sup(F.col(m))
+            rsum_f, chg_f = sup(rsum_f), sup(chg_f)
+            dirn_f, pct_f = sup(dirn_f), sup(pct_f)
+        stage4[rsum], stage4[chg] = rsum_f, chg_f
+        stage4[dirn], stage4[pct] = dirn_f, pct_f
+    return df.withColumns(stage4)
 
 
 def rolling_mean_centered(
