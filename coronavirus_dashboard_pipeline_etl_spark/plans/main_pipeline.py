@@ -106,6 +106,7 @@ def to_long_store(
     release_id: int,
     partition_group_expr: F.Column | None = None,
     hash_key: bytes | None = None,
+    metric_registry_path: str | None = None,
 ) -> DataFrame:
     """Processed wide panel -> serving-store long rows.
 
@@ -113,6 +114,11 @@ def to_long_store(
     edges, wrap payloads as JSON cells, stamp release/partition ids, key
     each row with the keyed digest the reference uses for upsert identity
     (uploader.py:171-179).
+
+    With ``metric_registry_path``, unknown metric names are first
+    upserted into the metric registry and every row gains the registry's
+    numeric ``metric_id`` via broadcast join — the reference's
+    ``validate_metrics`` dynamic-schema step (uploader.py:339-350).
     """
     id_vars = [c for c in PANEL_META if c in panel.columns] + (
         ["releaseTimestamp"] if "releaseTimestamp" in panel.columns else []
@@ -151,6 +157,11 @@ def to_long_store(
         ).otherwise(F.lit("other"))
     long = long.withColumn("partition_id", partition_group_expr)
     long = long.withColumn("release_id", F.lit(release_id))
+    if metric_registry_path is not None:
+        from ..sources.registry import register_metrics, resolve_metric_ids
+
+        registry = register_metrics(long, metric_registry_path)
+        long = resolve_metric_ids(long, registry)
     return row_hash_blake2(
         long,
         ["area_type", "area_code", "metric", "date", "release_id"],
