@@ -2479,3 +2479,170 @@ QUERIES["n3_pair_tested"] = n3_pair_tested
 ORACLE["n3_pair_tested"] = N3_SQL
 QUERIES["n4_age_rate_enrich"] = n4_age_rate_enrich
 ORACLE["n4_age_rate_enrich"] = N4_SQL
+
+
+# --------------------------------------------------------------------------
+# PIPE3 — composed MSOA pipeline, suppressed + dry-run (msoa_etl_db)
+# --------------------------------------------------------------------------
+
+def _msoa_inputs(spark: SparkSession, sf_dir: str):
+    """29 synthetic MSOA areas from purchase events: per-(area, day)
+    case counts + a per-area population dim."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    area = F.concat(F.lit("M"), (F.col("user_id") % 29)).alias("areaCode")
+    cases = ev.groupBy(
+        area, F.date_format("ts", "yyyy-MM-dd").alias("date")
+    ).agg(F.count("*").cast("double").alias("newCasesBySpecimenDate"))
+    pop = ev.groupBy(
+        F.concat(F.lit("M"), (F.col("user_id") % 29)).alias("areaCode")
+    ).agg(F.countDistinct("user_id").alias("population"))
+    return cases, pop
+
+
+_MSOA_RELEASE_TS = "2024-02-02"  # anchor -5d = 2024-01-28 weekly grid
+
+
+def _pipe3(spark: SparkSession, sf_dir: str, suppress: bool) -> DataFrame:
+    from .msoa_pipeline import run_msoa
+
+    cases, pop = _msoa_inputs(spark, sf_dir)
+    out = run_msoa(
+        cases,
+        pop,
+        release_timestamp=_MSOA_RELEASE_TS,
+        suppress=suppress,
+        pct_precision=None,
+        rate_precision=None,
+    )
+    m = "newCasesBySpecimenDate"
+    return out.select(
+        "area_code",
+        "date",
+        F.col(f"{m}RollingSum").cast("double").alias("rsum"),
+        F.col(f"{m}Change").cast("double").alias("chg"),
+        F.col(f"{m}Direction").alias("direction"),
+        F.col(f"{m}ChangePercentage").alias("pct"),
+        F.col(f"{m}RollingRate").alias("rate"),
+    )
+
+
+def pipe3_msoa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed EP3 (msoa_etl_db/processor.py:267-298): densify ->
+    small-count substitution inside the rolling family -> rate on the
+    substituted sum -> threshold suppression -> weekly grid thinning.
+    One window exchange + one broadcast join end to end."""
+    return _pipe3(spark, sf_dir, suppress=True)
+
+
+def pipe3b_msoa_dryrun(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EP3 dry-run variant (processor.py:238-264): same chain with the
+    disclosure-control branches off — QA output parity."""
+    return _pipe3(spark, sf_dir, suppress=False)
+
+
+def _pipe3_sql(suppress: bool) -> str:
+    if suppress:
+        rsum0 = """CASE WHEN COUNT(cases) OVER w7 = 7 THEN
+               CASE WHEN SUM(cases) OVER w7 < 3 THEN 2.0
+                    ELSE CAST(SUM(cases) OVER w7 AS DOUBLE) END END"""
+        post = """
+r5 AS (
+    SELECT area_code, date,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE cases END AS cases,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE rsum END AS rsum,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE chg END AS chg,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE direction END AS direction,
+           CASE WHEN rsum = 2.0 THEN NULL ELSE pct END AS pct
+    FROM r4
+),
+r6 AS (
+    SELECT r5.area_code, date,
+           CASE WHEN rsum IS NULL OR rsum <= 2 THEN NULL ELSE rsum END AS rsum,
+           CASE WHEN rsum IS NULL OR rsum <= 2 THEN NULL ELSE chg END AS chg,
+           CASE WHEN rsum IS NULL OR rsum <= 2 THEN NULL
+                ELSE direction END AS direction,
+           CASE WHEN rsum IS NULL OR rsum <= 2 THEN NULL ELSE pct END AS pct,
+           CASE WHEN rsum IS NULL OR rsum <= 2 THEN NULL
+                ELSE rsum / population * 100000 END AS rate
+    FROM r5 JOIN pop ON r5.area_code = pop.area_code
+)"""
+    else:
+        rsum0 = """CASE WHEN COUNT(cases) OVER w7 = 7
+               THEN CAST(SUM(cases) OVER w7 AS DOUBLE) END"""
+        post = """
+r6 AS (
+    SELECT r4.area_code, date, rsum, chg, direction, pct,
+           rsum / population * 100000 AS rate
+    FROM r4 JOIN pop ON r4.area_code = pop.area_code
+)"""
+    return f"""
+WITH cases AS (
+    SELECT 'M' || (user_id % 29) AS area_code, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(COUNT(*) AS DOUBLE) AS c
+    FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+pop AS (
+    SELECT 'M' || (user_id % 29) AS area_code,
+           COUNT(DISTINCT user_id) AS population
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+bounds AS (SELECT MIN(date)::DATE AS lo, MAX(date)::DATE AS hi FROM cases),
+dates AS (
+    SELECT strftime(d, '%Y-%m-%d') AS date
+    FROM (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+          FROM bounds)
+),
+areas AS (SELECT DISTINCT area_code FROM cases),
+panel AS (
+    SELECT a.area_code, d.date, COALESCE(c.c, 0.0) AS cases
+    FROM areas a CROSS JOIN dates d
+    LEFT JOIN cases c ON c.area_code = a.area_code AND c.date = d.date
+),
+r1 AS (
+    SELECT area_code, date, cases,
+           {rsum0} AS rsum0
+    FROM panel
+    WINDOW w7 AS (PARTITION BY area_code ORDER BY date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+r2 AS (
+    SELECT area_code, date, cases,
+           CASE WHEN SUM(rsum0) OVER (PARTITION BY area_code) = 0
+                THEN NULL ELSE rsum0 END AS rsum
+    FROM r1
+),
+r3 AS (
+    SELECT area_code, date, cases, rsum,
+           rsum - LAG(rsum, 7) OVER w AS chg,
+           LAG(rsum, 7) OVER w AS prev,
+           COUNT(rsum) OVER (PARTITION BY area_code ORDER BY date
+                             ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS nvis
+    FROM r2
+    WINDOW w AS (PARTITION BY area_code ORDER BY date)
+),
+r4 AS (
+    SELECT area_code, date, cases, rsum, chg,
+           CASE WHEN chg < 0 THEN 'DOWN' WHEN chg > 0 THEN 'UP'
+                WHEN chg = 0 THEN 'SAME' END AS direction,
+           CASE WHEN nvis = 8 THEN
+               CASE WHEN rsum = 0 AND prev > 0 THEN -100.0
+                    WHEN rsum / (CASE WHEN prev <> 0 THEN prev ELSE 1 END) - 1 = -1
+                         THEN 0.0
+                    ELSE (rsum / (CASE WHEN prev <> 0 THEN prev ELSE 1 END) - 1)
+                         * 100 END
+           END AS pct
+    FROM r3
+),{post}
+SELECT area_code, date, rsum, chg, direction, pct, rate
+FROM r6
+WHERE (DATE '2024-01-28' - date::DATE) % 7 = 0
+  AND date::DATE <= DATE '2024-01-28'
+"""
+
+
+QUERIES["pipe3_msoa"] = pipe3_msoa
+ORACLE["pipe3_msoa"] = _pipe3_sql(True)
+QUERIES["pipe3b_msoa_dryrun"] = pipe3b_msoa_dryrun
+ORACLE["pipe3b_msoa_dryrun"] = _pipe3_sql(False)

@@ -61,13 +61,17 @@ def run_msoa(
     hash_key: bytes | None = None,
     release_id: int = 1,
     suppress: bool = True,
+    pct_precision: int | None = 1,
+    rate_precision: int | None = RATE_PRECISION,
 ) -> DataFrame:
     """cases: (areaCode, date, newCasesBySpecimenDate);
     population: (areaCode, population); release_timestamp: ISO date(/time)
     of the release driving the weekly grid anchor.
 
     ``suppress=False`` reproduces the reference's dry-run operator
-    (processor.py:238-264, unsuppressed output).
+    (processor.py:238-264, unsuppressed output). The precision knobs
+    default to the reference's rounding; the oracle gates pass None
+    (engines round doubles differently at the last ulp).
     """
     df = cases.withColumn("areaType", F.lit("msoa"))
 
@@ -82,21 +86,23 @@ def run_msoa(
             [METRIC],
             min_sum_allowed=MSOA_MIN_SUM_ALLOWED,
             min_sum_sub=MSOA_MIN_SUM_SUB,
+            pct_precision=pct_precision,
         )
     else:
-        df = change_by_sum(df, [METRIC])
+        df = change_by_sum(df, [METRIC], pct_precision=pct_precision)
 
     # rate from the existing (possibly substituted) rolling sum — the
     # reference's guard `if rolling_sum not in data.columns` means the
     # rate always sees change_by_sum's output, never a fresh sum.
     df = df.join(broadcast(population.select("areaCode", "population")), "areaCode", "left")
-    df = df.withColumn(
-        f"{METRIC}RollingRate",
-        F.round(
-            F.col(f"{METRIC}RollingSum") / F.col("population") * RATE_PER,
-            RATE_PRECISION,
-        ),
-    ).drop("population")
+    rate = (
+        F.col(f"{METRIC}RollingSum").cast("double")
+        / F.col("population")
+        * RATE_PER
+    )
+    if rate_precision is not None:
+        rate = F.round(rate, rate_precision)
+    df = df.withColumn(f"{METRIC}RollingRate", rate).drop("population")
 
     if suppress:
         df = suppress_by_rolling_sum(
