@@ -6,8 +6,8 @@ Re-expresses ``db_etl/processors/generic_rate.py:30-135``
 * RollingSum = pandas rolling(7).sum() parity (see operators.rolling),
 * RollingRate = round(RollingSum / population * 100_000, 1),
 * tail rule: metrics named *SpecimenDate*/*DeathDate* are masked where
-  date > global_max_date - 5d; all others where date > their own last
-  valid raw date,
+  date > global_max_date - 5d; all others where date > the metric's
+  global last valid raw date,
 * incidence rate = round(value / population * 100_000, 1) — no window.
 
 The population frame is a few-thousand-row dimension: always broadcast
@@ -17,7 +17,7 @@ the fact side.
 
 from __future__ import annotations
 
-from collections.abc import Iterable, Sequence
+from collections.abc import Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.functions import broadcast
@@ -30,7 +30,6 @@ from ..config import (
     SUFFIX_ROLLING_SUM,
     TAIL_TRIM_DAYS,
 )
-from .util import with_scalar
 
 
 def calculate_rates(
@@ -43,6 +42,7 @@ def calculate_rates(
     date_col: str = "date",
     rate_per_n: int = RATE_PER,
     precision: int | None = RATE_PRECISION,
+    last_valid: Mapping[str, str] | None = None,
 ) -> DataFrame:
     """Add {m}RollingSum/{m}RollingRate and {m}Rate columns.
 
@@ -57,6 +57,24 @@ def calculate_rates(
     decimal rolling sums (associative => partition-order independent);
     rates always compute in IEEE double with a fixed (sum / pop) * per_n
     operation order.
+
+    Leading-edge parity: the reference re-aggregates the rolling sum
+    through a one-row-per-key ``groupby().sum()`` whose default
+    ``min_count=0`` coerces every NaN rolling sum to 0.0
+    (generic_rate.py:88-96) — so it PUBLISHES 0 for each area's first 6
+    days (and any sub-7-observation window). We coalesce the guarded
+    sum to a typed zero to match. Tail parity: non-event metrics are
+    masked after the metric's GLOBAL last valid date — one scalar over
+    the whole frame (generic_rate.py:113-117), not a per-area max — so
+    areas that stop reporting early keep their trailing rolling values
+    exactly like the reference.
+
+    The whole-frame scalars (event cutoff, per-metric last valid dates)
+    are an aggregate branch over the upstream subtree — a second pass.
+    At scale, pass ``last_valid`` (metric -> ISO date, and the key
+    ``"__max_date"`` for the event cutoff when event-dated metrics are
+    configured) to skip that pass entirely — the same explicit-cutoff
+    fast path ``trim_end`` has.
     """
     rolling_rate = sorted(set(rolling_rate) & set(df.columns))
     incidence_rate = sorted(set(incidence_rate) & set(df.columns))
@@ -75,49 +93,77 @@ def calculate_rates(
         .orderBy(date_col)
         .rowsBetween(-(ROLLING_WINDOW - 1), 0)
     )
-    w_all = Window.partitionBy(*keys)
     dtypes = dict(df.dtypes)
 
-    # The global-max-date cutoff is only consulted for event-dated metrics;
-    # computing it costs a second pass over the upstream subtree (the
-    # scalar branch re-executes the fact scan), so skip it entirely when no
-    # configured metric is event-dated.
-    needs_cutoff = any("SpecimenDate" in m or "DeathDate" in m for m in rolling_rate)
-    if needs_cutoff:
-        df = with_scalar(df, "__max_date", F.max(date_col))
-        event_cutoff = F.date_format(
-            F.date_sub(F.to_date("__max_date"), TAIL_TRIM_DAYS), "yyyy-MM-dd"
-        )
+    def raw(m: str) -> F.Column:
+        keep_exact = dtypes.get(m, "").startswith("decimal")
+        return F.col(m) if keep_exact else F.col(m).cast("double")
 
+    def is_event(m: str) -> bool:
+        return "SpecimenDate" in m or "DeathDate" in m
+
+    # All whole-frame scalars in ONE aggregate + ONE broadcast cross join
+    # (a per-metric with_scalar would cross-join once per metric): the
+    # event-dated cutoff, plus each non-event metric's global last valid
+    # raw date (generic_rate.py:113-117 — dropna().date.max() over the
+    # whole frame, NOT per area).
+    known = last_valid or {}
+    scalar_aggs = []
+    if any(is_event(m) for m in rolling_rate) and "__max_date" not in known:
+        scalar_aggs.append(F.max(date_col).alias("__max_date"))
+    for m in rolling_rate:
+        if not is_event(m) and m not in known:
+            scalar_aggs.append(
+                F.max(F.when(raw(m).isNotNull(), F.col(date_col))).alias(
+                    f"__last_{m}"
+                )
+            )
+    scalar_cols = []
+    if scalar_aggs:
+        scalars = df.agg(*scalar_aggs)
+        scalar_cols = scalars.columns
+        df = df.crossJoin(broadcast(scalars))
+    max_date = (
+        F.lit(known["__max_date"]) if "__max_date" in known else F.col("__max_date")
+    )
+    event_cutoff = F.date_format(
+        F.date_sub(F.to_date(max_date), TAIL_TRIM_DAYS), "yyyy-MM-dd"
+    )
+
+    def last_valid_col(m: str) -> F.Column:
+        return F.lit(known[m]) if m in known else F.col(f"__last_{m}")
+
+    # one projection for all sums+rates, one for all tail masks (the mask
+    # must observe the computed columns)
+    stage1: dict[str, F.Column] = {}
+    for m in rolling_rate:
+        rsum = f"{m}{SUFFIX_ROLLING_SUM}"
+        guarded = F.when(
+            F.count(raw(m)).over(w_roll) == ROLLING_WINDOW,
+            F.sum(raw(m)).over(w_roll),
+        )
+        # min_count=0 coercion: NaN windows publish as typed zero
+        keep_exact = dtypes.get(m, "").startswith("decimal")
+        zero = F.lit(0).cast(dtypes[m]) if keep_exact else F.lit(0.0)
+        stage1[rsum] = F.coalesce(guarded, zero)
+    for m in incidence_rate:
+        inc = F.col(m).cast("double") / F.col("population") * rate_per_n
+        stage1[f"{m}Rate"] = inc if precision is None else F.round(inc, precision)
+    df = df.withColumns(stage1)
+
+    stage2: dict[str, F.Column] = {}
     for m in rolling_rate:
         rsum = f"{m}{SUFFIX_ROLLING_SUM}"
         rrate = f"{m}{SUFFIX_ROLLING_RATE}"
-        keep_exact = dtypes.get(m, "").startswith("decimal")
-        raw = F.col(m) if keep_exact else F.col(m).cast("double")
         rate = F.col(rsum).cast("double") / F.col("population") * rate_per_n
-        df = df.withColumn(
-            rsum,
-            F.when(
-                F.count(raw).over(w_roll) == ROLLING_WINDOW, F.sum(raw).over(w_roll)
-            ),
-        ).withColumn(
-            rrate, rate if precision is None else F.round(rate, precision)
-        )
-
+        rate = rate if precision is None else F.round(rate, precision)
         # tail freshness rule (generic_rate.py:107-117)
-        if "SpecimenDate" in m or "DeathDate" in m:
+        if is_event(m):
             stale = F.col(date_col) > event_cutoff
         else:
-            last_raw = F.max(F.when(raw.isNotNull(), F.col(date_col))).over(w_all)
-            stale = F.col(date_col) > last_raw
-        for c in (rsum, rrate):
-            df = df.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+            stale = F.col(date_col) > last_valid_col(m)
+        stage2[rsum] = F.when(stale, F.lit(None)).otherwise(F.col(rsum))
+        stage2[rrate] = F.when(stale, F.lit(None)).otherwise(rate)
+    df = df.withColumns(stage2)
 
-    for m in incidence_rate:
-        inc = F.col(m).cast("double") / F.col("population") * rate_per_n
-        df = df.withColumn(
-            f"{m}Rate", inc if precision is None else F.round(inc, precision)
-        )
-
-    drop = ["population"] + (["__max_date"] if needs_cutoff else [])
-    return df.drop(*drop)
+    return df.drop("population", *scalar_cols)

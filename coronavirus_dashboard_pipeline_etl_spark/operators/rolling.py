@@ -139,9 +139,16 @@ def change_by_sum(
         return F.col(m) if keep_exact else F.col(m).cast("double")
 
     # stage 1 — guarded rolling sum (+ min-sum substitution BEFORE the
-    # zero-group/diff/pct steps, rolling.py:126-128)
+    # zero-group/diff/pct steps, rolling.py:126-128). A metric whose
+    # RollingSum column ALREADY exists (calculate_rates ran first) keeps
+    # it untouched — the reference's `if rolling_sum not in data.columns`
+    # guard (rolling.py:131-163): the pre-existing sum carries the rate
+    # path's 0-coerced leading windows, and the substitution only applies
+    # on the fresh-computation path.
     stage1: dict[str, Column] = {}
     for m in metrics:
+        if names(m)[0] in df.columns:
+            continue
         rsum_expr = F.when(
             F.count(raw(m)).over(w_roll) == ROLLING_WINDOW,
             F.sum(raw(m)).over(w_roll),
@@ -151,7 +158,8 @@ def change_by_sum(
                 rsum_expr < F.lit(min_sum_allowed), F.lit(float(min_sum_sub))
             ).otherwise(rsum_expr)
         stage1[names(m)[0]] = rsum_expr
-    df = df.withColumns(stage1)
+    if stage1:
+        df = df.withColumns(stage1)
 
     # stage 2 — replace_all_zero: group whose rolling sums total 0 -> null
     df = df.withColumns(

@@ -66,13 +66,21 @@ def trim_sides(
 
     Semantics (uploader.py:55-90), per series ordered by date:
       1. leading strip: rows up to and including (first row where the
-         running sum of |payload| becomes > 0) + 1 further row -> payload
-         nulled. If the payload is non-numeric (nested cells), fall back
-         to the first non-null row.
-      2. trailing strip: the last non-null row and its predecessor ->
-         nulled.
-      3. rows whose payload ends up null are dropped
-         (``dropna(how="all")`` on the value column).
+         running sum of |payload| becomes > 0) + 1 further row. If the
+         payload is non-numeric (nested cells), fall back to the first
+         non-null row.
+      2. trailing strip: the last surviving non-null row and its
+         predecessor, recomputed AFTER the leading strip.
+      3. the reference NaNs the WHOLE masked row and finishes with
+         ``dropna(how="all")`` (uploader.py:74-90): only strip-masked
+         rows vanish. A payload that was already null keeps its key
+         columns, so it SURVIVES into the store — we therefore drop
+         exactly the masked rows, never pre-existing null payloads.
+      4. the strips are atomic per series and skipped for degenerate
+         ones: a series with no non-null payload at all, or whose
+         leading strip would null every remaining payload, is passed
+         through untouched (the reference ``continue``s before writing
+         the masked copy back, uploader.py:63-78).
 
     ``exempt_metrics`` (``variants``) skip BOTH strips: the reference
     computes the masks on a per-metric COPY and only writes it back
@@ -104,23 +112,23 @@ def trim_sides(
         F.col("metric").isin(*exempt_metrics) if exempt_metrics else F.lit(False)
     )
     lead_cut = F.coalesce(first_nonzero, first_valid) + 1
-    df = df.withColumn(
-        payload_col,
-        F.when(
-            (~exempt) & (F.col("__rn") <= lead_cut), F.lit(None)
-        ).otherwise(F.col(payload_col)),
-    )
+    lead_masked = F.col("__rn") <= lead_cut
 
-    # trailing strip on the POST-leading-strip payload (the reference
-    # recomputes last_valid_index after the leading mask)
+    # last surviving non-null row AFTER the leading strip (the reference
+    # recomputes last_valid_index on the masked copy)
     last_valid = F.max(
-        F.when(F.col(payload_col).isNotNull(), F.col("__rn"))
+        F.when(F.col(payload_col).isNotNull() & ~lead_masked, F.col("__rn"))
     ).over(w_all)
-    df = df.withColumn(
-        payload_col,
-        F.when(
-            (~exempt) & (F.col("__rn") >= last_valid - 1), F.lit(None)
-        ).otherwise(F.col(payload_col)),
-    )
+    trail_masked = F.col("__rn") >= last_valid - 1
 
-    return df.filter(F.col(payload_col).isNotNull()).drop("__rn", "__cumabs")
+    # both guards must hold or the series passes through untouched:
+    # some payload exists (uploader.py:63) AND the leading strip leaves
+    # a survivor (uploader.py:77-78 — last_valid null means it did not)
+    strips_active = (
+        (~exempt) & first_valid.isNotNull() & last_valid.isNotNull()
+    )
+    masked = strips_active & (lead_masked | trail_masked)
+    # window expressions are not allowed in a WHERE clause — project the
+    # mask, then filter on the plain column
+    df = df.withColumn("__masked", masked)
+    return df.filter(~F.col("__masked")).drop("__rn", "__cumabs", "__masked")

@@ -1602,7 +1602,8 @@ daily AS (
 ),
 r AS (
     SELECT nation, date,
-           CASE WHEN COUNT(spend) OVER w7 = 7 THEN SUM(spend) OVER w7 END AS rsum
+           COALESCE(CASE WHEN COUNT(spend) OVER w7 = 7 THEN SUM(spend) OVER w7 END,
+                    0) AS rsum
     FROM daily
     WINDOW w7 AS (PARTITION BY nation ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
@@ -1878,7 +1879,8 @@ pop AS (
 ),
 r AS (
     SELECT areaCode, age_band, date,
-           CASE WHEN COUNT(cases) OVER w7 = 7 THEN SUM(cases) OVER w7 END AS rsum
+           COALESCE(CASE WHEN COUNT(cases) OVER w7 = 7
+                         THEN SUM(cases) OVER w7 END, 0) AS rsum
     FROM panel
     WINDOW w7 AS (PARTITION BY areaCode, age_band ORDER BY date
                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)

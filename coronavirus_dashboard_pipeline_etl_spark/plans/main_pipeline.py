@@ -87,10 +87,10 @@ def process_panel(
         rolling_rate=config.rolling_rate,
         incidence_rate=config.incidence_rate,
     )
-    # change_by_sum skips metrics whose RollingSum already exists (made by
-    # calculate_rates) for the sum itself, exactly like the reference
-    # (rolling.py:118-140) — our operator recomputes identically, which
-    # is idempotent, so no special-casing is needed.
+    # change_by_sum reuses a RollingSum column calculate_rates already
+    # made (reference rolling.py:131-163): the rate path's sums carry
+    # 0-coerced leading windows, so recomputing them would NOT be
+    # identical at the leading edge.
     out = change_by_sum(out, config.sum_change_direction)
     out = ratio_to_percentage(out, config.ratio_to_percentage)
     out = trim_end(out, config.trim_end, TAIL_TRIM_DAYS)
@@ -162,9 +162,15 @@ def to_long_store(
 
         registry = register_metrics(long, metric_registry_path)
         long = resolve_metric_ids(long, registry)
+    # reference hash identity (uploader.py:156-178): date FIRST, then
+    # area_type, area_code, metric_id, release_id. Exact parity with
+    # reference-stored hashes therefore requires the registry path (the
+    # numeric metric_id); without it the same recipe runs keyed on the
+    # metric name instead.
+    metric_key = "metric_id" if "metric_id" in long.columns else "metric"
     return row_hash_blake2(
         long,
-        ["area_type", "area_code", "metric", "date", "release_id"],
+        ["date", "area_type", "area_code", metric_key, "release_id"],
         out="hash",
         key=hash_key,
     )

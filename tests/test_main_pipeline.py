@@ -92,9 +92,10 @@ def test_area_name_propagated(processed):
 
 
 def test_rolling_sum_min_periods(processed):
-    # first 6 days null; day 7 = 5 + 0(clipped) + 4 + 0 + 0(zero-filled gap)
-    # + 6 + 1 = 16
-    assert processed["E92000001|2021-01-06"]["newCasesBySpecimenDateRollingSum"] is None
+    # leading sub-7 windows PUBLISH 0 (the reference's groupby().sum()
+    # min_count=0 coercion, generic_rate.py:88-96); day 7 = 5 +
+    # 0(clipped) + 4 + 0 + 0(zero-filled gap) + 6 + 1 = 16
+    assert processed["E92000001|2021-01-06"]["newCasesBySpecimenDateRollingSum"] == 0.0
     assert processed["E92000001|2021-01-07"]["newCasesBySpecimenDateRollingSum"] == 16.0
 
 
@@ -177,3 +178,73 @@ def test_trim_sides_reference_golden_fixture(spark):
     out = trim_sides(sdf)
     assert len(out.columns) == 9
     assert out.count() == 14
+
+
+def test_trim_sides_keeps_preexisting_null_payloads(spark):
+    """The reference NaNs whole masked rows then dropna(how='all')
+    (uploader.py:74-90): a payload that was already null keeps its key
+    columns and survives into the store. Only strip-masked rows vanish."""
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import trim_sides
+
+    rows = [
+        Row(
+            area_type="nation",
+            area_code="E1",
+            metric="m",
+            date=f"2024-01-{d:02d}",
+            payload=p,
+        )
+        for d, p in [
+            (1, "0"),
+            (2, "1"),   # first nonzero -> lead strip covers rows 1..3
+            (3, "2"),
+            (4, "3"),
+            (5, None),  # pre-existing null INSIDE the kept region
+            (6, "4"),
+            (7, "5"),
+            (8, "6"),   # trail strip: last valid (8) and predecessor (7)
+        ]
+    ]
+    out = trim_sides(spark.createDataFrame(rows))
+    got = {(r["date"], r["payload"]) for r in out.collect()}
+    assert got == {
+        ("2024-01-04", "3"),
+        ("2024-01-05", None),
+        ("2024-01-06", "4"),
+    }
+
+
+def test_trim_sides_degenerate_series_pass_through(spark):
+    """All-null series and series whose leading strip nulls everything
+    are left untouched (reference continues before write-back,
+    uploader.py:63-78)."""
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import trim_sides
+
+    def series(metric, payloads):
+        return [
+            Row(
+                area_type="nation",
+                area_code="E1",
+                metric=metric,
+                date=f"2024-01-{d:02d}",
+                payload=p,
+            )
+            for d, p in enumerate(payloads, start=1)
+        ]
+
+    rows = series("allnull", [None, None, None]) + series("tiny", ["0", "1"])
+    out = trim_sides(spark.createDataFrame(rows))
+    got = {(r["metric"], r["date"]) for r in out.collect()}
+    # allnull: no payload at all -> untouched; tiny: lead strip covers
+    # both rows, no survivor -> untouched
+    assert got == {
+        ("allnull", "2024-01-01"),
+        ("allnull", "2024-01-02"),
+        ("allnull", "2024-01-03"),
+        ("tiny", "2024-01-01"),
+        ("tiny", "2024-01-02"),
+    }

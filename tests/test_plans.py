@@ -71,16 +71,45 @@ def test_melt_is_shuffle_free(spark):
     assert "Expand" in plan
 
 
-def test_rolling_rate_broadcasts_population_single_fact_scan(spark):
-    """J2+A1: population dim must broadcast-join and the fact table must be
-    scanned exactly once (the event-date cutoff scalar, which would
-    re-execute the subtree, is skipped for non-event-dated metrics)."""
+def test_rolling_rate_broadcasts_population(spark):
+    """J2+A1: population dim must broadcast-join; the default (parity)
+    path additionally computes the metric's global last-valid date as an
+    aggregate branch — a documented second pass over the subtree."""
     plan = executed_plan(QUERIES["j2_rolling_rate_per100k"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
-    assert plan.count("orders.parquet") == 1, (
-        "fact side scanned more than once — scalar cutoff branch leaked in"
+    assert plan.count("orders.parquet") == 2  # main + scalar branch
+
+
+def test_rolling_rate_explicit_last_valid_single_fact_scan(spark):
+    """With the last_valid fast path the fact table is scanned exactly
+    once — the scale configuration (same pattern as trim_end's explicit
+    cutoff)."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import calculate_rates
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    orders = load_table(spark, SF, "orders").select(
+        F.col("o_custkey").alias("areaCode"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("date"),
+        F.col("o_totalprice").cast("double").alias("spend"),
     )
+    pop = spark.createDataFrame(
+        [(str(i), 1000) for i in range(10)], ["areaCode", "population"]
+    )
+    out = calculate_rates(
+        orders,
+        pop,
+        rolling_rate=["spend"],
+        group_keys=("areaCode",),
+        last_valid={"spend": "2099-01-01"},
+    )
+    plan = executed_plan(out)
+    assert plan.count("orders.parquet") == 1, (
+        "fact side scanned more than once despite explicit last_valid"
+    )
+    assert "BroadcastHashJoin" in plan
 
 
 def test_dose_alignment_is_one_pivot_pass(spark):
