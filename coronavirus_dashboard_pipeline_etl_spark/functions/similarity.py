@@ -48,6 +48,7 @@ def cosine_topk(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbours per query: (query_id, rank, neighbor_id, score).
 
@@ -60,13 +61,25 @@ def cosine_topk(
     partition — the shuffle is tiny no matter how big the corpus is.
     Ties break by (score desc, neighbor_id asc) at both levels, so the
     local prune is exactly global-consistent.
+
+    ``max_queries`` guards the small-side contract: collecting an
+    unbounded query side would OOM the driver, so the collect is capped
+    and over-limit inputs fail loudly (swap sides or batch the queries).
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
-    ).collect()
+    q_rows = (
+        queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk: query side exceeds max_queries={max_queries}; "
+            "it must be the SMALL side (swap sides, batch the queries, or "
+            "raise max_queries explicitly)"
+        )
     if not q_rows:
         spark = corpus.sparkSession
         return spark.createDataFrame(
@@ -132,25 +145,37 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     k: int = 5,
     exclude_self: bool = True,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """IVF-bucketed top-k: search only the query's own coarse bucket.
 
     The bucket column plays the role of the IVF centroid assignment (a
     real deployment computes it with k-means once and stores it; here the
     label column stands in). Same broadcast-queries + batched-matmul +
-    local-top-k shape as cosine_topk, but each corpus batch only scores
-    against queries sharing its bucket — the IVF pruning happens inside
-    the kernel with a bucket equality mask, cutting FLOPs by ~1/n_buckets
-    without any extra shuffle.
+    local-top-k shape as cosine_topk (including the ``max_queries``
+    small-side guard), but each corpus batch only scores against queries
+    sharing its bucket — the IVF pruning happens inside the kernel with
+    a bucket equality mask, cutting FLOPs by ~1/n_buckets without any
+    extra shuffle.
     """
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(bucket_col).alias("qb"),
-        F.col(vec_col).alias("qv"),
-    ).collect()
+    q_rows = (
+        queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(bucket_col).alias("qb"),
+            F.col(vec_col).alias("qv"),
+        )
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"cosine_topk_ivf: query side exceeds max_queries={max_queries}; "
+            "it must be the SMALL side (swap sides, batch the queries, or "
+            "raise max_queries explicitly)"
+        )
     if not q_rows:
         spark = corpus.sparkSession
         return spark.createDataFrame(

@@ -52,3 +52,20 @@ def test_max_block_guard_raises_loudly(spark):
     docs = _docs(spark, n=30)
     with pytest.raises(RuntimeError, match="lsh_candidate_pairs"):
         ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=3)
+
+
+def test_cosine_topk_query_side_guard(spark):
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i), 1.0]) for i in range(20)]
+    )
+    with pytest.raises(ValueError, match="SMALL side"):
+        cosine_topk(vecs, vecs, k=2, max_queries=5)
+    # under the cap it still works
+    out = cosine_topk(vecs, vecs.limit(3), k=2, max_queries=5)
+    assert out.count() == 6
