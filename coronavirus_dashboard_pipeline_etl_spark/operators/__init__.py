@@ -13,7 +13,11 @@ from .derived import (
     ratio_to_percentage,
 )
 from .hashing import row_hash_blake2, row_hash_sha2
-from .relabel import drop_empty_rows, relabel_area_names
+from .relabel import (
+    drop_empty_rows,
+    drop_weekly_metric_nulls,
+    relabel_area_names,
+)
 from .skew import salted_join
 from .homogenise import homogenise_dates
 from .nesting import (
@@ -48,6 +52,7 @@ __all__ = [
     "cumulative_sum",
     "direction_col",
     "drop_empty_rows",
+    "drop_weekly_metric_nulls",
     "homogenise_dates",
     "latest_date_only",
     "latest_per_group",

@@ -32,6 +32,37 @@ def relabel_area_names(
     return df.select(*keep).join(broadcast(dim), on=list(join_keys), how="left")
 
 
+# reference format_weekly_metrics extras (uploader.py:444-452): metrics
+# with weekly cadence whose names do not contain "weekly"
+WEEKLY_EXTRA_METRICS = (
+    "weeklyPeopleVaccinatedFirstDoseByVaccinationDate",
+    "weeklyPeopleVaccinatedSecondDoseByVaccinationDate",
+    "alertLevel",
+    "transmissionRateMin",
+    "transmissionRateMax",
+    "transmissionRateGrowthRateMin",
+    "transmissionRateGrowthRateMax",
+)
+
+
+def drop_weekly_metric_nulls(
+    df: DataFrame,
+    extras: Iterable[str] = WEEKLY_EXTRA_METRICS,
+    metric_col: str = "metric",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Upload-side weekly dropna (``format_weekly_metrics``,
+    ``uploader.py:444-475``): rows belonging to weekly-cadence metrics —
+    name contains "weekly" case-insensitively, or one of the known
+    ``extras`` — are dropped when their payload is null (daily metrics
+    keep their null rows for the store's dense series). Pure row filter,
+    no shuffle."""
+    is_weekly = F.lower(F.col(metric_col)).contains("weekly") | F.col(
+        metric_col
+    ).isin(*extras)
+    return df.filter(~(is_weekly & F.col(payload_col).isNull()))
+
+
 def drop_empty_rows(
     df: DataFrame,
     value_cols: Iterable[str],

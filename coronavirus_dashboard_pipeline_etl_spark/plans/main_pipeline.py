@@ -36,6 +36,7 @@ from ..operators import (
     calculate_pair_summations,
     calculate_rates,
     change_by_sum,
+    drop_weekly_metric_nulls,
     homogenise_dates,
     melt,
     negative_to_zero,
@@ -143,6 +144,10 @@ def to_long_store(
             "areaCode", "area_code"
         )
         part = trim_sides(part)
+        # weekly-cadence metrics drop null payloads before wrapping
+        # (deploy order: melt -> trim_sides -> format_weekly_metrics,
+        # uploader.py:617-621)
+        part = drop_weekly_metric_nulls(part)
         return part.withColumn("payload", wrap_payload(F.col("payload")))
 
     parts = [prep(v) for v in (num_vars, str_vars) if v]

@@ -248,3 +248,28 @@ def test_trim_sides_degenerate_series_pass_through(spark):
         ("tiny", "2024-01-01"),
         ("tiny", "2024-01-02"),
     }
+
+
+def test_drop_weekly_metric_nulls_name_driven(spark):
+    """format_weekly_metrics parity (uploader.py:444-475): weekly-named
+    metrics and the known extras lose their null-payload rows; daily
+    metrics keep theirs."""
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import (
+        drop_weekly_metric_nulls,
+    )
+
+    rows = [
+        Row(metric="weeklyAdmissions", payload=None),
+        Row(metric="weeklyAdmissions", payload="3"),
+        Row(metric="WeeklyCamelCase", payload=None),   # case-insensitive
+        Row(metric="alertLevel", payload=None),        # extras list
+        Row(metric="newCasesBySpecimenDate", payload=None),  # daily: kept
+    ]
+    out = drop_weekly_metric_nulls(spark.createDataFrame(rows))
+    got = {(r["metric"], r["payload"]) for r in out.collect()}
+    assert got == {
+        ("weeklyAdmissions", "3"),
+        ("newCasesBySpecimenDate", None),
+    }
