@@ -124,3 +124,71 @@ def test_change_by_sum_with_suppression(spark):
     pdf = panel_fixture()
     sdf = change_by_sum(spark.createDataFrame(pdf), ["m"], min_sum_allowed=3, min_sum_sub=2)
     _cmp(sdf, oracle_change_by_sum(pdf, "m", min_sum_allowed=3, min_sum_sub=2), "m")
+
+
+def test_rates_tail_mask_uses_global_last_date(spark):
+    """generic_rate.py:113-117: non-event metrics are masked after the
+    metric's GLOBAL last valid date. An area that stops reporting early
+    keeps its trailing rolling values (they'd be nulled under a per-area
+    rule)."""
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import calculate_rates
+
+    rows = []
+    for d in range(1, 15):
+        # area A reports all 14 days; area B stops after day 10
+        rows.append(
+            Row(areaType="n", areaCode="A", date=f"2024-01-{d:02d}", cases=1.0)
+        )
+        rows.append(
+            Row(
+                areaType="n",
+                areaCode="B",
+                date=f"2024-01-{d:02d}",
+                cases=1.0 if d <= 10 else None,
+            )
+        )
+    pop = spark.createDataFrame(
+        [Row(areaCode="A", population=1000), Row(areaCode="B", population=1000)]
+    )
+    out = calculate_rates(
+        spark.createDataFrame(rows), pop, rolling_rate=["cases"], precision=None
+    )
+    got = {
+        (r["areaCode"], r["date"]): r["casesRollingSum"] for r in out.collect()
+    }
+    # B's day-10 window (days 4-10, all non-null) survives: global last
+    # valid date is 2024-01-14 (area A), so B is NOT masked at day 10
+    assert got[("B", "2024-01-10")] == 7.0
+    # B's days 11-14 windows contain nulls -> guarded sum null -> the
+    # reference's min_count=0 coercion publishes 0, not null
+    assert got[("B", "2024-01-12")] == 0.0
+    # nothing is masked anywhere (global last date == global max date)
+    assert all(v is not None for v in got.values())
+
+
+def test_rates_explicit_last_valid_masks_tail(spark):
+    """The last_valid fast path must produce the same mask the scanned
+    scalar would."""
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import calculate_rates
+
+    rows = [
+        Row(areaType="n", areaCode="A", date=f"2024-01-{d:02d}", cases=1.0)
+        for d in range(1, 11)
+    ]
+    pop = spark.createDataFrame([Row(areaCode="A", population=1000)])
+    df = spark.createDataFrame(rows)
+    scanned = calculate_rates(df, pop, rolling_rate=["cases"], precision=None)
+    explicit = calculate_rates(
+        df,
+        pop,
+        rolling_rate=["cases"],
+        precision=None,
+        last_valid={"cases": "2024-01-10"},
+    )
+    assert sorted(map(tuple, scanned.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
