@@ -1,6 +1,16 @@
 """Column-function library + large-scale training-data pipeline operators
 (dedup, similarity search, text analysis, multimodal plumbing)."""
 
+from .curation import (
+    contamination_check,
+    normalize_embeddings,
+    quantize_embeddings,
+    repetition_stats,
+    sample_bucket,
+    stratified_sample,
+    vocab_topk,
+    word_shingles,
+)
 from .dedup import (
     dedup_components,
     exact_dedup,
@@ -22,6 +32,14 @@ from .text import (
 
 __all__ = [
     "chunk_documents",
+    "contamination_check",
+    "normalize_embeddings",
+    "quantize_embeddings",
+    "repetition_stats",
+    "sample_bucket",
+    "stratified_sample",
+    "vocab_topk",
+    "word_shingles",
     "cosine_similarity_col",
     "cosine_topk",
     "cosine_topk_ivf",

@@ -1,0 +1,193 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+contamination checking, reproducible stratified sampling, vocabulary /
+document-frequency extraction, repetition signals, and embedding
+normalisation + quantisation.
+
+All JVM-side expressions (HOFs over token arrays, md5-based hashing) —
+no Python UDFs — so everything stays inside WholeStageCodegen. Each op
+has an exact ANSI-SQL oracle in ``__spark_entry__.oracle_sql``.
+
+Scale notes per op:
+* contamination: the benchmark side is an eval set (thousands of docs)
+  — its distinct shingles broadcast; the corpus side explodes its
+  shingles MAP-SIDE (explode is narrow) and the only shuffle is the
+  per-doc hit count.
+* stratified sampling: pure row filter on a deterministic md5 bucket —
+  reproducible across runs/engines, no sampling-seed drift, no shuffle.
+* vocabulary: explode + groupBy(token) with map-side partial
+  aggregation; the top-k sort runs on the aggregated (small) side.
+* repetition: per-row array expressions, O(n log n) in tokens.
+* embeddings: elementwise transforms + sequential array folds (same
+  evaluation order in Spark and the oracle, so doubles match exactly).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .dedup import md5_prefix_long
+from .text import tokens
+
+SAMPLE_BUCKETS = 10_000
+
+
+def word_shingles(col: Column | str, n: int) -> Column:
+    """Array of word n-grams (space-joined); empty when the doc has
+    fewer than n tokens."""
+    toks = tokens(col) if isinstance(col, str) else tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Flag corpus docs sharing any word n-gram with a benchmark set —
+    the standard eval-set decontamination pass (n=8..13 word overlap).
+
+    Returns the corpus ids + ``n_contaminated`` (distinct overlapping
+    shingles) + ``contaminated``. The benchmark's distinct shingles are
+    broadcast; corpus shingles explode map-side, so the only shuffle is
+    the per-doc aggregation of hits.
+    """
+    bench = (
+        benchmark.select(
+            F.explode(word_shingles(text_col, n)).alias("__shingle")
+        )
+        .distinct()
+    )
+    corpus_sh = corpus.select(
+        F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__shingle")
+    )
+    hits = (
+        corpus_sh.join(F.broadcast(bench), "__shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("__shingle").alias("n_contaminated"))
+    )
+    return (
+        corpus.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (F.coalesce("n_contaminated", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def sample_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic [0, SAMPLE_BUCKETS) bucket from the md5 of the id —
+    the reproducible replacement for seed-based random sampling."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return md5_prefix_long(F.concat(c.cast("string"), F.lit(salt))) % SAMPLE_BUCKETS
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Keep a deterministic per-stratum fraction of rows.
+
+    ``sampleBy`` is seed-random and irreproducible across engines and
+    re-runs; training-data pipelines need the same doc kept every time,
+    so the keep decision is ``md5(id + salt) % 10000 < fraction *
+    10000``. Changing ``salt`` draws an independent sample.
+    """
+    threshold = F.lit(int(default_fraction * SAMPLE_BUCKETS))
+    expr = None
+    for stratum, frac in sorted(fractions.items()):
+        cond = F.col(stratum_col) == stratum
+        val = F.lit(int(frac * SAMPLE_BUCKETS))
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    threshold = expr.otherwise(threshold) if expr is not None else threshold
+    return df.filter(sample_bucket(id_col, salt) < threshold)
+
+
+def vocab_topk(
+    df: DataFrame,
+    k: int = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    by_doc_frequency: bool = True,
+) -> DataFrame:
+    """Top-k vocabulary: (token, doc_freq, total_freq), ranked by doc
+    frequency (or total frequency), ties broken by token asc."""
+    toks = F.explode(tokens(text_col)).alias("token")
+    per_doc = df.select(F.col(id_col).alias("__doc"), toks)
+    agg = per_doc.groupBy("token").agg(
+        F.countDistinct("__doc").alias("doc_freq"),
+        F.count("*").alias("total_freq"),
+    )
+    key = F.col("doc_freq") if by_doc_frequency else F.col("total_freq")
+    return agg.orderBy(key.desc(), F.col("token").asc()).limit(k)
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals: fraction of duplicate tokens and
+    of duplicate 3-gram shingles (1 - distinct/total; 0 for degenerate
+    short docs)."""
+    toks = tokens(text_col)
+    sh3 = word_shingles(text_col, 3)
+
+    def dup_ratio(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            1.0 - F.size(F.array_distinct(arr)).cast("double") / total.cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    return df.withColumns(
+        {
+            "dup_token_ratio": dup_ratio(toks),
+            "dup_3gram_ratio": dup_ratio(sh3),
+        }
+    )
+
+
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out: str | None = None
+) -> DataFrame:
+    """L2-normalise an array<float|double> column (double output).
+    Zero vectors stay zero."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    norm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    unit = F.when(norm > 0, F.transform(v, lambda x: x / norm)).otherwise(v)
+    return df.withColumn(out or vec_col, unit)
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out: str | None = None,
+    bits: int = 8,
+) -> DataFrame:
+    """Symmetric integer quantisation: scale = (2^(bits-1)-1) / max|x|,
+    q_i = floor(x_i * scale + 0.5) — floor-based rounding so every
+    engine computes the identical integer. Adds ``{out}_scale`` for
+    dequantisation. All-zero vectors quantise to zeros with scale 0."""
+    qmax = float(2 ** (bits - 1) - 1)
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.aggregate(
+        v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))
+    )
+    scale = F.when(amax > 0, F.lit(qmax) / amax).otherwise(F.lit(0.0))
+    q = F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("int"))
+    name = out or f"{vec_col}_q"
+    return df.withColumns({name: q, f"{name}_scale": scale})

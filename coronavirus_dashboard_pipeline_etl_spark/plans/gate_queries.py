@@ -2648,3 +2648,203 @@ QUERIES["pipe3_msoa"] = pipe3_msoa
 ORACLE["pipe3_msoa"] = _pipe3_sql(True)
 QUERIES["pipe3b_msoa_dryrun"] = pipe3b_msoa_dryrun
 ORACLE["pipe3b_msoa_dryrun"] = _pipe3_sql(False)
+
+
+# --------------------------------------------------------------------------
+# X1-X5 — corpus curation (contamination, sampling, vocab, repetition,
+# embedding normalise/quantise)
+# --------------------------------------------------------------------------
+
+def _shingle_sql(n: int, toks: str = "string_split(text, ' ')") -> str:
+    """DuckDB word n-grams matching functions.curation.word_shingles."""
+    return (
+        f"CASE WHEN len({toks}) >= {n} THEN "
+        f"list_transform(range(1, len({toks}) - {n} + 2), "
+        f"i -> array_to_string(({toks})[i:i+{n}-1], ' ')) "
+        "ELSE CAST([] AS VARCHAR[]) END"
+    )
+
+
+def x1_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag docs sharing any 8-word shingle
+    with the benchmark subset (doc_id % 97 == 0). Benchmark shingles
+    broadcast; corpus explode is map-side; one shuffle for hit counts."""
+    from ..functions.curation import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    out = contamination_check(docs, bench, n=8)
+    return out.select(
+        "doc_id",
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        "contaminated",
+    )
+
+
+X1_SQL = f"""
+WITH sh AS (
+    SELECT doc_id, {_shingle_sql(8)} AS shingles FROM documents
+),
+bench AS (
+    SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+),
+corpus AS (
+    SELECT doc_id, UNNEST(shingles) AS shingle FROM sh
+),
+hits AS (
+    SELECT doc_id, COUNT(DISTINCT corpus.shingle) AS n
+    FROM corpus JOIN bench ON corpus.shingle = bench.shingle
+    GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(n, 0) AS n_contaminated, COALESCE(n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits ON d.doc_id = hits.doc_id
+"""
+
+# DuckDB md5-bucket matching functions.curation.sample_bucket
+def _bucket_sql(x: str) -> str:
+    return (
+        "(list_reduce(list_transform(string_split(substr(md5(" + x + "),1,15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b) "
+        "% 10000)"
+    )
+
+
+def x2_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: md5-bucket keep decision per
+    lang stratum — reproducible across engines and re-runs (no sampling
+    seeds), pure row filter."""
+    from ..functions.curation import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        {"en": 0.5, "de": 0.25},
+        stratum_col="lang",
+        default_fraction=0.1,
+    )
+    return out.select("doc_id", "lang")
+
+
+X2_SQL = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} <
+      CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+"""
+
+
+def x3_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top 50 tokens by document frequency (ties by
+    token); map-side partial aggregation, sort only on the aggregated
+    side."""
+    from ..functions.curation import vocab_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=50)
+
+
+X3_SQL = """
+SELECT token, doc_freq, total_freq FROM (
+    SELECT token, COUNT(DISTINCT doc_id) AS doc_freq, COUNT(*) AS total_freq
+    FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+)
+ORDER BY doc_freq DESC, token ASC
+LIMIT 50
+"""
+
+
+def x4_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-token and duplicate-
+    3-gram fractions, per-row array expressions only."""
+    from ..functions.curation import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "dup_token_ratio", "dup_3gram_ratio"
+    )
+
+
+X4_SQL = f"""
+WITH t AS (
+    SELECT doc_id, string_split(text, ' ') AS toks,
+           {_shingle_sql(3)} AS sh3
+    FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(toks) > 0
+            THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS dup_token_ratio,
+       CASE WHEN len(sh3) > 0
+            THEN 1.0 - CAST(len(list_distinct(sh3)) AS DOUBLE) / len(sh3)
+            ELSE 0.0 END AS dup_3gram_ratio
+FROM t
+"""
+
+
+def x5_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding normalise + int8 quantise: L2 norm, symmetric scale,
+    and exact integer checks (sum + first element) over the quantised
+    vector — elementwise HOFs, sequential folds matching the oracle's
+    evaluation order bit-for-bit."""
+    from ..functions.curation import normalize_embeddings, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    q = quantize_embeddings(emb, "embedding")
+    normed = normalize_embeddings(q, "embedding", out="unit")
+    unit_norm = F.sqrt(
+        F.aggregate(F.col("unit"), F.lit(0.0), lambda a, x: a + x * x)
+    )
+    return normed.select(
+        "vec_id",
+        norm.alias("l2norm"),
+        F.col("embedding_q_scale").alias("scale"),
+        F.aggregate(
+            "embedding_q", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("q_sum"),
+        F.element_at("embedding_q", 1).alias("q_first"),
+        F.round(unit_norm, 9).alias("unit_norm"),
+    )
+
+
+X5_SQL = """
+WITH v AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, vd,
+           sqrt(list_reduce(list_prepend(0.0, list_transform(vd, x -> x*x)),
+                            (a,b) -> a+b)) AS l2norm,
+           list_reduce(list_prepend(0.0, list_transform(vd, x -> abs(x))),
+                       (a,b) -> CASE WHEN b > a THEN b ELSE a END) AS amax
+    FROM v
+),
+q AS (
+    SELECT vec_id, vd, l2norm,
+           CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale
+    FROM s
+)
+SELECT vec_id, l2norm, scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(vd, x -> CAST(FLOOR(x * scale + 0.5) AS BIGINT))),
+           (a,b) -> a+b) AS q_sum,
+       CAST(FLOOR(vd[1] * scale + 0.5) AS INTEGER) AS q_first,
+       ROUND(CASE WHEN l2norm > 0
+             THEN sqrt(list_reduce(list_prepend(0.0,
+                  list_transform(vd, x -> (x/l2norm)*(x/l2norm))), (a,b) -> a+b))
+             ELSE 0.0 END, 9) AS unit_norm
+FROM q
+"""
+
+QUERIES["x1_contamination"] = x1_contamination
+ORACLE["x1_contamination"] = X1_SQL
+QUERIES["x2_stratified_sample"] = x2_stratified_sample
+ORACLE["x2_stratified_sample"] = X2_SQL
+QUERIES["x3_vocab_topk"] = x3_vocab_topk
+ORACLE["x3_vocab_topk"] = X3_SQL
+QUERIES["x4_repetition"] = x4_repetition
+ORACLE["x4_repetition"] = X4_SQL
+QUERIES["x5_embed_quantize"] = x5_embed_quantize
+ORACLE["x5_embed_quantize"] = X5_SQL

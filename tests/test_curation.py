@@ -1,0 +1,98 @@
+"""Corpus-curation operators (functions/curation.py)."""
+
+from pyspark.sql import Row, functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.functions import (
+    contamination_check,
+    normalize_embeddings,
+    quantize_embeddings,
+    repetition_stats,
+    stratified_sample,
+    vocab_topk,
+    word_shingles,
+)
+
+
+def test_word_shingles_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d"), Row(doc_id=2, text="a b")]
+    )
+    out = df.select("doc_id", word_shingles("text", 3).alias("sh"))
+    rows = {r["doc_id"]: r["sh"] for r in out.collect()}
+    assert rows[1] == ["a b c", "b c d"]
+    assert rows[2] == []  # shorter than n -> empty, not null
+
+
+def test_contamination_flags_overlap_only(spark):
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="completely different words here entirely now"),
+        ]
+    )
+    bench = spark.createDataFrame(
+        [Row(doc_id=99, text="quick brown fox jumps over the lazy dog today")]
+    )
+    out = contamination_check(corpus, bench, n=8)
+    rows = {r["doc_id"]: r["contaminated"] for r in out.collect()}
+    assert rows == {1: True, 2: False}
+
+
+def test_stratified_sample_deterministic_and_salted(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en" if i % 2 else "de") for i in range(200)]
+    )
+    a = stratified_sample(docs, {"en": 0.5, "de": 0.1})
+    b = stratified_sample(docs, {"en": 0.5, "de": 0.1})
+    assert sorted(r["doc_id"] for r in a.collect()) == sorted(
+        r["doc_id"] for r in b.collect()
+    )
+    salted = stratified_sample(docs, {"en": 0.5, "de": 0.1}, salt="v2")
+    assert sorted(r["doc_id"] for r in salted.collect()) != sorted(
+        r["doc_id"] for r in a.collect()
+    )
+    # rough rate sanity: en near 50%, de near 10%
+    n_en = a.filter(F.col("lang") == "en").count()
+    assert 30 <= n_en <= 70
+
+
+def test_vocab_topk_rank_and_ties(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="apple banana apple"),
+            Row(doc_id=2, text="banana cherry"),
+        ]
+    )
+    out = vocab_topk(docs, k=2).collect()
+    assert out[0]["token"] == "banana" and out[0]["doc_freq"] == 2
+    # apple and cherry tie on doc_freq=1 -> token asc
+    assert out[1]["token"] == "apple" and out[1]["total_freq"] == 2
+
+
+def test_repetition_stats(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="spam spam spam spam"),
+            Row(doc_id=2, text="all tokens unique here"),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    assert rows[1]["dup_token_ratio"] == 0.75
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[1]["dup_3gram_ratio"] == 0.5  # 2 shingles, 1 distinct
+
+
+def test_normalize_and_quantize_embeddings(spark):
+    df = spark.createDataFrame(
+        [
+            Row(vec_id=1, embedding=[3.0, 4.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0]),  # zero vector edge
+        ]
+    )
+    out = quantize_embeddings(normalize_embeddings(df), "embedding")
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert rows[1]["embedding"] == [0.6, 0.8]
+    assert rows[1]["embedding_q"] == [95, 127]  # floor(0.6/0.8*127+.5)
+    assert rows[2]["embedding"] == [0.0, 0.0]
+    assert rows[2]["embedding_q"] == [0, 0]
+    assert rows[2]["embedding_q_scale"] == 0.0
