@@ -2848,3 +2848,61 @@ QUERIES["x4_repetition"] = x4_repetition
 ORACLE["x4_repetition"] = X4_SQL
 QUERIES["x5_embed_quantize"] = x5_embed_quantize
 ORACLE["x5_embed_quantize"] = X5_SQL
+
+
+def pipe4_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline a training-data prep job runs
+    AFTER cleaning (pipe1): repetition filter -> benchmark
+    decontamination -> reproducible stratified downsample. Everything
+    except the contamination hit-count is a narrow row filter; the
+    benchmark side broadcasts."""
+    from ..functions.curation import (
+        contamination_check,
+        repetition_stats,
+        stratified_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_stats(docs).filter(F.col("dup_token_ratio") <= 0.3)
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    cont = contamination_check(rep, bench, n=8)
+    clean = rep.join(
+        cont.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    sampled = stratified_sample(clean, {"en": 0.5}, default_fraction=0.2)
+    return sampled.select("doc_id", "lang", "dup_token_ratio")
+
+
+PIPE4_SQL = f"""
+WITH rep AS (
+    SELECT doc_id, lang, text,
+           CASE WHEN len(string_split(text, ' ')) > 0
+                THEN 1.0 - CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                     / len(string_split(text, ' '))
+                ELSE 0.0 END AS dup_token_ratio
+    FROM documents
+),
+kept AS (SELECT * FROM rep WHERE dup_token_ratio <= 0.3),
+sh AS (
+    SELECT doc_id, {_shingle_sql(8)} AS shingles FROM documents
+),
+bench AS (
+    SELECT DISTINCT UNNEST(shingles) AS shingle FROM sh WHERE doc_id % 97 = 0
+),
+contaminated AS (
+    SELECT DISTINCT k.doc_id
+    FROM kept k
+    JOIN sh ON sh.doc_id = k.doc_id
+    JOIN bench ON list_contains(sh.shingles, bench.shingle)
+),
+clean AS (
+    SELECT k.* FROM kept k
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)
+SELECT doc_id, lang, dup_token_ratio FROM clean
+WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} <
+      CASE lang WHEN 'en' THEN 5000 ELSE 2000 END
+"""
+
+QUERIES["pipe4_training_data"] = pipe4_training_data
+ORACLE["pipe4_training_data"] = PIPE4_SQL
