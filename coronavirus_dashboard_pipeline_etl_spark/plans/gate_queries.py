@@ -2906,3 +2906,29 @@ WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)")} <
 
 QUERIES["pipe4_training_data"] = pipe4_training_data
 ORACLE["pipe4_training_data"] = PIPE4_SQL
+
+
+def st1_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window counts (§2.9): window() is an ordinary
+    grouping expression in batch, so the SAME function that runs
+    watermarked on a stream is oracle-checked here in batch mode."""
+    from ..streaming.windows import windowed_event_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    return windowed_event_counts(
+        ev, group_cols=("event_type",), window_duration="1 hour", value_col=None
+    )
+
+
+ST1_SQL = """
+SELECT event_type,
+       strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour',
+                '%Y-%m-%d %H:%M:%S') AS window_end,
+       COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["st1_windowed_counts"] = st1_windowed_counts
+ORACLE["st1_windowed_counts"] = ST1_SQL

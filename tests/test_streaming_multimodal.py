@@ -157,3 +157,75 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
     assert rows[("A", "2021-01-03")] == 7.0   # state carried across batches
     assert rows[("B", "2021-01-01")] == 10.0
     assert rows[("B", "2021-01-02")] == 10.0  # null increment = +0
+
+
+def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
+    """Append mode (the mode with GUARANTEED late-data dropping — update
+    mode may re-open evicted state): batch 1 advances the watermark,
+    batch 2's event older than the horizon is filtered, batch 3 pushes
+    the watermark past the on-time window so it finalizes WITHOUT the
+    late contribution."""
+    import json
+    import time
+
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        # micro-batch order follows file modification time: separate them
+        (in_dir / name).write_text("\n".join(json.dumps(r) for r in rows))
+        time.sleep(1.2)
+
+    # batch 1: on-time events -> watermark advances to 10:20 - 30min
+    write_file("b1.json", [
+        {"ts": "2024-01-01T10:00:00", "event_type": "click"},
+        {"ts": "2024-01-01T10:20:00", "event_type": "click"},
+    ])
+    # batch 2: on-time filler (the late-event filter uses the PREVIOUS
+    # batch's committed watermark, so a late row must arrive >= 2
+    # batches after the one that advanced the watermark past it)
+    write_file("b2.json", [
+        {"ts": "2024-01-01T10:25:00", "event_type": "click"},
+    ])
+    # batch 3: 08:00 is far behind the 09:50+ watermark -> dropped
+    write_file("b3.json", [
+        {"ts": "2024-01-01T08:00:00", "event_type": "click"},
+    ])
+    # batch 4: pushes the watermark to 12:30 -> finalizes 10:00-11:00
+    write_file("b4.json", [
+        {"ts": "2024-01-01T13:00:00", "event_type": "click"},
+    ])
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    agg = windowed_event_counts(
+        stream,
+        group_cols=("event_type",),
+        window_duration="1 hour",
+        watermark="30 minutes",
+        value_col=None,
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM wm_test").collect()
+    }
+    assert "2024-01-01 08:00:00" not in rows, "late event must be dropped"
+    # the on-time window finalized with only the 3 on-time events
+    assert rows.get("2024-01-01 10:00:00") == 3
