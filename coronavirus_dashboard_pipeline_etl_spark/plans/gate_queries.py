@@ -2932,3 +2932,172 @@ GROUP BY 1, 2, 3
 
 QUERIES["st1_windowed_counts"] = st1_windowed_counts
 ORACLE["st1_windowed_counts"] = ST1_SQL
+
+
+def pipe2b_process_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLIC EP1 API oracle-checked end to end: process_panel()
+    itself — densify, bounded zero-fill + ffill, negative clip, rate
+    family (0-coerced leading windows, global-last tail), rolling
+    change family REUSING the rate path's sums, incidence rate, 5-day
+    tail trim — on a two-metric panel with planted gaps."""
+    from ..config import MetricConfig
+    from .main_pipeline import process_panel
+
+    ev = load_table(spark, sf_dir, "events")
+    day = F.dayofmonth(F.to_date(F.date_format("ts", "yyyy-MM-dd")))
+    base = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    ).agg(
+        F.count("*").cast("double").alias("cases_full"),
+        F.countDistinct("user_id").cast("double").alias("cum_raw"),
+    )
+    d = F.substring("date", 9, 2).cast("int")
+    panel = base.select(
+        F.lit("et").alias("areaType"),
+        "areaCode",
+        F.upper("areaCode").alias("areaName"),
+        "date",
+        F.when(d % 5 != 0, F.col("cases_full")).alias("cases"),
+        F.when(d % 7 != 3, F.col("cum_raw")).alias("cumCases"),
+    )
+    pop = ev.groupBy(F.col("event_type").alias("areaCode")).agg(
+        F.countDistinct("user_id").alias("population")
+    )
+    cfg = MetricConfig(
+        sum_change_direction=frozenset({"cases"}),
+        rolling_rate=frozenset({"cases"}),
+        incidence_rate=frozenset({"cumCases"}),
+        negative_to_zero=frozenset({"cases"}),
+        fill_with_zeros=frozenset({"cases"}),
+        start_with_zero=frozenset({"cumCases"}),
+        trim_end=frozenset({"cases"}),
+    )
+    out = process_panel(
+        panel, pop, cfg, pct_precision=None, rate_precision=None
+    )
+    return out.select(
+        "areaCode",
+        "date",
+        F.col("cases").cast("double").alias("cases"),
+        F.col("casesRollingSum").cast("double").alias("rsum"),
+        F.col("casesRollingRate").alias("rrate"),
+        F.col("casesChange").cast("double").alias("chg"),
+        F.col("casesDirection").alias("direction"),
+        F.col("casesChangePercentage").alias("pct"),
+        F.col("cumCases").cast("double").alias("cum"),
+        F.col("cumCasesRate").alias("cum_rate"),
+    )
+
+
+PIPE2B_SQL = """
+WITH base AS (
+    SELECT event_type AS areaCode, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(COUNT(*) AS DOUBLE) AS cases_full,
+           CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS cum_raw
+    FROM events GROUP BY 1, 2
+),
+sparse AS (
+    SELECT areaCode, date,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 5 <> 0
+                THEN cases_full END AS cases,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 7 <> 3
+                THEN cum_raw END AS cum
+    FROM base
+),
+pop AS (
+    SELECT event_type AS areaCode, COUNT(DISTINCT user_id) AS population
+    FROM events GROUP BY 1
+),
+bounds AS (SELECT MIN(date)::DATE lo, MAX(date)::DATE hi FROM sparse),
+dates AS (
+    SELECT strftime(dd, '%Y-%m-%d') AS date
+    FROM (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE dd
+          FROM bounds)
+),
+areas AS (SELECT DISTINCT areaCode FROM sparse),
+dense AS (
+    SELECT a.areaCode, d.date, s.cases, s.cum
+    FROM areas a CROSS JOIN dates d
+    LEFT JOIN sparse s ON s.areaCode = a.areaCode AND s.date = d.date
+),
+b AS (
+    SELECT areaCode, date, cases, cum,
+           MIN(CASE WHEN cases IS NOT NULL THEN date END) OVER wa AS lo_c,
+           MAX(CASE WHEN cases IS NOT NULL THEN date END) OVER wa AS hi_c,
+           MIN(CASE WHEN cum IS NOT NULL THEN date END) OVER wa AS lo_m,
+           MAX(CASE WHEN cum IS NOT NULL THEN date END) OVER wa AS hi_m
+    FROM dense WINDOW wa AS (PARTITION BY areaCode)
+),
+filled AS (
+    SELECT areaCode, date,
+           -- DuckDB GREATEST ignores NULLs, so guard the negative clip
+           -- explicitly (counts are never negative anyway)
+           CASE WHEN cases IS NULL AND date >= lo_c AND date < hi_c THEN 0.0
+                WHEN cases < 0 THEN 0.0
+                ELSE cases END AS cases,
+           CASE WHEN cum IS NULL AND date >= lo_m AND date < hi_m
+                THEN last_value(cum IGNORE NULLS) OVER
+                     (PARTITION BY areaCode ORDER BY date
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                ELSE cum END AS cum
+    FROM b
+),
+r AS (
+    SELECT areaCode, date, cases, cum,
+           COALESCE(CASE WHEN COUNT(cases) OVER w7 = 7
+                         THEN SUM(cases) OVER w7 END, 0.0) AS rsum0
+    FROM filled
+    WINDOW w7 AS (PARTITION BY areaCode ORDER BY date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+lastv AS (SELECT MAX(CASE WHEN cases IS NOT NULL THEN date END) AS last_c FROM filled),
+rm AS (
+    SELECT r.areaCode, r.date, r.cases, r.cum,
+           CASE WHEN r.date > last_c THEN NULL ELSE rsum0 END AS rsum0m,
+           CASE WHEN r.date > last_c THEN NULL
+                ELSE rsum0 / population * 100000 END AS rrate0,
+           r.cum / population * 100000 AS cum_rate
+    FROM r, lastv
+    JOIN pop ON r.areaCode = pop.areaCode
+),
+z AS (
+    SELECT *, CASE WHEN SUM(rsum0m) OVER (PARTITION BY areaCode) = 0
+                   THEN NULL ELSE rsum0m END AS rsum1
+    FROM rm
+),
+c AS (
+    SELECT *,
+           rsum1 - LAG(rsum1, 7) OVER w AS chg0,
+           LAG(rsum1, 7) OVER w AS prev,
+           COUNT(rsum1) OVER (PARTITION BY areaCode ORDER BY date
+                              ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS n8
+    FROM z WINDOW w AS (PARTITION BY areaCode ORDER BY date)
+),
+fam AS (
+    SELECT areaCode, date, cases, cum, cum_rate,
+           CASE WHEN cases IS NULL THEN NULL ELSE rsum1 END AS rsum,
+           CASE WHEN cases IS NULL THEN NULL ELSE rrate0 END AS rrate,
+           CASE WHEN cases IS NULL THEN NULL ELSE chg0 END AS chg,
+           CASE WHEN cases IS NULL THEN NULL
+                WHEN chg0 < 0 THEN 'DOWN' WHEN chg0 > 0 THEN 'UP'
+                WHEN chg0 = 0 THEN 'SAME' END AS direction,
+           CASE WHEN cases IS NULL THEN NULL
+                WHEN n8 = 8 THEN
+                    CASE WHEN rsum1 = 0 AND prev > 0 THEN -100.0
+                         WHEN rsum1 / (CASE WHEN prev <> 0 THEN prev ELSE 1 END) - 1 = -1
+                              THEN 0.0
+                         ELSE (rsum1 / (CASE WHEN prev <> 0 THEN prev ELSE 1 END) - 1)
+                              * 100 END
+           END AS pct
+    FROM c
+),
+mx AS (SELECT MAX(date)::DATE AS maxd FROM fam)
+SELECT areaCode, date,
+       CASE WHEN date::DATE <= maxd - 5 THEN cases END AS cases,
+       rsum, rrate, chg, direction, pct, cum, cum_rate
+FROM fam, mx
+"""
+
+QUERIES["pipe2b_process_panel"] = pipe2b_process_panel
+ORACLE["pipe2b_process_panel"] = PIPE2B_SQL

@@ -30,7 +30,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from ..config import DEFAULT_METRICS, MetricConfig, TAIL_TRIM_DAYS
+from ..config import (
+    DEFAULT_METRICS,
+    RATE_PRECISION,
+    MetricConfig,
+    TAIL_TRIM_DAYS,
+)
 from ..operators import (
     calculate_by_adjacent_column,
     calculate_pair_summations,
@@ -69,8 +74,14 @@ def process_panel(
     population: DataFrame,
     config: MetricConfig = DEFAULT_METRICS,
     release_timestamp: str | None = None,
+    pct_precision: int | None = 1,
+    rate_precision: int | None = RATE_PRECISION,
 ) -> DataFrame:
-    """The processor chain on an existing wide panel (reference order)."""
+    """The processor chain on an existing wide panel (reference order).
+
+    The precision knobs default to the reference's rounding; the oracle
+    gate passes None (engines round doubles differently at the last
+    ulp)."""
     metrics = [c for c in panel.columns if c not in PANEL_META]
 
     out = homogenise_dates(panel)
@@ -87,12 +98,15 @@ def process_panel(
         population,
         rolling_rate=config.rolling_rate,
         incidence_rate=config.incidence_rate,
+        precision=rate_precision,
     )
     # change_by_sum reuses a RollingSum column calculate_rates already
     # made (reference rolling.py:131-163): the rate path's sums carry
     # 0-coerced leading windows, so recomputing them would NOT be
     # identical at the leading edge.
-    out = change_by_sum(out, config.sum_change_direction)
+    out = change_by_sum(
+        out, config.sum_change_direction, pct_precision=pct_precision
+    )
     out = ratio_to_percentage(out, config.ratio_to_percentage)
     out = trim_end(out, config.trim_end, TAIL_TRIM_DAYS)
     if release_timestamp is not None:
