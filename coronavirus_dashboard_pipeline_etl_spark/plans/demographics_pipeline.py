@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from collections.abc import Mapping
 
-from ..config import TAIL_TRIM_DAYS
+from ..config import RATE_PRECISION, TAIL_TRIM_DAYS
 from ..operators import (
     calculate_sex_people_tested,
     enrich_nested_rates,
@@ -43,6 +43,7 @@ def run_demographics(
     cumulative: Sequence[str] = (),
     frequency: str = "D",
     tail_mask: Sequence[str] = (),
+    rate_precision: int | None = RATE_PRECISION,
 ) -> DataFrame:
     """data: (areaType, areaCode, areaName, date, <nesting_param>,
     metrics...); population (optional): (areaCode, <nesting_param>,
@@ -70,6 +71,7 @@ def run_demographics(
             rolling_rate=rolling_rate,
             group_keys=("areaType", "areaCode", nesting_param),
             join_keys=("areaCode", nesting_param),
+            precision=rate_precision,
         )
     if tail_mask:
         df = trim_end(df, tail_mask, TAIL_TRIM_DAYS)

@@ -3101,3 +3101,97 @@ FROM fam, mx
 
 QUERIES["pipe2b_process_panel"] = pipe2b_process_panel
 ORACLE["pipe2b_process_panel"] = PIPE2B_SQL
+
+
+def pipe5_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PUBLIC EP2 API oracle-checked end to end: run_demographics()
+    itself — per-(area, date, age-band) scaffold densify, blanket
+    zero-fill, per-band rolling rate against the (area, age) population
+    dim, and the sorted array<struct> nesting — exploded back to flat
+    rows for the oracle."""
+    from .demographics_pipeline import run_demographics
+
+    ev = load_table(spark, sf_dir, "events")
+    data = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        (F.col("user_id") % 3).cast("string").alias("age"),
+    ).agg(F.count("*").cast("double").alias("value"))
+    data = data.select(
+        F.lit("et").alias("areaType"),
+        "areaCode",
+        F.upper("areaCode").alias("areaName"),
+        "date",
+        "age",
+        # planted gaps: the scaffold + zero-fill must repair these
+        F.when(F.substring("date", 9, 2).cast("int") % 6 != 0, F.col("value")).alias(
+            "value"
+        ),
+    )
+    pop = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        (F.col("user_id") % 3).cast("string").alias("age"),
+    ).agg(F.countDistinct("user_id").alias("population"))
+    out = run_demographics(
+        data,
+        nesting_param="age",
+        value_metrics=["value"],
+        out_col="ageDemographics",
+        population=pop,
+        rolling_rate=["value"],
+        zero_filled=["value"],
+        rate_precision=None,
+    )
+    e = F.explode("ageDemographics").alias("e")
+    return out.select("areaCode", "date", e).select(
+        "areaCode",
+        "date",
+        F.col("e.age").alias("age"),
+        F.col("e.value").cast("double").alias("value"),
+        F.col("e.valueRollingSum").cast("double").alias("rsum"),
+        F.col("e.valueRollingRate").alias("rrate"),
+    )
+
+
+PIPE5_SQL = """
+WITH data AS (
+    SELECT event_type AS areaCode, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(user_id % 3 AS VARCHAR) AS age,
+           CASE WHEN CAST(substr(strftime(ts, '%Y-%m-%d'), 9, 2) AS INT) % 6 <> 0
+                THEN CAST(COUNT(*) AS DOUBLE) END AS value
+    FROM events GROUP BY 1, 2, 3
+),
+pop AS (
+    SELECT event_type AS areaCode, CAST(user_id % 3 AS VARCHAR) AS age,
+           COUNT(DISTINCT user_id) AS population
+    FROM events GROUP BY 1, 2
+),
+bounds AS (SELECT MIN(date)::DATE lo, MAX(date)::DATE hi FROM data),
+dates AS (
+    SELECT strftime(dd, '%Y-%m-%d') AS date
+    FROM (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE dd
+          FROM bounds)
+),
+areas AS (SELECT DISTINCT areaCode FROM data),
+ages AS (SELECT DISTINCT age FROM data),
+dense AS (
+    SELECT a.areaCode, g.age, d.date, COALESCE(s.value, 0.0) AS value
+    FROM areas a CROSS JOIN ages g CROSS JOIN dates d
+    LEFT JOIN data s
+      ON s.areaCode = a.areaCode AND s.age = g.age AND s.date = d.date
+),
+r AS (
+    SELECT areaCode, age, date, value,
+           COALESCE(CASE WHEN COUNT(value) OVER w7 = 7
+                         THEN SUM(value) OVER w7 END, 0.0) AS rsum
+    FROM dense
+    WINDOW w7 AS (PARTITION BY areaCode, age ORDER BY date
+                  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT r.areaCode, date, r.age, value, rsum,
+       rsum / population * 100000 AS rrate
+FROM r JOIN pop ON r.areaCode = pop.areaCode AND r.age = pop.age
+"""
+
+QUERIES["pipe5_demographics"] = pipe5_demographics
+ORACLE["pipe5_demographics"] = PIPE5_SQL
