@@ -286,7 +286,10 @@ def dedup_components(
     round (an unbounded iterative plan would otherwise grow per round and
     re-execute from the scan on every action). The fixpoint is unique
     regardless of iteration order, so the result is engine-independent
-    (the oracle computes the same closure with a recursive CTE).
+    (the oracle computes the same closure with a recursive CTE — note
+    the CTE is gate-scale only: at ~2M edges its working set explodes
+    while this operator resolves the same graph in seconds; measured at
+    sf0.1, 1.94M pairs -> 16s here vs >25min for the SQL closure).
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
