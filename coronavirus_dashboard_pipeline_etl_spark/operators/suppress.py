@@ -27,14 +27,19 @@ def suppress_by_rolling_sum(
     stat_cols: Iterable[str],
     threshold: float = MSOA_SUPPRESS_AT_OR_BELOW,
 ) -> DataFrame:
-    """Null all stats where the rolling sum is <= threshold or missing."""
+    """Null all stats where the rolling sum is <= threshold or missing.
+
+    One projection for every stat column (the condition reads the
+    rolling-sum column's ORIGINAL value even when it is itself in
+    ``stat_cols`` — a chained build would null it first and change what
+    later columns observe only accidentally)."""
     stat_cols = [c for c in stat_cols if c in df.columns]
     suppressed = (
         F.col(rolling_sum_col).isNull() | (F.col(rolling_sum_col) <= threshold)
     )
-    for c in stat_cols:
-        df = df.withColumn(c, F.when(~suppressed, F.col(c)))
-    return df
+    return df.withColumns(
+        {c: F.when(~suppressed, F.col(c)) for c in stat_cols}
+    )
 
 
 def weekly_thin(
