@@ -295,9 +295,17 @@ def dedup_components(
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
     edges = fwd.unionByName(rev).localCheckpoint(eager=True)
 
-    labels = ids.select(
-        F.col(id_col).alias("node"), F.col(id_col).alias("label")
-    ).localCheckpoint(eager=True)
+    # Iterate ONLY over nodes that appear in an edge: a doc with no
+    # candidate pair is its own canonical id by definition and must not
+    # pay per-round join cost. At corpus scale the edge-node set is a
+    # small fraction of |ids| (near-dup candidates are rare), so this
+    # shrinks every round's working set from |corpus| to |candidates|.
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
 
     changed = -1
     for _ in range(max_iter):
@@ -306,6 +314,8 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # convergence flag computed inside the same projection — no
+        # third join per round just to count moved labels
         new = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
@@ -313,16 +323,14 @@ def dedup_components(
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                ).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), on="node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new
+        changed = new.filter("moved").count()
+        labels = new.drop("moved")
         if changed == 0:
             break
     if changed != 0:
@@ -334,6 +342,12 @@ def dedup_components(
             "long-chain components"
         )
 
-    return labels.select(
+    resolved = labels.select(
         F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    )
+    # isolated docs (no candidate pair) re-join as their own canonical
+    # id — one join at the end instead of |corpus| rows in every round
+    return ids.select(id_col).join(resolved, on=id_col, how="left").select(
+        id_col,
+        F.coalesce("canonical_id", id_col).alias("canonical_id"),
     )
