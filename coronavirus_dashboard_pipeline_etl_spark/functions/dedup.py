@@ -65,18 +65,40 @@ def exact_dedup(
     )
 
 
-def _token_hashes(text_col: str) -> Column:
-    """Distinct word-shingle base hashes, reduced mod P."""
+def _token_hashes(text_col: str, base_hash: str = "md5") -> Column:
+    """Distinct word-shingle base hashes, reduced mod P.
+
+    ``base_hash="md5"`` is the cross-engine default (a SQL oracle can
+    reproduce it exactly); ``"xxhash64"`` is the production fast path —
+    Spark's native non-cryptographic hash, one codegen'd long op per
+    token versus md5's hex round-trip (digest → hex string → conv).
+    Signatures differ between the two families, but any MinHash theory
+    guarantee (collision prob = Jaccard) holds identically for either.
+    """
     toks = F.array_distinct(tokens(text_col))
+    if base_hash == "xxhash64":
+        # xxhash64 is signed 64-bit: pmod keeps the residue non-negative
+        return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P)))
+    if base_hash != "md5":
+        raise ValueError(f"base_hash must be 'md5' or 'xxhash64', got {base_hash!r}")
     return F.transform(toks, lambda t: md5_prefix_long(t) % MERSENNE_P)
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 16
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    base_hash: str = "md5",
 ) -> DataFrame:
     """k-wide MinHash signature columns mh0..mh{k-1} over distinct word
-    shingles. Pure expression work — scales embarrassingly."""
-    hashes = _token_hashes(text_col)
+    shingles. Pure expression work — scales embarrassingly.
+
+    ``base_hash="xxhash64"`` swaps the md5 base hash for Spark's native
+    xxhash64 (~the dominant cost of signature computation at corpus
+    scale); keep the md5 default where a SQL oracle must replay the
+    exact signatures."""
+    hashes = _token_hashes(text_col, base_hash)
     df = df.withColumn("__th", hashes)
     cols = {}
     for i, (a, b) in enumerate(hash_params(k)):

@@ -69,3 +69,39 @@ def test_cosine_topk_query_side_guard(spark):
     # under the cap it still works
     out = cosine_topk(vecs, vecs.limit(3), k=2, max_queries=5)
     assert out.count() == 6
+
+
+def test_xxhash64_fast_path_same_dedup_behaviour(spark):
+    """The production base_hash swaps the hash family, not the
+    semantics: exact duplicates must collide in every band under both
+    families, and both signatures stay inside [0, P)."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        MERSENNE_P,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=3, text="an entirely different document about spark sql"),
+        Row(doc_id=4, text=""),  # empty: null signature, must be dropped
+    ]
+    df = spark.createDataFrame(rows)
+    for bh in ("md5", "xxhash64"):
+        sigs = minhash_signatures(df, base_hash=bh)
+        pairs = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs, max_bucket=10).collect()
+        }
+        assert (1, 2) in pairs, bh  # exact dups always collide
+        assert all(3 not in p for p in pairs), bh
+        bounds = sigs.filter(F.col("mh0").isNotNull()).select(
+            F.min("mh0").alias("lo"), F.max("mh0").alias("hi")
+        ).collect()[0]
+        assert 0 <= bounds.lo <= bounds.hi < MERSENNE_P, bh
+
+    with pytest.raises(ValueError, match="base_hash"):
+        minhash_signatures(df, base_hash="sha1").collect()
