@@ -25,7 +25,9 @@ from .text import (
     chunk_documents,
     fingerprint,
     langid_scores,
+    pii_counts,
     quality_stats,
+    scrub_pii,
     token_stats,
     tokens,
 )
@@ -51,7 +53,9 @@ __all__ = [
     "md5_prefix_long",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "pii_counts",
     "quality_stats",
+    "scrub_pii",
     "simhash",
     "token_stats",
     "tokens",

@@ -139,3 +139,46 @@ def chunk_documents(
             F.array_join("__chunk", " ").alias("chunk_text"),
         )
     )
+
+
+# PII patterns restricted to the RE2 ∩ Java-regex common subset (no
+# lookaround, ASCII classes only) so a SQL oracle replays the scrub
+# byte-for-byte. Replacement order is fixed: email first (its local
+# part may contain digit runs the other patterns would split).
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ipv4": (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    "phone": (r"\+[0-9]{7,15}", "<PHONE>"),
+}
+
+
+def scrub_pii(
+    col: Column | str, kinds: Sequence[str] = ("email", "ipv4", "phone")
+) -> Column:
+    """Redact PII spans with typed placeholder tokens — the standard
+    pre-training scrub pass. Chained ``regexp_replace`` expressions:
+    whole-stage-codegen'd, no UDF, no shuffle; composes with any
+    downstream filter/dedup at corpus scale."""
+    c = F.col(col) if isinstance(col, str) else col
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}; have {sorted(PII_PATTERNS)}")
+        pat, repl = PII_PATTERNS[kind]
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(
+    col: Column | str, kinds: Sequence[str] = ("email", "ipv4", "phone")
+) -> dict[str, Column]:
+    """Per-kind PII match counts (audit columns for scrub QA) — count on
+    the RAW text, so chain-order replacement effects don't skew audits."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = {}
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}; have {sorted(PII_PATTERNS)}")
+        out[f"n_{kind}"] = F.regexp_count(c, F.lit(PII_PATTERNS[kind][0])).alias(
+            f"n_{kind}"
+        )
+    return out

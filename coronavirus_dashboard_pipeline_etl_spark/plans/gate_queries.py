@@ -3195,3 +3195,58 @@ FROM r JOIN pop ON r.areaCode = pop.areaCode AND r.age = pop.age
 
 QUERIES["pipe5_demographics"] = pipe5_demographics
 ORACLE["pipe5_demographics"] = PIPE5_SQL
+
+
+from ..functions import pii_counts, scrub_pii  # noqa: E402
+
+
+def t6_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the documents table (emails, IPv4, phone
+    numbers -> typed placeholders) with per-kind audit counts — the
+    pre-training scrub pass. Deterministic PII is injected per doc so
+    the gate exercises every pattern on every row; patterns live in the
+    RE2 ∩ Java common subset so the DuckDB oracle replays the scrub
+    byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel +4470090"),
+            (F.col("doc_id") % 1000).cast("string"),
+        ).alias("text"),
+    )
+    counts = pii_counts("text")
+    return injected.select(
+        "doc_id",
+        scrub_pii("text").alias("scrubbed"),
+        *[c.cast("long").alias(k) for k, c in counts.items()],
+    )
+
+
+T6_SQL = r"""
+WITH inj AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com or 10.0.'
+                || CAST(doc_id % 256 AS VARCHAR)
+                || '.7 tel +4470090' || CAST(doc_id % 1000 AS VARCHAR) AS text
+    FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+           '\+[0-9]{7,15}', '<PHONE>', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(text, '\+[0-9]{7,15}')) AS BIGINT) AS n_phone
+FROM inj
+"""
+
+QUERIES["t6_pii_scrub"] = t6_pii_scrub
+ORACLE["t6_pii_scrub"] = T6_SQL

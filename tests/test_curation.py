@@ -96,3 +96,32 @@ def test_normalize_and_quantize_embeddings(spark):
     assert rows[2]["embedding"] == [0.0, 0.0]
     assert rows[2]["embedding_q"] == [0, 0]
     assert rows[2]["embedding_q_scale"] == 0.0
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        pii_counts,
+        scrub_pii,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b+c@x.co.uk ip 192.168.0.1 tel +447009001234"),
+            Row(doc_id=2, text="clean text with version 1.2 and year 2024"),
+        ]
+    )
+    out = df.select(
+        "doc_id", scrub_pii("text").alias("s"), *pii_counts("text").values()
+    ).collect()
+    r1 = next(r for r in out if r.doc_id == 1)
+    assert r1.s == "mail <EMAIL> ip <IP> tel <PHONE>"
+    assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (1, 1, 1)
+    r2 = next(r for r in out if r.doc_id == 2)
+    # short dotted version numbers must NOT be flagged as IPs
+    assert r2.s == r2.asDict()["s"] and "<" not in r2.s
+    assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
+
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        df.select(scrub_pii("text", kinds=("ssn",)))
