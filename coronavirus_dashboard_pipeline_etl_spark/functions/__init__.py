@@ -19,6 +19,7 @@ from .dedup import (
     minhash_signatures,
     ngram_jaccard_pairs,
     simhash,
+    simhash_candidate_pairs,
 )
 from .similarity import cosine_similarity_col, cosine_topk, cosine_topk_ivf
 from .text import (
@@ -57,6 +58,7 @@ __all__ = [
     "quality_stats",
     "scrub_pii",
     "simhash",
+    "simhash_candidate_pairs",
     "token_stats",
     "tokens",
 ]

@@ -146,6 +146,14 @@ def lsh_candidate_pairs(
         .select(F.col(id_col), F.explode(F.array(*band_cols)).alias("b"))
         .select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
     )
+    return _bucket_pairs(exploded, id_col, max_bucket)
+
+
+def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Distinct (id_a, id_b) pairs of rows sharing a (band, sig) bucket —
+    the shared candidate-expansion core for every banded-LSH family
+    (MinHash bands, SimHash bit chunks). See ``lsh_candidate_pairs`` for
+    the small/giant bucket routing rationale."""
     counted = exploded.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
     )
@@ -196,6 +204,67 @@ def simhash(
         )
         acc = acc + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
     return df.withColumn(out, acc).drop("__th")
+
+
+def simhash_candidate_pairs(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-dup candidates over a ``simhash`` frame: band the signature
+    into ``bands`` contiguous bit chunks, bucket-join docs sharing any
+    chunk, then keep pairs with Hamming distance <= ``max_hamming``.
+
+    Pigeonhole guarantee: a pair differing in fewer than ``bands`` bits
+    must agree on at least one whole chunk, so with the default
+    max_hamming = bands - 1 recall is EXACT (no candidate is missed) —
+    unlike MinHash LSH this banding has no probabilistic miss. Shuffle
+    profile matches ``lsh_candidate_pairs``: one explode, one bucket
+    window/groupBy, size-gated giant buckets; the final Hamming filter
+    is two broadcast-sized semi-joins back to the signature frame, then
+    a codegen'd xor/bit_count per candidate.
+    """
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}) for the "
+            "pigeonhole recall guarantee; raise bands instead"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    chunks = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(sim_col), b * width)
+            .bitwiseAND(F.lit(mask))
+            .cast("string")
+            .alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    exploded = sigs.select(
+        F.col(id_col), F.explode(F.array(*chunks)).alias("b")
+    ).select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    pairs = _bucket_pairs(exploded, id_col, max_bucket)
+
+    hashes = sigs.select(F.col(id_col), F.col(sim_col))
+    ha = hashes.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("__ha")
+    )
+    hb = hashes.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("__hb")
+    )
+    hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+    return (
+        pairs.join(ha, on="id_a")
+        .join(hb, on="id_b")
+        .withColumn("hamming", hamming.cast("long"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(

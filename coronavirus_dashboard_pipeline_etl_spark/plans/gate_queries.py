@@ -3250,3 +3250,38 @@ FROM inj
 
 QUERIES["t6_pii_scrub"] = t6_pii_scrub
 ORACLE["t6_pii_scrub"] = T6_SQL
+
+
+from ..functions.dedup import simhash_candidate_pairs  # noqa: E402
+
+
+def d4b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash banded near-dup pairs (Hamming <= 3 over 32-bit
+    signatures, 4 x 8-bit band chunks) — the scale path for SimHash:
+    pigeonhole makes recall exact at max_hamming = bands - 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = simhash(docs)
+    return simhash_candidate_pairs(sigs)
+
+
+D4B_SQL = f"""
+WITH s AS ({D4_SQL.strip()}),
+b AS (
+    SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM s
+),
+bb AS (
+    SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS sig FROM b
+),
+p AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b,
+           l.simhash AS ha, r.simhash AS hb
+    FROM bb l JOIN bb r
+      ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+FROM p
+WHERE bit_count(xor(ha, hb)) <= 3
+"""
+
+QUERIES["d4b_simhash_pairs"] = d4b_simhash_pairs
+ORACLE["d4b_simhash_pairs"] = D4B_SQL

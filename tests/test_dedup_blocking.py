@@ -105,3 +105,35 @@ def test_xxhash64_fast_path_same_dedup_behaviour(spark):
 
     with pytest.raises(ValueError, match="base_hash"):
         minhash_signatures(df, base_hash="sha1").collect()
+
+
+def test_simhash_pairs_pigeonhole_and_guard(spark):
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta theta"),
+        Row(doc_id=2, text="alpha beta gamma delta epsilon zeta eta iota"),
+        Row(doc_id=3, text="completely unrelated words about database engines"),
+    ]
+    sigs = simhash(spark.createDataFrame(rows))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_candidate_pairs(sigs, max_bucket=10).collect()
+    }
+    # the near-dup pair must be found with a small distance; exhaustive
+    # check: EVERY pair within max_hamming appears (pigeonhole recall)
+    sh = {r.doc_id: r.simhash for r in sigs.collect()}
+    for a in sh:
+        for b in sh:
+            if a < b and bin(sh[a] ^ sh[b]).count("1") <= 3:
+                assert (a, b) in got
+    for (a, b), d in got.items():
+        assert d == bin(sh[a] ^ sh[b]).count("1")
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_candidate_pairs(sigs, bands=4, max_hamming=4)
