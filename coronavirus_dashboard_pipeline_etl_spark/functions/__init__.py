@@ -5,6 +5,7 @@ from .curation import (
     contamination_check,
     normalize_embeddings,
     quantize_embeddings,
+    remove_boilerplate_lines,
     repetition_stats,
     sample_bucket,
     stratified_sample,
@@ -38,6 +39,7 @@ __all__ = [
     "contamination_check",
     "normalize_embeddings",
     "quantize_embeddings",
+    "remove_boilerplate_lines",
     "repetition_stats",
     "sample_bucket",
     "stratified_sample",

@@ -191,3 +191,48 @@ def quantize_embeddings(
     q = F.transform(v, lambda x: F.floor(x * scale + 0.5).cast("int"))
     name = out or f"{vec_col}_q"
     return df.withColumns({name: q, f"{name}_scale": scale})
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 10,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line whose normalised
+    fingerprint appears in >= ``min_docs`` distinct documents (cookie
+    banners, nav menus, newsletter prompts), then reassemble documents
+    in original line order. Docs left with zero lines disappear.
+
+    Shuffle profile: one explode (line rows), one groupBy on the line
+    fingerprint for document frequency, a BROADCAST anti-join against
+    the boilerplate set (by construction tiny: only fingerprints passing
+    the min_docs bar), and one groupBy to reassemble — the two big
+    shuffles are both on well-distributed hash keys, and the quadratic
+    trap (joining lines to lines) never occurs. Returns
+    (id, text, n_lines kept).
+    """
+    from pyspark.sql import functions as F
+
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+    ).withColumn("fp", F.md5(F.trim(F.lower(F.col("line")))))
+
+    boiler = (
+        lines.groupBy("fp")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("fp")
+    )
+
+    kept = lines.join(F.broadcast(boiler), on="fp", how="left_anti")
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("pos", "line"))),
+        lambda s: s.line,
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(ordered, line_sep).alias(text_col),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

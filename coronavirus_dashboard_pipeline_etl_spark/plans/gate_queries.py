@@ -3285,3 +3285,51 @@ WHERE bit_count(xor(ha, hb)) <= 3
 
 QUERIES["d4b_simhash_pairs"] = d4b_simhash_pairs
 ORACLE["d4b_simhash_pairs"] = D4B_SQL
+
+
+from ..functions import remove_boilerplate_lines  # noqa: E402
+
+
+def x6_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate line removal over the documents table. The
+    corpus has no line structure, so the gate injects it: every doc gets
+    a shared newsletter line (boilerplate by construction, df = |corpus|)
+    and a unique per-doc line; the operator must strip exactly the shared
+    line and preserve original line order."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe To Our Newsletter \ndoc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return remove_boilerplate_lines(injected, min_docs=10)
+
+
+X6_SQL = r"""
+WITH inj AS (
+    SELECT doc_id,
+           text || chr(10) || 'Subscribe To Our Newsletter ' || chr(10)
+                || 'doc ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+ls AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM inj),
+lines AS (
+    SELECT doc_id, l[i] AS line, i AS pos,
+           md5(trim(lower(l[i]))) AS fp
+    FROM ls, (SELECT unnest(range(1, len(l) + 1)) AS i)
+),
+boiler AS (
+    SELECT fp FROM lines GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 10
+),
+kept AS (SELECT * FROM lines WHERE fp NOT IN (SELECT fp FROM boiler))
+SELECT doc_id,
+       array_to_string(list(line ORDER BY pos), chr(10)) AS text,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM kept GROUP BY doc_id
+"""
+
+QUERIES["x6_boilerplate_removal"] = x6_boilerplate_removal
+ORACLE["x6_boilerplate_removal"] = X6_SQL

@@ -125,3 +125,28 @@ def test_scrub_pii_redacts_and_counts(spark):
 
     with pytest.raises(ValueError, match="unknown PII kind"):
         df.select(scrub_pii("text", kinds=("ssn",)))
+
+
+def test_remove_boilerplate_lines(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        remove_boilerplate_lines,
+    )
+
+    banner = "subscribe now"
+    rows = [
+        Row(doc_id=i, text=f"unique {i} first\n{banner}\nunique {i} second")
+        for i in range(1, 11)
+    ]
+    rows.append(Row(doc_id=99, text=banner))  # all-boilerplate doc
+    out = {
+        r.doc_id: r
+        for r in remove_boilerplate_lines(
+            spark.createDataFrame(rows), min_docs=10
+        ).collect()
+    }
+    assert 99 not in out  # nothing left -> doc disappears
+    assert out[3].text == "unique 3 first\nunique 3 second"  # order kept
+    assert out[3].n_lines == 2
+    # a line must appear in min_docs DISTINCT docs to be boilerplate:
+    # doc 1's unique lines survive even though every doc has 3 lines
+    assert all(banner not in r.text for r in out.values())
