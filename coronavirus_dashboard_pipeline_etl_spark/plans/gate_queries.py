@@ -3333,3 +3333,50 @@ FROM kept GROUP BY doc_id
 
 QUERIES["x6_boilerplate_removal"] = x6_boilerplate_removal
 ORACLE["x6_boilerplate_removal"] = X6_SQL
+
+
+from .serving import map_layer_features  # noqa: E402
+
+
+def g1_map_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geojson map-layer features: per (date, area) properties/geometry
+    JSON objects for the despatch map worker, over the mini star plus a
+    synthetic point-geometry dim."""
+    ts, areas, metrics = _mini_star(spark, sf_dir)
+    geo = spark.range(5).select(
+        F.col("id").alias("area_id"),
+        F.lit("Point").alias("geometry_type"),
+        F.array(
+            (F.col("id") * 10).cast("long"), (F.col("id") * 20).cast("long")
+        ).alias("coordinates"),
+    )
+    return map_layer_features(
+        ts, areas, metrics, geo, metric="click", area_type="nation"
+    )
+
+
+G1_SQL = f"""
+WITH {_MINI_STAR_SQL},
+geo AS (
+    SELECT CAST(area_id AS BIGINT) AS area_id, 'Point' AS geometry_type,
+           [CAST(area_id * 10 AS BIGINT), CAST(area_id * 20 AS BIGINT)] AS coordinates
+    FROM range(5) AS t(area_id)
+),
+scoped AS (
+    SELECT l.*, MAX(CAST(date AS DATE)) OVER () AS mx
+    FROM long l WHERE metric = 'click' AND v IS NOT NULL
+)
+SELECT date,
+       CAST(to_json(struct_pack(
+           date := date,
+           code := 'A' || CAST(s.area_id AS VARCHAR),
+           value := v)) AS VARCHAR) AS properties,
+       CAST(to_json(struct_pack(
+           type := geometry_type,
+           coordinates := coordinates)) AS VARCHAR) AS geometry
+FROM scoped s LEFT JOIN geo g ON g.area_id = s.area_id
+WHERE date_diff('day', CAST(date AS DATE), mx) < 183
+"""
+
+QUERIES["g1_map_features"] = g1_map_features
+ORACLE["g1_map_features"] = G1_SQL

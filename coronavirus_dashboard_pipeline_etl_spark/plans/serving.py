@@ -276,3 +276,61 @@ def colour_scale_binning(
         return list(bins[:1])
     below = [b for b in bins if b < mx]
     return list(bins[: len(below) + 1])
+
+
+def map_layer_features(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    geo: DataFrame,
+    metric: str,
+    area_type: str,
+    days_back: int = 183,
+    value_cast: str = "bigint",
+) -> DataFrame:
+    """Geojson map-layer feature assembly — the despatch map worker's
+    per-(metric, area_type) query (``despatch_ops_workers/map_geojson/
+    queries.py:14-37``): one feature per (date, area) with
+
+    * ``properties`` = jsonb_build_object('date', 'code', 'value')
+    * ``geometry``   = jsonb_build_object('type', 'coordinates') from the
+      geo dimension (area_id -> geometry_type, coordinates)
+
+    restricted to non-null values within ``days_back`` days of the
+    frame's latest date. The reference anchors its 6-month window at
+    NOW(); here the anchor is the global max date (deterministic replay,
+    no wall-clock in the plan) via ``with_scalar`` — a 1-row broadcast
+    cross-join, never a single-partition window. Dimension and geo joins
+    broadcast; the fact table is never shuffled at all.
+    """
+    from ..operators.util import with_scalar
+
+    df = (
+        _joined(time_series, areas, metrics)
+        .filter((F.col("metric") == metric) & (F.col("area_type") == area_type))
+        .filter(_value().isNotNull())
+    )
+    df = with_scalar(df, "__mx", F.max(F.to_date("date")))
+    df = df.filter(
+        F.datediff(F.col("__mx"), F.to_date("date")) < days_back
+    )
+    props = F.to_json(
+        F.struct(
+            F.col("date"),
+            F.col("area_code").alias("code"),
+            _value().cast(value_cast).alias("value"),
+        )
+    )
+    geom = F.to_json(
+        F.struct(
+            F.col("geometry_type").alias("type"), F.col("coordinates")
+        )
+    )
+    return (
+        df.join(broadcast(geo), on="area_id", how="left")
+        .select(
+            "date",
+            props.alias("properties"),
+            geom.alias("geometry"),
+        )
+    )

@@ -157,3 +157,27 @@ def test_colour_scale_binning_reference_golden(spark):
         pdf[["areaType", "areaCode", "newCasesBySpecimenDateRollingRate"]]
     )
     assert colour_scale_binning(sdf) == [0, 10, 50, 100]
+
+
+def test_map_layer_features_no_fact_shuffle(spark, star):
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.serving import (
+        map_layer_features,
+    )
+
+    ts, areas, metrics = star["ts"], star["areas"], star["metrics"]
+    geo = spark.range(1, 3).select(
+        F.col("id").alias("area_id"),
+        F.lit("Point").alias("geometry_type"),
+        F.array(F.lit(1).cast("long"), F.lit(2).cast("long")).alias("coordinates"),
+    )
+    out = map_layer_features(
+        ts, areas, metrics, geo,
+        metric="newCasesBySpecimenDate", area_type="nation",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every join is broadcast; the fact table is never exchanged by hash
+    assert "Exchange hashpartitioning" not in plan
+    rows = out.collect()
+    assert rows and all(r.geometry.startswith('{"type":"Point"') for r in rows)
