@@ -96,6 +96,23 @@ def serve_bucketed_latest(spark) -> None:
     latest.write.format("noop").mode("overwrite").save()
 
 
+def lsh_xxhash_pairs(spark, sf_dir: str) -> None:
+    """MinHash+LSH candidate pairs on the xxhash64 fast path — the
+    base-hash swap that cuts signature cost (the pipeline's dominant
+    term) vs the oracle-parity md5 family."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=16, base_hash="xxhash64")
+    lsh_candidate_pairs(sigs, k=16, bands=2).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -119,6 +136,13 @@ def main() -> None:
     t0 = time.perf_counter()
     serve_bucketed_latest(spark)
     timings["serve_bucketed_latest"] = round(time.perf_counter() - t0, 3)
+
+    # the LSH production path: same pipeline as d3b_lsh_pairs but with
+    # the xxhash64 base hash (no SQL oracle exists for it, so it is
+    # bench-only; the md5 gate above proves the pipeline's semantics)
+    t0 = time.perf_counter()
+    lsh_xxhash_pairs(spark, sf_dir)
+    timings["d3b_lsh_pairs_xxhash"] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
     print(
