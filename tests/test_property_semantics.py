@@ -224,3 +224,40 @@ def test_msoa_suppression_property(spark, series_per_area):
                 assert gv == ev, (g_col, i, gv, ev, pdf)
             else:
                 assert gv == pytest.approx(ev, abs=1e-9), (g_col, i, gv, ev, pdf)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcdefghijklmnopqrstuvwxyz0123456789@.+-_ ")
+            ),
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_scrub_pii_idempotent_property(spark, texts):
+    """scrub(scrub(x)) == scrub(x): placeholders never re-match any
+    pattern, so a double scrub is a no-op — the property that makes the
+    pass safe to re-run over partially-scrubbed corpora."""
+    from pyspark.sql import Row, functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import scrub_pii
+
+    df = spark.createDataFrame(
+        [Row(i=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = df.select(
+        "i",
+        scrub_pii("text").alias("once"),
+        scrub_pii(scrub_pii("text")).alias("twice"),
+    )
+    assert out.filter(F.col("once") != F.col("twice")).count() == 0
