@@ -182,3 +182,31 @@ def pii_counts(
             f"n_{kind}"
         )
     return out
+
+
+# GPT-2-style pretokenizer approximation in the RE2 ∩ Java-regex common
+# subset (no lookaround): letter runs, digit runs, punctuation runs.
+# Real BPE then merges within these pretokens, so this count upper-bounds
+# and tightly tracks true BPE token counts for budget/packing purposes.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """Array of BPE-ish pretokens (letter/digit/punctuation runs)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token-budget stats per doc: BPE-ish pretoken count next to the
+    whitespace word count, and their ratio (a subword-fragmentation
+    signal — prose sits near 1, code/URLs/numerics run higher). Pure
+    regexp expressions, codegen'd, no shuffle."""
+    n_bpe = F.size(bpe_ish_tokens(text_col))
+    n_ws = F.size(tokens(text_col))
+    return df.select(
+        "*",
+        n_bpe.cast("long").alias("n_bpe_tokens"),
+        n_ws.cast("long").alias("n_ws_tokens"),
+        (n_bpe.cast("double") / n_ws.cast("double")).alias("fragmentation"),
+    )

@@ -3380,3 +3380,43 @@ WHERE date_diff('day', CAST(date AS DATE), mx) < 183
 
 QUERIES["g1_map_features"] = g1_map_features
 ORACLE["g1_map_features"] = G1_SQL
+
+
+from ..functions import bpe_token_stats  # noqa: E402
+
+
+def t7_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pretoken counting (letter/digit/punctuation runs) next to
+    whitespace word counts — the token-budget pass. PII-style markers are
+    injected so digit and punctuation runs are exercised on every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" v1.2-beta #"),
+            F.col("doc_id").cast("string"),
+            F.lit(" (2024)"),
+        ).alias("text"),
+    )
+    return bpe_token_stats(injected).select(
+        "doc_id", "n_bpe_tokens", "n_ws_tokens", "fragmentation"
+    )
+
+
+T7_SQL = r"""
+WITH inj AS (
+    SELECT doc_id,
+           text || ' v1.2-beta #' || CAST(doc_id AS VARCHAR) || ' (2024)' AS text
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS DOUBLE)
+           / CAST(len(string_split(text, ' ')) AS DOUBLE) AS fragmentation
+FROM inj
+"""
+
+QUERIES["t7_bpe_token_stats"] = t7_bpe_token_stats
+ORACLE["t7_bpe_token_stats"] = T7_SQL

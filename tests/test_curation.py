@@ -150,3 +150,18 @@ def test_remove_boilerplate_lines(spark):
     # a line must appear in min_docs DISTINCT docs to be boilerplate:
     # doc 1's unique lines survive even though every doc has 3 lines
     assert all(banner not in r.text for r in out.values())
+
+
+def test_bpe_ish_tokens_runs(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        bpe_token_stats,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="don't tokenize v1.2-beta (2024) naively")]
+    )
+    r = bpe_token_stats(df).collect()[0]
+    # don ' t | tokenize | v 1 . 2 - beta | ( 2024 ) | naively = 14 runs
+    assert r.n_bpe_tokens == 14
+    assert r.n_ws_tokens == 5
+    assert r.fragmentation == 14 / 5
