@@ -236,3 +236,50 @@ def remove_boilerplate_lines(
         F.array_join(ordered, line_sep).alias(text_col),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+def assign_packs(
+    df: DataFrame,
+    tokens_col: str = "chunk_tokens",
+    context_len: int = 2048,
+    partition_cols: tuple[str, ...] = (),
+    order_cols: tuple[str, ...] = ("doc_id", "chunk_index"),
+) -> DataFrame:
+    """Concat-and-split sequence packing: lay chunks end-to-end in
+    deterministic ``order_cols`` order and cut every ``context_len``
+    tokens — ``pack_id = floor(exclusive-prefix-sum / context_len)``,
+    plus the chunk's offset inside its pack. The standard GPT-style
+    pretraining pack; chunks longer than ``context_len`` are rejected
+    loudly rather than silently truncated.
+
+    ``partition_cols`` shards the packing (e.g. by source or shard key)
+    so the prefix sum is a per-shard window, not a global sort: at
+    corpus scale a global total order is one giant range exchange,
+    while per-shard packing is embarrassingly parallel and equally
+    valid training-wise. Empty ``partition_cols`` gives the exact
+    single-stream layout for oracle parity at test scale.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = (
+        Window.partitionBy(*partition_cols) if partition_cols else Window.partitionBy()
+    ).orderBy(*order_cols).rowsBetween(Window.unboundedPreceding, -1)
+    prefix = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    oversized = F.col(tokens_col) > context_len
+    return df.select(
+        "*",
+        F.when(
+            oversized,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"assign_packs: chunk exceeds context_len={context_len}: "),
+                    F.col(tokens_col).cast("string"),
+                )
+            ),
+        )
+        .otherwise(F.floor(prefix / context_len))
+        .cast("long")
+        .alias("pack_id"),
+        (prefix % context_len).cast("long").alias("pack_offset"),
+    )

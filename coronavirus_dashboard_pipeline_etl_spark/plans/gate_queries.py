@@ -3420,3 +3420,36 @@ FROM inj
 
 QUERIES["t7_bpe_token_stats"] = t7_bpe_token_stats
 ORACLE["t7_bpe_token_stats"] = T7_SQL
+
+
+from ..functions import assign_packs  # noqa: E402
+
+
+def x7_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing over the chunked corpus:
+    pack_id/pack_offset from an exclusive prefix sum of chunk token
+    counts in (doc_id, chunk_index) order, cut every 256 tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=8)
+    return assign_packs(chunks, context_len=256).select(
+        "doc_id", "chunk_index", "chunk_tokens", "pack_id", "pack_offset"
+    )
+
+
+X7_SQL = f"""
+WITH chunks AS ({T5_SQL.strip()}),
+p AS (
+    SELECT doc_id, chunk_index, chunk_tokens,
+           COALESCE(SUM(chunk_tokens) OVER (
+               ORDER BY doc_id, chunk_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM chunks
+)
+SELECT doc_id, chunk_index, chunk_tokens,
+       CAST(prefix // 256 AS BIGINT) AS pack_id,
+       CAST(prefix % 256 AS BIGINT) AS pack_offset
+FROM p
+"""
+
+QUERIES["x7_sequence_packing"] = x7_sequence_packing
+ORACLE["x7_sequence_packing"] = X7_SQL

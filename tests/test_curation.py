@@ -165,3 +165,47 @@ def test_bpe_ish_tokens_runs(spark):
     assert r.n_bpe_tokens == 14
     assert r.n_ws_tokens == 5
     assert r.fragmentation == 14 / 5
+
+
+def test_assign_packs_layout_and_guard(spark):
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import assign_packs
+
+    rows = [
+        Row(doc_id=1, chunk_index=0, chunk_tokens=100),
+        Row(doc_id=1, chunk_index=1, chunk_tokens=100),
+        Row(doc_id=2, chunk_index=0, chunk_tokens=100),  # crosses the cut
+        Row(doc_id=3, chunk_index=0, chunk_tokens=50),
+    ]
+    out = {
+        (r.doc_id, r.chunk_index): (r.pack_id, r.pack_offset)
+        for r in assign_packs(
+            spark.createDataFrame(rows), context_len=256
+        ).collect()
+    }
+    assert out[(1, 0)] == (0, 0)
+    assert out[(1, 1)] == (0, 100)
+    # chunk 3 starts at 200, crosses 256: concat-and-split keeps it in
+    # the pack its START falls in (the cut slices the token stream, not
+    # chunk boundaries)
+    assert out[(2, 0)] == (0, 200)
+    assert out[(3, 0)] == (1, 300 % 256)
+
+    big = spark.createDataFrame([Row(doc_id=1, chunk_index=0, chunk_tokens=999)])
+    with pytest.raises(Exception, match="exceeds context_len"):
+        assign_packs(big, context_len=256).collect()
+
+    # per-shard packing: prefix sums restart per partition key
+    sharded = assign_packs(
+        spark.createDataFrame(rows).withColumn(
+            "src", F.col("doc_id") % 2
+        ),
+        context_len=256,
+        partition_cols=("src",),
+    )
+    got = {
+        (r.doc_id, r.chunk_index): (r.pack_id, r.pack_offset)
+        for r in sharded.collect()
+    }
+    assert got[(2, 0)] == (0, 0)  # doc 2 is alone in shard 0
