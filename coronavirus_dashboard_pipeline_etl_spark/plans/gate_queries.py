@@ -3453,3 +3453,28 @@ FROM p
 
 QUERIES["x7_sequence_packing"] = x7_sequence_packing
 ORACLE["x7_sequence_packing"] = X7_SQL
+
+
+from ..streaming import dedup_stream  # noqa: E402
+
+
+def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup shared by the streaming path (dropDuplicatesWithin-
+    Watermark when the frame streams): the corpus doubled via UNION ALL
+    must dedup back to exactly one row per event_id."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    doubled = ev.unionByName(ev)
+    return dedup_stream(doubled, keys=("event_id",))
+
+
+ST2_SQL = """
+SELECT DISTINCT event_id, event_type, value
+FROM (SELECT event_id, event_type, value FROM events
+      UNION ALL
+      SELECT event_id, event_type, value FROM events)
+"""
+
+QUERIES["st2_stream_dedup"] = st2_stream_dedup
+ORACLE["st2_stream_dedup"] = ST2_SQL

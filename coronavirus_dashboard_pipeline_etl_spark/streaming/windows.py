@@ -59,3 +59,30 @@ def windowed_event_counts(
             *out_cols,
         )
     )
+
+
+def dedup_stream(
+    df: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-most-once-per-key event dedup (the streaming face of the
+    engine's exact-dedup family).
+
+    Streaming frame: ``dropDuplicatesWithinWatermark`` — duplicate
+    arrivals within ``watermark`` of the first occurrence are dropped
+    and per-key state is EVICTED once the watermark passes it, so state
+    is O(keys-in-horizon), not O(all keys ever seen) — the property
+    that keeps an always-on ingest alive at 100 TB/day. (Plain
+    streaming ``dropDuplicates`` would grow state forever.)
+
+    Batch frame: plain ``dropDuplicates`` over the same keys — identical
+    output whenever duplicates sit inside the horizon, which is what the
+    oracle gate verifies.
+    """
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))

@@ -229,3 +229,54 @@ def test_windowed_counts_watermark_drops_late_data(spark, tmp_path):
     assert "2024-01-01 08:00:00" not in rows, "late event must be dropped"
     # the on-time window finalized with only the 3 on-time events
     assert rows.get("2024-01-01 10:00:00") == 3
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: a duplicate key arriving within
+    the watermark horizon of its first occurrence is dropped; distinct
+    keys all survive. (State eviction beyond the horizon is Spark's
+    contract; this drives the engine's wiring of it.)"""
+    import json
+    import time
+
+    from coronavirus_dashboard_pipeline_etl_spark.streaming import dedup_stream
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+
+    def write_file(name, rows):
+        (in_dir / name).write_text("\n".join(json.dumps(r) for r in rows))
+        time.sleep(1.2)
+
+    write_file("b1.json", [
+        {"event_id": 1, "ts": "2024-01-01T10:00:00", "value": 1.0},
+        {"event_id": 2, "ts": "2024-01-01T10:05:00", "value": 2.0},
+    ])
+    # duplicate of key 1 within the horizon + one new key
+    write_file("b2.json", [
+        {"event_id": 1, "ts": "2024-01-01T10:10:00", "value": 99.0},
+        {"event_id": 3, "ts": "2024-01-01T10:15:00", "value": 3.0},
+    ])
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        dedup_stream(stream, keys=("event_id",), watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.value
+        for r in spark.sql("SELECT * FROM dedup_test").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == 1.0, "first occurrence wins; the duplicate is dropped"
