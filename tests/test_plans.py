@@ -220,3 +220,33 @@ def test_salted_join_matches_plain_join(spark):
     exp = big.join(small, on="k")
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_composed_pipelines_exchange_budget(spark):
+    """Lock in the composed pipelines' physical shape: a bounded number
+    of hash exchanges, and every single-partition exchange fed by a
+    partial global aggregate (one row per upstream partition — benign),
+    never by raw fact rows."""
+    from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import (
+        QUERIES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    budgets = {"pipe2_main_panel": 5, "pipe3_msoa": 5}
+    for name, max_hash_exchanges in budgets.items():
+        plan = (
+            QUERIES[name](spark, sf)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= max_hash_exchanges, f"{name}: {n} hash exchanges"
+        lines = plan.splitlines()
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" in line:
+                below = "\n".join(lines[i + 1 : i + 3])
+                assert "partial_" in below, (
+                    f"{name}: single-partition exchange not fed by a "
+                    f"partial aggregate:\n{below}"
+                )
