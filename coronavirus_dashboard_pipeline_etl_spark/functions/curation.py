@@ -283,3 +283,38 @@ def assign_packs(
         .alias("pack_id"),
         (prefix % context_len).cast("long").alias("pack_offset"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    temperature: float = 1.0,
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Quality-weighted importance sampling: keep each row with
+    probability ``weight ** (1/temperature)`` (weights in [0, 1] —
+    typically a quality score). ``temperature`` reshapes the mixture the
+    way data-mixture tuning does: T > 1 flattens toward uniform, T < 1
+    sharpens toward the high-weight head, T = 1 samples proportionally.
+
+    The coin flip is ``md5(id + salt)`` — deterministic per doc, so the
+    same corpus always yields the same sample (and ``salt`` draws an
+    independent one); re-runs, retries, and other engines agree. One
+    codegen'd filter, no shuffle, no RNG state.
+    """
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = F.col(weight_col).cast("double")
+    bad = (w < 0) | (w > 1)
+    prob = F.when(
+        bad,
+        F.raise_error(
+            F.concat(
+                F.lit(f"weighted_sample: {weight_col} outside [0,1]: "),
+                w.cast("string"),
+            )
+        ),
+    ).otherwise(F.pow(w, F.lit(1.0 / temperature)))
+    u = sample_bucket(id_col, salt).cast("double") / F.lit(float(SAMPLE_BUCKETS))
+    return df.filter(u < prob)

@@ -3478,3 +3478,32 @@ FROM (SELECT event_id, event_type, value FROM events
 
 QUERIES["st2_stream_dedup"] = st2_stream_dedup
 ORACLE["st2_stream_dedup"] = ST2_SQL
+
+
+from ..functions import weighted_sample  # noqa: E402
+
+
+def x8_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling at T=1 (keep-probability =
+    the doc's distinct-token ratio): deterministic md5 coin per doc, so
+    the oracle replays the exact keep set. T != 1 reshaping is pytest
+    territory (cross-engine pow() can differ in the last ulp)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_stats(docs).select("doc_id", "lang", "distinct_ratio")
+    return weighted_sample(scored, weight_col="distinct_ratio", temperature=1.0)
+
+
+X8_SQL = f"""
+WITH scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+    FROM documents
+)
+SELECT doc_id, lang, distinct_ratio
+FROM scored
+WHERE CAST({_bucket_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 10000.0 < distinct_ratio
+"""
+
+QUERIES["x8_weighted_sample"] = x8_weighted_sample
+ORACLE["x8_weighted_sample"] = X8_SQL

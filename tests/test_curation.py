@@ -209,3 +209,31 @@ def test_assign_packs_layout_and_guard(spark):
         for r in sharded.collect()
     }
     assert got[(2, 0)] == (0, 0)  # doc 2 is alone in shard 0
+
+
+def test_weighted_sample_temperature_reshaping(spark):
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=i, w=0.25) for i in range(4000)]
+    )
+    kept_t1 = weighted_sample(df, "w", temperature=1.0).count()
+    kept_hot = weighted_sample(df, "w", temperature=2.0).count()   # 0.25^0.5 = 0.5
+    kept_cold = weighted_sample(df, "w", temperature=0.5).count()  # 0.25^2 = 0.0625
+    assert abs(kept_t1 / 4000 - 0.25) < 0.05
+    assert abs(kept_hot / 4000 - 0.5) < 0.05
+    assert abs(kept_cold / 4000 - 0.0625) < 0.03
+    # determinism: same salt -> identical sample
+    a = {r.doc_id for r in weighted_sample(df, "w").collect()}
+    b = {r.doc_id for r in weighted_sample(df, "w").collect()}
+    assert a == b
+
+    bad = spark.createDataFrame([Row(doc_id=1, w=1.5)])
+    with pytest.raises(Exception, match="outside"):
+        weighted_sample(bad, "w").collect()
+    with pytest.raises(ValueError, match="temperature"):
+        weighted_sample(df, "w", temperature=0.0)
