@@ -161,9 +161,20 @@ def area_percentiles(
     areas: DataFrame,
     metrics: DataFrame,
     metric_name: str,
+    approx: bool = False,
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Rate percentiles across areas at each area-type's latest date —
-    the map colour-scale query (A10 SQL)."""
+    the map colour-scale query (A10 SQL).
+
+    ``approx=True`` is the scale path: ``approx_percentile`` (a
+    mergeable quantile sketch) keeps per-group state at
+    O(accuracy · log n) instead of buffering every value the way exact
+    ``percentile`` does — at 100 TB the exact form is a per-group
+    collect; the sketch's worst-case rank error is 1/accuracy. The
+    oracle gate runs the exact form; the sketch path is tolerance-tested
+    against it in pytest.
+    """
     df = _joined(time_series, areas, metrics).filter(
         F.col("metric") == metric_name
     )
@@ -175,16 +186,15 @@ def area_percentiles(
     )
     at_latest = df.join(latest, on=["area_type", "date"], how="left_semi")
     val = _value().cast("double")
+    fn = "approx_percentile" if approx else "percentile"
+    extra = f", {accuracy}" if approx else ""
+    pct = lambda q: F.expr(  # noqa: E731
+        f"{fn}(cast(get_json_object(payload, '$.value') as double), {q}{extra})"
+    )
     return at_latest.groupBy("area_type", "date").agg(
-        F.expr(
-            f"percentile(cast(get_json_object(payload, '$.value') as double), 0.25)"
-        ).alias("p25"),
-        F.expr(
-            f"percentile(cast(get_json_object(payload, '$.value') as double), 0.5)"
-        ).alias("p50"),
-        F.expr(
-            f"percentile(cast(get_json_object(payload, '$.value') as double), 0.75)"
-        ).alias("p75"),
+        pct(0.25).alias("p25"),
+        pct(0.5).alias("p50"),
+        pct(0.75).alias("p75"),
         F.min(val).alias("min"),
         F.max(val).alias("max"),
     )

@@ -181,3 +181,21 @@ def test_map_layer_features_no_fact_shuffle(spark, star):
     assert "Exchange hashpartitioning" not in plan
     rows = out.collect()
     assert rows and all(r.geometry.startswith('{"type":"Point"') for r in rows)
+
+
+def test_area_percentiles_approx_tracks_exact(star):
+    exact = serving.area_percentiles(
+        star["ts"], star["areas"], star["metrics"], "newCasesBySpecimenDate"
+    ).collect()
+    approx = serving.area_percentiles(
+        star["ts"], star["areas"], star["metrics"], "newCasesBySpecimenDate",
+        approx=True,
+    ).collect()
+    ex = {(r.area_type, r.date): r for r in exact}
+    for r in approx:
+        e = ex[(r.area_type, r.date)]
+        # at fixture scale the sketch holds every value: quantiles land
+        # on real data points within one rank of the exact answer
+        for q in ("p25", "p50", "p75"):
+            assert abs(getattr(r, q) - getattr(e, q)) <= 1.0, (q, r, e)
+        assert (r.min, r.max) == (e.min, e.max)
