@@ -318,3 +318,34 @@ def weighted_sample(
     ).otherwise(F.pow(w, F.lit(1.0 / temperature)))
     u = sample_bucket(id_col, salt).cast("double") / F.lit(float(SAMPLE_BUCKETS))
     return df.filter(u < prob)
+
+
+def cardinality_stats(
+    df: DataFrame,
+    group_cols: tuple[str, ...] = ("lang",),
+    fingerprint_col: str = "fp",
+    approx: bool = True,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group corpus cardinality: rows, distinct fingerprints, and the
+    implied duplicate ratio — the dedup-rate monitor.
+
+    ``approx=True`` (default) uses ``approx_count_distinct`` — a
+    HyperLogLog++ sketch with relative standard deviation ``rsd`` and a
+    few KB of fixed per-group state, mergeable map-side — which is the
+    only viable form at corpus scale: exact COUNT(DISTINCT) re-shuffles
+    every distinct value. ``approx=False`` is the small-data/audit form.
+    """
+    distinct = (
+        F.approx_count_distinct(fingerprint_col, rsd)
+        if approx
+        else F.count_distinct(F.col(fingerprint_col))
+    )
+    n = F.count(F.lit(1))
+    return df.groupBy(*group_cols).agg(
+        n.alias("n_docs"),
+        distinct.alias("n_distinct"),
+        (
+            F.lit(1.0) - distinct.cast("double") / n.cast("double")
+        ).alias("dup_ratio"),
+    )

@@ -3507,3 +3507,31 @@ WHERE CAST({_bucket_sql("CAST(doc_id AS VARCHAR)")} AS DOUBLE) / 10000.0 < disti
 
 QUERIES["x8_weighted_sample"] = x8_weighted_sample
 ORACLE["x8_weighted_sample"] = X8_SQL
+
+
+from ..functions import cardinality_stats  # noqa: E402
+from ..functions import fingerprint as _fp  # noqa: E402
+
+
+def x9_cardinality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus cardinality and duplicate ratio (audit form —
+    exact COUNT(DISTINCT); production uses the HLL++ sketch form, which
+    has no cross-engine-exact oracle by nature)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", _fp("text")
+    )
+    return cardinality_stats(docs, group_cols=("lang",), approx=False)
+
+
+X9_SQL = r"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS BIGINT) AS n_distinct,
+       1.0 - CAST(COUNT(DISTINCT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS dup_ratio
+FROM documents
+GROUP BY lang
+"""
+
+QUERIES["x9_cardinality_stats"] = x9_cardinality_stats
+ORACLE["x9_cardinality_stats"] = X9_SQL

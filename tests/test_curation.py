@@ -237,3 +237,20 @@ def test_weighted_sample_temperature_reshaping(spark):
         weighted_sample(bad, "w").collect()
     with pytest.raises(ValueError, match="temperature"):
         weighted_sample(df, "w", temperature=0.0)
+
+
+def test_cardinality_stats_hll_tracks_exact(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        cardinality_stats,
+        fingerprint,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang="en", text=f"doc {i % 700}") for i in range(2000)]
+    ).withColumn("fp", fingerprint("text"))
+    exact = cardinality_stats(docs, approx=False).collect()[0]
+    approx = cardinality_stats(docs, approx=True).collect()[0]
+    assert exact.n_distinct == 700
+    assert abs(exact.dup_ratio - (1 - 700 / 2000)) < 1e-9
+    # HLL++ at rsd=0.02: allow 3 sigma
+    assert abs(approx.n_distinct - 700) <= 700 * 0.06
