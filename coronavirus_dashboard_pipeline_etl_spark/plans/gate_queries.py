@@ -3535,3 +3535,79 @@ GROUP BY lang
 
 QUERIES["x9_cardinality_stats"] = x9_cardinality_stats
 ORACLE["x9_cardinality_stats"] = X9_SQL
+
+
+def pipe6_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-data prep: PII scrub -> token-window chunking ->
+    concat-and-split sequence packing, end to end over the documents
+    table (PII injected per doc so the scrub stage is exercised on every
+    row). The full lazy chain is ONE plan: scrub and chunking are
+    expression-only, packing adds the prefix-sum window."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com"),
+        ).alias("text"),
+    )
+    scrubbed = injected.select(
+        "doc_id", scrub_pii("text").alias("text")
+    )
+    chunks = chunk_documents(scrubbed, chunk_tokens=64, overlap=8)
+    return assign_packs(chunks, context_len=256).select(
+        "doc_id", "chunk_index", "chunk_tokens", "chunk_text",
+        "pack_id", "pack_offset",
+    )
+
+
+PIPE6_SQL = r"""
+WITH inj AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR)
+                || '@mail.example.com' AS text
+    FROM documents
+),
+scrubbed AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+               '\+[0-9]{7,15}', '<PHONE>', 'g') AS text
+    FROM scrubbed_src
+),
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM scrubbed
+),
+starts AS (
+    SELECT doc_id, t,
+           unnest(range(0, greatest(len(t) - 1, 0) + 1, 56)) AS s
+    FROM toks
+),
+chunks AS (
+    SELECT doc_id,
+           CAST(s // 56 AS BIGINT) AS chunk_index,
+           CAST(len(t[s + 1 : s + 64]) AS BIGINT) AS chunk_tokens,
+           array_to_string(t[s + 1 : s + 64], ' ') AS chunk_text
+    FROM starts
+    WHERE (s = 0 OR s < len(t) - 8)
+      AND len(t[s + 1 : s + 64]) > 0
+),
+p AS (
+    SELECT *,
+           COALESCE(SUM(chunk_tokens) OVER (
+               ORDER BY doc_id, chunk_index
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM chunks
+)
+SELECT doc_id, chunk_index, chunk_tokens, chunk_text,
+       CAST(prefix // 256 AS BIGINT) AS pack_id,
+       CAST(prefix % 256 AS BIGINT) AS pack_offset
+FROM p
+"""
+PIPE6_SQL = PIPE6_SQL.replace("scrubbed_src", "inj")
+
+QUERIES["pipe6_training_prep"] = pipe6_training_prep
+ORACLE["pipe6_training_prep"] = PIPE6_SQL
