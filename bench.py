@@ -40,6 +40,7 @@ HEADLINE = [
     # path — the engine as a user runs it, not operator microbenches
     "pipe2_main_panel",
     "pipe3_msoa",
+    "pipe6_training_prep",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
