@@ -3611,3 +3611,59 @@ PIPE6_SQL = PIPE6_SQL.replace("scrubbed_src", "inj")
 
 QUERIES["pipe6_training_prep"] = pipe6_training_prep
 ORACLE["pipe6_training_prep"] = PIPE6_SQL
+
+
+from .serving import map_vax_features  # noqa: E402
+
+
+def g2_vax_map_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vaccination map-layer features: three dose metrics pivoted to the
+    compact {cd, at, f, c, t} properties object per area at the latest
+    date, plus geometry — one pivot pass instead of the reference's
+    UNIONed per-metric subqueries. precision=None for oracle-exact
+    replay (no cross-engine double ROUND)."""
+    ts, areas, metrics = _mini_star(spark, sf_dir)
+    geo = spark.range(5).select(
+        F.col("id").alias("area_id"),
+        F.lit("Point").alias("geometry_type"),
+        F.array(
+            (F.col("id") * 10).cast("long"), (F.col("id") * 20).cast("long")
+        ).alias("coordinates"),
+    )
+    return map_vax_features(
+        ts, areas, metrics, geo,
+        dose_metrics=("click", "error", "signup"),
+        precision=None,
+    )
+
+
+G2_SQL = f"""
+WITH {_MINI_STAR_SQL},
+geo AS (
+    SELECT CAST(area_id AS BIGINT) AS area_id, 'Point' AS geometry_type,
+           [CAST(area_id * 10 AS BIGINT), CAST(area_id * 20 AS BIGINT)] AS coordinates
+    FROM range(5) AS t(area_id)
+),
+scoped AS (SELECT * FROM long WHERE metric IN ('click', 'error', 'signup') AND v IS NOT NULL),
+latest AS (SELECT * FROM scoped WHERE date = (SELECT MAX(date) FROM scoped)),
+piv AS (
+    SELECT area_id,
+           MAX(CASE WHEN metric = 'click'  THEN CAST(v AS DOUBLE) END) AS f,
+           MAX(CASE WHEN metric = 'error'  THEN CAST(v AS DOUBLE) END) AS c,
+           MAX(CASE WHEN metric = 'signup' THEN CAST(v AS DOUBLE) END) AS t
+    FROM latest GROUP BY area_id
+)
+SELECT CAST(to_json(struct_pack(
+           cd := 'A' || CAST(p.area_id AS VARCHAR),
+           at := 'nation',
+           f := COALESCE(f, 0.0),
+           c := COALESCE(c, 0.0),
+           t := COALESCE(t, 0.0))) AS VARCHAR) AS properties,
+       CAST(to_json(struct_pack(
+           type := geometry_type,
+           coordinates := coordinates)) AS VARCHAR) AS geometry
+FROM piv p LEFT JOIN geo g ON g.area_id = p.area_id
+"""
+
+QUERIES["g2_vax_map_features"] = g2_vax_map_features
+ORACLE["g2_vax_map_features"] = G2_SQL

@@ -19,6 +19,9 @@ Each function mirrors a production query family:
   queries.py:14-90``).
 * ``landing_cache_rows``  — jsonb_agg(jsonb_build_object(...)) per (area,
   metric) for the Redis landing cache (``cache_prepopulate/query.sql``).
+* ``map_layer_features`` / ``map_vax_features`` — geojson feature
+  assembly for the despatch map workers (``despatch_ops_workers/
+  map_geojson/queries.py``, ``map_vaccinations_geojson/queries.py``).
 
 All dimension joins are broadcast (registry tables are tiny); the fact
 table shuffles only when a window needs its grouping.
@@ -343,4 +346,69 @@ def map_layer_features(
             props.alias("properties"),
             geom.alias("geometry"),
         )
+    )
+
+
+def map_vax_features(
+    time_series: DataFrame,
+    areas: DataFrame,
+    metrics: DataFrame,
+    geo: DataFrame,
+    dose_metrics: Sequence[str] = (
+        "cumVaccinationFirstDoseUptakeByVaccinationDatePercentage",
+        "cumVaccinationSecondDoseUptakeByVaccinationDatePercentage",
+        "cumVaccinationThirdInjectionUptakeByVaccinationDatePercentage",
+    ),
+    precision: int | None = 2,
+) -> DataFrame:
+    """Vaccination map-layer features — the despatch vax-map worker
+    (``despatch_ops_workers/map_vaccinations_geojson/queries.py:14-69``):
+    per area at the corpus-wide latest date, compact properties
+    {cd, at, f, c, t} plus geometry from the geo dim.
+
+    The reference aligns the three dose series with UNIONed per-metric
+    subqueries; here it is ONE pivot pass over the latest-date slice
+    (same no-self-join shape as ``dose_alignment``). The latest date is
+    a 1-row broadcast (``with_scalar``); geo broadcasts; doses coalesce
+    to 0.0 (absent-at-latest-date metrics) so JSON rendering is
+    engine-independent. ``precision=None`` skips the reference's
+    ROUND(x, 2) for oracle-exact replay.
+    """
+    from ..operators.util import with_scalar
+
+    df = (
+        _joined(time_series, areas, metrics)
+        .filter(F.col("metric").isin(*dose_metrics))
+        .filter(_value().isNotNull())
+    )
+    df = with_scalar(df, "__mx", F.max("date")).filter(
+        F.col("date") == F.col("__mx")
+    )
+    aligned = (
+        df.groupBy("area_type", "area_code", "area_id")
+        .pivot("metric", list(dose_metrics))
+        .agg(F.max(_value().cast("double")))
+    )
+    dose = lambda i: (  # noqa: E731
+        F.coalesce(F.col(f"`{dose_metrics[i]}`"), F.lit(0.0))
+        if precision is None
+        else F.round(
+            F.coalesce(F.col(f"`{dose_metrics[i]}`"), F.lit(0.0)), precision
+        )
+    )
+    props = F.to_json(
+        F.struct(
+            F.col("area_code").alias("cd"),
+            F.col("area_type").alias("at"),
+            dose(0).alias("f"),
+            dose(1).alias("c"),
+            dose(2).alias("t"),
+        )
+    )
+    geom = F.to_json(
+        F.struct(F.col("geometry_type").alias("type"), F.col("coordinates"))
+    )
+    return (
+        aligned.join(broadcast(geo), on="area_id", how="left")
+        .select(props.alias("properties"), geom.alias("geometry"))
     )
