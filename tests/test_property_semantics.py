@@ -261,3 +261,39 @@ def test_scrub_pii_idempotent_property(spark, texts):
         scrub_pii(scrub_pii("text")).alias("twice"),
     )
     assert out.filter(F.col("once") != F.col("twice")).count() == 0
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(st.integers(min_value=1, max_value=256), min_size=1, max_size=40)
+)
+def test_assign_packs_invariants_property(spark, token_counts):
+    """Invariants of concat-and-split packing for any chunk-size mix:
+    offsets stay inside the context, pack ids are non-decreasing in
+    stream order, and offset/pack agree with the running prefix sum."""
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import assign_packs
+
+    ctx = 256
+    rows = [
+        Row(doc_id=i, chunk_index=0, chunk_tokens=t)
+        for i, t in enumerate(token_counts)
+    ]
+    out = sorted(
+        assign_packs(spark.createDataFrame(rows), context_len=ctx).collect(),
+        key=lambda r: r.doc_id,
+    )
+    prefix = 0
+    prev_pack = 0
+    for r in out:
+        assert 0 <= r.pack_offset < ctx
+        assert r.pack_id == prefix // ctx
+        assert r.pack_offset == prefix % ctx
+        assert r.pack_id >= prev_pack
+        prev_pack = r.pack_id
+        prefix += r.chunk_tokens
