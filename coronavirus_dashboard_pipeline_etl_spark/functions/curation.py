@@ -205,19 +205,26 @@ def remove_boilerplate_lines(
     banners, nav menus, newsletter prompts), then reassemble documents
     in original line order. Docs left with zero lines disappear.
 
-    Shuffle profile: one explode (line rows), one groupBy on the line
-    fingerprint for document frequency, a BROADCAST anti-join against
-    the boilerplate set (by construction tiny: only fingerprints passing
-    the min_docs bar), and one groupBy to reassemble — the two big
-    shuffles are both on well-distributed hash keys, and the quadratic
-    trap (joining lines to lines) never occurs. Returns
-    (id, text, n_lines kept).
+    Shuffle profile: one groupBy on the line fingerprint for document
+    frequency, a BROADCAST anti-join against the boilerplate set (by
+    construction tiny: only fingerprints passing the min_docs bar), and
+    one groupBy to reassemble — the two big shuffles are both on
+    well-distributed hash keys, and the quadratic trap (joining lines
+    to lines) never occurs. The split+explode+md5 line subtree feeds
+    both the frequency aggregate and the anti-join, so it EVALUATES
+    TWICE — deliberate: it is cheap codegen'd expression work, and
+    materialising the exploded corpus (cache/localCheckpoint) would
+    cost more than recomputing it. Returns (id, text, n_lines kept).
     """
     from pyspark.sql import functions as F
 
+    # F.split takes a Java regex; \Q...\E quotes the separator so any
+    # metacharacter ('|', '.', '\r\n') splits literally
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), line_sep)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + line_sep + "\\E")
+        ).alias("pos", "line"),
     ).withColumn("fp", F.md5(F.trim(F.lower(F.col("line")))))
 
     boiler = (
@@ -306,13 +313,15 @@ def weighted_sample(
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     w = F.col(weight_col).cast("double")
-    bad = (w < 0) | (w > 1)
+    # NULL weights must fail the guard too — (w < 0) | (w > 1) is NULL
+    # for NULL w, which would silently drop the row instead of erroring
+    bad = w.isNull() | (w < 0) | (w > 1)
     prob = F.when(
         bad,
         F.raise_error(
             F.concat(
                 F.lit(f"weighted_sample: {weight_col} outside [0,1]: "),
-                w.cast("string"),
+                F.coalesce(w.cast("string"), F.lit("NULL")),
             )
         ),
     ).otherwise(F.pow(w, F.lit(1.0 / temperature)))
@@ -345,7 +354,10 @@ def cardinality_stats(
     return df.groupBy(*group_cols).agg(
         n.alias("n_docs"),
         distinct.alias("n_distinct"),
-        (
-            F.lit(1.0) - distinct.cast("double") / n.cast("double")
+        # the HLL estimate can exceed the row count within its rsd;
+        # clamp so the monitor never reports a negative duplicate ratio
+        F.greatest(
+            F.lit(0.0),
+            F.lit(1.0) - distinct.cast("double") / n.cast("double"),
         ).alias("dup_ratio"),
     )

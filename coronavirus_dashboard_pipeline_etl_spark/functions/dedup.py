@@ -75,7 +75,14 @@ def _token_hashes(text_col: str, base_hash: str = "md5") -> Column:
     Signatures differ between the two families, but any MinHash theory
     guarantee (collision prob = Jaccard) holds identically for either.
     """
-    toks = F.array_distinct(tokens(text_col))
+    # drop empty-string tokens: split("", " ") yields [""], which would
+    # give empty/whitespace-only docs a real signature built from the
+    # '' token — they would then all collide as spurious 'near-dups'.
+    # With '' removed their hash set is empty and the signature is NULL
+    # (array_min([]) / size-guard), which the pair generators drop.
+    toks = F.filter(
+        F.array_distinct(tokens(text_col)), lambda t: t != F.lit("")
+    )
     if base_hash == "xxhash64":
         # xxhash64 is signed 64-bit: pmod keeps the residue non-negative
         return F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(MERSENNE_P)))
@@ -193,7 +200,12 @@ def simhash(
     """SimHash over distinct word shingles: bit j is 1 iff the sum of
     (2*bit_j(h)-1) over token hashes is positive. 32-bit by default —
     enough for word-level near-dup at corpus scale, and safely inside
-    64-bit signed arithmetic for the oracle."""
+    64-bit signed arithmetic for the oracle.
+
+    An empty/null shingle set yields a NULL signature (similarity of an
+    empty set is undefined; a 0 signature would make every empty doc a
+    hamming-0 'near-dup' of every other) — ``simhash_candidate_pairs``
+    drops those rows."""
     df = df.withColumn("__th", _token_hashes(text_col))
     acc = F.lit(0).cast("long")
     for j in range(bits):
@@ -203,7 +215,8 @@ def simhash(
             lambda a, h: a + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1),
         )
         acc = acc + F.when(vote > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0))
-    return df.withColumn(out, acc).drop("__th")
+    sig = F.when(F.size("__th") > 0, acc)
+    return df.withColumn(out, sig).drop("__th")
 
 
 def simhash_candidate_pairs(
@@ -225,14 +238,21 @@ def simhash_candidate_pairs(
     unlike MinHash LSH this banding has no probabilistic miss. Shuffle
     profile matches ``lsh_candidate_pairs``: one explode, one bucket
     window/groupBy, size-gated giant buckets; the final Hamming filter
-    is two broadcast-sized semi-joins back to the signature frame, then
-    a codegen'd xor/bit_count per candidate.
+    is two shuffle equi-joins of the candidate pairs against the
+    signature frame keyed by id (well-distributed, AQE-handled), then a
+    codegen'd xor/bit_count per candidate.
+
+    Null signatures (empty/stop-word-only docs — ``simhash`` yields
+    null for an empty shingle set) are dropped up front: every such doc
+    would otherwise collide into one degenerate bucket per band, same
+    rationale as ``lsh_candidate_pairs``.
     """
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}) for the "
             "pigeonhole recall guarantee; raise bands instead"
         )
+    sigs = sigs.filter(F.col(sim_col).isNotNull())
     width = bits // bands
     mask = (1 << width) - 1
     chunks = [
@@ -384,7 +404,17 @@ def dedup_components(
     """
     fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    edges = fwd.unionByName(rev)
+    # Drop edges touching ids absent from `ids` (a stale/broader pair
+    # list): a foreign endpoint could otherwise win a min-label race and
+    # become the canonical_id of real docs — every doc paired with it
+    # would then land on the drop list with no surviving representative.
+    id_set = ids.select(F.col(id_col).alias("__id"))
+    edges = (
+        edges.join(id_set, edges.src == F.col("__id"), "left_semi")
+        .join(id_set, edges.dst == F.col("__id"), "left_semi")
+        .localCheckpoint(eager=True)
+    )
 
     # Iterate ONLY over nodes that appear in an edge: a doc with no
     # candidate pair is its own canonical id by definition and must not

@@ -773,7 +773,8 @@ def _md5int_sql(x: str) -> str:
 
 
 _TH_SQL = (
-    "list_transform(list_distinct(string_split(text, ' ')), t -> "
+    "list_transform(list_filter(list_distinct(string_split(text, ' ')), "
+    "t -> t <> ''), t -> "
     + _md5int_sql("t")
     + f" % {MERSENNE_P})"
 )
@@ -883,7 +884,10 @@ def _d4_sql() -> str:
     )
     return f"""
 WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents)
-SELECT doc_id, CAST({terms} AS BIGINT) AS simhash FROM th
+SELECT doc_id,
+       CASE WHEN th IS NOT NULL AND len(th) > 0
+            THEN CAST({terms} AS BIGINT) END AS simhash
+FROM th
 """
 
 
@@ -3461,12 +3465,15 @@ from ..streaming import dedup_stream  # noqa: E402
 def st2_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-dedup shared by the streaming path (dropDuplicatesWithin-
     Watermark when the frame streams): the corpus doubled via UNION ALL
-    must dedup back to exactly one row per event_id."""
+    must dedup back to one row per key. Keys cover every selected
+    column, so the oracle is plain DISTINCT regardless of data shape
+    (subset-key dedup picks an arbitrary survivor — gate-hostile; the
+    streaming pytest covers that form)."""
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "event_type", "value"
     )
     doubled = ev.unionByName(ev)
-    return dedup_stream(doubled, keys=("event_id",))
+    return dedup_stream(doubled, keys=("event_id", "event_type", "value"))
 
 
 ST2_SQL = """

@@ -376,6 +376,11 @@ def map_vax_features(
     """
     from ..operators.util import with_scalar
 
+    if len(dose_metrics) != 3:
+        raise ValueError(
+            "map_vax_features packs exactly three dose metrics into the "
+            f"{{f, c, t}} properties object; got {len(dose_metrics)}"
+        )
     df = (
         _joined(time_series, areas, metrics)
         .filter(F.col("metric").isin(*dose_metrics))

@@ -119,8 +119,9 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert r1.s == "mail <EMAIL> ip <IP> tel <PHONE>"
     assert (r1.n_email, r1.n_ipv4, r1.n_phone) == (1, 1, 1)
     r2 = next(r for r in out if r.doc_id == 2)
-    # short dotted version numbers must NOT be flagged as IPs
-    assert r2.s == r2.asDict()["s"] and "<" not in r2.s
+    # short dotted version numbers must NOT be flagged as IPs: clean
+    # text passes through byte-identical
+    assert r2.s == "clean text with version 1.2 and year 2024"
     assert (r2.n_email, r2.n_ipv4, r2.n_phone) == (0, 0, 0)
 
     with pytest.raises(ValueError, match="unknown PII kind"):
@@ -254,3 +255,46 @@ def test_cardinality_stats_hll_tracks_exact(spark):
     assert abs(exact.dup_ratio - (1 - 700 / 2000)) < 1e-9
     # HLL++ at rsd=0.02: allow 3 sigma
     assert abs(approx.n_distinct - 700) <= 700 * 0.06
+
+
+def test_weighted_sample_null_weight_fails_loudly(spark):
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        weighted_sample,
+    )
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, w=0.5), Row(doc_id=2, w=None)],
+        "doc_id long, w double",
+    )
+    with pytest.raises(Exception, match="outside"):
+        weighted_sample(df, "w").collect()
+
+
+def test_remove_boilerplate_regex_metachar_separator(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        remove_boilerplate_lines,
+    )
+
+    rows = [Row(doc_id=i, text=f"keep {i}|ad banner") for i in range(10)]
+    out = remove_boilerplate_lines(
+        spark.createDataFrame(rows), min_docs=5, line_sep="|"
+    ).collect()
+    assert {r.text for r in out} == {f"keep {i}" for i in range(10)}
+
+
+def test_cardinality_dup_ratio_never_negative(spark):
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        cardinality_stats,
+    )
+
+    # all-unique fingerprints: HLL may estimate above the row count;
+    # the ratio must clamp at 0
+    docs = spark.createDataFrame(
+        [Row(lang="en", fp=f"fp{i}") for i in range(5000)]
+    )
+    r = cardinality_stats(docs, approx=True, rsd=0.05).collect()[0]
+    assert r.dup_ratio >= 0.0

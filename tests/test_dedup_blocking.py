@@ -137,3 +137,42 @@ def test_simhash_pairs_pigeonhole_and_guard(spark):
 
     with pytest.raises(ValueError, match="pigeonhole"):
         simhash_candidate_pairs(sigs, bands=4, max_hamming=4)
+
+
+def test_dedup_components_ignores_foreign_pair_endpoints(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_components,
+    )
+
+    # pair references id 99 which is NOT in the corpus frame: it must
+    # not become anyone's canonical id
+    pairs = spark.createDataFrame(
+        [Row(id_a=99, id_b=7), Row(id_a=7, id_b=8)]
+    )
+    ids = spark.createDataFrame([Row(doc_id=7), Row(doc_id=8)])
+    got = {
+        r.doc_id: r.canonical_id
+        for r in dedup_components(pairs, ids).collect()
+    }
+    assert got == {7: 7, 8: 7}
+
+
+def test_simhash_null_for_empty_docs_and_pairs_drop_them(spark):
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        simhash,
+        simhash_candidate_pairs,
+    )
+
+    rows = [
+        Row(doc_id=1, text=""),
+        Row(doc_id=2, text=""),
+        Row(doc_id=3, text="real words here"),
+    ]
+    sigs = simhash(spark.createDataFrame(rows))
+    by_id = {r.doc_id: r.simhash for r in sigs.collect()}
+    assert by_id[1] is None and by_id[2] is None
+    assert by_id[3] is not None
+    # the two empty docs must NOT pair as a hamming-0 clique
+    assert simhash_candidate_pairs(sigs, max_bucket=10).count() == 0
