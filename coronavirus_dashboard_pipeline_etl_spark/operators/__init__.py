@@ -36,6 +36,7 @@ from .rolling import (
     percentage_change_col,
     rolling_mean_centered,
 )
+from .sessions import session_stats, sessionize
 from .suppress import suppress_by_rolling_sum, weekly_thin
 from .topk import latest_date_only, latest_per_group
 from .trim import trim_end, trim_sides
@@ -72,6 +73,8 @@ __all__ = [
     "row_hash_blake2",
     "row_hash_sha2",
     "salted_join",
+    "session_stats",
+    "sessionize",
     "suppress_by_rolling_sum",
     "trim_end",
     "trim_sides",

@@ -3674,3 +3674,51 @@ FROM piv p LEFT JOIN geo g ON g.area_id = p.area_id
 
 QUERIES["g2_vax_map_features"] = g2_vax_map_features
 ORACLE["g2_vax_map_features"] = G2_SQL
+
+
+from ..operators.sessions import session_stats  # noqa: E402
+
+
+def x10_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the events table (30-minute
+    inactivity gap): one row per (user, session) with exact epoch-micros
+    bounds, event count, duration, and an exact-decimal value sum.
+    Single shuffle — the groupBy reuses the sessionize window's
+    hash partitioning on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, gap_seconds=1800)
+
+
+X10_SQL = """
+WITH e AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+),
+sess AS (
+    SELECT *,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_index
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_index AS BIGINT) AS session_index,
+       MIN(us) AS session_start_us,
+       MAX(us) AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       (MAX(us) - MIN(us)) / 1000000.0 AS duration_s
+FROM sess
+GROUP BY user_id, session_index
+"""
+
+QUERIES["x10_sessionize"] = x10_sessionize
+ORACLE["x10_sessionize"] = X10_SQL

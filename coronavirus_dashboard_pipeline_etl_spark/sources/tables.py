@@ -42,8 +42,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLS.get(name, []):
         if col in df.columns and dict(df.dtypes)[col] == "bigint":
+            # integer `div`, not `/`: double division rounds the 60-bit
+            # nanosecond epoch (53-bit mantissa) and can land 1µs off the
+            # exact truncation other engines compute
             df = df.withColumn(
-                col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+                col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
     return df
 
