@@ -472,3 +472,55 @@ def dedup_components(
         id_col,
         F.coalesce("canonical_id", id_col).alias("canonical_id"),
     )
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    para_sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup (the MassiveText /
+    RefinedWeb "remove repeated passages" pass): split every document
+    into paragraphs, fingerprint each (md5 of trimmed, lowercased text),
+    and keep only the globally FIRST occurrence of each fingerprint —
+    first by ``(id, pos)``, so the operator is deterministic and
+    idempotent. Documents are reassembled in original paragraph order;
+    docs whose every paragraph was seen earlier come back with empty
+    text rather than vanishing, so the output is total over input docs.
+
+    Returns ``(id, text, n_kept, n_removed)``.
+
+    Scale: two shuffles — a window over the paragraph fingerprint
+    (hash-partitioned on ``fp``, the key is high-cardinality by
+    construction) and the reassembly groupBy on ``id``. No self-join,
+    no pairwise expansion; a paragraph duplicated a million times costs
+    one window partition of a million short rows, which AQE skew-split
+    handles. The conditional ``collect_list(when(keep, ...))`` relies on
+    collect_list skipping NULLs, avoiding a second pass to count the
+    removed rows.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.col(text_col), "\\Q" + para_sep + "\\E")
+        ).alias("pos", "para"),
+    ).withColumn("fp", F.md5(F.trim(F.lower(F.col("para")))))
+
+    w = Window.partitionBy("fp").orderBy(id_col, "pos")
+    flagged = paras.withColumn(
+        "keep", (F.row_number().over(w) == 1).cast("int")
+    )
+    ordered = F.transform(
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("keep") == 1, F.struct("pos", "para"))
+            )
+        ),
+        lambda s: s.para,
+    )
+    return flagged.groupBy(id_col).agg(
+        F.array_join(ordered, para_sep).alias(text_col),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum(1 - F.col("keep")).cast("long").alias("n_removed"),
+    )

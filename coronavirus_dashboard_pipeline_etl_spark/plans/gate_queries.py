@@ -3722,3 +3722,57 @@ GROUP BY user_id, session_index
 
 QUERIES["x10_sessionize"] = x10_sessionize
 ORACLE["x10_sessionize"] = X10_SQL
+
+
+from ..functions.dedup import dedup_paragraphs  # noqa: E402
+
+
+def d7_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup, keep-first. The synthetic corpus has
+    no paragraph structure, so the gate injects it: every doc gains a
+    shared social-share paragraph (duplicate by construction — only the
+    globally first doc keeps it) and a unique per-doc footer (always
+    kept). Docs with identical body text additionally dedup their first
+    paragraph against each other, exercising cross-doc keep-first on
+    real content."""
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\n\nShare This Article\n\ndoc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(injected)
+
+
+D7_SQL = r"""
+WITH inj AS (
+    SELECT doc_id,
+           text || chr(10) || chr(10) || 'Share This Article'
+                || chr(10) || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+ps AS (SELECT doc_id, string_split(text, chr(10) || chr(10)) AS l FROM inj),
+paras AS (
+    SELECT doc_id, l[i] AS para, i - 1 AS pos,
+           md5(trim(lower(l[i]))) AS fp
+    FROM ps, (SELECT unnest(range(1, len(l) + 1)) AS i)
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN ROW_NUMBER() OVER (
+               PARTITION BY fp ORDER BY doc_id, pos) = 1 THEN 1 ELSE 0 END AS keep
+    FROM paras
+)
+SELECT doc_id,
+       COALESCE(array_to_string(list(para ORDER BY pos) FILTER (WHERE keep = 1),
+                                chr(10) || chr(10)), '') AS text,
+       CAST(SUM(keep) AS BIGINT) AS n_kept,
+       CAST(SUM(1 - keep) AS BIGINT) AS n_removed
+FROM flagged GROUP BY doc_id
+"""
+
+QUERIES["d7_paragraph_dedup"] = d7_paragraph_dedup
+ORACLE["d7_paragraph_dedup"] = D7_SQL

@@ -176,3 +176,42 @@ def test_simhash_null_for_empty_docs_and_pairs_drop_them(spark):
     assert by_id[3] is not None
     # the two empty docs must NOT pair as a hamming-0 clique
     assert simhash_candidate_pairs(sigs, max_bucket=10).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level keep-first dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_paragraphs_keep_first_and_totality(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha\n\nshared"),
+            (2, "shared\n\nbeta"),
+            (3, "shared\n\nSHARED  "),  # normalised dupe of its own first para
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs).collect()}
+    assert out[1].text == "alpha\n\nshared" and out[1].n_removed == 0
+    # doc 2 loses 'shared' (doc 1, pos 1 came first) but keeps beta
+    assert out[2].text == "beta" and out[2].n_kept == 1 and out[2].n_removed == 1
+    # doc 3 loses both copies; totality: row survives with empty text
+    assert out[3].text == "" and out[3].n_kept == 0 and out[3].n_removed == 2
+
+
+def test_dedup_paragraphs_idempotent(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"common\n\nunique {i}") for i in range(4)],
+        "doc_id long, text string",
+    )
+    once = dedup_paragraphs(docs).select("doc_id", "text")
+    twice = dedup_paragraphs(once).select("doc_id", "text")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
