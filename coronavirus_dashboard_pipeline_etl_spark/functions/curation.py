@@ -361,3 +361,68 @@ def cardinality_stats(
             F.lit(1.0) - distinct.cast("double") / n.cast("double"),
         ).alias("dup_ratio"),
     )
+
+
+def percentile_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_top: float = 0.5,
+    partition_cols: tuple[str, ...] = ("lang",),
+) -> DataFrame:
+    """Per-group quality gate: keep each group's top ``keep_top``
+    fraction by ``score_col`` using ``percent_rank``. RANK-based, so
+    equal scores share a rank and therefore share a fate (all kept or
+    all cut) — deterministic in every engine with no tiebreak column,
+    since percent_rank depends only on the score ordering.
+
+    Rows are RETAINED with a boolean ``kept`` rather than filtered, so
+    callers can audit the cut before applying it (``.filter("kept")``).
+
+    Scale: one window shuffle on ``partition_cols`` — per-language
+    partitions at corpus scale are large but AQE-splittable; the
+    alternative (a two-pass approx-quantile threshold + map-side
+    filter) avoids the big window when the audit column is not needed:
+    that variant is ``threshold_filter`` below.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not 0.0 < keep_top <= 1.0:
+        raise ValueError(f"keep_top must be in (0, 1], got {keep_top}")
+    w = Window.partitionBy(*partition_cols).orderBy(F.col(score_col).asc())
+    pr = F.percent_rank().over(w)
+    return df.select(
+        "*",
+        pr.alias("score_pct_rank"),
+        (pr >= 1.0 - keep_top).alias("kept"),
+    )
+
+
+def threshold_filter(
+    df: DataFrame,
+    score_col: str,
+    keep_top: float = 0.5,
+    partition_cols: tuple[str, ...] = ("lang",),
+    relative_error: float = 0.001,
+) -> DataFrame:
+    """Scale path for ``percentile_filter``: compute each group's
+    (1 - keep_top) quantile with ``approx_percentile`` (one small
+    aggregate), broadcast the per-group thresholds back, and filter
+    map-side — no full-width window, no rank shuffle of the corpus.
+    Approximate at the boundary (by ``relative_error``), which is the
+    standard trade for corpus-scale quality gates."""
+    from pyspark.sql import functions as F
+
+    if not 0.0 < keep_top <= 1.0:
+        raise ValueError(f"keep_top must be in (0, 1], got {keep_top}")
+    thresholds = df.groupBy(*partition_cols).agg(
+        F.expr(
+            f"approx_percentile({score_col}, {1.0 - keep_top}, "
+            f"{int(1.0 / relative_error)})"
+        ).alias("__score_threshold")
+    )
+    joined = df.join(F.broadcast(thresholds), list(partition_cols), "left")
+    return joined.select(
+        *df.columns,
+        (F.col(score_col) >= F.col("__score_threshold")).alias("kept"),
+    )

@@ -3776,3 +3776,45 @@ FROM flagged GROUP BY doc_id
 
 QUERIES["d7_paragraph_dedup"] = d7_paragraph_dedup
 ORACLE["d7_paragraph_dedup"] = D7_SQL
+
+
+from ..functions.curation import percentile_filter  # noqa: E402
+
+
+def x11_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: rank docs by distinct-token ratio and
+    keep the top 30% of each language, ties sharing fate. percent_rank
+    is (rank-1)/(n-1) in both engines and the score is an exact ratio
+    of integers, so the cut is engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_stats(docs)
+    out = percentile_filter(
+        scored, "distinct_ratio", keep_top=0.3, partition_cols=("lang",)
+    )
+    return out.select("doc_id", "lang", "distinct_ratio", "score_pct_rank", "kept")
+
+
+# threshold literal must be the SAME double Spark computes for
+# 1.0 - keep_top (0.7 the decimal is a different double than the IEEE
+# subtraction result; a percent_rank landing exactly between them would
+# split the engines)
+X11_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+               AS distinct_ratio
+    FROM toks
+)
+SELECT doc_id, lang, distinct_ratio,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+           AS score_pct_rank,
+       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+           >= {1.0 - 0.3!r} AS kept
+FROM scored
+"""
+
+QUERIES["x11_percentile_filter"] = x11_percentile_filter
+ORACLE["x11_percentile_filter"] = X11_SQL

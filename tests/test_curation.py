@@ -298,3 +298,66 @@ def test_cardinality_dup_ratio_never_negative(spark):
     )
     r = cardinality_stats(docs, approx=True, rsd=0.05).collect()[0]
     assert r.dup_ratio >= 0.0
+
+
+# ---------------------------------------------------------------------------
+# quality percentile gates
+# ---------------------------------------------------------------------------
+
+def test_percentile_filter_ties_share_fate(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        percentile_filter,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en", s) for i, s in enumerate([0.1, 0.5, 0.5, 0.9, 1.0])],
+        "doc_id long, lang string, score double",
+    )
+    out = {r.doc_id: r for r in percentile_filter(df, "score", 0.5).collect()}
+    # ranks: 0.1->pr 0, the 0.5 tie -> pr .25 both, 0.9 -> .75, 1.0 -> 1
+    assert out[1].score_pct_rank == out[2].score_pct_rank == 0.25
+    assert out[1].kept == out[2].kept == False  # noqa: E712
+    assert out[3].kept and out[4].kept and not out[0].kept
+
+
+def test_threshold_filter_matches_exact_away_from_boundary(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        percentile_filter,
+        threshold_filter,
+    )
+
+    rows = [(i, "en", float(i)) for i in range(100)] + [
+        (100 + i, "fr", float(i % 10)) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, score double")
+    exact = {r.doc_id: r for r in percentile_filter(df, "score", 0.4).collect()}
+    approx = {r.doc_id: r for r in threshold_filter(df, "score", 0.4).collect()}
+    min_kept = {}
+    for r in exact.values():
+        if r.kept:
+            min_kept[r.lang] = min(min_kept.get(r.lang, 1e18), r.score)
+    # the two paths may only disagree at the cut itself: the boundary
+    # score or its immediate predecessor (rank-interpolation + tie-class
+    # handling), never in the interior
+    for k, er in exact.items():
+        if er.kept != approx[k].kept:
+            assert er.score in (min_kept[er.lang] - 1, min_kept[er.lang]), (
+                k, er.score, min_kept[er.lang],
+            )
+    interior = [
+        k for k, er in exact.items()
+        if er.score not in (min_kept[er.lang] - 1, min_kept[er.lang])
+    ]
+    assert all(exact[k].kept == approx[k].kept for k in interior)
+
+
+def test_percentile_filter_rejects_bad_fraction(spark):
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        percentile_filter,
+    )
+
+    df = spark.createDataFrame([(1, "en", 0.5)], "doc_id long, lang string, score double")
+    with _pytest.raises(ValueError):
+        percentile_filter(df, "score", 0.0)
