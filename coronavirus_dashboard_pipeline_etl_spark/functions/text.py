@@ -210,3 +210,63 @@ def bpe_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         n_ws.cast("long").alias("n_ws_tokens"),
         (n_bpe.cast("double") / n_ws.cast("double")).alias("fragmentation"),
     )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    log_idf: bool = True,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF.
+
+    ``log_idf=True`` (production) scores ``tf * (ln((N+1)/(df+1)) + 1)``
+    — the standard smoothed form. ``log_idf=False`` scores with the raw
+    rational odds ``tf * ((N+1)/(df+1))``: exact IEEE arithmetic with no
+    libm call, for cross-engine oracle checks (ln differs in the last
+    ulp between libms, which can flip a rank; see the repo determinism
+    contract). Both forms rank identically when tf = 1.
+
+    Plan: explode -> groupBy (doc, term) for tf -> groupBy term for df
+    (the exploded subtree evaluates twice — cheap codegen work, cheaper
+    than materialising the token corpus) -> join tf to the term-df side
+    on term -> per-doc top-k window. Three shuffles, all on
+    well-distributed keys (term df join is vocabulary-sized; Spark picks
+    broadcast when stats allow). Doc count N rides a 1-row broadcast
+    (with_scalar pattern), never a driver collect.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct(id_col).alias("term_df")
+    )
+    # N = corpus size (all input docs, token-less ones included) as a
+    # 1-row broadcast — the with_scalar pattern, aggregated over the
+    # INPUT frame rather than the token frame
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n_docs"))
+    scored = tf.join(dfreq, "term").crossJoin(F.broadcast(n_docs))
+    odds = (F.col("__n_docs") + 1).cast("double") / (
+        F.col("term_df") + 1
+    ).cast("double")
+    idf = (F.log(odds) + F.lit(1.0)) if log_idf else odds
+    scored = scored.withColumn("score", F.col("tf").cast("double") * idf)
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            id_col,
+            F.col("term_rank").cast("long").alias("term_rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("term_df").cast("long").alias("term_df"),
+            "score",
+        )
+    )

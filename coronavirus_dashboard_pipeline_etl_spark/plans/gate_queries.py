@@ -3818,3 +3818,42 @@ FROM scored
 
 QUERIES["x11_percentile_filter"] = x11_percentile_filter
 ORACLE["x11_percentile_filter"] = X11_SQL
+
+
+from ..functions.text import tfidf_topk  # noqa: E402
+
+
+def tf1_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per doc by TF-IDF with the rational
+    (log-free) idf — exact IEEE arithmetic both engines; the log path is
+    pytest-covered (libm last-ulp differences must not gate)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=5, log_idf=False)
+
+
+TF1_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS term_df FROM toks GROUP BY 1),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+scored AS (
+    SELECT doc_id, term, tf, term_df,
+           CAST(tf AS DOUBLE) *
+               (CAST(n_docs + 1 AS DOUBLE) / CAST(term_df + 1 AS DOUBLE)) AS score
+    FROM tf JOIN dfreq USING (term), n
+),
+ranked AS (
+    SELECT *,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY score DESC, term ASC) AS term_rank
+    FROM scored
+)
+SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, term,
+       CAST(tf AS BIGINT) AS tf, CAST(term_df AS BIGINT) AS term_df, score
+FROM ranked WHERE term_rank <= 5
+"""
+
+QUERIES["tf1_tfidf_topk"] = tf1_tfidf_topk
+ORACLE["tf1_tfidf_topk"] = TF1_SQL

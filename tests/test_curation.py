@@ -361,3 +361,43 @@ def test_percentile_filter_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(1, "en", 0.5)], "doc_id long, lang string, score double")
     with _pytest.raises(ValueError):
         percentile_filter(df, "score", 0.0)
+
+
+def test_tfidf_log_path_matches_math_log(spark):
+    import math
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry durian apple"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_topk(docs, k=10, log_idf=True).collect()
+    n = 3
+    for r in out:
+        expect = r.tf * (math.log((n + 1) / (r.term_df + 1)) + 1.0)
+        assert abs(r.score - expect) < 1e-12, (r.term, r.score, expect)
+    # doc 1: 'apple' tf=2 df=2 -> 2*(ln(4/3)+1); 'banana' tf=1 df=2 ->
+    # ln(4/3)+1: apple must outrank banana
+    d1 = {r.term: r for r in out if r.doc_id == 1}
+    assert d1["apple"].term_df == 2
+    assert d1["apple"].term_rank < d1["banana"].term_rank
+
+
+def test_tfidf_rational_and_log_rank_agree_at_tf1(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} shared common{i % 2}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    ranks = lambda df: sorted(
+        (r.doc_id, r.term_rank, r.term) for r in df.collect()
+    )
+    assert ranks(tfidf_topk(docs, k=3, log_idf=True)) == ranks(
+        tfidf_topk(docs, k=3, log_idf=False)
+    )
