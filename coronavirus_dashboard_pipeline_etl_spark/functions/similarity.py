@@ -235,3 +235,124 @@ def cosine_topk_ivf(
             "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id", "score"
         )
     )
+
+
+def assign_centroids(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    max_centroids: int = 10_000,
+) -> DataFrame:
+    """Nearest-centroid assignment by cosine — the IVF coarse quantiser /
+    k-means assignment step as a ZERO-SHUFFLE map-side expression.
+
+    The centroid set (small by definition: k centroids, not corpus data)
+    is collected under a ``max_centroids`` guard and inlined as a literal
+    array of structs; each row scores all k centroids with the same
+    sequential-fold dot product the rest of this module uses and takes
+    the argmax via ``array_position(scores, array_max(scores))`` — first
+    index on ties, so assignment is total and deterministic. No join, no
+    exchange: the whole operator fuses into the scan's codegen stage.
+
+    Returns the input plus ``centroid_id`` and ``centroid_score``.
+    """
+    rows = (
+        centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            _to_double(F.col(centroid_vec_col)).alias("cvec"),
+        )
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    if len(rows) > max_centroids:
+        raise ValueError(
+            f"assign_centroids: centroid side exceeds max_centroids="
+            f"{max_centroids}; it must be the small side"
+        )
+    if not rows:
+        raise ValueError("assign_centroids: empty centroid set")
+    # order by centroid id so "first index wins" ties deterministically
+    # resolve to the smallest centroid id
+    rows = sorted(rows, key=lambda r: r["cid"])
+    cid_arr = F.array(*[F.lit(int(r["cid"])) for r in rows])
+    cent_arr = F.array(
+        *[
+            F.array(*[F.lit(float(x)) for x in r["cvec"]])
+            for r in rows
+        ]
+    )
+    v = _to_double(F.col(vec_col))
+    scores = F.transform(
+        cent_arr, lambda c: _dot(v, c) / (_norm(v) * _norm(c))
+    )
+    best = F.array_position(scores, F.array_max(scores)).cast("int")
+    return df.select(
+        "*",
+        F.element_at(cid_arr, best).cast("long").alias("centroid_id"),
+        F.element_at(scores, best).alias("centroid_score"),
+    )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Lloyd's k-means over an embedding column (cosine assignment,
+    mean update), the iterative-algorithm companion to the one-shot
+    ``assign_centroids``.
+
+    Seeding is deterministic: the k rows with the smallest ``id_col``
+    (no RNG — re-runs agree, tests agree). Each round: map-side
+    assignment (zero shuffle), then the centroid update as
+    posexplode -> groupBy (cluster, dim) mean -> re-collect — one
+    shuffle per round keyed on (cluster, dimension), k*dim rows out.
+    ``localCheckpoint`` truncates the lineage per round (the
+    dedup_components pattern) so the plan stays bounded.
+
+    Returns ``(assigned, centroids)`` — the corpus with final
+    ``centroid_id``/``centroid_score``, and the centroid table.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    centroids = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(
+            F.col(id_col).cast("long").alias("centroid_id"),
+            _to_double(F.col(vec_col)).alias("centroid"),
+        )
+    )
+    # re-key 0..k-1 for stable ids across updates
+    centroids = centroids.select(
+        (F.row_number().over(Window.orderBy("centroid_id")) - 1)
+        .cast("long")
+        .alias("centroid_id"),
+        "centroid",
+    )
+    for _ in range(n_iter):
+        assigned = assign_centroids(
+            df, centroids, id_col=id_col, vec_col=vec_col
+        )
+        dims = assigned.select(
+            F.col("centroid_id"),
+            F.posexplode(_to_double(F.col(vec_col))).alias("dim", "x"),
+        )
+        centroids = (
+            dims.groupBy("centroid_id", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                    lambda s: s.m,
+                ).alias("centroid")
+            )
+            .localCheckpoint(eager=True)
+        )
+    return assign_centroids(df, centroids, id_col=id_col, vec_col=vec_col), centroids

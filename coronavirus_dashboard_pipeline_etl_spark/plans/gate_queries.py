@@ -3857,3 +3857,38 @@ FROM ranked WHERE term_rank <= 5
 
 QUERIES["tf1_tfidf_topk"] = tf1_tfidf_topk
 ORACLE["tf1_tfidf_topk"] = TF1_SQL
+
+
+from ..functions.similarity import assign_centroids  # noqa: E402
+
+
+def c1_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantiser / k-means assignment step: nearest of 8
+    deterministic centroids (vec_id < 8) by cosine, zero-shuffle
+    map-side argmax. Following the s1/d5 precedent the gate compares the
+    ASSIGNMENT (rank decision), not raw float scores."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = assign_centroids(emb, cents)
+    return out.select("vec_id", "label", "centroid_id")
+
+
+C1_SQL = """
+WITH c AS (SELECT vec_id AS cid, embedding FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT e.vec_id, e.label, c.cid,
+           list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[])) AS score
+    FROM embeddings e, c
+)
+SELECT vec_id, label, cid AS centroid_id
+FROM (SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY vec_id ORDER BY score DESC, cid ASC) AS rn
+      FROM scored)
+WHERE rn = 1
+"""
+
+QUERIES["c1_centroid_assign"] = c1_centroid_assign
+ORACLE["c1_centroid_assign"] = C1_SQL

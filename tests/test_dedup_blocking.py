@@ -215,3 +215,85 @@ def test_dedup_paragraphs_idempotent(spark):
     once = dedup_paragraphs(docs).select("doc_id", "text")
     twice = dedup_paragraphs(once).select("doc_id", "text")
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ---------------------------------------------------------------------------
+# centroid assignment + Lloyd k-means
+# ---------------------------------------------------------------------------
+
+def test_assign_centroids_zero_shuffle_and_argmax(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        assign_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, [0.0, 1.0]),
+            (4, [-1.0, 0.0]),  # anti-aligned with centroid 0
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "centroid_id long, centroid array<double>",
+    )
+    out = assign_centroids(corpus, cents)
+    got = {r.vec_id: r.centroid_id for r in out.collect()}
+    assert got == {1: 0, 2: 0, 3: 1, 4: 1}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side expression
+
+    # ties resolve to the smallest centroid id
+    tie = spark.createDataFrame(
+        [(9, [1.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    assert assign_centroids(tie, cents).collect()[0].centroid_id == 0
+
+
+def test_assign_centroids_guards(spark):
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        assign_centroids,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    empty = spark.createDataFrame([], "centroid_id long, centroid array<double>")
+    with _pytest.raises(ValueError, match="empty centroid set"):
+        assign_centroids(corpus, empty)
+    big = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(3)],
+        "centroid_id long, centroid array<double>",
+    )
+    with _pytest.raises(ValueError, match="max_centroids"):
+        assign_centroids(corpus, big, max_centroids=2)
+
+
+def test_kmeans_lloyd_separates_clusters(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        kmeans_lloyd,
+    )
+
+    # two tight angular clusters around (1,0) and (0,1)
+    rows = [(i, [1.0, 0.01 * i]) for i in range(10)] + [
+        (100 + i, [0.01 * i, 1.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, cents = kmeans_lloyd(df, k=2, n_iter=3)
+    clusters = {}
+    for r in assigned.collect():
+        clusters.setdefault(r.centroid_id, set()).add(r.vec_id)
+    groups = sorted(frozenset(v) for v in clusters.values())
+    assert groups == sorted(
+        [frozenset(range(10)), frozenset(100 + i for i in range(10))]
+    )
+    assert cents.count() == 2
+    # deterministic: same call, same assignment
+    assigned2, _ = kmeans_lloyd(df, k=2, n_iter=3)
+    assert sorted((r.vec_id, r.centroid_id) for r in assigned.collect()) == sorted(
+        (r.vec_id, r.centroid_id) for r in assigned2.collect()
+    )
