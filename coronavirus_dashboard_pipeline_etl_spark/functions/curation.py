@@ -426,3 +426,89 @@ def threshold_filter(
         *df.columns,
         (F.col(score_col) >= F.col("__score_threshold")).alias("kept"),
     )
+
+
+def extract_domain(url_col):
+    """Registrable-host extraction from a URL column: strip scheme,
+    userinfo, port, path. Plain RE2-compatible regex (no lookaround) so
+    the same pattern runs in any engine."""
+    from pyspark.sql import functions as F
+
+    c = F.col(url_col) if isinstance(url_col, str) else url_col
+    host = F.regexp_extract(c, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    host = F.regexp_replace(host, r"^[^@]*@", "")   # userinfo
+    host = F.regexp_replace(host, r":[0-9]+$", "")  # port
+    return F.lower(host)
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str = "domain",
+    max_per_group: int = 1000,
+    order_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Per-source volume cap (the C4/RefinedWeb "max N pages per
+    domain" rule): keep at most ``max_per_group`` rows per group,
+    chosen by ``order_cols`` (ascending — pass a negated score column
+    to keep best-first). Rows are RETAINED with ``group_rank`` and a
+    boolean ``kept`` so the cut is auditable before ``.filter("kept")``.
+
+    One window shuffle on ``group_col``. A mega-domain (crawl dup farm)
+    is exactly the case the cap exists for; its window partition is
+    large but single-key, which AQE skew handling splits — and the
+    output it feeds drops to ``max_per_group`` rows regardless.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if max_per_group < 1:
+        raise ValueError(f"max_per_group must be >= 1, got {max_per_group}")
+    w = Window.partitionBy(group_col).orderBy(
+        *[F.col(c).asc() for c in order_cols]
+    )
+    rn = F.row_number().over(w)
+    return df.select(
+        "*",
+        rn.cast("long").alias("group_rank"),
+        (rn <= max_per_group).alias("kept"),
+    )
+
+
+def histogram_fixed(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-width histogram with FIXED bounds (dashboard distributions,
+    drift monitors): bucket = clamp(floor((x - lo) / width)), counted
+    per (partition, bucket). Fixed bounds keep the operator one pass
+    and engine-exact — data-driven bounds would need a pre-scan (see
+    ``with_scalar``) and IEEE-identical width derivation.
+
+    Out-of-range rows clamp to the edge buckets, so mass is conserved.
+    One groupBy shuffle on (partitions, bucket) — tiny output.
+    """
+    from pyspark.sql import functions as F
+
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
+    width = (hi - lo) / bins
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(lo)) / F.lit(width))
+    bucket = F.least(F.greatest(raw, F.lit(0)), F.lit(bins - 1)).cast("long")
+    out = df.select(*partition_cols, bucket.alias("bucket"))
+    return (
+        out.groupBy(*partition_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            *partition_cols,
+            "bucket",
+            (F.lit(lo) + F.col("bucket") * F.lit(width)).alias("bucket_lo"),
+            "n",
+        )
+    )

@@ -3892,3 +3892,67 @@ WHERE rn = 1
 
 QUERIES["c1_centroid_assign"] = c1_centroid_assign
 ORACLE["c1_centroid_assign"] = C1_SQL
+
+
+from ..functions.curation import cap_per_group, extract_domain, histogram_fixed  # noqa: E402
+
+
+def x12_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain volume cap (C4/RefinedWeb "max N pages per domain"):
+    the corpus has no URLs, so the gate injects one per doc (37 synthetic
+    domains with ports/userinfo to exercise the extractor), caps at 5
+    docs per domain by doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://user:pw@site"),
+        (F.col("doc_id") % 37).cast("string"),
+        F.lit(".example.com:8443/page/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_domain = docs.select(
+        "doc_id", extract_domain(url).alias("domain")
+    )
+    return cap_per_group(with_domain, "domain", max_per_group=5)
+
+
+X12_SQL = """
+WITH d AS (
+    SELECT doc_id,
+           'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS domain
+    FROM documents
+)
+SELECT doc_id, domain,
+       CAST(ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) AS BIGINT)
+           AS group_rank,
+       ROW_NUMBER() OVER (PARTITION BY domain ORDER BY doc_id) <= 5 AS kept
+FROM d
+"""
+
+QUERIES["x12_domain_cap"] = x12_domain_cap
+ORACLE["x12_domain_cap"] = X12_SQL
+
+
+def h2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bound equi-width histogram of document length per language
+    (dashboard distribution / drift monitor). Integer inputs over a
+    decimal-exact width keep the bucket floor engine-identical."""
+    docs = load_table(spark, sf_dir, "documents")
+    return histogram_fixed(
+        docs, "n_chars", lo=0.0, hi=200.0, bins=20, partition_cols=("lang",)
+    )
+
+
+H2_SQL = """
+WITH b AS (
+    SELECT lang,
+           CAST(least(greatest(floor((CAST(n_chars AS DOUBLE) - 0.0) / 10.0),
+                               0), 19) AS BIGINT) AS bucket
+    FROM documents
+)
+SELECT lang, bucket, 0.0 + bucket * 10.0 AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY lang, bucket
+"""
+
+QUERIES["h2_histogram"] = h2_histogram
+ORACLE["h2_histogram"] = H2_SQL

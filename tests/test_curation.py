@@ -401,3 +401,55 @@ def test_tfidf_rational_and_log_rank_agree_at_tf1(spark):
     assert ranks(tfidf_topk(docs, k=3, log_idf=True)) == ranks(
         tfidf_topk(docs, k=3, log_idf=False)
     )
+
+
+def test_extract_domain_strips_scheme_userinfo_port(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        extract_domain,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://user:pw@WWW.Example.COM:8443/a/b?q=1#f"),
+            (2, "http://plain.org/page"),
+            (3, "ftp://host.net"),
+            (4, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r.doc_id: r.d for r in df.select("doc_id", extract_domain("url").alias("d")).collect()}
+    assert got == {1: "www.example.com", 2: "plain.org", 3: "host.net", 4: ""}
+
+
+def test_cap_per_group_keeps_first_n(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        cap_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 7 else "b") for i in range(10)],
+        "doc_id long, domain string",
+    )
+    out = cap_per_group(df, "domain", max_per_group=3)
+    kept = sorted(r.doc_id for r in out.collect() if r.kept)
+    assert kept == [0, 1, 2, 7, 8, 9]
+    # all rows retained for audit
+    assert out.count() == 10
+
+
+def test_histogram_fixed_clamps_and_conserves_mass(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        histogram_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in [-5, 0, 9.99, 10, 55, 99, 100, 1000]],
+        "x double",
+    )
+    out = {r.bucket: r for r in histogram_fixed(df, "x", 0.0, 100.0, 10).collect()}
+    assert out[0].n == 3          # -5 clamps in, 0, 9.99
+    assert out[1].n == 1          # 10 lands in bucket 1 (left-closed)
+    assert out[5].n == 1
+    assert out[9].n == 3          # 99, 100 and 1000 clamp into the top bucket
+    assert sum(r.n for r in out.values()) == 8
+    assert out[5].bucket_lo == 50.0
