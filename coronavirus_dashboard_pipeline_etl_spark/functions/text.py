@@ -270,3 +270,78 @@ def tfidf_topk(
             "score",
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    log_idf: bool = True,
+) -> DataFrame:
+    """Top-k documents for a bag-of-terms query by Okapi BM25.
+
+    score(d) = sum over query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    ``log_idf=True`` uses the classic ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))``; ``log_idf=False`` uses the raw odds (no libm call)
+    for cross-engine oracle checks — same monotonicity in df, so the
+    blend differs but each term's contribution ranks the same way.
+
+    Plan shape: the corpus tokenises map-side; per-doc tf for the HANDFUL
+    of query terms comes from array expressions (no explode of the whole
+    corpus for a query!); df per query term and avgdl are two tiny
+    aggregates broadcast back; the final top-k is a global
+    TakeOrderedAndProject. Zero corpus-wide shuffles — the whole score
+    computes in the scan stage, which is what makes per-query latency
+    viable on a huge corpus.
+    """
+    if not query_terms:
+        raise ValueError("bm25_topk: empty query")
+    terms = sorted(set(query_terms))
+    toks = tokens(text_col)
+    dl = F.size(toks).cast("double")
+
+    # per-term tf as array expressions over the token array
+    def tf_col(t: str) -> Column:
+        return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
+
+    base = df.select(
+        F.col(id_col),
+        dl.alias("__dl"),
+        *[tf_col(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
+    )
+    # tiny aggregate side: N, avgdl, df per term — one row, broadcast
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[
+            F.sum((F.col(f"__tf_{i}") > 0).cast("double")).alias(f"__df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+
+    def idf_col(i: int) -> Column:
+        odds = (F.col("__n") - F.col(f"__df_{i}") + F.lit(0.5)) / (
+            F.col(f"__df_{i}") + F.lit(0.5)
+        )
+        return F.log(F.lit(1.0) + odds) if log_idf else odds
+
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}")
+        contrib = idf_col(i) * (
+            tf
+            * F.lit(k1 + 1.0)
+            / (tf + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")))
+        )
+        score = contrib if score is None else score + contrib
+    ranked = scored.select(F.col(id_col), score.alias("score")).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return ranked.limit(k)

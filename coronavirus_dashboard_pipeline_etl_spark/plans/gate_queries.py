@@ -3956,3 +3956,67 @@ FROM b GROUP BY lang, bucket
 
 QUERIES["h2_histogram"] = h2_histogram
 ORACLE["h2_histogram"] = H2_SQL
+
+
+from ..functions.text import bm25_topk  # noqa: E402
+
+# BM25 constants: every float literal the Spark plan uses, repr'd into
+# the SQL so both engines parse the IDENTICAL double (k1+1 is 1.2+1.0 =
+# 2.2000000000000002, not 2.2)
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def b1_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-20 for a 3-term query, rational-idf config (the
+    log path is pytest-covered; libm must not gate). Corpus-side tf from
+    array expressions — no corpus explode, no shuffle; stats (N, avgdl,
+    per-term df) ride a 1-row broadcast. Doc-length sums are integer
+    doubles, so avg is order-independent and engine-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs,
+        ["spark", "hash", "window"],
+        k=20,
+        k1=_BM25_K1,
+        b=_BM25_B,
+        log_idf=False,
+    )
+
+
+_B1_TERMS = ["hash", "spark", "window"]  # sorted, as the operator sorts
+_B1_TF = ",\n           ".join(
+    f"CAST(len(list_filter(t, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+    for i, t in enumerate(_B1_TERMS)
+)
+_B1_DF = ",\n           ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0.0 END) AS df{i}"
+    for i in range(len(_B1_TERMS))
+)
+_B1_SCORE = " + ".join(
+    f"((n - df{i} + 0.5) / (df{i} + 0.5))"
+    f" * (tf{i} * {_BM25_K1 + 1.0!r} / (tf{i} + {_BM25_K1!r} *"
+    f" ({1.0 - _BM25_B!r} + {_BM25_B!r} * dl / avgdl)))"
+    for i in range(len(_B1_TERMS))
+)
+
+B1_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+           {_B1_TF}
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+           {_B1_DF}
+    FROM base
+)
+SELECT doc_id, {_B1_SCORE} AS score
+FROM base, stats
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+"""
+
+QUERIES["b1_bm25_topk"] = b1_bm25_topk
+ORACLE["b1_bm25_topk"] = B1_SQL

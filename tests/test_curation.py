@@ -453,3 +453,55 @@ def test_histogram_fixed_clamps_and_conserves_mass(spark):
     assert out[9].n == 3          # 99, 100 and 1000 clamp into the top bucket
     assert sum(r.n for r in out.values()) == 8
     assert out[5].bucket_lo == 50.0
+
+
+def test_bm25_ranks_relevance_and_log_path(spark):
+    import math
+
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark engine"),
+            (2, "spark engine"),
+            (3, "totally unrelated words here"),
+            (4, "engine only text block"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ["spark"], k=4, log_idf=True).collect()
+    ranked_ids = [r.doc_id for r in out]
+    # docs with the term outrank docs without; higher tf wins (short dl)
+    assert ranked_ids[0] == 1 and ranked_ids[1] == 2
+    assert {ranked_ids[2], ranked_ids[3]} == {3, 4}
+    assert out[2].score == 0.0 and out[3].score == 0.0
+
+    # log-idf value check for doc 2: tf=1, dl=2, avgdl=(4+2+4+4)/4=3.5,
+    # N=4, df=2
+    idf = math.log(1.0 + (4 - 2 + 0.5) / (2 + 0.5))
+    expect = idf * (1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2 / 3.5)))
+    got = next(r.score for r in out if r.doc_id == 2)
+    assert abs(got - expect) < 1e-12
+
+    with _pytest.raises(ValueError, match="empty query"):
+        bm25_topk(docs, [])
+
+
+def test_bm25_zero_shuffle_corpus_side(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "spark engine row") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bm25_topk(docs, ["spark"], k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # stats aggregate exchanges a 1-row side; the corpus path itself must
+    # not hash-exchange (top-k is TakeOrdered, not a sort shuffle)
+    assert "TakeOrderedAndProject" in plan
