@@ -4020,3 +4020,49 @@ LIMIT 20
 
 QUERIES["b1_bm25_topk"] = b1_bm25_topk
 ORACLE["b1_bm25_topk"] = B1_SQL
+
+
+from ..streaming.windows import session_window_stats  # noqa: E402
+
+
+def st3_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window (the streaming-native gap-merged session
+    operator) run in batch mode over events, proven row-identical to
+    classic lag/cumsum SQL sessionization — the equivalence that
+    licenses swapping backfill and live paths. Window end = last event
+    + gap; a split needs the gap strictly exceeded (verified)."""
+    ev = load_table(spark, sf_dir, "events")
+    return session_window_stats(ev, gap="30 minutes")
+
+
+ST3_SQL = """
+WITH e AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT *,
+           CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                THEN 1 ELSE 0 END AS is_new
+    FROM e
+),
+sess AS (
+    SELECT *,
+           SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_index
+    FROM flagged
+)
+SELECT user_id,
+       MIN(us) AS session_start_us,
+       MAX(us) + 1800000000 AS session_end_us,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM sess
+GROUP BY user_id, session_index
+"""
+
+QUERIES["st3_session_window"] = st3_session_window
+ORACLE["st3_session_window"] = ST3_SQL

@@ -86,3 +86,54 @@ def dedup_stream(
             list(keys)
         )
     return df.dropDuplicates(list(keys))
+
+
+def session_window_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    group_cols: Sequence[str] = ("user_id",),
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Event-time SESSION windows (dynamic gap-merged windows) — the
+    Structured Streaming twin of ``operators.sessions.sessionize``:
+    ``F.session_window`` merges events within ``gap`` of each other into
+    one window per group, exactly the inactivity-gap semantics, but
+    expressed so the state store handles it incrementally on a stream
+    (watermark evicts closed sessions -> bounded state).
+
+    On a batch frame the same expression computes the same sessions in
+    one pass; the oracle gate proves batch session_window == the
+    classic lag/cumsum SQL sessionization row-for-row, which is what
+    licenses swapping one for the other between backfill and live
+    serving.
+
+    Session bounds surface as exact epoch micros. ``session_end_us`` is
+    the END of the merged window = last event + gap (Spark's session
+    semantics; verified: events exactly ``gap`` apart still merge — a
+    split needs the gap EXCEEDED, matching ``sessionize``); the batch
+    operator reports the last EVENT — subtract the gap for event-bounds
+    parity.
+    """
+    if watermark is not None and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    aggs = [F.count("*").alias("n_events")]
+    has_value = value_col is not None and value_col in df.columns
+    if has_value:
+        aggs.append(
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum")
+        )
+    out_cols = ["n_events"] + (["value_sum"] if has_value else [])
+    return (
+        df.groupBy(*group_cols, F.session_window(F.col(ts_col), gap).alias("__w"))
+        .agg(*aggs)
+        .select(
+            *group_cols,
+            F.unix_micros("__w.start").alias("session_start_us"),
+            F.unix_micros("__w.end").alias("session_end_us"),
+            *out_cols,
+        )
+    )

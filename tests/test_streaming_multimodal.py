@@ -280,3 +280,67 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     }
     assert set(got) == {1, 2, 3}
     assert got[1] == 1.0, "first occurrence wins; the duplicate is dropped"
+
+
+def test_session_window_streams_and_matches_batch(spark, tmp_path):
+    """session_window on a real stream (availableNow file source,
+    append mode after watermark): closed sessions emit once; the same
+    function on the same rows as a batch frame produces the identical
+    session set (the backfill/live swap the st3 gate licenses)."""
+    import json
+    import time
+
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+
+    rows = [
+        {"event_id": 1, "user_id": 7, "ts": "2024-01-01T10:00:00", "value": 1.0},
+        {"event_id": 2, "user_id": 7, "ts": "2024-01-01T10:10:00", "value": 2.0},
+        # > 30 min later: second session
+        {"event_id": 3, "user_id": 7, "ts": "2024-01-01T11:00:01", "value": 3.0},
+        {"event_id": 4, "user_id": 8, "ts": "2024-01-01T10:00:00", "value": 4.0},
+    ]
+    (in_dir / "b1.json").write_text("\n".join(json.dumps(r) for r in rows))
+    time.sleep(0.2)
+    # advance the watermark far enough to close every session
+    (in_dir / "b2.json").write_text(json.dumps(
+        {"event_id": 99, "user_id": 99, "ts": "2024-01-02T00:00:00", "value": 0.0}
+    ))
+
+    schema = "event_id long, user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.format("json")
+        .schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        session_window_stats(stream, gap="30 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.value_sum)
+        for r in spark.sql("SELECT * FROM sess_test WHERE user_id <> 99").collect()
+    }
+
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["user_id"], r["ts"].replace("T", " "), r["value"])
+         for r in rows],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) ts", "value")
+    expect = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.value_sum)
+        for r in session_window_stats(batch, gap="30 minutes").collect()
+    }
+    assert got == expect
+    assert len(expect) == 3  # user 7 x2 sessions, user 8 x1
