@@ -59,3 +59,134 @@ def latest_two_releases_delta(
     if clamp_negative:
         delta = F.greatest(delta, F.lit(0))
     return joined.withColumn(out, delta).drop("__prev")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: Sequence[str] = (),
+    tolerance_seconds: int | None = None,
+) -> DataFrame:
+    """Generic backward as-of LEFT join: each left row picks the right
+    row with the greatest ``right_ts`` <= ``left_ts`` within its key
+    group (ties at the exact same timestamp match — ``<=``, the
+    pandas/kdb default). The operator Spark lacks natively, built
+    Spark-first:
+
+    UNION the two sides tagged (right rows sort BEFORE left rows at
+    equal timestamps), then one ``last(value, ignorenulls=True)`` window
+    per key carries the latest right payload forward onto every left
+    row. ONE shuffle on the join keys — never a range-join explosion or
+    a per-key sort-merge of left x right; at 100 TB both sides stream
+    through the same hash exchange and the window is a linear scan.
+
+    ``right_cols`` are carried onto matches (they must not collide with
+    left column names); unmatched left rows keep them NULL plus a NULL
+    ``asof_ts_us``. ``tolerance_seconds`` voids matches older than the
+    bound (pandas ``merge_asof`` tolerance). Right rows should be
+    unique per (keys, right_ts) — among exact duplicates the carried row
+    is frame-order-dependent; pre-aggregate to make it total.
+    """
+    overlap = set(right_cols) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"asof_join: right_cols collide with left columns: {sorted(overlap)}"
+        )
+    key_list = list(keys)
+    lus = F.unix_micros(F.col(left_ts))
+    rus = F.unix_micros(F.col(right_ts))
+    r_tagged = right.select(
+        *key_list,
+        rus.alias("__us"),
+        F.lit(0).alias("__is_left"),
+        F.struct(
+            rus.alias("asof_ts_us"), *[F.col(c) for c in right_cols]
+        ).alias("__rv"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(f"__l_{c}")
+          for c in left.columns],
+    )
+    l_tagged = left.select(
+        *key_list,
+        lus.alias("__us"),
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+    w = (
+        Window.partitionBy(*key_list)
+        .orderBy("__us", "__is_left")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = r_tagged.unionByName(l_tagged).withColumn(
+        "__match", F.last("__rv", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("__is_left") == 1)
+    match = F.col("__match")
+    if tolerance_seconds is not None:
+        in_tol = match["asof_ts_us"] >= F.col("__us") - F.lit(
+            tolerance_seconds * 1_000_000
+        )
+        match = F.when(in_tol, match)
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        match["asof_ts_us"].alias("asof_ts_us"),
+        *[match[c].alias(c) for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    interval_id_col: str = "interval_id",
+    start_us_col: str = "start_us",
+    end_us_col: str = "end_us",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Point-in-interval LEFT join (event -> containing window,
+    half-open ``[start, end)``), the second temporal join Spark lacks.
+
+    Scale path: a time GRID turns the inequality join into an equi-join
+    — each interval explodes onto the ``bucket_seconds`` cells it
+    covers, each event hashes to exactly one cell, the join key is the
+    cell id, and the containment predicate filters the handful of
+    co-bucketed candidates. Shuffles both sides ONCE on well-spread
+    grid cells; no BroadcastNestedLoopJoin, no cross product. Intervals
+    spanning many cells fan out proportionally (pick ``bucket_seconds``
+    near the typical interval length).
+
+    Overlapping intervals produce one output row per containing
+    interval. INNER semantics: events contained in no interval drop —
+    deliberate, because a generic LEFT variant would need a total row
+    identity to restore misses (join back on your own id column when
+    you need the unmatched rows).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    bus = bucket_seconds * 1_000_000
+    ev = left.withColumn("__us", F.unix_micros(F.col(ts_col)))
+    ev = ev.withColumn("__cell", F.expr(f"__us div {bus}"))
+    iv = intervals.select(
+        F.col(interval_id_col),
+        F.col(start_us_col).alias("__s"),
+        F.col(end_us_col).alias("__e"),
+    )
+    # half-open interval: the last covered cell is the one holding e-1
+    cells = iv.select(
+        interval_id_col,
+        "__s",
+        "__e",
+        F.explode(
+            F.sequence(
+                F.expr(f"__s div {bus}"), F.expr(f"(__e - 1) div {bus}")
+            )
+        ).alias("__cell"),
+    )
+    return (
+        ev.join(cells, "__cell")
+        .filter((F.col("__us") >= F.col("__s")) & (F.col("__us") < F.col("__e")))
+        .select(*left.columns, interval_id_col)
+    )

@@ -4066,3 +4066,89 @@ GROUP BY user_id, session_index
 
 QUERIES["st3_session_window"] = st3_session_window
 ORACLE["st3_session_window"] = ST3_SQL
+
+
+from ..operators.asof import asof_join, range_join  # noqa: E402
+
+
+def j11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic backward as-of join (each click joins the user's latest
+    signup at-or-before it): union + tagged window carry, ONE shuffle on
+    the key — checked against DuckDB's native ASOF LEFT JOIN. Right side
+    pre-aggregated per (user, ts) so the match is total."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("ref_event"))
+    )
+    out = asof_join(
+        clicks, signups, keys=["user_id"], right_cols=["ref_event"]
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "asof_ts_us",
+        "ref_event",
+    )
+
+
+J11_SQL = """
+WITH l AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT user_id, epoch_us(ts) AS rus, MAX(event_id) AS ref_event
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, epoch_us(ts)
+)
+SELECT l.user_id, l.event_id, l.ts_us, r.rus AS asof_ts_us, r.ref_event
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rus <= l.ts_us
+"""
+
+QUERIES["j11_asof_join"] = j11_asof_join
+ORACLE["j11_asof_join"] = J11_SQL
+
+
+_RJ_T0_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z epoch micros
+_RJ_STEP_US = 25_200_000_000       # 7 h
+_RJ_LEN_US = 7_200_000_000         # 2 h
+
+
+def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join via the time-grid equi-join (37 two-hour
+    maintenance windows every 7 h): intervals explode onto hour cells,
+    events hash to their cell, containment filters co-bucketed
+    candidates — no BroadcastNestedLoopJoin at any scale."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    iv = spark.range(37).select(
+        F.col("id").alias("interval_id"),
+        (F.lit(_RJ_T0_US) + F.col("id") * _RJ_STEP_US).alias("start_us"),
+        (F.lit(_RJ_T0_US) + F.col("id") * _RJ_STEP_US + _RJ_LEN_US).alias(
+            "end_us"
+        ),
+    )
+    return range_join(ev, iv, bucket_seconds=3600).select(
+        "event_id", "user_id", "interval_id"
+    )
+
+
+J12_SQL = f"""
+WITH iv AS (
+    SELECT i AS interval_id,
+           {_RJ_T0_US} + i * {_RJ_STEP_US} AS start_us,
+           {_RJ_T0_US} + i * {_RJ_STEP_US} + {_RJ_LEN_US} AS end_us
+    FROM range(37) t(i)
+),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT e.event_id, e.user_id, iv.interval_id
+FROM e JOIN iv ON e.us >= iv.start_us AND e.us < iv.end_us
+"""
+
+QUERIES["j12_range_join"] = j12_range_join
+ORACLE["j12_range_join"] = J12_SQL

@@ -1,0 +1,100 @@
+"""Generic as-of join and grid-bucketed range join semantics."""
+
+import re
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+    asof_join,
+    range_join,
+)
+
+
+def t(h, m=0, s=0):
+    return datetime(2024, 1, 1, h, m, s)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, 100, t(10)), (1, 101, t(12)), (2, 200, t(9))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 7), (1, t(11), 8), (2, t(9, 30), 9)],
+        "user_id long, ts timestamp, ref long",
+    )
+    out = {
+        r.event_id: (r.ref, r.asof_ts_us)
+        for r in asof_join(
+            left, right, keys=["user_id"], right_cols=["ref"]
+        ).collect()
+    }
+    # equal timestamp matches (<=); later left rows pick the newest right
+    assert out[100][0] == 7
+    assert out[101][0] == 8
+    # user 2: right row is AFTER the left event -> no match, NULLs
+    assert out[200] == (None, None)
+
+
+def test_asof_join_tolerance_voids_stale_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100, t(12))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 7)], "user_id long, ts timestamp, ref long"
+    )
+    ok = asof_join(left, right, ["user_id"], right_cols=["ref"]).collect()[0]
+    assert ok.ref == 7
+    bounded = asof_join(
+        left, right, ["user_id"], right_cols=["ref"], tolerance_seconds=3600
+    ).collect()[0]
+    assert bounded.ref is None and bounded.asof_ts_us is None
+
+
+def test_asof_join_one_shuffle_and_collision_guard(spark):
+    left = spark.createDataFrame(
+        [(1, 100, t(10))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(9), 7)], "user_id long, ts timestamp, ref long"
+    )
+    out = asof_join(left, right, ["user_id"], right_cols=["ref"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, ["user_id"], right_cols=["event_id"])
+
+
+def test_range_join_containment_and_overlap(spark):
+    ev = spark.createDataFrame(
+        [(1, t(0, 30)), (2, t(1)), (3, t(5)), (4, t(2))],
+        "event_id long, ts timestamp",
+    )
+    us = lambda h: 1_704_067_200_000_000 + h * 3_600_000_000
+    iv = spark.createDataFrame(
+        [(0, us(0), us(2)), (1, us(1), us(3))],  # overlapping
+        "interval_id long, start_us long, end_us long",
+    )
+    got = sorted(
+        (r.event_id, r.interval_id)
+        for r in range_join(ev, iv, bucket_seconds=1800).collect()
+    )
+    # ev1 in iv0 only; ev2 in both (boundary: start inclusive);
+    # ev3 in none (inner -> drops); ev4 in iv1 only (end exclusive for iv0)
+    assert got == [(1, 0), (2, 0), (2, 1), (4, 1)]
+
+
+def test_range_join_no_nested_loop(spark):
+    ev = spark.createDataFrame([(1, t(0, 30))], "event_id long, ts timestamp")
+    iv = spark.createDataFrame(
+        [(0, 1_704_067_200_000_000, 1_704_070_800_000_000)],
+        "interval_id long, start_us long, end_us long",
+    )
+    plan = (
+        range_join(ev, iv)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
