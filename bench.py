@@ -41,6 +41,11 @@ HEADLINE = [
     "pipe2_main_panel",
     "pipe3_msoa",
     "pipe6_training_prep",
+    # round-2 flagship additions: sessionization (events at volume),
+    # the as-of temporal join, and BM25 retrieval over the corpus
+    "x10_sessionize",
+    "j11_asof_join",
+    "b1_bm25_topk",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

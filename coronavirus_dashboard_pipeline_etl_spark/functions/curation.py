@@ -512,3 +512,44 @@ def histogram_fixed(
             "n",
         )
     )
+
+
+def ntile_summary(
+    df: DataFrame,
+    value_col: str,
+    n_tiles: int = 10,
+    tiebreak_cols: tuple[str, ...] = ("doc_id",),
+    partition_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Equi-depth distribution summary: NTILE(n) over a totalised order
+    (``tiebreak_cols`` break value collisions, so the tile boundaries
+    are deterministic in every engine), reduced to one row per tile with
+    count / min / max. The equal-mass companion to the equal-width
+    ``histogram_fixed``.
+
+    One rank-window shuffle + a tiny tile aggregate. The scale
+    alternative when per-row tiles are not needed is approx_percentile
+    boundaries (see ``threshold_filter``); this exact form is for
+    audit-grade distribution tables.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if n_tiles < 1:
+        raise ValueError(f"n_tiles must be >= 1, got {n_tiles}")
+    w = Window.partitionBy(*partition_cols).orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tiebreak_cols]
+    )
+    tiled = df.select(
+        *partition_cols,
+        F.col(value_col).cast("double").alias("__v"),
+        F.ntile(n_tiles).over(w).alias("tile"),
+    )
+    return tiled.groupBy(*partition_cols, "tile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("__v").alias("tile_min"),
+        F.max("__v").alias("tile_max"),
+    ).select(
+        *partition_cols, F.col("tile").cast("long").alias("tile"),
+        "n", "tile_min", "tile_max",
+    )

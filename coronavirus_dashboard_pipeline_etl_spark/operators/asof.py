@@ -190,3 +190,51 @@ def range_join(
         .filter((F.col("__us") >= F.col("__s")) & (F.col("__us") < F.col("__e")))
         .select(*left.columns, interval_id_col)
     )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    attr_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+    compact: bool = True,
+) -> DataFrame:
+    """Build SCD-type-2 validity intervals from an attribute-change
+    event stream: one row per (key, version) with ``valid_from_us`` /
+    ``valid_to_us`` (exclusive; NULL = current) and ``is_current`` — the
+    dimension-table counterpart of ``asof_join`` (join facts to it with
+    ``range_join`` on the validity interval, or ``asof_join`` on
+    ``valid_from_us``).
+
+    ``compact=True`` first drops rows whose every attribute is
+    null-safe-equal to the key's previous row (change-detection
+    compaction, lag over the same window — no extra shuffle), THEN
+    chains ``valid_to = lead(valid_from)`` over the surviving versions.
+    One hash exchange on ``keys`` total; both windows and the filter
+    share it.
+
+    ``tiebreak_cols`` totalise the order under timestamp collisions —
+    required for a deterministic version chain when two updates share a
+    timestamp.
+    """
+    key_list = list(keys)
+    order = [F.col(ts_col).asc()] + [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*key_list).orderBy(*order)
+    out = df
+    if compact and attr_cols:
+        changed = F.lit(False)
+        for c in attr_cols:
+            changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+        first = F.lag(ts_col).over(w).isNull()
+        out = out.withColumn("__keep", first | changed).filter("__keep").drop(
+            "__keep"
+        )
+    vf = F.unix_micros(F.col(ts_col))
+    out = out.select(
+        *key_list,
+        *attr_cols,
+        vf.alias("valid_from_us"),
+        F.lead(vf).over(w).alias("valid_to_us"),
+    )
+    return out.withColumn("is_current", F.col("valid_to_us").isNull())

@@ -4152,3 +4152,74 @@ FROM e JOIN iv ON e.us >= iv.start_us AND e.us < iv.end_us
 
 QUERIES["j12_range_join"] = j12_range_join
 ORACLE["j12_range_join"] = J12_SQL
+
+
+from ..operators.asof import scd2_intervals  # noqa: E402
+from ..functions.curation import ntile_summary  # noqa: E402
+
+
+def scd1_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 dimension build from the event stream: per-user
+    event_type change history compacted to versions with [valid_from,
+    valid_to) micros and an is_current flag — lag compaction + lead
+    chaining sharing ONE user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_intervals(
+        ev,
+        keys=["user_id"],
+        attr_cols=["event_type"],
+        tiebreak_cols=["event_id"],
+    )
+
+
+SCD1_SQL = """
+WITH e AS (
+    SELECT user_id, event_type, event_id, ts, epoch_us(ts) AS us,
+           LAG(event_type) OVER w AS prev_attr,
+           LAG(ts) OVER w AS prev_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+kept AS (
+    SELECT * FROM e
+    WHERE prev_ts IS NULL OR (event_type IS DISTINCT FROM prev_attr)
+)
+SELECT user_id, event_type, valid_from_us, valid_to_us,
+       valid_to_us IS NULL AS is_current
+FROM (
+    SELECT user_id, event_type, us AS valid_from_us,
+           LEAD(us) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_us
+    FROM kept
+)
+"""
+
+QUERIES["scd1_intervals"] = scd1_intervals
+ORACLE["scd1_intervals"] = SCD1_SQL
+
+
+def h3_ntile_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language equi-depth deciles of document length (NTILE over a
+    totalised order — value ties broken by doc_id, so tile boundaries
+    are engine-identical), reduced to count/min/max per tile."""
+    docs = load_table(spark, sf_dir, "documents")
+    return ntile_summary(
+        docs, "n_chars", n_tiles=10, partition_cols=("lang",)
+    )
+
+
+H3_SQL = """
+WITH tiled AS (
+    SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+           NTILE(10) OVER (
+               PARTITION BY lang ORDER BY CAST(n_chars AS DOUBLE), doc_id
+           ) AS tile
+    FROM documents
+)
+SELECT lang, CAST(tile AS BIGINT) AS tile, CAST(COUNT(*) AS BIGINT) AS n,
+       MIN(v) AS tile_min, MAX(v) AS tile_max
+FROM tiled GROUP BY lang, tile
+"""
+
+QUERIES["h3_ntile_summary"] = h3_ntile_summary
+ORACLE["h3_ntile_summary"] = H3_SQL

@@ -98,3 +98,65 @@ def test_range_join_no_nested_loop(spark):
     )
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_intervals_compaction_and_chain(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        scd2_intervals,
+    )
+
+    rows = [
+        (1, 1, t(9), "free"),
+        (2, 1, t(10), "free"),   # no change -> compacted away
+        (3, 1, t(11), "pro"),
+        (4, 2, t(9), "free"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, plan string"
+    )
+    out = scd2_intervals(
+        df, keys=["user_id"], attr_cols=["plan"], tiebreak_cols=["event_id"]
+    ).collect()
+    u1 = sorted(
+        [(r.plan, r.valid_to_us is None) for r in out if r.user_id == 1]
+    )
+    assert u1 == [("free", False), ("pro", True)]
+    free = next(r for r in out if r.user_id == 1 and r.plan == "free")
+    pro = next(r for r in out if r.user_id == 1 and r.plan == "pro")
+    # the compacted duplicate must NOT break the chain: free's validity
+    # ends exactly where pro begins
+    assert free.valid_to_us == pro.valid_from_us
+    assert next(r for r in out if r.user_id == 2).is_current
+
+
+def test_scd2_single_exchange(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        scd2_intervals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 1, t(9), "a")], "event_id long, user_id long, ts timestamp, v string"
+    )
+    plan = (
+        scd2_intervals(df, ["user_id"], attr_cols=["v"], tiebreak_cols=["event_id"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_ntile_summary_equal_mass(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        ntile_summary,
+    )
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(20)], "doc_id long, v double"
+    )
+    out = {r.tile: r for r in ntile_summary(df, "v", n_tiles=4).collect()}
+    assert [out[i].n for i in (1, 2, 3, 4)] == [5, 5, 5, 5]
+    assert out[1].tile_min == 0.0 and out[4].tile_max == 6.0
+    # tiles are ordered by value: every tile's max <= next tile's min
+    for i in (1, 2, 3):
+        assert out[i].tile_max <= out[i + 1].tile_min
