@@ -4223,3 +4223,89 @@ FROM tiled GROUP BY lang, tile
 
 QUERIES["h3_ntile_summary"] = h3_ntile_summary
 ORACLE["h3_ntile_summary"] = H3_SQL
+
+
+def pipe7_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE near-dup dedup pipeline composed end to end, the way
+    a corpus run executes it: MinHash signatures -> banded LSH candidate
+    pairs -> exact token-set Jaccard verification on candidates only
+    (array_intersect expressions — the candidate set is tiny relative to
+    the corpus, so the exact check is cheap) -> connected components ->
+    (doc_id, canonical_id, kept). Docs keep iff they are their
+    component's minimum id; the drop list is kept = false."""
+    from ..functions.dedup import dedup_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=16)
+    cands = lsh_candidate_pairs(sigs, k=16, bands=2)
+
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("__ta"))
+    b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    union = (
+        F.size("__ta") + F.size("__tb") - F.size(F.array_intersect("__ta", "__tb"))
+    ).cast("double")
+    verified = (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(inter / union >= 0.5)
+        .select("id_a", "id_b")
+    )
+    resolved = dedup_components(verified, docs.select("doc_id"))
+    return resolved.withColumn(
+        "kept", F.col("doc_id") == F.col("canonical_id")
+    )
+
+
+def _pipe7_sql() -> str:
+    bands = []
+    for bidx in range(2):
+        members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
+        bands.append(
+            f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig "
+            "FROM sig WHERE mh0 IS NOT NULL"
+        )
+    sig_exprs = ",".join(
+        f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(hash_params(16))
+    )
+    return f"""
+WITH RECURSIVE th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+sig AS (SELECT doc_id, {sig_exprs} FROM th),
+bands AS ({' UNION ALL '.join(bands)}),
+pairs AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+),
+toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+verified AS (
+    SELECT p.id_a, p.id_b
+    FROM pairs p
+    JOIN toks a ON a.doc_id = p.id_a
+    JOIN toks b ON b.doc_id = p.id_b
+    WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+          >= 0.5
+),
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM verified
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM verified
+),
+reach(node, other) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+)
+SELECT node AS doc_id, MIN(other) AS canonical_id,
+       node = MIN(other) AS kept
+FROM reach GROUP BY node
+"""
+
+
+QUERIES["pipe7_neardup_dedup"] = pipe7_neardup_dedup
+ORACLE["pipe7_neardup_dedup"] = _pipe7_sql()
