@@ -98,3 +98,60 @@ def sample_frames(
     """Frame-sampling for video tables: keep every n-th frame per media.
     Pure filter — no data movement, fully pushed down."""
     return df.filter(F.col(frame_col) % every_n == 0)
+
+
+RESIZED_SCHEMA = (
+    "media_id long, kind string, content binary, "
+    "meta struct<mime:string, n_bytes:long>, width int, height int"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int,
+    target_h: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Binary-in / binary-out resize stage via Arrow-batched mapInPandas
+    — the shape every media transform takes (decode -> transform ->
+    re-encode inside one Python batch, binary columns crossing Arrow in
+    both directions, metadata recomputed from the new bytes).
+
+    The codec is the same documented stub as ``decode_images`` (no image
+    libs in this container): payload bytes are truncated/repeated to the
+    target pixel count and the fake header rewritten. A real deployment
+    swaps PIL's ``resize`` into the same batch function; schema,
+    batching, and downstream metadata stay identical.
+    """
+    if target_w < 1 or target_h < 1:
+        raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+    import pandas as pd
+
+    cols = df.select("media_id", "kind", content_col)
+    n_target = target_w * target_h
+
+    def run(batches):
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "content": [],
+                "meta": [], "width": [], "height": [],
+            }
+            for mid, kind, buf in zip(
+                pdf["media_id"], pdf["kind"], pdf[content_col]
+            ):
+                _w, _h, _ = _decode_image_bytes(bytes(buf))
+                payload = bytes(buf).partition(b":")[2].partition(b":")[2]
+                reps = -(-n_target // max(len(payload), 1))
+                resized = (payload * reps)[:n_target] if payload else b"\x00" * n_target
+                content = b"IMG:%dx%d:" % (target_w, target_h) + resized
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["content"].append(content)
+                out["meta"].append(
+                    {"mime": "application/octet-stream", "n_bytes": len(content)}
+                )
+                out["width"].append(target_w)
+                out["height"].append(target_h)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, RESIZED_SCHEMA)

@@ -4309,3 +4309,51 @@ FROM reach GROUP BY node
 
 QUERIES["pipe7_neardup_dedup"] = pipe7_neardup_dedup
 ORACLE["pipe7_neardup_dedup"] = _pipe7_sql()
+
+
+from ..functions.multimodal import decode_images  # noqa: E402
+
+
+def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal DECODE stage with a correctness row: synthetic
+    IMG:<w>x<h>: binaries built from doc text flow through the real
+    Arrow-batched mapInPandas decoder; the oracle replays the documented
+    stub codec (dims from the header, mean payload byte as luma) in
+    SQL. Swapping PIL into the batch function changes none of this
+    plumbing."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(
+                F.lit("IMG:"),
+                (1 + F.col("doc_id") % 7).cast("string"),
+                F.lit("x"),
+                (1 + F.col("doc_id") % 5).cast("string"),
+                F.lit(":"),
+                F.col("text"),
+            ),
+            "UTF-8",
+        ).alias("content"),
+    )
+    return decode_images(media)
+
+
+M2_SQL = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(1 + doc_id % 7 AS INT) AS width,
+       CAST(1 + doc_id % 5 AS INT) AS height,
+       CAST((1 + doc_id % 7) * (1 + doc_id % 5) AS BIGINT) AS n_pixels,
+       CASE WHEN len(text) = 0 THEN 0.0
+            ELSE CAST(list_reduce(
+                     list_prepend(0, list_transform(string_split(text, ''),
+                                                    c -> ord(c))),
+                     (a, b) -> a + b) AS DOUBLE) / len(text)
+       END AS mean_luma
+FROM documents
+"""
+
+QUERIES["m2_image_decode"] = m2_image_decode
+ORACLE["m2_image_decode"] = M2_SQL

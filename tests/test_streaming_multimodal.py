@@ -344,3 +344,37 @@ def test_session_window_streams_and_matches_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(expect) == 3  # user 7 x2 sessions, user 8 x1
+
+
+def test_resize_images_binary_roundtrip(spark):
+    """resize: binary in -> binary out through Arrow, header rewritten,
+    metadata recomputed, and the result re-decodes to the target dims."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        decode_images,
+        resize_images,
+    )
+
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(b"IMG:4x3:" + bytes(range(12)))),
+            (2, "image", bytearray(b"IMG:1x1:" + b"\x10")),  # upscale
+        ],
+        "media_id long, kind string, content binary",
+    )
+    resized = resize_images(media, 2, 2)
+    rows = {r.media_id: r for r in resized.collect()}
+    assert rows[1].width == 2 and rows[1].height == 2
+    assert bytes(rows[1].content).startswith(b"IMG:2x2:")
+    assert rows[1].meta.n_bytes == len(bytes(rows[1].content))
+    # payload truncated to 4 pixels; upscale repeats the single byte
+    assert bytes(rows[1].content)[8:] == bytes(range(4))
+    assert bytes(rows[2].content)[8:] == b"\x10" * 4
+
+    redecoded = {r.media_id: r for r in decode_images(resized).collect()}
+    assert redecoded[1].n_pixels == 4
+    assert redecoded[2].mean_luma == 16.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target dims"):
+        resize_images(media, 0, 2)
