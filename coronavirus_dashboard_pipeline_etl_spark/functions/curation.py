@@ -553,3 +553,77 @@ def ntile_summary(
         *partition_cols, F.col("tile").cast("long").alias("tile"),
         "n", "tile_min", "tile_max",
     )
+
+
+def key_skew_stats(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    top_k: int = 10,
+) -> DataFrame:
+    """Heavy-hitter diagnostics for a prospective shuffle/join key: the
+    ``top_k`` keys by row count with their share of the total — the
+    first thing to run before keying a 100 TB shuffle (a >1% single key
+    means salting or AQE skew handling; see ``operators/skew.py``).
+
+    One groupBy on the key (map-side partial agg), a 1-row total
+    broadcast, and a TakeOrdered for the top-k — no global sort. Share
+    is an integer/integer division, engine-exact.
+    """
+    from pyspark.sql import functions as F
+
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("n_rows"))
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *key_cols,
+            "n_rows",
+            (F.col("n_rows").cast("double") / F.col("__total").cast("double"))
+            .alias("share"),
+        )
+        .orderBy(F.col("n_rows").desc(), *[F.col(c).asc() for c in key_cols])
+        .limit(top_k)
+    )
+
+
+def common_token_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-commonness quality signal: how "ordinary" a document's
+    vocabulary is, scored as ``sum(term_df) / (n_tokens * N)`` — the
+    mean per-token document-frequency share. Gibberish/rare-token docs
+    score near 1/N; stopword-heavy prose scores high. The log-free
+    cousin of a unigram-LM perplexity score, built so every intermediate
+    is an INTEGER sum (order-independent, engine-exact) with a single
+    final division.
+
+    Plan: explode -> per-term df -> join back (vocabulary-sized side) ->
+    per-doc integer sum; N rides a 1-row broadcast.
+    """
+    from pyspark.sql import functions as F
+
+    from .text import tokens
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    dfreq = toks.groupBy("term").agg(F.countDistinct(id_col).alias("__df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("__n"))
+    per_doc = (
+        toks.join(dfreq, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("__df").alias("__df_sum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(n_docs)).select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        (
+            F.col("__df_sum").cast("double")
+            / (F.col("n_tokens") * F.col("__n")).cast("double")
+        ).alias("commonness"),
+    )

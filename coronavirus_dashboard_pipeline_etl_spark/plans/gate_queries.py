@@ -4357,3 +4357,55 @@ FROM documents
 
 QUERIES["m2_image_decode"] = m2_image_decode
 ORACLE["m2_image_decode"] = M2_SQL
+
+
+from ..functions.curation import common_token_score, key_skew_stats  # noqa: E402
+
+
+def x13_common_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Commonness quality score: mean per-token df share with integer
+    sums throughout and ONE final division — the log-free unigram-LM
+    quality signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return common_token_score(docs)
+
+
+X13_SQL = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+per_doc AS (
+    SELECT doc_id, SUM(df) AS df_sum, COUNT(*) AS n_tokens
+    FROM toks JOIN dfreq USING (term)
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(df_sum AS DOUBLE) / CAST(n_tokens * n_docs AS DOUBLE) AS commonness
+FROM per_doc, n
+"""
+
+QUERIES["x13_common_token_score"] = x13_common_token_score
+ORACLE["x13_common_token_score"] = X13_SQL
+
+
+def x14_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter shuffle-key diagnostics: top-10 user_ids by event
+    count with exact integer-ratio shares."""
+    ev = load_table(spark, sf_dir, "events")
+    return key_skew_stats(ev, ("user_id",), top_k=10)
+
+
+X14_SQL = """
+WITH c AS (SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id),
+t AS (SELECT COUNT(*) AS total FROM events)
+SELECT user_id, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
+FROM c, t
+ORDER BY n_rows DESC, user_id ASC
+LIMIT 10
+"""
+
+QUERIES["x14_key_skew"] = x14_key_skew
+ORACLE["x14_key_skew"] = X14_SQL

@@ -505,3 +505,37 @@ def test_bm25_zero_shuffle_corpus_side(spark):
     # stats aggregate exchanges a 1-row side; the corpus path itself must
     # not hash-exchange (top-k is TakeOrdered, not a sort shuffle)
     assert "TakeOrderedAndProject" in plan
+
+
+def test_key_skew_stats_orders_and_shares(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        key_skew_stats,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 80 else f"k{i}") for i in range(100)],
+        "row_id long, k string",
+    )
+    out = key_skew_stats(df, ("k",), top_k=3).collect()
+    assert out[0].k == "hot" and out[0].n_rows == 80 and out[0].share == 0.8
+    # ties (all singleton keys) break lexicographically
+    assert [r.k for r in out[1:]] == ["k80", "k81"]
+
+
+def test_common_token_score_bounds(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        common_token_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the"),       # universal token -> commonness 1
+            (2, "the unique2 zzz2"),
+            (3, "the unique3 zzz3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.commonness for r in common_token_score(docs).collect()}
+    assert got[1] == 1.0                      # every token in every doc
+    # doc 2: df('the')=3, df(unique)=1, df(zzz)=1 -> 5 / (3*3)
+    assert got[2] == 5 / 9 and got[3] == 5 / 9
