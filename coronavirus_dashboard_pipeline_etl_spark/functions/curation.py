@@ -627,3 +627,49 @@ def common_token_score(
             / (F.col("n_tokens") * F.col("__n")).cast("double")
         ).alias("commonness"),
     )
+
+
+def profile_table(
+    df: DataFrame,
+    cols: tuple[str, ...],
+    exact_distinct: bool = True,
+) -> DataFrame:
+    """Per-column data-quality profile: one output row per column with
+    row count, null count, and distinct count — the QA table a release
+    gate reads before publishing.
+
+    All columns profile in ONE aggregate pass (count + conditional
+    count + count_distinct per column in a single groupBy-less agg —
+    partial aggregation map-side, one 1-row result), then the wide
+    result unpivots to (column, n_rows, n_nulls, n_distinct) rows via a
+    literal stack — no per-column scans, no shuffle beyond the grand
+    agg. ``exact_distinct=False`` swaps approx_count_distinct in (HLL,
+    mergeable) for corpus-scale profiling where exact uniques would
+    dominate cost.
+    """
+    from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("profile_table: empty column list")
+    distinct = (
+        F.count_distinct if exact_distinct else F.approx_count_distinct
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in cols:
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}")
+        )
+        aggs.append(distinct(F.col(c)).alias(f"__dist_{c}"))
+    wide = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', __nulls_{c}, __dist_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stacked}) AS (column_name, n_nulls, n_distinct)",
+        "__n AS n_rows",
+    ).select(
+        "column_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_nulls").cast("long").alias("n_nulls"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+    )

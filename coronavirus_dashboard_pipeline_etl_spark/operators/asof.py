@@ -238,3 +238,45 @@ def scd2_intervals(
         F.lead(vf).over(w).alias("valid_to_us"),
     )
     return out.withColumn("is_current", F.col("valid_to_us").isNull())
+
+
+def snapshot_diff(
+    today: DataFrame,
+    previous: DataFrame,
+    keys: Sequence[str],
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Release-QA diff of two snapshots on the same key space: one row
+    per key present in either side, with ``status`` in
+    {added, removed, changed, same} (null-safe value comparison) plus
+    both value sets (``<col>`` today, ``<col>_prev`` previous).
+
+    The reference's release QA eyeballs row counts per release
+    (``db_etl_update_db/update.py:24-38``); this is the per-row upgrade
+    a real release gate needs. One full-outer sort-merge join on the
+    keys — the canonical shape; both sides shuffle once.
+    """
+    t = today.select(
+        *keys, *[F.col(c) for c in value_cols], F.lit(1).alias("__t")
+    )
+    p = previous.select(
+        *keys,
+        *[F.col(c).alias(f"{c}_prev") for c in value_cols],
+        F.lit(1).alias("__p"),
+    )
+    joined = t.join(p, on=list(keys), how="full_outer")
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"{c}_prev"))
+    status = (
+        F.when(F.col("__p").isNull(), F.lit("added"))
+        .when(F.col("__t").isNull(), F.lit("removed"))
+        .when(same, F.lit("same"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        *keys,
+        *value_cols,
+        *[f"{c}_prev" for c in value_cols],
+        status.alias("status"),
+    )

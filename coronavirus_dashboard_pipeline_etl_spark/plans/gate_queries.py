@@ -4409,3 +4409,91 @@ LIMIT 10
 
 QUERIES["x14_key_skew"] = x14_key_skew
 ORACLE["x14_key_skew"] = X14_SQL
+
+
+from ..operators.asof import snapshot_diff  # noqa: E402
+from ..functions.curation import profile_table  # noqa: E402
+
+
+def j13_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-QA per-row snapshot diff: two synthetic releases derived
+    from events (previous: days <= 25, doubled counts on day%7==0,
+    including 'error'; today: full month, 'error' dropped) — exercising
+    added / removed / changed / same in one full-outer pass."""
+    daily = _daily(spark, sf_dir).select(
+        "event_type", "date", F.col("val_d").cast("double").alias("value")
+    )
+    day = F.substring("date", 9, 2).cast("int")
+    today = daily.filter(F.col("event_type") != "error")
+    prev = daily.filter(day <= 25).select(
+        "event_type",
+        "date",
+        F.when(day % 7 == 0, F.col("value") * 2).otherwise(F.col("value")).alias(
+            "value"
+        ),
+    )
+    return snapshot_diff(
+        today, prev, keys=["event_type", "date"], value_cols=["value"]
+    )
+
+
+J13_SQL = """
+WITH daily AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value
+    FROM events GROUP BY 1, 2
+),
+today AS (SELECT * FROM daily WHERE event_type <> 'error'),
+prev AS (
+    SELECT event_type, date,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 7 = 0
+                THEN value * 2 ELSE value END AS value
+    FROM daily WHERE CAST(substr(date, 9, 2) AS INT) <= 25
+)
+SELECT COALESCE(t.event_type, p.event_type) AS event_type,
+       COALESCE(t.date, p.date) AS date,
+       t.value AS value,
+       p.value AS value_prev,
+       CASE WHEN p.date IS NULL THEN 'added'
+            WHEN t.date IS NULL THEN 'removed'
+            WHEN t.value IS NOT DISTINCT FROM p.value THEN 'same'
+            ELSE 'changed' END AS status
+FROM today t FULL OUTER JOIN prev p
+  ON t.event_type = p.event_type AND t.date = p.date
+"""
+
+QUERIES["j13_snapshot_diff"] = j13_snapshot_diff
+ORACLE["j13_snapshot_diff"] = J13_SQL
+
+
+def q7_profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column QA profile of the documents table in one aggregate
+    pass (count / nulls / exact distinct per column, unpivoted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_table(docs, ("text", "lang", "source", "n_chars"))
+
+
+Q7_SQL = """
+WITH a AS (
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN text    IS NULL THEN 1 END) AS nu_text,
+           COUNT(DISTINCT text)    AS d_text,
+           COUNT(CASE WHEN lang    IS NULL THEN 1 END) AS nu_lang,
+           COUNT(DISTINCT lang)    AS d_lang,
+           COUNT(CASE WHEN source  IS NULL THEN 1 END) AS nu_source,
+           COUNT(DISTINCT source)  AS d_source,
+           COUNT(CASE WHEN n_chars IS NULL THEN 1 END) AS nu_n_chars,
+           COUNT(DISTINCT n_chars) AS d_n_chars
+    FROM documents
+)
+SELECT 'text' AS column_name, n_rows, nu_text AS n_nulls, d_text AS n_distinct FROM a
+UNION ALL
+SELECT 'lang', n_rows, nu_lang, d_lang FROM a
+UNION ALL
+SELECT 'source', n_rows, nu_source, d_source FROM a
+UNION ALL
+SELECT 'n_chars', n_rows, nu_n_chars, d_n_chars FROM a
+"""
+
+QUERIES["q7_profile_table"] = q7_profile_table
+ORACLE["q7_profile_table"] = Q7_SQL

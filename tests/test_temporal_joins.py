@@ -160,3 +160,46 @@ def test_ntile_summary_equal_mass(spark):
     # tiles are ordered by value: every tile's max <= next tile's min
     for i in (1, 2, 3):
         assert out[i].tile_max <= out[i + 1].tile_min
+
+
+def test_snapshot_diff_statuses(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        snapshot_diff,
+    )
+
+    today = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", None)],
+        "k string, v double",
+    )
+    prev = spark.createDataFrame(
+        [("a", 1.0), ("b", 9.0), ("d", 4.0), ("e", None)],
+        "k string, v double",
+    )
+    got = {
+        r.k: r.status
+        for r in snapshot_diff(today, prev, keys=["k"], value_cols=["v"]).collect()
+    }
+    # null-safe compare: c (null today, absent prev) is added; e removed
+    assert got == {
+        "a": "same", "b": "changed", "c": "added", "d": "removed", "e": "removed",
+    }
+
+
+def test_profile_table_counts(spark):
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        profile_table,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "x"), (4, "y")],
+        "id long, s string",
+    )
+    out = {r.column_name: r for r in profile_table(df, ("id", "s")).collect()}
+    assert out["id"].n_rows == 4 and out["id"].n_nulls == 0
+    assert out["id"].n_distinct == 4
+    assert out["s"].n_nulls == 1 and out["s"].n_distinct == 2
+
+    with _pytest.raises(ValueError, match="empty column list"):
+        profile_table(df, ())
