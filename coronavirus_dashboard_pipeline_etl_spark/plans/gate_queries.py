@@ -4497,3 +4497,67 @@ SELECT 'n_chars', n_rows, nu_n_chars, d_n_chars FROM a
 
 QUERIES["q7_profile_table"] = q7_profile_table
 ORACLE["q7_profile_table"] = Q7_SQL
+
+
+def pipe8_despatch_scales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The despatch map colour-scale flow composed end to end
+    (rate_scales_worker RETRIEVE + landing-map binning): star join ->
+    rank-latest value per area -> cross-area quartiles (exact
+    percentile, 1-row broadcast back) -> per-area colour bin. One fact
+    scan, one rank window, one grand aggregate."""
+    from .serving import _joined, _value
+
+    ts, areas, metrics = _mini_star(spark, sf_dir)
+    df = _joined(ts, areas, metrics).filter(F.col("metric") == "click")
+    w = Window.partitionBy("area_id").orderBy(F.col("date").desc())
+    latest = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "area_code", "date", _value().cast("double").alias("value")
+        )
+    )
+    pcts = latest.agg(
+        F.expr("percentile(value, 0.25)").alias("p25"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.75)").alias("p75"),
+    )
+    joined = latest.crossJoin(F.broadcast(pcts))
+    bin_ = (
+        F.when(F.col("value") < F.col("p25"), 0)
+        .when(F.col("value") < F.col("p50"), 1)
+        .when(F.col("value") < F.col("p75"), 2)
+        .otherwise(3)
+    )
+    return joined.select(
+        "area_code", "date", "value", "p25", "p50", "p75",
+        bin_.cast("long").alias("colour_bin"),
+    )
+
+
+PIPE8_SQL = f"""
+WITH {_MINI_STAR_SQL},
+click AS (SELECT * FROM long WHERE metric = 'click'),
+latest AS (
+    SELECT 'A' || CAST(area_id AS VARCHAR) AS area_code, date,
+           CAST(v AS DOUBLE) AS value
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY area_id ORDER BY date DESC) AS rn FROM click)
+    WHERE rn = 1
+),
+p AS (
+    SELECT quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5)  AS p50,
+           quantile_cont(value, 0.75) AS p75
+    FROM latest
+)
+SELECT area_code, date, value, p25, p50, p75,
+       CAST(CASE WHEN value < p25 THEN 0
+                 WHEN value < p50 THEN 1
+                 WHEN value < p75 THEN 2
+                 ELSE 3 END AS BIGINT) AS colour_bin
+FROM latest, p
+"""
+
+QUERIES["pipe8_despatch_scales"] = pipe8_despatch_scales
+ORACLE["pipe8_despatch_scales"] = PIPE8_SQL
