@@ -264,3 +264,39 @@ def cumulative_sum(
             F.when(F.col(m).isNotNull(), F.sum(F.col(m)).over(w)),
         )
     return df
+
+
+def rolling_percentile(
+    df: DataFrame,
+    col: str,
+    out: str,
+    q: float = 0.5,
+    group_keys: Sequence[str] = tuple(GROUP_KEYS),
+    date_col: str = "date",
+    window: int = 7,
+    min_periods: int | None = None,
+) -> DataFrame:
+    """Rolling percentile (median by default) — the outlier-robust
+    smoother pandas offers as ``rolling(7).median()`` and Spark has no
+    named function for. Spark's ``percentile`` is an ordinary aggregate,
+    so it runs over a window frame directly: same exchange as every
+    other rolling op in this module (one shuffle on the group keys,
+    shared with co-planned windows), with the pandas ``min_periods``
+    row-count guard.
+
+    Exact percentile buffers the frame's values per row — fine at any
+    corpus width since the frame is ``window`` rows (a constant), unlike
+    a whole-group percentile.
+    """
+    if not 0.0 <= q <= 1.0:
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    need = window if min_periods is None else min_periods
+    w = (
+        Window.partitionBy(*group_keys)
+        .orderBy(date_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    val = F.expr(f"percentile({col}, {q!r})").over(w)
+    return df.withColumn(
+        out, F.when(F.count(F.col(col)).over(w) >= need, val)
+    )

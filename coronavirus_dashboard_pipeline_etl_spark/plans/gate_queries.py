@@ -4561,3 +4561,38 @@ FROM latest, p
 
 QUERIES["pipe8_despatch_scales"] = pipe8_despatch_scales
 ORACLE["pipe8_despatch_scales"] = PIPE8_SQL
+
+
+from ..operators.rolling import rolling_percentile  # noqa: E402
+
+
+def w9_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling median of the daily panel (outlier-robust smoothing
+    with the pandas min_periods guard) — percentile as a windowed
+    aggregate, sharing the usual group-key exchange. quantile_cont over
+    the same frame is the DuckDB twin (interpolation arithmetic matches,
+    proven by a10)."""
+    daily = _daily(spark, sf_dir).select(
+        "event_type", "date", F.col("val_d").cast("double").alias("value")
+    )
+    out = rolling_percentile(
+        daily, "value", "rolling_median",
+        group_keys=("event_type",), window=7,
+    )
+    return out.select("event_type", "date", "value", "rolling_median")
+
+
+W9_SQL = f"""
+WITH {_DAILY_SQL},
+v AS (SELECT event_type, date, CAST(val_d AS DOUBLE) AS value FROM daily)
+SELECT event_type, date, value,
+       CASE WHEN COUNT(value) OVER w >= 7
+            THEN quantile_cont(value, 0.5) OVER w
+       END AS rolling_median
+FROM v
+WINDOW w AS (PARTITION BY event_type ORDER BY date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+QUERIES["w9_rolling_median"] = w9_rolling_median
+ORACLE["w9_rolling_median"] = W9_SQL

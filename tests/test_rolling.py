@@ -192,3 +192,26 @@ def test_rates_explicit_last_valid_masks_tail(spark):
     assert sorted(map(tuple, scanned.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+def test_rolling_percentile_median_and_min_periods(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rolling import (
+        rolling_percentile,
+    )
+
+    rows = [("A", f"2024-01-{d:02d}", float(v)) for d, v in
+            zip(range(1, 9), [1, 100, 3, 4, 5, 6, 7, 8])]
+    df = spark.createDataFrame(rows, "areaType string, date string, v double")
+    out = rolling_percentile(
+        df, "v", "med", group_keys=("areaType",), window=3, min_periods=3
+    ).orderBy("date").collect()
+    # first two rows lack min_periods -> null
+    assert out[0].med is None and out[1].med is None
+    # day 3 window [1, 100, 3] -> median 3 (outlier-robust, unlike mean)
+    assert out[2].med == 3.0
+    assert out[3].med == 4.0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="q must be"):
+        rolling_percentile(df, "v", "med", q=1.5)
