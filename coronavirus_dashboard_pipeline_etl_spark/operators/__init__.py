@@ -5,7 +5,14 @@ from .agearrays import (
     calculate_sex_people_tested,
     enrich_nested_rates,
 )
-from .asof import latest_two_releases_delta, release_delta
+from .asof import (
+    asof_join,
+    latest_two_releases_delta,
+    range_join,
+    release_delta,
+    scd2_intervals,
+    snapshot_diff,
+)
 from .derived import (
     calculate_by_adjacent_column,
     calculate_pair_summations,
@@ -35,6 +42,7 @@ from .rolling import (
     direction_col,
     percentage_change_col,
     rolling_mean_centered,
+    rolling_percentile,
 )
 from .sessions import session_stats, sessionize
 from .suppress import suppress_by_rolling_sum, weekly_thin
@@ -43,6 +51,11 @@ from .trim import trim_end, trim_sides
 from .util import with_scalar
 
 __all__ = [
+    "asof_join",
+    "range_join",
+    "rolling_percentile",
+    "scd2_intervals",
+    "snapshot_diff",
     "calculate_by_adjacent_column",
     "calculate_pair_tested",
     "calculate_sex_people_tested",
