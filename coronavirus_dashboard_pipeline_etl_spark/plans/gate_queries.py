@@ -4232,7 +4232,11 @@ def pipe7_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (array_intersect expressions — the candidate set is tiny relative to
     the corpus, so the exact check is cheap) -> connected components ->
     (doc_id, canonical_id, kept). Docs keep iff they are their
-    component's minimum id; the drop list is kept = false."""
+    component's minimum id; the drop list is kept = false.
+
+    Oracle note: like d6, the recursive-CTE closure is gate-scale only
+    (its working set explodes on the sf0.1 candidate graph while the
+    Spark side resolves it in seconds — see dedup_components)."""
     from ..functions.dedup import dedup_components
 
     docs = load_table(spark, sf_dir, "documents")
