@@ -297,3 +297,119 @@ def test_assign_packs_invariants_property(spark, token_counts):
         assert r.pack_id >= prev_pack
         prev_pack = r.pack_id
         prefix += r.chunk_tokens
+
+
+# ---------------------------------------------------------------------------
+# temporal operators: property checks against brute-force references
+# ---------------------------------------------------------------------------
+
+@st.composite
+def _event_streams(draw):
+    n_users = draw(st.integers(1, 4))
+    events = []
+    eid = 0
+    for u in range(n_users):
+        n = draw(st.integers(1, 12))
+        t = 0
+        for _ in range(n):
+            t += draw(st.integers(0, 4000))  # seconds; gap threshold 1800
+            events.append((eid, u, t))
+            eid += 1
+    return events
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_event_streams())
+def test_sessionize_property(spark, events):
+    from datetime import datetime, timedelta
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.sessions import (
+        sessionize,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (eid, u, base + timedelta(seconds=s)) for eid, u, s in events
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {
+        r.event_id: r.session_index for r in sessionize(df, gap_seconds=1800).collect()
+    }
+
+    # brute force per user
+    for u in {e[1] for e in events}:
+        evs = sorted((s, eid) for eid, uu, s in events if uu == u)
+        sess = 0
+        prev = None
+        for s, eid in evs:
+            if prev is not None and s - prev > 1800:
+                sess += 1
+            assert got[eid] == sess, (u, eid, s, prev)
+            prev = s
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_event_streams())
+def test_asof_join_matches_bruteforce(spark, events):
+    from datetime import datetime, timedelta
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import asof_join
+
+    base = datetime(2024, 1, 1)
+    # right side: every third event is a "marker"; left: the rest
+    right = [(u, base + timedelta(seconds=s), eid)
+             for eid, u, s in events if eid % 3 == 0]
+    left = [(eid, u, base + timedelta(seconds=s))
+            for eid, u, s in events if eid % 3 != 0]
+    if not left or not right:
+        return
+    # dedup right per (user, ts): keep max ref (mirrors the gate contract)
+    rd = {}
+    for u, ts, ref in right:
+        rd[(u, ts)] = max(rd.get((u, ts), -1), ref)
+    right = [(u, ts, ref) for (u, ts), ref in rd.items()]
+
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(right, "user_id long, ts timestamp, ref long")
+    got = {
+        r.event_id: r.ref
+        for r in asof_join(ldf, rdf, keys=["user_id"], right_cols=["ref"]).collect()
+    }
+    for eid, u, lts in left:
+        cands = [(ts, ref) for (ru, ts, ref) in right if ru == u and ts <= lts]
+        expect = max(cands)[1] if cands else None
+        assert got[eid] == expect, (eid, u, lts, cands)
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_event_streams(), st.integers(60, 7200))
+def test_range_join_matches_bruteforce(spark, events, bucket_s):
+    from datetime import datetime, timedelta
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import range_join
+
+    base = datetime(2024, 1, 1)
+    base_us = 1_704_067_200_000_000
+    ev = spark.createDataFrame(
+        [(eid, base + timedelta(seconds=s)) for eid, _, s in events],
+        "event_id long, ts timestamp",
+    )
+    # a few deterministic intervals over the stream's time range
+    intervals = [
+        (i, base_us + i * 3_000_000_000, base_us + i * 3_000_000_000 + 2_000_000_000)
+        for i in range(8)
+    ]
+    iv = spark.createDataFrame(
+        intervals, "interval_id long, start_us long, end_us long"
+    )
+    got = sorted(
+        (r.event_id, r.interval_id)
+        for r in range_join(ev, iv, bucket_seconds=bucket_s).collect()
+    )
+    expect = sorted(
+        (eid, i)
+        for eid, _, s in events
+        for i, lo, hi in intervals
+        if lo <= base_us + s * 1_000_000 < hi
+    )
+    assert got == expect
