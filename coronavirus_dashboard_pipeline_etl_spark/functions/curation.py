@@ -673,3 +673,52 @@ def profile_table(
         F.col("n_nulls").cast("long").alias("n_nulls"),
         F.col("n_distinct").cast("long").alias("n_distinct"),
     )
+
+
+def mixture_rebalance(
+    df: DataFrame,
+    targets: Mapping[str, float],
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Resample a corpus to a TARGET mixture (the data-mixture tuning
+    step): given desired output fractions per stratum, compute the
+    per-stratum keep rate that achieves the mixture with maximal
+    retained volume — scale ``C = min_l(n_l / p_l)``, keep rate
+    ``C * p_l / n_l`` — then apply the md5-bucket coin from
+    ``stratified_sample`` (deterministic, engine-independent, salted).
+
+    Strata absent from ``targets`` drop entirely. All arithmetic is
+    exact integer counts and one double ratio per stratum, computed on
+    a tiny aggregate and broadcast back; the corpus itself sees one
+    codegen'd filter. Rates are exact at the bucket granularity
+    (1/10000) — the standard trade for reproducible sampling.
+    """
+    from pyspark.sql import functions as F
+
+    if not targets:
+        raise ValueError("mixture_rebalance: empty targets")
+    total_p = sum(targets.values())
+    if not 0.999 <= total_p <= 1.001:
+        raise ValueError(
+            f"mixture_rebalance: target fractions must sum to 1, got {total_p}"
+        )
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    missing = [s for s in targets if s not in counts]
+    if missing:
+        raise ValueError(
+            f"mixture_rebalance: target strata absent from data: {missing}"
+        )
+    scale = min(counts[s] / p for s, p in targets.items() if p > 0)
+    rates = {
+        s: min(1.0, scale * p / counts[s]) for s, p in targets.items()
+    }
+    return stratified_sample(
+        df, rates, stratum_col=stratum_col, id_col=id_col, salt=salt
+    )

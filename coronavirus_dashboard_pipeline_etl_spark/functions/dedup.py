@@ -524,3 +524,38 @@ def dedup_paragraphs(
         F.sum("keep").cast("long").alias("n_kept"),
         F.sum(1 - F.col("keep")).cast("long").alias("n_removed"),
     )
+
+
+def dedup_incremental(
+    new_batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Incremental exact dedup for a continuously-growing corpus: drop
+    new docs whose normalised fingerprint already exists in the
+    historical fingerprint set, then keep-first WITHIN the batch (min id
+    per fp). The daily-crawl-vs-corpus pass; the historical side is a
+    fingerprint TABLE (one slim column), not the corpus itself.
+
+    Returns the surviving rows plus their ``fp`` (append it to the
+    fingerprint table to advance the corpus state — the operator stays
+    pure, state lives with the caller).
+
+    Shuffle profile: the anti-join hashes both sides on fp once (sort-
+    merge at corpus scale — the fingerprint table is data-sized, NOT
+    broadcastable); the intra-batch keep-first groupBy reuses the same
+    key. No window over the corpus, no full-corpus rewrite.
+    """
+    fps = seen_fingerprints.select(F.col(fp_col).alias("__seen_fp"))
+    batch = new_batch.withColumn("fp", fingerprint(text_col))
+    fresh = batch.join(
+        fps, batch["fp"] == F.col("__seen_fp"), "left_anti"
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

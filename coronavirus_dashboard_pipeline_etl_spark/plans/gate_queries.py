@@ -4600,3 +4600,71 @@ WINDOW w AS (PARTITION BY event_type ORDER BY date
 
 QUERIES["w9_rolling_median"] = w9_rolling_median
 ORACLE["w9_rolling_median"] = W9_SQL
+
+
+from ..functions.curation import mixture_rebalance  # noqa: E402
+from ..functions.dedup import dedup_incremental  # noqa: E402
+
+
+def x15_mixture_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a 50/30/20 en/fr/de mixture: keep rates
+    derived from exact counts (scale = min n_l/p_l), applied via the
+    deterministic md5-bucket coin. The oracle recomputes the identical
+    rate arithmetic from its own counts — no hidden driver state."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_rebalance(docs, {"en": 0.5, "fr": 0.3, "de": 0.2})
+    return out.select("doc_id", "lang")
+
+
+X15_SQL = f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('fr', 0.3), ('de', 0.2)) t(lang, p)),
+s AS (SELECT MIN(n / p) AS scale FROM c JOIN tgt USING (lang) WHERE p > 0),
+r AS (
+    SELECT c.lang, LEAST(1.0, s.scale * tgt.p / c.n) AS rate
+    FROM c JOIN tgt USING (lang), s
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN r ON d.lang = r.lang
+WHERE {_bucket_sql("CAST(d.doc_id AS VARCHAR)")}
+      < CAST(FLOOR(r.rate * 10000) AS BIGINT)
+"""
+
+QUERIES["x15_mixture_rebalance"] = x15_mixture_rebalance
+ORACLE["x15_mixture_rebalance"] = X15_SQL
+
+
+def d8_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-crawl incremental dedup: docs with doc_id % 3 == 0 form the
+    historical corpus (their fingerprints the state table); the rest
+    arrive as the new batch — drop batch docs already in history, then
+    keep-first within the batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_incremental(batch, seen)
+    return out.select("doc_id", "lang", "fp")
+
+
+D8_SQL = r"""
+WITH fp AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+seen AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+batch AS (SELECT * FROM fp WHERE doc_id % 3 <> 0),
+fresh AS (
+    SELECT b.* FROM batch b LEFT JOIN seen s ON b.fp = s.fp
+    WHERE s.fp IS NULL
+)
+SELECT doc_id, lang, fp
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh)
+WHERE rn = 1
+"""
+
+QUERIES["d8_incremental_dedup"] = d8_incremental_dedup
+ORACLE["d8_incremental_dedup"] = D8_SQL

@@ -539,3 +539,53 @@ def test_common_token_score_bounds(spark):
     assert got[1] == 1.0                      # every token in every doc
     # doc 2: df('the')=3, df(unique)=1, df(zzz)=1 -> 5 / (3*3)
     assert got[2] == 5 / 9 and got[3] == 5 / 9
+
+
+def test_mixture_rebalance_hits_target_mixture(spark):
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        mixture_rebalance,
+    )
+
+    rows = (
+        [(i, "en") for i in range(1000)]
+        + [(2000 + i, "fr") for i in range(100)]
+        + [(4000 + i, "de") for i in range(500)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = mixture_rebalance(df, {"en": 0.4, "fr": 0.2, "de": 0.4})
+    got = {r[0]: r[1] for r in out.groupBy("lang").count().collect()}
+    # fr is the binding stratum (100 / 0.2 = 500 total): expect ~200 en,
+    # all 100 fr... fr rate = min(1, 500*0.2/100) = 1.0
+    assert got["fr"] == 100
+    assert 170 <= got["en"] <= 230    # md5-coin noise around 200
+    assert 170 <= got["de"] <= 230
+    # untargeted strata drop; bad targets raise
+    assert "zz" not in got
+    with _pytest.raises(ValueError, match="sum to 1"):
+        mixture_rebalance(df, {"en": 0.2})
+    with _pytest.raises(ValueError, match="absent"):
+        mixture_rebalance(df, {"en": 0.5, "xx": 0.5})
+
+
+def test_dedup_incremental_drops_seen_and_intra_batch(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_incremental,
+        fingerprint,
+    )
+
+    history = spark.createDataFrame(
+        [(0, "old news")], "doc_id long, text string"
+    ).select(fingerprint("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (10, "old news"),        # already in history -> dropped
+            (11, "Fresh  Story"),    # kept (first of its fp)
+            (12, "fresh story"),     # same normalised fp -> dropped
+            (13, "another one"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in dedup_incremental(batch, history).collect())
+    assert kept == [11, 13]
