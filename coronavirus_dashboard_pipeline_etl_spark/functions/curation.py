@@ -694,6 +694,11 @@ def mixture_rebalance(
     a tiny aggregate and broadcast back; the corpus itself sees one
     codegen'd filter. Rates are exact at the bucket granularity
     (1/10000) — the standard trade for reproducible sampling.
+
+    The count aggregate is an ACTION: ``df``'s plan executes once for
+    the counts and again for the filtered output. Fine over a scan;
+    when ``df`` is an expensive upstream chain, ``.cache()`` or
+    ``.localCheckpoint()`` it first so the chain runs once.
     """
     from pyspark.sql import functions as F
 

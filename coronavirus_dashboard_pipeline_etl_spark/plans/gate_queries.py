@@ -4668,3 +4668,90 @@ WHERE rn = 1
 
 QUERIES["d8_incremental_dedup"] = d8_incremental_dedup
 ORACLE["d8_incremental_dedup"] = D8_SQL
+
+
+def pipe9_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 curation chained end to end in ONE lazy plan: inject line
+    structure -> C4 boilerplate removal -> quality re-score on the
+    CLEANED text -> per-language percentile gate (top 50%) -> rebalance
+    the survivors to a 50/25/25 en/fr/de mixture. Every stage's
+    arithmetic is the oracle-exact form its standalone gate proves."""
+    from ..functions.curation import mixture_rebalance, percentile_filter
+    from ..functions.curation import remove_boilerplate_lines
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.lit("\nSubscribe To Our Newsletter \ndoc "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    cleaned = remove_boilerplate_lines(injected, min_docs=10).drop("n_lines")
+    # lang rides through the reassembly via join (reassembly groupBy
+    # keyed on doc_id only)
+    cleaned = cleaned.join(docs.select("doc_id", "lang"), "doc_id")
+    scored = quality_stats(cleaned)
+    gated = percentile_filter(
+        scored, "distinct_ratio", keep_top=0.5, partition_cols=("lang",)
+    ).filter("kept")
+    out = mixture_rebalance(
+        gated, {"en": 0.5, "fr": 0.25, "de": 0.25}
+    )
+    return out.select("doc_id", "lang", "distinct_ratio")
+
+
+PIPE9_SQL = f"""
+WITH inj AS (
+    SELECT doc_id, lang,
+           text || chr(10) || 'Subscribe To Our Newsletter ' || chr(10)
+                || 'doc ' || CAST(doc_id AS VARCHAR) AS text
+    FROM documents
+),
+ls AS (SELECT doc_id, lang, string_split(text, chr(10)) AS l FROM inj),
+lines AS (
+    SELECT doc_id, lang, l[i] AS line, i AS pos,
+           md5(trim(lower(l[i]))) AS fp
+    FROM ls, (SELECT unnest(range(1, len(l) + 1)) AS i)
+),
+boiler AS (
+    SELECT fp FROM lines GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 10
+),
+kept_lines AS (SELECT * FROM lines WHERE fp NOT IN (SELECT fp FROM boiler)),
+cleaned AS (
+    SELECT doc_id, lang,
+           array_to_string(list(line ORDER BY pos), chr(10)) AS text
+    FROM kept_lines GROUP BY doc_id, lang
+),
+toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM cleaned),
+scored AS (
+    SELECT doc_id, lang,
+           CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)
+               AS distinct_ratio
+    FROM toks
+),
+gated AS (
+    SELECT * FROM (
+        SELECT *,
+               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+                   AS pr
+        FROM scored
+    ) WHERE pr >= {1.0 - 0.5!r}
+),
+c AS (SELECT lang, COUNT(*) AS n FROM gated GROUP BY lang),
+tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('fr', 0.25), ('de', 0.25)) t(lang, p)),
+s AS (SELECT MIN(n / p) AS scale FROM c JOIN tgt USING (lang) WHERE p > 0),
+r AS (
+    SELECT c.lang, LEAST(1.0, s.scale * tgt.p / c.n) AS rate
+    FROM c JOIN tgt USING (lang), s
+)
+SELECT g.doc_id, g.lang, g.distinct_ratio
+FROM gated g JOIN r ON g.lang = r.lang
+WHERE {_bucket_sql("CAST(g.doc_id AS VARCHAR)")}
+      < CAST(FLOOR(r.rate * 10000) AS BIGINT)
+"""
+
+QUERIES["pipe9_curation_v2"] = pipe9_curation_v2
+ORACLE["pipe9_curation_v2"] = PIPE9_SQL
