@@ -356,3 +356,74 @@ def kmeans_lloyd(
             .localCheckpoint(eager=True)
         )
     return assign_centroids(df, centroids, id_col=id_col, vec_col=vec_col), centroids
+
+
+def negative_pairs(
+    df: DataFrame,
+    k: int = 4,
+    id_col: str = "vec_id",
+    index_col: str | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    row draws ``k`` pseudo-random partners from the corpus via the
+    md5-coin (``hash(id, j, salt) mod N``), never itself — reproducible
+    across runs and engines, no RNG state, no cross join.
+
+    ``index_col`` names an existing DENSE [0, N) column (shard-assigned
+    at ingest, or ids that are already dense — pass ``id_col`` itself
+    then). Without one, a global rank window derives it: fine for eval
+    sets, a deliberate single-partition sort at corpus scale — ingest
+    should own the dense id, not this operator.
+
+    Plan: each row explodes to k draws map-side; one equi-join on the
+    drawn index maps back to ids (plain shuffle join — the lookup is
+    corpus-sized, never broadcast). Self-draws shift to the next index
+    mod N, so every row gets exactly k negatives when N > 1.
+    """
+    from ..functions.dedup import md5_prefix_long
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    n_rows = df.count()
+    if n_rows < 2:
+        raise ValueError("negative_pairs: need at least 2 rows")
+    if index_col is None:
+        w = Window.orderBy(id_col)
+        indexed = df.select(F.col(id_col)).withColumn(
+            "__idx", F.row_number().over(w) - 1
+        )
+    else:
+        indexed = df.select(
+            F.col(id_col), F.col(index_col).cast("long").alias("__idx")
+        )
+    lookup = indexed.select(
+        F.col("__idx").alias("__nidx"), F.col(id_col).alias("neg_id")
+    )
+    drawn = indexed.select(
+        id_col,
+        "__idx",
+        F.explode(F.array(*[F.lit(j) for j in range(k)])).alias("neg_rank"),
+    ).withColumn(
+        "__draw",
+        md5_prefix_long(
+            F.concat(
+                F.col(id_col).cast("string"),
+                F.lit("_"),
+                F.col("neg_rank").cast("string"),
+                F.lit(salt),
+            )
+        )
+        % n_rows,
+    )
+    # avoid self-pairing: shift by one position, mod N
+    drawn = drawn.withColumn(
+        "__nidx",
+        F.when(
+            F.col("__draw") == F.col("__idx"),
+            (F.col("__draw") + 1) % n_rows,
+        ).otherwise(F.col("__draw")),
+    )
+    return drawn.join(lookup, "__nidx").select(
+        id_col, F.col("neg_rank").cast("long").alias("neg_rank"), "neg_id"
+    )

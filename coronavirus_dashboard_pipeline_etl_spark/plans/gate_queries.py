@@ -4755,3 +4755,41 @@ WHERE {_bucket_sql("CAST(g.doc_id AS VARCHAR)")}
 
 QUERIES["pipe9_curation_v2"] = pipe9_curation_v2
 ORACLE["pipe9_curation_v2"] = PIPE9_SQL
+
+
+from ..functions.similarity import negative_pairs  # noqa: E402
+
+
+def x16_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic contrastive negative sampling over embeddings
+    (vec_id is already dense [0, N), so no index window): 4 md5-drawn
+    partners per vector, self-draws shifted — exactly reproducible, so
+    the oracle replays the draw arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return negative_pairs(emb, k=4, index_col="vec_id")
+
+
+def _x16_sql() -> str:
+    md5int = (
+        "list_reduce(list_transform(string_split(substr(md5(CAST(vec_id AS VARCHAR)"
+        " || '_' || CAST(j AS VARCHAR)), 1, 15), ''), "
+        "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+    )
+    return f"""
+WITH n AS (SELECT COUNT(*) AS n_rows FROM embeddings),
+draws AS (
+    SELECT vec_id, j AS neg_rank, ({md5int}) % n_rows AS draw, n_rows
+    FROM embeddings, (SELECT unnest(range(0, 4)) AS j), n
+)
+SELECT d.vec_id, CAST(d.neg_rank AS BIGINT) AS neg_rank,
+       e.vec_id AS neg_id
+FROM (
+    SELECT vec_id, neg_rank,
+           CASE WHEN draw = vec_id THEN (draw + 1) % n_rows ELSE draw END AS nidx
+    FROM draws
+) d JOIN embeddings e ON e.vec_id = d.nidx
+"""
+
+
+QUERIES["x16_negative_sampling"] = x16_negative_sampling
+ORACLE["x16_negative_sampling"] = _x16_sql()

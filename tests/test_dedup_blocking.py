@@ -297,3 +297,34 @@ def test_kmeans_lloyd_separates_clusters(spark):
     assert sorted((r.vec_id, r.centroid_id) for r in assigned.collect()) == sorted(
         (r.vec_id, r.centroid_id) for r in assigned2.collect()
     )
+
+
+def test_negative_pairs_no_self_exact_k_deterministic(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        negative_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i}") for i in range(20)], "vec_id long, payload string"
+    )
+    out = negative_pairs(df, k=3, index_col="vec_id").collect()
+    assert len(out) == 60
+    by_id = {}
+    for r in out:
+        assert r.neg_id != r.vec_id  # never self
+        by_id.setdefault(r.vec_id, set()).add(r.neg_rank)
+    assert all(ranks == {0, 1, 2} for ranks in by_id.values())
+
+    again = negative_pairs(df, k=3, index_col="vec_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    salted = negative_pairs(df, k=3, index_col="vec_id", salt="v2").collect()
+    assert sorted(map(tuple, out)) != sorted(map(tuple, salted))
+
+    # rank-window fallback path (no dense index supplied) agrees on shape
+    sparse = spark.createDataFrame(
+        [(i * 7 + 3,) for i in range(10)], "vec_id long"
+    )
+    fb = negative_pairs(sparse, k=2)
+    assert fb.count() == 20
+    ids = {r.vec_id for r in sparse.collect()}
+    assert all(r.neg_id in ids and r.neg_id != r.vec_id for r in fb.collect())
