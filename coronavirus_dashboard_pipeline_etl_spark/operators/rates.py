@@ -167,3 +167,45 @@ def calculate_rates(
     df = df.withColumns(stage2)
 
     return df.drop("population", *scalar_cols)
+
+
+def age_standardised_rate(
+    df: DataFrame,
+    rate_col: str,
+    std_weights: dict[str, float],
+    group_keys: Sequence[str] = ("areaType", "areaCode", "date"),
+    age_col: str = "age",
+    out: str = "asr",
+) -> DataFrame:
+    """Direct age standardisation: the weighted mean of per-band rates
+    under a STANDARD population's weights — the comparable-across-areas
+    rate every public-health dashboard quotes next to the crude rate
+    (the natural extension of the per-band rate path,
+    ``db_etl/etl.py:678-711`` / calculate_age_rates).
+
+    ``std_weights`` maps age band -> standard-population weight (e.g.
+    the European Standard Population shares). Bands missing a rate
+    contribute nothing (their weight is excluded from the denominator
+    — the partial-coverage convention), so ASR is NULL only when no
+    band reported.
+
+    Exactness: weights enter as DECIMAL(18,6) literals and rates cast
+    to DECIMAL(18,6); both sums are decimal (associative, any
+    partition order), with ONE double division at the end. One groupBy
+    shuffle on ``group_keys``.
+    """
+    wexpr = None
+    for band, wgt in sorted(std_weights.items()):
+        c = F.when(F.col(age_col) == band, F.lit(wgt).cast("decimal(18,6)"))
+        wexpr = c if wexpr is None else wexpr.when(
+            F.col(age_col) == band, F.lit(wgt).cast("decimal(18,6)")
+        )
+    w = wexpr  # NULL for unknown bands -> excluded from both sums
+    r = F.col(rate_col).cast("decimal(18,6)")
+    valid = w.isNotNull() & r.isNotNull()
+    num = F.sum(F.when(valid, w * r)).cast("double")
+    den = F.sum(F.when(valid, w)).cast("double")
+    return df.groupBy(*group_keys).agg(
+        (num / den).alias(out),
+        F.count(F.when(valid, 1)).cast("long").alias("n_bands"),
+    )

@@ -4793,3 +4793,55 @@ FROM (
 
 QUERIES["x16_negative_sampling"] = x16_negative_sampling
 ORACLE["x16_negative_sampling"] = _x16_sql()
+
+
+from ..operators.rates import age_standardised_rate  # noqa: E402
+
+_EPI1_W = {"00_29": 0.35, "30_49": 0.3, "50_69": 0.25, "70plus": 0.1}
+
+
+def epi1_age_standardised_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct age-standardised rate per (area, date): per-band decimal
+    rates weighted by a standard population, decimal sums, one double
+    division — comparable-across-areas rates with partial-band coverage
+    excluded from the denominator."""
+    ev = load_table(spark, sf_dir, "events")
+    band = (
+        F.when(F.col("user_id") % 4 == 0, "00_29")
+        .when(F.col("user_id") % 4 == 1, "30_49")
+        .when(F.col("user_id") % 4 == 2, "50_69")
+        .otherwise("70plus")
+    )
+    rates = ev.groupBy(
+        F.col("event_type").alias("areaCode"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+        band.alias("age"),
+    ).agg(F.sum(F.col("value").cast(DEC)).cast("double").alias("rate"))
+    return age_standardised_rate(
+        rates, "rate", _EPI1_W, group_keys=("areaCode", "date")
+    )
+
+
+_EPI1_CASE = " ".join(
+    f"WHEN '{b}' THEN CAST({w} AS DECIMAL(18,6))" for b, w in sorted(_EPI1_W.items())
+)
+
+EPI1_SQL = f"""
+WITH b AS (
+    SELECT event_type AS areaCode, strftime(ts, '%Y-%m-%d') AS date,
+           CASE user_id % 4 WHEN 0 THEN '00_29' WHEN 1 THEN '30_49'
+                WHEN 2 THEN '50_69' ELSE '70plus' END AS age,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS rate
+    FROM events GROUP BY 1, 2, 3
+)
+SELECT areaCode, date,
+       CAST(SUM((CASE age {_EPI1_CASE} END) * CAST(rate AS DECIMAL(18,6)))
+            AS DOUBLE)
+       / CAST(SUM(CASE age {_EPI1_CASE} END) AS DOUBLE) AS asr,
+       CAST(COUNT(CASE WHEN (CASE age {_EPI1_CASE} END) IS NOT NULL
+                        AND rate IS NOT NULL THEN 1 END) AS BIGINT) AS n_bands
+FROM b GROUP BY areaCode, date
+"""
+
+QUERIES["epi1_age_standardised_rate"] = epi1_age_standardised_rate
+ORACLE["epi1_age_standardised_rate"] = EPI1_SQL

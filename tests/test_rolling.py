@@ -215,3 +215,27 @@ def test_rolling_percentile_median_and_min_periods(spark):
 
     with _pytest.raises(ValueError, match="q must be"):
         rolling_percentile(df, "v", "med", q=1.5)
+
+
+def test_age_standardised_rate_partial_coverage(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rates import (
+        age_standardised_rate,
+    )
+
+    rows = [
+        ("A", "2024-01-01", "young", 10.0),
+        ("A", "2024-01-01", "old", 30.0),
+        ("B", "2024-01-01", "young", 20.0),          # old band missing
+        ("C", "2024-01-01", "unknown_band", 50.0),   # unmapped -> excluded
+    ]
+    df = spark.createDataFrame(rows, "areaCode string, date string, age string, rate double")
+    out = {
+        r.areaCode: r
+        for r in age_standardised_rate(
+            df, "rate", {"young": 0.6, "old": 0.4}, group_keys=("areaCode", "date")
+        ).collect()
+    }
+    assert out["A"].asr == (0.6 * 10 + 0.4 * 30) / 1.0 and out["A"].n_bands == 2
+    # partial coverage: denominator is only the present band's weight
+    assert out["B"].asr == (0.6 * 20) / 0.6 and out["B"].n_bands == 1
+    assert out["C"].asr is None and out["C"].n_bands == 0
