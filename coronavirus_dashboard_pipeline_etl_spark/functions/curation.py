@@ -370,10 +370,15 @@ def percentile_filter(
     partition_cols: tuple[str, ...] = ("lang",),
 ) -> DataFrame:
     """Per-group quality gate: keep each group's top ``keep_top``
-    fraction by ``score_col`` using ``percent_rank``. RANK-based, so
-    equal scores share a rank and therefore share a fate (all kept or
-    all cut) — deterministic in every engine with no tiebreak column,
-    since percent_rank depends only on the score ordering.
+    fraction by ``score_col`` using ``cume_dist`` — kept iff the
+    fraction of the group scoring at or below this row EXCEEDS
+    ``1 - keep_top``. Distribution-based, so equal scores share a fate,
+    the kept fraction is AT LEAST ``keep_top`` (a tie class spanning
+    the cut is kept whole), and the top tie class is always kept —
+    including the degenerate all-tied group, where percent_rank would
+    rank everyone 0 and keep nothing (a real property-test find).
+    Deterministic in every engine with no tiebreak column, since
+    cume_dist depends only on the score ordering.
 
     Rows are RETAINED with a boolean ``kept`` rather than filtered, so
     callers can audit the cut before applying it (``.filter("kept")``).
@@ -390,11 +395,11 @@ def percentile_filter(
     if not 0.0 < keep_top <= 1.0:
         raise ValueError(f"keep_top must be in (0, 1], got {keep_top}")
     w = Window.partitionBy(*partition_cols).orderBy(F.col(score_col).asc())
-    pr = F.percent_rank().over(w)
+    cd = F.cume_dist().over(w)
     return df.select(
         "*",
-        pr.alias("score_pct_rank"),
-        (pr >= 1.0 - keep_top).alias("kept"),
+        cd.alias("score_cume_dist"),
+        (cd > 1.0 - keep_top).alias("kept"),
     )
 
 

@@ -3782,21 +3782,22 @@ from ..functions.curation import percentile_filter  # noqa: E402
 
 
 def x11_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language quality gate: rank docs by distinct-token ratio and
-    keep the top 30% of each language, ties sharing fate. percent_rank
-    is (rank-1)/(n-1) in both engines and the score is an exact ratio
-    of integers, so the cut is engine-identical."""
+    """Per-language quality gate: keep at least the top 30% of each
+    language by distinct-token ratio via cume_dist (tie classes share
+    fate inclusively; the degenerate all-tied group keeps everything).
+    cume_dist is rank/n in both engines and the score an exact integer
+    ratio, so the cut is engine-identical."""
     docs = load_table(spark, sf_dir, "documents")
     scored = quality_stats(docs)
     out = percentile_filter(
         scored, "distinct_ratio", keep_top=0.3, partition_cols=("lang",)
     )
-    return out.select("doc_id", "lang", "distinct_ratio", "score_pct_rank", "kept")
+    return out.select("doc_id", "lang", "distinct_ratio", "score_cume_dist", "kept")
 
 
 # threshold literal must be the SAME double Spark computes for
 # 1.0 - keep_top (0.7 the decimal is a different double than the IEEE
-# subtraction result; a percent_rank landing exactly between them would
+# subtraction result; a cume_dist landing exactly between them would
 # split the engines)
 X11_SQL = f"""
 WITH toks AS (
@@ -3809,10 +3810,10 @@ scored AS (
     FROM toks
 )
 SELECT doc_id, lang, distinct_ratio,
-       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
-           AS score_pct_rank,
-       PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
-           >= {1.0 - 0.3!r} AS kept
+       CUME_DIST() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+           AS score_cume_dist,
+       CUME_DIST() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+           > {1.0 - 0.3!r} AS kept
 FROM scored
 """
 
@@ -4735,10 +4736,10 @@ scored AS (
 gated AS (
     SELECT * FROM (
         SELECT *,
-               PERCENT_RANK() OVER (PARTITION BY lang ORDER BY distinct_ratio)
-                   AS pr
+               CUME_DIST() OVER (PARTITION BY lang ORDER BY distinct_ratio)
+                   AS cd
         FROM scored
-    ) WHERE pr >= {1.0 - 0.5!r}
+    ) WHERE cd > {1.0 - 0.5!r}
 ),
 c AS (SELECT lang, COUNT(*) AS n FROM gated GROUP BY lang),
 tgt AS (SELECT * FROM (VALUES ('en', 0.5), ('fr', 0.25), ('de', 0.25)) t(lang, p)),

@@ -314,10 +314,18 @@ def test_percentile_filter_ties_share_fate(spark):
         "doc_id long, lang string, score double",
     )
     out = {r.doc_id: r for r in percentile_filter(df, "score", 0.5).collect()}
-    # ranks: 0.1->pr 0, the 0.5 tie -> pr .25 both, 0.9 -> .75, 1.0 -> 1
-    assert out[1].score_pct_rank == out[2].score_pct_rank == 0.25
-    assert out[1].kept == out[2].kept == False  # noqa: E712
+    # cume_dist: 0.1 -> 0.2; the 0.5 tie -> 0.6 both; 0.9 -> 0.8; 1.0 -> 1
+    assert out[1].score_cume_dist == out[2].score_cume_dist == 0.6
+    # at-least semantics: the tie class straddling the cut is kept whole
+    assert out[1].kept == out[2].kept == True  # noqa: E712
     assert out[3].kept and out[4].kept and not out[0].kept
+
+    # degenerate all-tied group: everything kept (the percent_rank
+    # formulation kept NOTHING here — property-test find)
+    tied = spark.createDataFrame(
+        [(i, "en", 1.0) for i in range(4)], "doc_id long, lang string, score double"
+    )
+    assert all(r.kept for r in percentile_filter(tied, "score", 0.5).collect())
 
 
 def test_threshold_filter_matches_exact_away_from_boundary(spark):

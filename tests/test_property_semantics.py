@@ -413,3 +413,63 @@ def test_range_join_matches_bruteforce(spark, events, bucket_s):
         if lo <= base_us + s * 1_000_000 < hi
     )
     assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                         min_size=1, max_size=5),
+                min_size=1, max_size=8))
+def test_dedup_paragraphs_properties(spark, paras_per_doc):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_paragraphs,
+    )
+
+    docs = [(i, "\n\n".join(ps)) for i, ps in enumerate(paras_per_doc)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = dedup_paragraphs(df).collect()
+    # totality: every doc survives
+    assert {r.doc_id for r in out} == {d[0] for d in docs}
+    # global uniqueness: every kept paragraph fingerprint appears once
+    kept = [
+        p for r in out if r.text for p in r.text.split("\n\n")
+    ]
+    assert len(kept) == len(set(kept))
+    # conservation: kept + removed == total paragraphs
+    assert sum(r.n_kept + r.n_removed for r in out) == sum(
+        len(ps) for ps in paras_per_doc
+    )
+    # idempotence
+    once = {(r.doc_id, r.text) for r in out}
+    twice = {
+        (r.doc_id, r.text)
+        for r in dedup_paragraphs(
+            spark.createDataFrame(
+                [(r.doc_id, r.text) for r in out], "doc_id long, text string"
+            )
+        ).collect()
+    }
+    assert once == twice
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(st.tuples(st.sampled_from(["en", "fr"]),
+                          st.integers(0, 100)),
+                min_size=4, max_size=40),
+       st.floats(0.1, 1.0))
+def test_percentile_filter_fraction_bound(spark, rows, keep_top):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        percentile_filter,
+    )
+
+    data = [(i, lang, float(s)) for i, (lang, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "doc_id long, lang string, score double")
+    out = percentile_filter(df, "score", keep_top, partition_cols=("lang",))
+    per_lang = {}
+    for r in out.collect():
+        n, k = per_lang.get(r.lang, (0, 0))
+        per_lang[r.lang] = (n + 1, k + int(r.kept))
+    for lang, (n, k) in per_lang.items():
+        # top tie class always kept (cume_dist = 1 > 1-keep_top)
+        assert k >= 1
+        # at-least contract: kept count >= keep_top fraction of group
+        assert k >= n * keep_top - 1e-9, (lang, n, k, keep_top)
