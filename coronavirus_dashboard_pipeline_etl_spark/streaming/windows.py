@@ -137,3 +137,30 @@ def session_window_stats(
             *out_cols,
         )
     )
+
+
+def enrich_with_dims(
+    stream: DataFrame,
+    dims: DataFrame,
+    keys: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static dimension enrichment: join a (possibly streaming)
+    event frame to a static dimension table. Spark re-reads the static
+    side per micro-batch (picking up dimension updates between batches)
+    and plans a broadcast when the dim is small — the streaming twin of
+    the batch star join (`plans/serving._joined`).
+
+    Works identically on a batch frame, so the same enrichment step is
+    oracle-checkable in batch and deployable on the stream. Only
+    stream-STATIC joins are supported here (inner/left_outer per Spark's
+    matrix for the streaming side); stream-stream joins need watermarks
+    on both sides and belong to a separate operator.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"enrich_with_dims supports inner/left, got {how!r}"
+        )
+    return stream.join(broadcast(dims), on=list(keys), how=how)

@@ -473,3 +473,40 @@ def test_percentile_filter_fraction_bound(spark, rows, keep_top):
         assert k >= 1
         # at-least contract: kept count >= keep_top fraction of group
         assert k >= n * keep_top - 1e-9, (lang, n, k, keep_top)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_event_streams())
+def test_session_window_equals_sessionize(spark, events):
+    """Cross-operator equivalence: the streaming-native F.session_window
+    aggregation and the batch lag/cumsum sessionize must describe the
+    SAME sessions (bounds differing only by the fixed +gap on the window
+    end) for any event stream."""
+    from datetime import datetime, timedelta
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.sessions import (
+        session_stats,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.windows import (
+        session_window_stats,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = [
+        (eid, u, base + timedelta(seconds=s), 1.0) for eid, u, s in events
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    gap_us = 1800 * 1_000_000
+    from_window = {
+        (r.user_id, r.session_start_us, r.session_end_us - gap_us,
+         r.n_events, r.value_sum)
+        for r in session_window_stats(df, gap="30 minutes").collect()
+    }
+    from_batch = {
+        (r.user_id, r.session_start_us, r.session_end_us,
+         r.n_events, r.value_sum)
+        for r in session_stats(df, gap_seconds=1800).collect()
+    }
+    assert from_window == from_batch

@@ -378,3 +378,54 @@ def test_resize_images_binary_roundtrip(spark):
 
     with _pytest.raises(ValueError, match="target dims"):
         resize_images(media, 0, 2)
+
+
+def test_enrich_with_dims_on_stream(spark, tmp_path):
+    """Stream-static join: every micro-batch row picks up its dimension
+    attributes; unmatched keys survive a left join with NULLs."""
+    import json
+
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.windows import (
+        enrich_with_dims,
+    )
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": 1, "area": "A1", "value": 1.0},
+                {"event_id": 2, "area": "A2", "value": 2.0},
+                {"event_id": 3, "area": "ZZ", "value": 3.0},  # no dim row
+            ]
+        )
+    )
+    dims = spark.createDataFrame(
+        [("A1", "nation"), ("A2", "region")], "area string, area_type string"
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("event_id long, area string, value double")
+        .load(str(in_dir))
+    )
+    q = (
+        enrich_with_dims(stream, dims, keys=["area"])
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_id: r.area_type
+        for r in spark.sql("SELECT * FROM enrich_test").collect()
+    }
+    assert got == {1: "nation", 2: "region", 3: None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="inner/left"):
+        enrich_with_dims(stream, dims, keys=["area"], how="full_outer")
