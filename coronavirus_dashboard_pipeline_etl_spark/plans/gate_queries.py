@@ -4846,3 +4846,134 @@ FROM b GROUP BY areaCode, date
 
 QUERIES["epi1_age_standardised_rate"] = epi1_age_standardised_rate
 ORACLE["epi1_age_standardised_rate"] = EPI1_SQL
+
+
+def pipe10_long_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EP1 UPLOAD side (deploy(), uploader.py:546-655) composed end
+    to end: a mixed-type panel (two bigint metrics — one weekly-cadence
+    with planted nulls — plus a string Direction metric) through
+    to_long_store's dual-type melt -> trim_sides -> weekly dropna ->
+    payload wrap -> partition/release stamping. The hash column is
+    h1's subject and is excluded (Catalyst prunes the UDF). JSON values
+    are integers/strings — the cross-engine-stable renderings."""
+    from .main_pipeline import to_long_store
+
+    daily = _daily(spark, sf_dir)
+    dom = F.substring("date", 9, 2).cast("int")
+    cases = F.when(dom <= 2, F.lit(0)).otherwise(
+        F.floor(F.col("val_d"))
+    ).cast("bigint")
+    weekly = F.when(dom % 7 == 1, F.floor(F.col("val_d"))).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("date")
+    base = daily.select(
+        F.lit("event").alias("areaType"),
+        F.col("event_type").alias("areaCode"),
+        "date",
+        cases.alias("cases"),
+        weekly.alias("casesWeekly"),
+    )
+    prev = F.lag("cases").over(
+        Window.partitionBy("areaCode").orderBy("date")
+    )
+    panel = base.withColumn(
+        "casesDirection",
+        F.when(prev.isNull(), F.lit(None).cast("string"))
+        .when(F.col("cases") > prev, "UP")
+        .when(F.col("cases") < prev, "DOWN")
+        .otherwise("SAME"),
+    )
+    out = to_long_store(panel, release_id=7)
+    return out.select(
+        "area_type", "area_code", "metric", "date", "payload",
+        "partition_id", "release_id",
+    )
+
+
+def _pipe10_trim_sql(src: str, payload_json: str) -> str:
+    """The faithful trim_sides chain (uploader.py:55-90) over ``src``
+    (columns area_type, area_code, metric, date, payload), ending with
+    the weekly dropna + JSON wrap."""
+    return f"""
+    SELECT area_type, area_code, metric, date,
+           {payload_json} AS payload,
+           'other' AS partition_id, 7 AS release_id
+    FROM (
+        SELECT *,
+               (first_valid IS NOT NULL AND last_valid IS NOT NULL)
+                   AND (rn <= COALESCE(first_nonzero, first_valid) + 1
+                        OR rn >= last_valid - 1) AS masked
+        FROM (
+            SELECT *,
+                   MAX(CASE WHEN payload IS NOT NULL
+                             AND rn > COALESCE(first_nonzero, first_valid) + 1
+                            THEN rn END)
+                       OVER (PARTITION BY area_type, area_code, metric)
+                       AS last_valid
+            FROM (
+                SELECT *,
+                       MIN(CASE WHEN cumabs > 0 THEN rn END)
+                           OVER (PARTITION BY area_type, area_code, metric)
+                           AS first_nonzero,
+                       MIN(CASE WHEN payload IS NOT NULL THEN rn END)
+                           OVER (PARTITION BY area_type, area_code, metric)
+                           AS first_valid
+                FROM (
+                    SELECT *,
+                           ROW_NUMBER() OVER wx AS rn,
+                           SUM(ABS(TRY_CAST(payload AS DOUBLE))) OVER
+                               (PARTITION BY area_type, area_code, metric
+                                ORDER BY date
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS cumabs
+                    FROM ({src})
+                    WINDOW wx AS (PARTITION BY area_type, area_code, metric
+                                  ORDER BY date)
+                )
+            )
+        )
+    )
+    WHERE NOT masked
+      AND NOT (lower(metric) LIKE '%weekly%' AND payload IS NULL)
+    """
+
+
+_PIPE10_PANEL = """
+panel AS (
+    SELECT 'event' AS area_type, event_type AS area_code, date,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) <= 2 THEN 0
+                ELSE CAST(FLOOR(val_d) AS BIGINT) END AS cases,
+           CASE WHEN CAST(substr(date, 9, 2) AS INT) % 7 = 1
+                THEN CAST(FLOOR(val_d) AS BIGINT) END AS casesWeekly
+    FROM daily
+),
+panel2 AS (
+    SELECT *,
+           CASE WHEN LAG(cases) OVER w IS NULL THEN NULL
+                WHEN cases > LAG(cases) OVER w THEN 'UP'
+                WHEN cases < LAG(cases) OVER w THEN 'DOWN'
+                ELSE 'SAME' END AS casesDirection
+    FROM panel
+    WINDOW w AS (PARTITION BY area_code ORDER BY date)
+)
+"""
+
+_P10_NUM = (
+    "SELECT area_type, area_code, 'cases' AS metric, date, cases AS payload FROM panel2 "
+    "UNION ALL "
+    "SELECT area_type, area_code, 'casesWeekly', date, casesWeekly FROM panel2"
+)
+_P10_STR = (
+    "SELECT area_type, area_code, 'casesDirection' AS metric, date, "
+    "casesDirection AS payload FROM panel2"
+)
+
+PIPE10_SQL = f"""
+WITH {_DAILY_SQL},
+{_PIPE10_PANEL}
+{_pipe10_trim_sql(_P10_NUM, "to_json(struct_pack(value := payload))::VARCHAR")}
+UNION ALL
+{_pipe10_trim_sql(_P10_STR, "to_json(struct_pack(value := payload))::VARCHAR")}
+"""
+
+QUERIES["pipe10_long_store"] = pipe10_long_store
+ORACLE["pipe10_long_store"] = PIPE10_SQL
