@@ -4977,3 +4977,38 @@ UNION ALL
 
 QUERIES["pipe10_long_store"] = pipe10_long_store
 ORACLE["pipe10_long_store"] = PIPE10_SQL
+
+
+from ..streaming.windows import enrich_with_dims  # noqa: E402
+
+
+def st4_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension enrichment in batch mode (the same
+    function deploys on a stream — micro-batch broadcast star join):
+    events left-joined to a 5-row area dim derived from user_id, nulls
+    surviving for unmapped keys."""
+    ev = load_table(spark, sf_dir, "events")
+    dims = spark.range(4).select(  # 4 of 5 buckets mapped -> some NULLs
+        F.col("id").alias("area_bucket"),
+        F.concat(F.lit("A"), F.col("id").cast("string")).alias("area_code"),
+        F.lit("nation").alias("area_type"),
+    )
+    stream_like = ev.select(
+        "event_id", (F.col("user_id") % 5).alias("area_bucket"), "event_type"
+    )
+    return enrich_with_dims(stream_like, dims, keys=["area_bucket"])
+
+
+ST4_SQL = """
+WITH dims AS (
+    SELECT i AS area_bucket, 'A' || CAST(i AS VARCHAR) AS area_code,
+           'nation' AS area_type
+    FROM range(4) t(i)
+)
+SELECT e.event_id, e.user_id % 5 AS area_bucket, e.event_type,
+       d.area_code, d.area_type
+FROM events e LEFT JOIN dims d ON e.user_id % 5 = d.area_bucket
+"""
+
+QUERIES["st4_stream_enrich"] = st4_stream_enrich
+ORACLE["st4_stream_enrich"] = ST4_SQL
