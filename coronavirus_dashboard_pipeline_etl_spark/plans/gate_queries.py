@@ -5012,3 +5012,74 @@ FROM events e LEFT JOIN dims d ON e.user_id % 5 = d.area_bucket
 
 QUERIES["st4_stream_enrich"] = st4_stream_enrich
 ORACLE["st4_stream_enrich"] = ST4_SQL
+
+
+def g3_archive_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Despatch archive-dates worker (despatch_ops_workers archive
+    dates): the distinct release dates per area grouping, newest first
+    with a rank — the list the dashboard's archive page serves."""
+    ev = load_table(spark, sf_dir, "events")
+    dates = ev.select(
+        F.col("event_type").alias("area_group"),
+        F.date_format("ts", "yyyy-MM-dd").alias("date"),
+    ).distinct()
+    w = Window.partitionBy("area_group").orderBy(F.col("date").desc())
+    return dates.select(
+        "area_group", "date",
+        F.row_number().over(w).cast("long").alias("recency_rank"),
+    )
+
+
+G3_SQL = """
+WITH d AS (
+    SELECT DISTINCT event_type AS area_group, strftime(ts, '%Y-%m-%d') AS date
+    FROM events
+)
+SELECT area_group, date,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY area_group ORDER BY date DESC) AS BIGINT)
+           AS recency_rank
+FROM d
+"""
+
+QUERIES["g3_archive_dates"] = g3_archive_dates
+ORACLE["g3_archive_dates"] = G3_SQL
+
+
+def g4_release_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-timestamp boxplot stats (chunk_etl_postprocessing/
+    timestamp_boxplots): per event type, the quartiles + extremes of
+    the intra-day arrival time (seconds since midnight — integers, so
+    the interpolated percentile arithmetic is engine-identical)."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = (
+        F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+    ) / F.lit(1_000_000.0)
+    base = ev.select(F.col("event_type"), secs.alias("s"))
+    return base.groupBy("event_type").agg(
+        F.expr("percentile(s, 0.25)").alias("q1"),
+        F.expr("percentile(s, 0.5)").alias("med"),
+        F.expr("percentile(s, 0.75)").alias("q3"),
+        F.min("s").alias("lo"),
+        F.max("s").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+G4_SQL = """
+WITH b AS (
+    SELECT event_type,
+           (epoch_us(ts) % 86400000000) / 1000000.0 AS s
+    FROM events
+)
+SELECT event_type,
+       quantile_cont(s, 0.25) AS q1,
+       quantile_cont(s, 0.5)  AS med,
+       quantile_cont(s, 0.75) AS q3,
+       MIN(s) AS lo, MAX(s) AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY event_type
+"""
+
+QUERIES["g4_release_time_quartiles"] = g4_release_time_quartiles
+ORACLE["g4_release_time_quartiles"] = G4_SQL
