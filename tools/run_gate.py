@@ -3,6 +3,10 @@ entry on Spark and its oracle_sql() on DuckDB at the same sf, compare
 row count, schema width, and order-insensitive values.
 
 Usage: python tools/run_gate.py [sf_dir] [query_name ...]
+
+When run with no query filter it also writes SELFCHECK.json at the repo
+root: one row per registered gate (the full registry, not just the first
+50 the external harness evaluates), same pass/fail semantics.
 """
 
 from __future__ import annotations
@@ -80,24 +84,39 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     passed = failed = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        spark_pdf = None
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
             duck_pdf = con.sql(oracles[name]).df()
             problems = compare(name, spark_pdf, duck_pdf)
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
+        results[name] = {
+            "pass": not problems,
+            "rows": None if spark_pdf is None else len(spark_pdf),
+            "problems": problems[:6],
+        }
         if problems:
             failed += 1
-            print(f"FAIL {name} ({len(spark_pdf) if 'spark_pdf' in dir() else '?'} rows)")
+            print(f"FAIL {name} ({len(spark_pdf) if spark_pdf is not None else '?'} rows)", flush=True)
             for p in problems[:6]:
                 print(f"     {p}")
         else:
             passed += 1
-            print(f"ok   {name} ({len(spark_pdf)} rows)")
+            print(f"ok   {name} ({len(spark_pdf)} rows)", flush=True)
     print(f"\n{passed} passed, {failed} failed")
+    if not only:
+        import json
+        import os
+
+        out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "SELFCHECK.json")
+        with open(out, "w") as fh:
+            json.dump({"sf_dir": sf_dir, "passed": passed, "failed": failed, "queries": results}, fh, indent=1)
+        print(f"wrote {out}")
     spark.stop()
     sys.exit(1 if failed else 0)
 
