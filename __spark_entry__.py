@@ -21,8 +21,36 @@ from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import ORACLE, 
 # been driver-verified.  tools/run_gate.py (same compare, plain session)
 # covers the full registry every round regardless — see SELFCHECK.json.
 _PRIORITY = [
-    # Composed end-to-end pipelines — the closest analogues to the
-    # reference's real entry points (db_etl/etl.py:996-1022 etc.).
+    # Round-4 rotation: every gate with NO driver verdict yet across
+    # r2-r3 goes first — the 6 repaired by the TIMESTAMP_NTZ fix, the 17
+    # the driver never sampled, and the new S15 gate. Cumulative driver
+    # coverage r2∪r3∪r4 = the full registry.
+    "st3_session_window",
+    "j11_asof_join",
+    "j12_range_join",
+    "scd1_intervals",
+    "x10_sessionize",
+    "g4_release_time_quartiles",
+    "s15_dump_load",
+    "d4b_simhash_pairs",
+    "g3_archive_dates",
+    "h3_ntile_summary",
+    "j13_snapshot_diff",
+    "m2_image_decode",
+    "q7_profile_table",
+    "t7_bpe_token_stats",
+    "w9_rolling_median",
+    "x4_repetition",
+    "x5_embed_quantize",
+    "x6_boilerplate_removal",
+    "x9_cardinality_stats",
+    "x11_percentile_filter",
+    "x13_common_token_score",
+    "x14_key_skew",
+    "x16_negative_sampling",
+    # Remaining slots: re-confirm the composed end-to-end pipelines (the
+    # closest analogues to the reference's real entry points,
+    # db_etl/etl.py:996-1022 etc.) and the flagship operator families.
     "pipe1_corpus_clean",
     "pipe2_main_panel",
     "pipe2b_process_panel",
@@ -35,49 +63,21 @@ _PRIORITY = [
     "pipe8_despatch_scales",
     "pipe9_curation_v2",
     "pipe10_long_store",
-    # Reference-parity operators still lacking a driver verdict.
-    "n2_flatten_nested",
-    "n3_pair_tested",
-    "n4_age_rate_enrich",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
     "q6_forecast_revenue",
-    "p6_drop_all_null",
-    "j5_relabel_names",
-    "j2a_age_rate",
-    "j2b_incidence_rate",
-    "r1_ratio_to_percentage",
-    "w2b_demographics_normalise",
-    "sup1_small_count_suppression",
-    "epi1_age_standardised_rate",
-    "g1_map_features",
-    "g2_vax_map_features",
-    # Streaming parity gates (batch-mode oracle closures).
-    "st1_windowed_counts",
-    "st2_stream_dedup",
-    "st3_session_window",
-    "st4_stream_enrich",
-    # Temporal joins the reference lacks but Spark users need.
-    "j11_asof_join",
-    "j12_range_join",
-    "scd1_intervals",
-    # Dedup / curation core.
-    "d6_dedup_resolve",
-    "d7_paragraph_dedup",
-    "d8_incremental_dedup",
-    "t5_chunking",
-    "t6_pii_scrub",
-    "x1_contamination",
-    "x2_stratified_sample",
-    "x3_vocab_topk",
-    "x7_sequence_packing",
-    "x8_weighted_sample",
-    "x10_sessionize",
-    "x12_domain_cap",
-    "x15_mixture_rebalance",
-    # Retrieval / clustering / stats.
-    "tf1_tfidf_topk",
-    "c1_centroid_assign",
+    "a1_rolling_sum_7day",
+    "a234_change_direction_pct",
+    "j2_rolling_rate_per100k",
+    "w4_trim_sides",
+    "d3b_lsh_pairs",
+    "s1_ann_cosine_topk",
+    "t2_quality_stats",
     "b1_bm25_topk",
-    "h2_histogram",
+    "epi1_age_standardised_rate",
+    "st1_windowed_counts",
+    "st4_stream_enrich",
+    "d6_dedup_resolve",
 ]
 
 

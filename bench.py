@@ -125,43 +125,57 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # One broken query must never zero out the round's entire perf
+    # signal: every step is guarded, failures are reported in "errors",
+    # and the final JSON line ALWAYS prints.
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+
+    def timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        try:
+            fn()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
+
+    def run_query(name: str):
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # warm the JVM/readers once so per-query numbers measure the plan,
     # not first-touch class loading.
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    try:
+        run_query("q1_pricing_summary")
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: warm-up failed: {e}", file=sys.stderr)
 
-    timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        timed(name, lambda name=name: run_query(name))
 
     # serving benchmark: untimed bucketed-store build, timed read
-    _bucketed_store_setup(spark, sf_dir)
-    t0 = time.perf_counter()
-    serve_bucketed_latest(spark)
-    timings["serve_bucketed_latest"] = round(time.perf_counter() - t0, 3)
+    try:
+        _bucketed_store_setup(spark, sf_dir)
+        timed("serve_bucketed_latest", lambda: serve_bucketed_latest(spark))
+    except Exception as e:  # noqa: BLE001
+        errors["serve_bucketed_latest"] = f"{type(e).__name__}: {e}"[:300]
 
     # the LSH production path: same pipeline as d3b_lsh_pairs but with
     # the xxhash64 base hash (no SQL oracle exists for it, so it is
     # bench-only; the md5 gate above proves the pipeline's semantics)
-    t0 = time.perf_counter()
-    lsh_xxhash_pairs(spark, sf_dir)
-    timings["d3b_lsh_pairs_xxhash"] = round(time.perf_counter() - t0, 3)
+    timed("d3b_lsh_pairs_xxhash", lambda: lsh_xxhash_pairs(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -18,6 +18,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .util import ts_micros
+
 
 def release_delta(
     df: DataFrame,
@@ -96,8 +98,8 @@ def asof_join(
             f"asof_join: right_cols collide with left columns: {sorted(overlap)}"
         )
     key_list = list(keys)
-    lus = F.unix_micros(F.col(left_ts))
-    rus = F.unix_micros(F.col(right_ts))
+    lus = ts_micros(left_ts)
+    rus = ts_micros(right_ts)
     r_tagged = right.select(
         *key_list,
         rus.alias("__us"),
@@ -167,7 +169,7 @@ def range_join(
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
     bus = bucket_seconds * 1_000_000
-    ev = left.withColumn("__us", F.unix_micros(F.col(ts_col)))
+    ev = left.withColumn("__us", ts_micros(ts_col))
     ev = ev.withColumn("__cell", F.expr(f"__us div {bus}"))
     iv = intervals.select(
         F.col(interval_id_col),
@@ -230,7 +232,7 @@ def scd2_intervals(
         out = out.withColumn("__keep", first | changed).filter("__keep").drop(
             "__keep"
         )
-    vf = F.unix_micros(F.col(ts_col))
+    vf = ts_micros(ts_col)
     out = out.select(
         *key_list,
         *attr_cols,

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from .util import ts_micros
+
 __all__ = ["sessionize", "session_stats"]
 
 
@@ -48,7 +50,7 @@ def sessionize(
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be > 0, got {gap_seconds}")
     w = Window.partitionBy(user_col).orderBy(ts_col, *tiebreak_cols)
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_micros(ts_col)
     prev_us = F.lag(us).over(w)
     is_new = F.when(
         prev_us.isNull() | (us - prev_us > gap_seconds * 1_000_000), 1
@@ -75,7 +77,7 @@ def session_stats(
     the sessionize window's hash partitioning on ``user_col``.
     """
     s = sessionize(df, user_col, ts_col, gap_seconds, tiebreak_cols)
-    us = F.unix_micros(F.col(ts_col))
+    us = ts_micros(ts_col)
     aggs = [
         F.min(us).alias("session_start_us"),
         F.max(us).alias("session_end_us"),

@@ -52,6 +52,7 @@ from ..operators import (
     weekly_thin,
 )
 from ..operators.nesting import wrap_payload
+from ..operators.util import ts_micros
 from ..sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4092,7 +4093,7 @@ def j11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "event_id",
-        F.unix_micros("ts").alias("ts_us"),
+        ts_micros("ts").alias("ts_us"),
         "asof_ts_us",
         "ref_event",
     )
@@ -5053,7 +5054,7 @@ def g4_release_time_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interpolated percentile arithmetic is engine-identical)."""
     ev = load_table(spark, sf_dir, "events")
     secs = (
-        F.unix_micros("ts") % (24 * 3600 * 1_000_000)
+        ts_micros("ts") % (24 * 3600 * 1_000_000)
     ) / F.lit(1_000_000.0)
     base = ev.select(F.col("event_type"), secs.alias("s"))
     return base.groupBy("event_type").agg(
@@ -5083,3 +5084,39 @@ FROM b GROUP BY event_type
 
 QUERIES["g4_release_time_quartiles"] = g4_release_time_quartiles
 ORACLE["g4_release_time_quartiles"] = G4_SQL
+
+
+def s15_dump_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 — the dump/load round-trip (db_dumper/dumper.py:82-124,
+    db_loader/loader.py:67-171): dump the nation dim to the migration
+    format (distributed gzip JSON-lines + manifest), reload it with the
+    manifest schema, then apply an ON-CONFLICT-style upsert of a
+    modified snapshot. The oracle computes the merged result directly
+    from the source table, so any loss in the JSON round-trip (types,
+    nulls, encoding) or in the merge semantics surfaces as a value
+    mismatch."""
+    import tempfile
+
+    from ..sources.dump_load import dump_table, load_dump, merge_upsert
+
+    nation = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="s15_dump_")
+    dump_table(nation, d, "public.nation", ["n_nationkey"])
+    back, _manifest = load_dump(spark, d)
+    incoming = back.filter(F.col("n_regionkey") < 2).withColumn(
+        "n_name", F.lit("UPDATED")
+    )
+    return merge_upsert(back, incoming, ["n_nationkey"]).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+S15_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey < 2 THEN 'UPDATED' ELSE n_name END AS n_name,
+       n_regionkey
+FROM nation
+"""
+
+QUERIES["s15_dump_load"] = s15_dump_load
+ORACLE["s15_dump_load"] = S15_SQL

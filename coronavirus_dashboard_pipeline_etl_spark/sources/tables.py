@@ -2,11 +2,13 @@
 (TESTDATA.md) — the engine's S3 parquet source (SURVEY.md §2.1,
 ``chunk_etl_retriever/retriever.py:99``) applied to the bench tables.
 
-The driver's parquet stores timestamps as TIMESTAMP(NANOS); with
-``spark.sql.legacy.parquet.nanosAsLong`` they surface as LongType
-nanoseconds. ``load_table`` converts the known timestamp columns to
-proper TimestampType (microsecond truncation — all queries operate at
-date granularity, so this is lossless for our purposes).
+The driver's parquet has stored timestamps two different ways across
+testdata vintages: TIMESTAMP(NANOS) (surfacing as LongType nanoseconds
+under ``spark.sql.legacy.parquet.nanosAsLong``) and timestamp[us] with
+``isAdjustedToUTC=false`` (surfacing as TIMESTAMP_NTZ). ``load_table``
+normalises the known timestamp columns of either vintage to proper
+TimestampType with identical epoch micros (the session timezone is
+pinned to UTC, so the NTZ reinterpretation is exact).
 """
 
 from __future__ import annotations
@@ -26,7 +28,7 @@ TABLES = [
     "embeddings",
 ]
 
-# columns that are TIMESTAMP(NANOS) in the driver parquet
+# timestamp columns in the driver parquet (encoding varies by vintage)
 _NANO_TS_COLS: dict[str, list[str]] = {
     "orders": ["o_orderdate"],
     "lineitem": ["l_shipdate"],
@@ -39,15 +41,28 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # the conf is runtime-settable, so set it here so reading TIMESTAMP(NANOS)
     # parquet never depends on who constructed the session.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin UTC (runtime-settable) so the TIMESTAMP_NTZ -> TIMESTAMP
+    # reinterpretation below and all downstream date arithmetic match
+    # the DuckDB oracle regardless of who constructed the session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    dtypes = dict(df.dtypes)
     for col in _NANO_TS_COLS.get(name, []):
-        if col in df.columns and dict(df.dtypes)[col] == "bigint":
+        if col not in dtypes:
+            continue
+        if dtypes[col] == "bigint":
             # integer `div`, not `/`: double division rounds the 60-bit
             # nanosecond epoch (53-bit mantissa) and can land 1µs off the
             # exact truncation other engines compute
             df = df.withColumn(
                 col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
             )
+        elif dtypes[col] == "timestamp_ntz":
+            # parquet timestamp[us] with isAdjustedToUTC=false reads as
+            # TIMESTAMP_NTZ; reinterpret under the UTC session timezone
+            # so downstream unix_micros sees the same integer DuckDB's
+            # epoch_us computes
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -19,6 +19,8 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..operators.util import as_ltz
+
 
 def windowed_event_counts(
     df: DataFrame,
@@ -39,10 +41,13 @@ def windowed_event_counts(
     """
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
+    # normalise NTZ input BEFORE the window: the window struct inherits
+    # the input's timestamp flavour
+    ts = as_ltz(ts_col)
     w = (
-        F.window(F.col(ts_col), window_duration, slide)
+        F.window(ts, window_duration, slide)
         if slide
-        else F.window(F.col(ts_col), window_duration)
+        else F.window(ts, window_duration)
     )
     aggs = [F.count("*").alias("n_events")]
     has_value = value_col is not None and value_col in df.columns
@@ -128,7 +133,7 @@ def session_window_stats(
         )
     out_cols = ["n_events"] + (["value_sum"] if has_value else [])
     return (
-        df.groupBy(*group_cols, F.session_window(F.col(ts_col), gap).alias("__w"))
+        df.groupBy(*group_cols, F.session_window(as_ltz(ts_col), gap).alias("__w"))
         .agg(*aggs)
         .select(
             *group_cols,

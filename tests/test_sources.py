@@ -83,3 +83,81 @@ def test_qa_outputs(spark, tmp_path):
         f.read_text() for f in (tmp_path / "out_csv").glob("part-*")
     )
     assert "k,v" in text and "a,5.0" in text
+
+
+def test_load_table_timestamp_vintages(spark, tmp_path):
+    """The driver testdata has changed its `ts` encoding twice
+    (TIMESTAMP(NANOS) -> timestamp[us] NTZ); load_table must normalise
+    every parquet timestamp vintage — bigint-nanos, NTZ micros, and
+    UTC-adjusted (LTZ) micros — to TimestampType with identical epoch
+    micros."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.sources.tables import load_table
+
+    micros = [1_700_000_000_000_000, 1_700_000_123_456_789]
+    encodings = {
+        "nanos": pa.array([m * 1000 for m in micros], pa.timestamp("ns")),
+        "ntz": pa.array(micros, pa.timestamp("us")),
+        "ltz": pa.array(micros, pa.timestamp("us", tz="UTC")),
+    }
+    got = {}
+    for label, arr in encodings.items():
+        d = tmp_path / label
+        d.mkdir()
+        pq.write_table(
+            pa.table({"ts": arr, "event_id": pa.array([1, 2], pa.int64())}),
+            str(d / "events.parquet"),
+            store_schema=False,
+        )
+        df = load_table(spark, str(d), "events")
+        assert dict(df.dtypes)["ts"] == "timestamp", (label, df.dtypes)
+        got[label] = sorted(
+            r[0]
+            for r in df.select(F.unix_micros("ts")).collect()
+        )
+    assert got["nanos"] == got["ntz"] == got["ltz"] == sorted(micros)
+
+
+def test_dump_load_roundtrip(spark, tmp_path):
+    """S15 (db_dumper/dumper.py:82-124, db_loader/loader.py:67-171):
+    table -> gzip JSON-lines + manifest -> reload must be row-identical
+    (including timestamps through their ISO-string serialisation and
+    typed nulls), and merge_upsert must apply ON CONFLICT semantics."""
+    from datetime import datetime, timezone
+
+    from coronavirus_dashboard_pipeline_etl_spark.sources.dump_load import (
+        dump_table,
+        load_dump,
+        merge_upsert,
+    )
+
+    rows = [
+        (1, "alpha", 1.5, datetime(2023, 11, 14, 22, 13, 20, 123456)),
+        (2, "beta", None, datetime(2024, 1, 1, 0, 0, 0)),
+        (3, None, -7.25, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id bigint, name string, score double, updated timestamp"
+    )
+    d = str(tmp_path / "dump")
+    dump_table(df, d, "covid19.sample", ["id"])
+    back, manifest = load_dump(spark, d)
+    assert manifest["primary_keys"] == ["id"]
+    assert manifest["table_name"] == "covid19.sample"
+    assert back.schema == df.schema
+    assert sorted(back.collect()) == sorted(df.collect())
+
+    incoming = spark.createDataFrame(
+        [
+            (2, "beta2", 9.0, datetime(2024, 6, 1)),   # conflict -> update
+            (4, "delta", 0.5, None),                    # new -> insert
+        ],
+        "id bigint, name string, score double, updated timestamp",
+    )
+    merged = {r["id"]: r for r in merge_upsert(back, incoming, ["id"]).collect()}
+    assert set(merged) == {1, 2, 3, 4}
+    assert merged[2]["name"] == "beta2" and merged[2]["score"] == 9.0
+    assert merged[1]["name"] == "alpha"  # untouched rows survive
