@@ -32,6 +32,7 @@ _PRIORITY = [
     "x10_sessionize",
     "g4_release_time_quartiles",
     "s15_dump_load",
+    "pipe11_ann_index",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",
@@ -77,7 +78,6 @@ _PRIORITY = [
     "epi1_age_standardised_rate",
     "st1_windowed_counts",
     "st4_stream_enrich",
-    "d6_dedup_resolve",
 ]
 
 

@@ -46,6 +46,8 @@ HEADLINE = [
     "x10_sessionize",
     "j11_asof_join",
     "b1_bm25_topk",
+    # round-4: the composed ANN index build+query pipeline
+    "pipe11_ann_index",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

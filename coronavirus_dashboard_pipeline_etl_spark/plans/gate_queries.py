@@ -5120,3 +5120,121 @@ FROM nation
 
 QUERIES["s15_dump_load"] = s15_dump_load
 ORACLE["s15_dump_load"] = S15_SQL
+
+
+def pipe11_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ANN index build + query (the IVF pipeline pipe7 is to
+    dedup): seed centroids (vec_id < 8) -> map-side assignment -> ONE
+    Lloyd centroid update -> re-assignment = the built index ->
+    ``cosine_topk_ivf`` over it for a small query set.
+
+    The centroid update uses decimal sums (exact, order-independent)
+    cast to double before the /count division, so the updated centroids
+    — and therefore every downstream assignment and ranking decision —
+    are bit-identical across engines and partitionings. The production
+    path (``kmeans_lloyd``) keeps plain double means for speed; this
+    gate proves the build->query composition itself.
+
+    Scale: assignment is zero-shuffle codegen (assign_centroids); the
+    update is one (cluster, dim) hash agg, k*64 rows out; the IVF query
+    broadcasts only the query batch. Nothing here grows with corpus
+    size except linear scans.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    a0 = assign_centroids(emb, seeds)
+    dims = a0.select(
+        "centroid_id",
+        F.posexplode(
+            F.transform("embedding", lambda x: x.cast("double"))
+        ).alias("dim", "x"),
+    )
+    cents = (
+        dims.groupBy("centroid_id", "dim")
+        .agg(
+            (
+                F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+        .groupBy("centroid_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "m"))),
+                lambda s: s.m,
+            ).alias("centroid")
+        )
+    )
+    indexed = assign_centroids(emb, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    queries = indexed.filter(F.col("vec_id") % 29 == 0)
+    out = cosine_topk_ivf(
+        indexed, queries, bucket_col="centroid_id", k=3
+    )
+    # decisions only (s1/c1 precedent): scores are matmul-order floats
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+PIPE11_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+    SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+),
+a0 AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, s.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, s.cv) DESC, s.cid ASC
+               ) AS rn
+        FROM e, seeds s
+    ) WHERE rn = 1
+),
+exploded AS (
+    SELECT a0.cid, t.dim, e.v[t.dim] AS x
+    FROM a0 JOIN e USING (vec_id),
+         LATERAL (SELECT UNNEST(generate_series(1, 64)) AS dim) t
+),
+cents AS (
+    SELECT cid,
+           list(CAST(CAST(sx AS DOUBLE) / n AS DOUBLE) ORDER BY dim) AS cv
+    FROM (
+        SELECT cid, dim,
+               SUM(CAST(x AS DECIMAL(30,15))) AS sx,
+               COUNT(*) AS n
+        FROM exploded GROUP BY cid, dim
+    ) GROUP BY cid
+),
+indexed AS (
+    SELECT vec_id, v, cid AS centroid_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, cents c
+    ) WHERE rn = 1
+),
+q AS (SELECT * FROM indexed WHERE vec_id % 29 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, i.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, i.v) AS score
+    FROM q JOIN indexed i ON q.centroid_id = i.centroid_id
+    WHERE q.vec_id <> i.vec_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM scored
+) WHERE rn <= 3
+"""
+
+QUERIES["pipe11_ann_index"] = pipe11_ann_index
+ORACLE["pipe11_ann_index"] = PIPE11_SQL
