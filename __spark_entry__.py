@@ -33,6 +33,9 @@ _PRIORITY = [
     "g4_release_time_quartiles",
     "s15_dump_load",
     "pipe11_ann_index",
+    "d9_editdist_pairs",
+    "x17_split_corpus",
+    "x18_shard_assign",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",
@@ -76,8 +79,6 @@ _PRIORITY = [
     "t2_quality_stats",
     "b1_bm25_topk",
     "epi1_age_standardised_rate",
-    "st1_windowed_counts",
-    "st4_stream_enrich",
 ]
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .dedup import md5_prefix_long
 from .text import tokens
@@ -731,4 +731,69 @@ def mixture_rebalance(
     }
     return stratified_sample(
         df, rates, stratum_col=stratum_col, id_col=id_col, salt=salt
+    )
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_fraction: float = 0.05,
+    test_fraction: float = 0.05,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment via the md5-coin: each
+    row lands in exactly one split by its id hash — reproducible across
+    runs, engines, partitionings, and corpus growth (a doc's split
+    NEVER changes when other docs arrive, the property seeded
+    randomSplit lacks). Map-side expression, zero shuffle.
+
+    Fractions are in bucket units of 1/SAMPLE_BUCKETS (10_000); the
+    first ``val`` buckets are validation, the next ``test`` buckets are
+    test, the rest train.
+    """
+    if val_fraction < 0 or test_fraction < 0 or val_fraction + test_fraction >= 1:
+        raise ValueError(
+            f"invalid fractions: val={val_fraction} test={test_fraction}"
+        )
+    b = sample_bucket(id_col, salt=salt)
+    val_hi = int(val_fraction * SAMPLE_BUCKETS)
+    test_hi = val_hi + int(test_fraction * SAMPLE_BUCKETS)
+    split = (
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str = "doc_id",
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic shard id + within-shard position for training-data
+    output layout: shard = id-hash mod n_shards (map-side, stable under
+    corpus growth within a shard count), position = rank of the shuffle
+    key within the shard (the reproducible "global shuffle" — two docs'
+    relative order is fixed by their hashes, not input order).
+
+    ONE shuffle: the rank window hashes on shard id; each shard sorts
+    locally. n_shards is the parallel unit a writer fans out on — at
+    100 TB pick n_shards >> executor count and no single sort exceeds
+    a shard's volume. The full corpus is never globally sorted.
+    """
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    key = md5_prefix_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy("shard_id").orderBy("__key", id_col)
+    return (
+        df.withColumn("__key", key)
+        .withColumn("shard_id", (F.col("__key") % n_shards).cast("long"))
+        .withColumn(
+            "shard_pos", (F.row_number().over(w) - 1).cast("long")
+        )
+        .drop("__key")
     )

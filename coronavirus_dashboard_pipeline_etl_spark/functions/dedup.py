@@ -559,3 +559,76 @@ def dedup_incremental(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def editdist_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    max_distance: int = 20,
+    max_block: int | None = 100_000,
+) -> DataFrame:
+    """Blocked pairwise Levenshtein near-dup: emit (id_a, id_b, dist)
+    for pairs within ``max_distance`` edits — the character-level member
+    of the near-dup family (``ngram_jaccard_pairs`` is token-set level,
+    MinHash/SimHash are the sketch paths). All JVM-side: the DP runs in
+    Spark's built-in ``levenshtein`` with the threshold short-circuit
+    (banded DP, cost O(n * d) not O(n^2), returns -1 above the bound).
+
+    Blocking: Levenshtein >= |len_a - len_b|, so a qualifying pair's
+    lengths differ by at most ``max_distance`` — bucket by
+    ``length div max_distance`` and a qualifying pair sits at most one
+    bucket apart; each left row probes {b-1, b, b+1} via a 3-element
+    explode and the join is a pure equi-join on (block_cols, bucket)
+    with an ``abs(len diff) <= d`` prefilter before the DP. Same
+    never-all-pairs guarantee as the Jaccard blocker, same loud
+    ``max_block`` guard (route over-dense corpora through LSH first).
+    """
+    if max_distance < 1:
+        raise ValueError(f"max_distance must be >= 1, got {max_distance}")
+    base = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.col(text_col).alias("__txt"),
+        F.length(text_col).alias("__len"),
+    ).withColumn("__bucket", F.expr(f"__len div {max_distance}"))
+
+    if max_block is not None:
+        oversized = (
+            base.groupBy(*block_cols, "__bucket")
+            .count()
+            .filter(F.col("count") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            raise RuntimeError(
+                f"editdist_pairs: block(s) over max_block={max_block}: "
+                f"{[r.asDict() for r in oversized]}; pre-cluster with "
+                "lsh_candidate_pairs for corpora with blocks this size"
+            )
+
+    b = F.col("__bucket")
+    left = base.withColumn(
+        "__probe", F.explode(F.array(b - 1, b, b + 1))
+    ).alias("l")
+    right = base.alias("r")
+    cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
+    cond.append(F.col("l.__probe") == F.col("r.__bucket"))
+    cond.append(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+    # cheap length prefilter before the DP
+    cond.append(
+        F.abs(F.col("l.__len") - F.col("r.__len")) <= F.lit(max_distance)
+    )
+    dist = F.levenshtein(F.col("l.__txt"), F.col("r.__txt"), max_distance)
+    return (
+        left.join(right, cond)
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"),
+            F.col(f"r.{id_col}").alias("id_b"),
+            dist.alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+        .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    )

@@ -5238,3 +5238,95 @@ FROM (
 
 QUERIES["pipe11_ann_index"] = pipe11_ann_index
 ORACLE["pipe11_ann_index"] = PIPE11_SQL
+
+
+from ..functions.dedup import editdist_pairs  # noqa: E402
+
+
+def d9_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup: blocked Levenshtein pairs within 20
+    edits (JVM banded DP via the levenshtein threshold arg; length-
+    bucket blocking keeps the join equi-keyed — never all-pairs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return editdist_pairs(docs, max_distance=20)
+
+
+D9_SQL = """
+WITH t AS (
+    SELECT doc_id, lang, text, LENGTH(text) AS n FROM documents
+)
+SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+       CAST(levenshtein(l.text, r.text) AS BIGINT) AS dist
+FROM t l JOIN t r
+  ON l.lang = r.lang AND l.doc_id < r.doc_id
+ AND ABS(l.n - r.n) <= 20
+WHERE levenshtein(l.text, r.text) <= 20
+"""
+
+QUERIES["d9_editdist_pairs"] = d9_editdist_pairs
+ORACLE["d9_editdist_pairs"] = D9_SQL
+
+
+from ..functions.curation import assign_shards, split_corpus  # noqa: E402
+
+
+def x17_split_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (md5-coin, map-side): per
+    (lang, split) doc counts — proving both the assignment and its
+    reproducibility cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = split_corpus(docs, val_fraction=0.1, test_fraction=0.1)
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+X17_SQL = f"""
+WITH b AS (
+    SELECT doc_id, lang,
+           {_md5int_sql("CAST(doc_id AS VARCHAR) || 'split'")} % 10000 AS bucket
+    FROM documents
+),
+s AS (
+    SELECT doc_id, lang,
+           CASE WHEN bucket < 1000 THEN 'val'
+                WHEN bucket < 2000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM b
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY lang, split
+"""
+
+QUERIES["x17_split_corpus"] = x17_split_corpus
+ORACLE["x17_split_corpus"] = X17_SQL
+
+
+def x18_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard + within-shard position (the reproducible
+    global shuffle for training-data output layout): 16 shards over the
+    corpus, every row's (shard_id, shard_pos) fixed by its id hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return assign_shards(docs, n_shards=16).select(
+        "doc_id", "shard_id", "shard_pos"
+    )
+
+
+X18_SQL = f"""
+WITH k AS (
+    SELECT doc_id,
+           {_md5int_sql("CAST(doc_id AS VARCHAR) || 'shard'")} AS key
+    FROM documents
+)
+SELECT doc_id, CAST(key % 16 AS BIGINT) AS shard_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY key % 16 ORDER BY key, doc_id) - 1 AS BIGINT)
+           AS shard_pos
+FROM k
+"""
+
+QUERIES["x18_shard_assign"] = x18_shard_assign
+ORACLE["x18_shard_assign"] = X18_SQL

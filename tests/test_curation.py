@@ -597,3 +597,46 @@ def test_dedup_incremental_drops_seen_and_intra_batch(spark):
     )
     kept = sorted(r.doc_id for r in dedup_incremental(batch, history).collect())
     assert kept == [11, 13]
+
+
+def test_split_corpus_stability(spark):
+    """A doc's split never changes when the corpus grows — the property
+    seeded randomSplit lacks — and fractions land near target."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        split_corpus,
+    )
+
+    small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    big = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s_small = {r["doc_id"]: r["split"] for r in split_corpus(small).collect()}
+    s_big = {r["doc_id"]: r["split"] for r in split_corpus(big).collect()}
+    assert all(s_big[k] == v for k, v in s_small.items())
+    frac_val = sum(1 for v in s_big.values() if v == "val") / len(s_big)
+    assert 0.02 < frac_val < 0.09  # 5% target, md5-coin variance
+
+    import pytest
+    with pytest.raises(ValueError):
+        split_corpus(small, val_fraction=0.6, test_fraction=0.5)
+
+
+def test_assign_shards_deterministic(spark):
+    """(shard_id, shard_pos) is a bijection onto dense per-shard ranks,
+    identical across partitionings of the same input."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        assign_shards,
+    )
+
+    df1 = spark.range(0, 300).withColumnRenamed("id", "doc_id")
+    df2 = df1.repartition(7)
+    a = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+         for r in assign_shards(df1, n_shards=8).collect()}
+    b = {r["doc_id"]: (r["shard_id"], r["shard_pos"])
+         for r in assign_shards(df2, n_shards=8).collect()}
+    assert a == b
+    # positions dense 0..n-1 within each shard
+    from collections import defaultdict
+    by_shard = defaultdict(list)
+    for sid, pos in a.values():
+        by_shard[sid].append(pos)
+    for sid, ps in by_shard.items():
+        assert sorted(ps) == list(range(len(ps)))

@@ -328,3 +328,47 @@ def test_negative_pairs_no_self_exact_k_deterministic(spark):
     assert fb.count() == 20
     ids = {r.vec_id for r in sparse.collect()}
     assert all(r.neg_id in ids and r.neg_id != r.vec_id for r in fb.collect())
+
+
+def test_editdist_pairs_blocking_exact(spark):
+    """Blocked Levenshtein pairs == brute-force pairs under the
+    threshold, including pairs whose lengths straddle a bucket edge;
+    the max_block guard fails loudly."""
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        editdist_pairs,
+    )
+
+    rows = [
+        (1, "en", "the quick brown fox jumps"),
+        (2, "en", "the quick brown fox jumped"),   # dist 2
+        (3, "en", "the quick brown fox jumps!!"),  # dist 2 to 1
+        (4, "en", "a completely different doc entirely"),
+        (5, "de", "the quick brown fox jumps"),    # other block
+        (6, "en", "x" * 40),
+        (7, "en", "x" * 43),                       # dist 3, bucket edge
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist_pairs(df, max_distance=3).collect()
+    }
+    import itertools
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+    want = {}
+    for (ia, la, ta), (ib, lb, tb) in itertools.combinations(rows, 2):
+        if la == lb and ia < ib and lev(ta, tb) <= 3:
+            want[(ia, ib)] = lev(ta, tb)
+    assert got == want
+
+    with pytest.raises(RuntimeError, match="max_block"):
+        editdist_pairs(df, max_distance=3, max_block=1)
