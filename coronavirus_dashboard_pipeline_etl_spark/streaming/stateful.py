@@ -66,3 +66,69 @@ def running_totals_stream(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def release_delta_stream(
+    stream: DataFrame,
+    group_col: str = "areaCode",
+    release_col: str = "release_date",
+    value_col: str = "value",
+    clamp_negative: bool = True,
+) -> DataFrame:
+    """Streaming twin of ``operators.asof.release_delta`` — the
+    reference's publish-date "new" metric derived from a cumulative one
+    (``chunk_etl_postprocessing/vaccinations/queries.py:22-91``): per
+    group, each release's value minus the previous release's, clamped
+    at zero.
+
+    Batch mode recomputes the lag over all releases every run; here the
+    state store carries ONE scalar per group (the last seen cumulative),
+    so a daily release costs O(groups) regardless of history length —
+    same state-size argument as ``running_totals_stream``. Releases must
+    arrive in order per group (true of a release feed; within a batch
+    rows are sorted by ``release_col``).
+
+    Emits every input row plus ``delta``; a NULL value carries the
+    previous state forward and emits a NULL delta (matching lag-over-
+    nulls in the batch operator).
+    """
+    out_schema = (
+        f"{group_col} string, {release_col} string, "
+        f"{value_col} double, delta double"
+    )
+    state_schema = "last double"
+
+    def update(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterable[pd.DataFrame]:
+        (last,) = state.get if state.exists else (None,)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values(release_col, kind="mergesort")
+            deltas = []
+            for v in batch[value_col]:
+                if pd.isna(v):
+                    deltas.append(None)
+                    continue
+                if last is None or pd.isna(last):
+                    d = None
+                else:
+                    d = v - last
+                    if clamp_negative and d < 0:
+                        d = 0.0
+                deltas.append(d)
+                last = float(v)
+            batch["delta"] = pd.array(deltas, dtype="float64")
+            if last is not None and not pd.isna(last):
+                state.update((float(last),))
+            yield batch[[group_col, release_col, value_col, "delta"]]
+
+    return stream.groupBy(group_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -39,15 +39,16 @@ def windowed_event_counts(
     (or any value — batch ignores it) gives the identical result,
     which is what the oracle gate verifies.
     """
+    # Normalise NTZ input IN PLACE before the watermark: the window
+    # struct inherits the input's timestamp flavour, and the watermark
+    # must attach to the very column the window groups on.
+    df = df.withColumn(ts_col, as_ltz(ts_col))
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
-    # normalise NTZ input BEFORE the window: the window struct inherits
-    # the input's timestamp flavour
-    ts = as_ltz(ts_col)
     w = (
-        F.window(ts, window_duration, slide)
+        F.window(F.col(ts_col), window_duration, slide)
         if slide
-        else F.window(ts, window_duration)
+        else F.window(F.col(ts_col), window_duration)
     )
     aggs = [F.count("*").alias("n_events")]
     has_value = value_col is not None and value_col in df.columns
@@ -121,6 +122,8 @@ def session_window_stats(
     operator reports the last EVENT — subtract the gap for event-bounds
     parity.
     """
+    # normalise in place BEFORE the watermark — see windowed_event_counts
+    df = df.withColumn(ts_col, as_ltz(ts_col))
     if watermark is not None and df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     aggs = [F.count("*").alias("n_events")]
@@ -133,7 +136,7 @@ def session_window_stats(
         )
     out_cols = ["n_events"] + (["value_sum"] if has_value else [])
     return (
-        df.groupBy(*group_cols, F.session_window(as_ltz(ts_col), gap).alias("__w"))
+        df.groupBy(*group_cols, F.session_window(F.col(ts_col), gap).alias("__w"))
         .agg(*aggs)
         .select(
             *group_cols,

@@ -429,3 +429,62 @@ def test_enrich_with_dims_on_stream(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="inner/left"):
         enrich_with_dims(stream, dims, keys=["area"], how="full_outer")
+
+
+def test_stateful_release_delta_across_batches(spark, tmp_path):
+    """applyInPandasWithState release deltas: the previous release's
+    cumulative must carry across micro-batches, deltas clamp at zero,
+    and nulls pass through without corrupting state."""
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.stateful import (
+        release_delta_stream,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"areaCode": "A", "release_date": "2021-01-01", "value": 10.0},
+                {"areaCode": "A", "release_date": "2021-01-02", "value": 13.0},
+                {"areaCode": "B", "release_date": "2021-01-01", "value": 5.0},
+            ]
+        )
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"areaCode": "A", "release_date": "2021-01-03", "value": 12.0},
+                {"areaCode": "A", "release_date": "2021-01-04", "value": None},
+                {"areaCode": "A", "release_date": "2021-01-05", "value": 20.0},
+                {"areaCode": "B", "release_date": "2021-01-02", "value": 9.0},
+            ]
+        )
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("areaCode string, release_date string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        release_delta_stream(stream)
+        .writeStream.format("memory")
+        .queryName("release_delta")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["areaCode"], r["release_date"]): r["delta"]
+        for r in spark.table("release_delta").collect()
+    }
+    assert rows[("A", "2021-01-01")] is None      # no previous release
+    assert rows[("A", "2021-01-02")] == 3.0
+    assert rows[("A", "2021-01-03")] == 0.0        # 12 < 13 -> clamped
+    assert rows[("A", "2021-01-04")] is None       # null passes through
+    assert rows[("A", "2021-01-05")] == 8.0        # vs 12, not the null
+    assert rows[("B", "2021-01-02")] == 4.0        # state across batches
