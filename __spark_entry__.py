@@ -36,6 +36,7 @@ _PRIORITY = [
     "d9_editdist_pairs",
     "x17_split_corpus",
     "x18_shard_assign",
+    "m3_image_features",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",

@@ -155,3 +155,56 @@ def resize_images(
             yield pd.DataFrame(out)
 
     return cols.mapInPandas(run, RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, kind string, embedding array<double>"
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    dim: int = 16,
+) -> DataFrame:
+    """The FEATURE-EXTRACT stage of the multimodal pipeline: binary
+    image -> fixed-width feature vector via Arrow-batched mapInPandas,
+    vectorised per batch with numpy (``frombuffer`` + ``bincount`` —
+    no per-byte Python loop).
+
+    The stub feature is a ``dim``-bin normalised byte histogram of the
+    payload (deterministic, library-free); a real deployment swaps a
+    vision encoder into the same batch function and nothing else
+    changes. The output ``embedding`` column feeds directly into
+    ``similarity.cosine_topk`` / ``cosine_topk_ivf`` — multimodal
+    decode -> embed -> ANN as one lazy plan, no shuffle until the ANN
+    stage's tiny top-k exchange.
+    """
+    if dim < 1 or dim > 256:
+        raise ValueError(f"dim must be in [1, 256], got {dim}")
+    import numpy as np
+    import pandas as pd
+
+    cols = df.select("media_id", "kind", content_col)
+
+    def run(batches):
+        for pdf in batches:
+            ids, kinds, vecs = [], [], []
+            for mid, kind, buf in zip(
+                pdf["media_id"], pdf["kind"], pdf[content_col]
+            ):
+                _w, _h, _ = _decode_image_bytes(bytes(buf))
+                payload = bytes(buf).partition(b":")[2].partition(b":")[2]
+                if payload:
+                    b = np.frombuffer(payload, dtype=np.uint8)
+                    hist = np.bincount(b % dim, minlength=dim).astype(
+                        np.float64
+                    ) / len(b)
+                else:
+                    hist = np.zeros(dim, dtype=np.float64)
+                ids.append(mid)
+                kinds.append(kind)
+                vecs.append(hist.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "kind": kinds, "embedding": vecs}
+            )
+
+    return cols.mapInPandas(run, FEATURES_SCHEMA)

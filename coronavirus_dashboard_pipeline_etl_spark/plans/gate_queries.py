@@ -5330,3 +5330,62 @@ FROM k
 
 QUERIES["x18_shard_assign"] = x18_shard_assign
 ORACLE["x18_shard_assign"] = X18_SQL
+
+
+from ..functions.multimodal import extract_features  # noqa: E402
+
+
+def m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal FEATURE-EXTRACT stage: synthetic IMG binaries ->
+    16-bin normalised byte histogram (numpy-vectorised mapInPandas).
+    The oracle replays the histogram over the same payload in SQL; the
+    output embedding column is ANN-ready (cosine_topk input shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode(
+            F.concat(F.lit("IMG:1x1:"), F.col("text")), "UTF-8"
+        ).alias("content"),
+    )
+    out = extract_features(media, dim=16)
+    return out.select(
+        "media_id", "kind", F.posexplode("embedding").alias("bucket", "frac")
+    ).select(
+        "media_id", "kind", F.col("bucket").cast("long").alias("bucket"), "frac"
+    )
+
+
+M3_SQL = """
+WITH chars AS (
+    SELECT doc_id AS media_id, 'image' AS kind,
+           list_transform(string_split(text, ''), c -> ord(c) % 16) AS mods,
+           len(text) AS n
+    FROM documents
+),
+hist AS (
+    SELECT media_id, kind,
+           [CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 0)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 1)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 2)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 3)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 4)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 5)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 6)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 7)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 8)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 9)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 10)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 11)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 12)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 13)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 14)) AS DOUBLE) / n END,
+            CASE WHEN n = 0 THEN 0.0 ELSE CAST(len(list_filter(mods, x -> x = 15)) AS DOUBLE) / n END] AS h
+    FROM chars
+)
+SELECT media_id, kind, CAST(t.i - 1 AS BIGINT) AS bucket, h[t.i] AS frac
+FROM hist, LATERAL (SELECT UNNEST(generate_series(1, 16)) AS i) t
+"""
+
+QUERIES["m3_image_features"] = m3_image_features
+ORACLE["m3_image_features"] = M3_SQL

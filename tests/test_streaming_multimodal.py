@@ -488,3 +488,38 @@ def test_stateful_release_delta_across_batches(spark, tmp_path):
     assert rows[("A", "2021-01-04")] is None       # null passes through
     assert rows[("A", "2021-01-05")] == 8.0        # vs 12, not the null
     assert rows[("B", "2021-01-02")] == 4.0        # state across batches
+
+
+def test_extract_features_ann_ready(spark):
+    """Feature-extract stage: byte-histogram embeddings sum to 1, have
+    the declared width, and feed cosine_topk directly (the multimodal
+    decode -> embed -> ANN composition)."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        extract_features,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        cosine_topk,
+    )
+
+    rows = [
+        (1, "image", b"IMG:2x2:" + b"aabb"),
+        (2, "image", b"IMG:2x2:" + b"aabb"),   # identical payload
+        (3, "image", b"IMG:2x2:" + b"zzzz"),
+        (4, "image", b"IMG:1x1:"),             # empty payload -> zeros
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, kind string, content binary"
+    )
+    feats = extract_features(df, dim=16)
+    got = {r["media_id"]: r["embedding"] for r in feats.collect()}
+    assert all(len(v) == 16 for v in got.values())
+    assert abs(sum(got[1]) - 1.0) < 1e-12
+    assert got[1] == got[2]
+    assert sum(got[4]) == 0.0
+
+    ann_in = feats.filter("media_id < 4").withColumnRenamed(
+        "media_id", "vec_id"
+    )
+    top = cosine_topk(ann_in, ann_in.filter("vec_id = 1"), k=1)
+    r = top.collect()[0]
+    assert (r["query_id"], r["neighbor_id"]) == (1, 2)  # the exact dup wins
