@@ -510,3 +510,71 @@ def test_session_window_equals_sessionize(spark, events):
         for r in session_stats(df, gap_seconds=1800).collect()
     }
     assert from_window == from_batch
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.text(alphabet="abcx ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=1, max_value=6),
+)
+def test_editdist_pairs_matches_bruteforce(spark, texts, d):
+    """Blocked Levenshtein == brute force for every threshold: the
+    length-bucket blocking must never lose a qualifying pair (pairs
+    straddling bucket edges are the adversarial case hypothesis finds)."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        editdist_pairs,
+    )
+
+    rows = [(i, "en", t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist_pairs(df, max_distance=d).collect()
+    }
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[len(b)]
+
+    want = {}
+    for ia, _, ta in rows:
+        for ib, _, tb in rows:
+            if ia < ib and lev(ta, tb) <= d:
+                want[(ia, ib)] = lev(ta, tb)
+    assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60, unique=True))
+def test_split_corpus_partition_property(spark, ids):
+    """Every doc lands in exactly one split, and membership is a pure
+    function of the id (stable under input order and partitioning)."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        split_corpus,
+    )
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = split_corpus(df).collect()
+    assert len(out) == len(ids)
+    assert set(r["split"] for r in out) <= {"train", "val", "test"}
+    again = {
+        r["doc_id"]: r["split"]
+        for r in split_corpus(df.repartition(5).sortWithinPartitions("doc_id")).collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in out} == again
