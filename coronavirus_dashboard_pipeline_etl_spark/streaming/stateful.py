@@ -132,3 +132,64 @@ def release_delta_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def running_totals_tws(
+    stream: DataFrame,
+    group_col: str = "areaCode",
+    date_col: str = "date",
+    value_col: str = "value",
+) -> DataFrame:
+    """``running_totals_stream`` on the Spark-4-native
+    ``transformWithStateInPandas`` API (StatefulProcessor + ValueState)
+    — identical semantics, parity-tested against the
+    ``applyInPandasWithState`` form.
+
+    Why both exist: transformWithState is where streaming state is
+    headed (multiple typed state variables, TTL, timers, RocksDB-backed
+    by requirement) and new deployments should prefer it; the
+    applyInPandasWithState twin stays for Spark 3.x-compatible callers.
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) AND the
+    ``protobuf`` Python package (the transformWithState state-server
+    protocol is protobuf-based; this container ships without it, so the
+    parity test skips there — the applyInPandasWithState twin is the
+    covered path, exactly like the redis/PIL import-gated sinks).
+    """
+    import pandas as pd  # noqa: F811 (batch fn runs on executors)
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = (
+        f"{group_col} string, {date_col} string, "
+        f"{value_col} double, cumulative double"
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._total = handle.getValueState("total", "total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            total = (
+                self._total.get()[0] if self._total.exists() else 0.0
+            )
+            batch = pd.concat(list(rows), ignore_index=True)
+            if len(batch):
+                batch = batch.sort_values(date_col, kind="mergesort")
+                batch["cumulative"] = (
+                    batch[value_col].fillna(0.0).cumsum() + total
+                )
+                self._total.update((float(batch["cumulative"].iloc[-1]),))
+                yield batch[[group_col, date_col, value_col, "cumulative"]]
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(group_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=out_schema,
+        outputMode="append",
+        timeMode="none",
+    )

@@ -523,3 +523,82 @@ def test_extract_features_ann_ready(spark):
     top = cosine_topk(ann_in, ann_in.filter("vec_id = 1"), k=1)
     r = top.collect()[0]
     assert (r["query_id"], r["neighbor_id"]) == (1, 2)  # the exact dup wins
+
+
+def test_transform_with_state_parity(spark, tmp_path):
+    """running_totals_tws (transformWithStateInPandas / RocksDB state)
+    must produce row-identical output to running_totals_stream
+    (applyInPandasWithState) across micro-batches."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState state-server protocol needs protobuf",
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.stateful import (
+        running_totals_stream,
+        running_totals_tws,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"areaCode": "A", "date": "2021-01-01", "value": 1.0},
+                {"areaCode": "A", "date": "2021-01-02", "value": 2.0},
+                {"areaCode": "B", "date": "2021-01-01", "value": 10.0},
+            ]
+        )
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"areaCode": "A", "date": "2021-01-03", "value": 4.0},
+                {"areaCode": "B", "date": "2021-01-02", "value": None},
+            ]
+        )
+    )
+
+    def run(op, name, extra_conf=None):
+        stream = (
+            spark.readStream.format("json")
+            .schema("areaCode string, date string, value double")
+            .option("maxFilesPerTrigger", 1)
+            .load(str(in_dir))
+        )
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            (r["areaCode"], r["date"]): (r["value"], r["cumulative"])
+            for r in spark.table(name).collect()
+        }
+
+    old = run(running_totals_stream, "rt_apply")
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        new = run(running_totals_tws, "rt_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+    assert new == old
+    assert new[("A", "2021-01-03")] == (4.0, 7.0)
