@@ -1,0 +1,125 @@
+"""Runtime shuffle audit: execute every bench headline query and report
+MEASURED shuffle volume (bytes/records written), spill, and output rows
+from the SQL metrics store — the runtime companion to plan_audit.py's
+static plan-shape checklist.
+
+Plan shape says whether a shuffle exists; this says how big it actually
+is at the audit scale factor, which is the number that extrapolates to
+100 TB. A query whose shuffle bytes ~= its input bytes is reshuffling
+the world; the engine's target is shuffles that carry only keys +
+partial aggregates.
+
+Usage: python tools/runtime_audit.py [sf_dir] [query ...]
+Writes RUNTIME_AUDIT.md at the repo root when run with no query filter.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import HEADLINE  # noqa: E402
+from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import (  # noqa: E402
+    QUERIES,
+)
+from coronavirus_dashboard_pipeline_etl_spark.session import get_spark  # noqa: E402
+
+_SIZE = re.compile(r"([\d.]+)\s*(B|KiB|MiB|GiB|TiB)")
+_MULT = {"B": 1, "KiB": 2**10, "MiB": 2**20, "GiB": 2**30, "TiB": 2**40}
+
+
+def _parse_bytes(s: str) -> float:
+    """First size token of a formatted SQL metric ('total (min, med, max)'
+    strings lead with the total)."""
+    m = _SIZE.search(s)
+    return float(m.group(1)) * _MULT[m.group(2)] if m else 0.0
+
+
+def _parse_count(s: str) -> int:
+    m = re.search(r"[\d,]+", s)
+    return int(m.group(0).replace(",", "")) if m else 0
+
+
+def measure(spark, fn, sf_dir: str) -> dict[str, float]:
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    out = {
+        "shuffle_bytes": 0.0,
+        "shuffle_records": 0,
+        "spill_bytes": 0.0,
+        "scan_rows": 0,
+    }
+    execs = store.executionsList()
+    # an action may spawn several executions (eager collects inside the
+    # query builder, e.g. centroid fitting); attribute them all
+    for i in range(before, execs.size()):
+        e = execs.apply(i)
+        vals = store.executionMetrics(e.executionId())
+        mets = e.metrics()
+        it = mets.iterator()
+        while it.hasNext():
+            m = it.next()
+            if not vals.contains(m.accumulatorId()):
+                continue
+            v = str(vals.apply(m.accumulatorId()))
+            name = m.name()
+            if name == "shuffle bytes written":
+                out["shuffle_bytes"] += _parse_bytes(v)
+            elif name == "shuffle records written":
+                out["shuffle_records"] += _parse_count(v)
+            elif name == "spill size":
+                out["spill_bytes"] += _parse_bytes(v)
+            elif name == "number of output rows":
+                out["scan_rows"] = max(out["scan_rows"], _parse_count(v))
+    return out
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = sys.argv[2:]
+    names = only or HEADLINE
+    spark = get_spark(app_name="runtime_audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    for name in names:
+        try:
+            m = measure(spark, QUERIES[name], sf_dir)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name}: FAILED {e}", file=sys.stderr)
+            continue
+        rows.append((name, m))
+        print(
+            f"{name:30s} shuffle={m['shuffle_bytes']/2**20:8.2f} MiB "
+            f"({m['shuffle_records']:>9,d} rec) spill={m['spill_bytes']/2**20:6.1f} MiB"
+        )
+    if not only:
+        with open(
+            os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RUNTIME_AUDIT.md"),
+            "w",
+        ) as fh:
+            fh.write(
+                "# RUNTIME AUDIT — measured shuffle volume per headline query\n\n"
+                f"Executed at `{sf_dir}` (noop sink; SQL metrics store totals).\n"
+                "Shuffle bytes is the number that extrapolates with data volume —\n"
+                "the engine's target is shuffles carrying keys + partial aggregates,\n"
+                "NOT raw input. Spill > 0 at this scale would flag an operator that\n"
+                "cannot hold its partition working set.\n\n"
+                "| query | shuffle MiB | shuffle records | spill MiB | max node rows |\n"
+                "|---|---|---|---|---|\n"
+            )
+            for name, m in rows:
+                fh.write(
+                    f"| {name} | {m['shuffle_bytes']/2**20:.2f} | "
+                    f"{m['shuffle_records']:,} | {m['spill_bytes']/2**20:.1f} | "
+                    f"{m['scan_rows']:,} |\n"
+                )
+        print("wrote RUNTIME_AUDIT.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
