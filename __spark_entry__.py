@@ -37,6 +37,7 @@ _PRIORITY = [
     "x17_split_corpus",
     "x18_shard_assign",
     "m3_image_features",
+    "pipe12_training_layout",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",

@@ -46,8 +46,12 @@ HEADLINE = [
     "x10_sessionize",
     "j11_asof_join",
     "b1_bm25_topk",
-    # round-4: the composed ANN index build+query pipeline
+    # round-4: the composed ANN index build+query pipeline, the shard
+    # shuffle (training-output layout), and the multimodal
+    # feature-extract Arrow crossing
     "pipe11_ann_index",
+    "x18_shard_assign",
+    "m3_image_features",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

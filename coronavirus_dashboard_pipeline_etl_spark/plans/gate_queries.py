@@ -5389,3 +5389,66 @@ FROM hist, LATERAL (SELECT UNNEST(generate_series(1, 16)) AS i) t
 
 QUERIES["m3_image_features"] = m3_image_features
 ORACLE["m3_image_features"] = M3_SQL
+
+
+def pipe12_training_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data LAYOUT pipeline — the user story the
+    curation family exists for: exact-dedup keep-list -> deterministic
+    train/val/test split -> train shard assignment -> per-shard layout
+    stats (doc count, char volume, dense-position check). One lazy plan:
+    dedup groupBy, split/shard map-side, ONE window on the shard key;
+    nothing scales super-linearly with corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = exact_dedup(docs).select(F.col("rep_id").alias("doc_id"))
+    kept = docs.join(reps, "doc_id", "left_semi")
+    train = split_corpus(kept, val_fraction=0.1, test_fraction=0.1).filter(
+        F.col("split") == "train"
+    )
+    sharded = assign_shards(train, n_shards=8)
+    return sharded.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("total_chars"),
+        F.min("shard_pos").alias("min_pos"),
+        F.max("shard_pos").alias("max_pos"),
+    )
+
+
+PIPE12_SQL = rf"""
+WITH reps AS (
+    SELECT MIN(doc_id) AS doc_id
+    FROM documents
+    GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+),
+kept AS (
+    SELECT d.* FROM documents d JOIN reps USING (doc_id)
+),
+split AS (
+    SELECT *,
+           {{md5split}} % 10000 AS bucket
+    FROM kept
+),
+train AS (
+    SELECT *, {{md5shard}} AS key
+    FROM split WHERE bucket >= 2000
+),
+sharded AS (
+    SELECT *, key % 8 AS shard_id,
+           ROW_NUMBER() OVER (PARTITION BY key % 8 ORDER BY key, doc_id) - 1
+               AS shard_pos
+    FROM train
+)
+SELECT CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(shard_pos) AS BIGINT) AS min_pos,
+       CAST(MAX(shard_pos) AS BIGINT) AS max_pos
+FROM sharded GROUP BY shard_id
+"""
+
+PIPE12_SQL = PIPE12_SQL.format(
+    md5split=_md5int_sql("CAST(doc_id AS VARCHAR) || 'split'"),
+    md5shard=_md5int_sql("CAST(doc_id AS VARCHAR) || 'shard'"),
+)
+
+QUERIES["pipe12_training_layout"] = pipe12_training_layout
+ORACLE["pipe12_training_layout"] = PIPE12_SQL
