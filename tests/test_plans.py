@@ -250,3 +250,52 @@ def test_composed_pipelines_exchange_budget(spark):
                     f"{name}: single-partition exchange not fed by a "
                     f"partial aggregate:\n{below}"
                 )
+
+
+def test_split_and_shard_plan_shapes(spark):
+    """x17/x18 scale contracts: split is a pure map-side expression
+    (zero exchanges); shard assignment uses exactly ONE hash exchange
+    (the shard-key window) — never a global sort."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        assign_shards,
+        split_corpus,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    split_plan = executed_plan(split_corpus(docs))
+    assert "Exchange" not in split_plan
+
+    shard_plan = executed_plan(assign_shards(docs, n_shards=8))
+    assert shard_plan.count("Exchange hashpartitioning") == 1
+    assert "rangepartitioning" not in shard_plan  # no global sort
+
+
+def test_editdist_pairs_is_equi_join(spark):
+    """d9 scale contract: the blocked pair generation must plan as an
+    equi-join on (block, bucket) — never BroadcastNestedLoopJoin or a
+    cartesian product, which would mean all-pairs."""
+    plan = executed_plan(QUERIES["d9_editdist_pairs"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or (
+        "ShuffledHashJoin" in plan
+    )
+
+
+def test_dump_load_reload_prunes_columns(spark, tmp_path):
+    """S15: reloading a dump and selecting a subset must push the
+    pruned schema into the JSON scan (ReadSchema shows only what the
+    query needs)."""
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+    from coronavirus_dashboard_pipeline_etl_spark.sources.dump_load import (
+        dump_table,
+        load_dump,
+    )
+
+    nation = load_table(spark, SF, "nation")
+    d = str(tmp_path / "dump")
+    dump_table(nation, d, "public.nation", ["n_nationkey"])
+    back, _ = load_dump(spark, d)
+    plan = executed_plan(back.select("n_nationkey"))
+    assert "n_name" not in plan.split("ReadSchema")[-1]
