@@ -756,8 +756,10 @@ def split_corpus(
             f"invalid fractions: val={val_fraction} test={test_fraction}"
         )
     b = sample_bucket(id_col, salt=salt)
-    val_hi = int(val_fraction * SAMPLE_BUCKETS)
-    test_hi = val_hi + int(test_fraction * SAMPLE_BUCKETS)
+    # round, not int(): 0.15 * 10000 is 1499.999... in binary floating
+    # point and truncation would silently drop a bucket
+    val_hi = round(val_fraction * SAMPLE_BUCKETS)
+    test_hi = val_hi + round(test_fraction * SAMPLE_BUCKETS)
     split = (
         F.when(b < val_hi, F.lit("val"))
         .when(b < test_hi, F.lit("test"))

@@ -5,10 +5,6 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
-# Spark type names that ts_micros normalises; parquet written as
-# timestamp[us] without isAdjustedToUTC surfaces as the second one.
-_TS_TYPES = ("timestamp", "timestamp_ntz")
-
 
 def ts_micros(col: Column | str) -> Column:
     """Exact epoch microseconds from a timestamp column of EITHER

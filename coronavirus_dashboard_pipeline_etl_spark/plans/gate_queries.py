@@ -4328,6 +4328,11 @@ def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL. Swapping PIL into the batch function changes none of this
     plumbing."""
     docs = load_table(spark, sf_dir, "documents")
+    # ASCII-sanitise the payload: the Python side operates on UTF-8
+    # BYTES while the SQL oracle operates on code points — identical
+    # only for ASCII, and the driver may regenerate testdata with
+    # non-ASCII text at any round
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
@@ -4338,7 +4343,7 @@ def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("x"),
                 (1 + F.col("doc_id") % 5).cast("string"),
                 F.lit(":"),
-                F.col("text"),
+                ascii_text,
             ),
             "UTF-8",
         ).alias("content"),
@@ -4346,19 +4351,23 @@ def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(media)
 
 
-M2_SQL = """
+M2_SQL = r"""
+WITH a AS (
+    SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+    FROM documents
+)
 SELECT doc_id AS media_id,
        'image' AS kind,
        CAST(1 + doc_id % 7 AS INT) AS width,
        CAST(1 + doc_id % 5 AS INT) AS height,
        CAST((1 + doc_id % 7) * (1 + doc_id % 5) AS BIGINT) AS n_pixels,
-       CASE WHEN len(text) = 0 THEN 0.0
+       CASE WHEN len(t) = 0 THEN 0.0
             ELSE CAST(list_reduce(
-                     list_prepend(0, list_transform(string_split(text, ''),
+                     list_prepend(0, list_transform(string_split(t, ''),
                                                     c -> ord(c))),
-                     (a, b) -> a + b) AS DOUBLE) / len(text)
+                     (a, b) -> a + b) AS DOUBLE) / len(t)
        END AS mean_luma
-FROM documents
+FROM a
 """
 
 QUERIES["m2_image_decode"] = m2_image_decode
@@ -5095,20 +5104,26 @@ def s15_dump_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the source table, so any loss in the JSON round-trip (types,
     nulls, encoding) or in the merge semantics surfaces as a value
     mismatch."""
+    import shutil
     import tempfile
 
     from ..sources.dump_load import dump_table, load_dump, merge_upsert
 
     nation = load_table(spark, sf_dir, "nation")
     d = tempfile.mkdtemp(prefix="s15_dump_")
-    dump_table(nation, d, "public.nation", ["n_nationkey"])
-    back, _manifest = load_dump(spark, d)
-    incoming = back.filter(F.col("n_regionkey") < 2).withColumn(
-        "n_name", F.lit("UPDATED")
-    )
-    return merge_upsert(back, incoming, ["n_nationkey"]).select(
-        "n_nationkey", "n_name", "n_regionkey"
-    )
+    try:
+        dump_table(nation, d, "public.nation", ["n_nationkey"])
+        back, _manifest = load_dump(spark, d)
+        incoming = back.filter(F.col("n_regionkey") < 2).withColumn(
+            "n_name", F.lit("UPDATED")
+        )
+        out = merge_upsert(back, incoming, ["n_nationkey"]).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+        # materialise before removing the dump dir (the JSON scan is lazy)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
 
 
 S15_SQL = """
@@ -5341,11 +5356,14 @@ def m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the histogram over the same payload in SQL; the
     output embedding column is ANN-ready (cosine_topk input shape)."""
     docs = load_table(spark, sf_dir, "documents")
+    # ASCII-sanitise: Python histograms UTF-8 BYTES, the oracle code
+    # points — identical only for ASCII (see m2)
+    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image").alias("kind"),
         F.encode(
-            F.concat(F.lit("IMG:1x1:"), F.col("text")), "UTF-8"
+            F.concat(F.lit("IMG:1x1:"), ascii_text), "UTF-8"
         ).alias("content"),
     )
     out = extract_features(media, dim=16)
@@ -5356,12 +5374,16 @@ def m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-M3_SQL = """
-WITH chars AS (
-    SELECT doc_id AS media_id, 'image' AS kind,
-           list_transform(string_split(text, ''), c -> ord(c) % 16) AS mods,
-           len(text) AS n
+M3_SQL = r"""
+WITH a AS (
+    SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
     FROM documents
+),
+chars AS (
+    SELECT doc_id AS media_id, 'image' AS kind,
+           list_transform(string_split(t, ''), c -> ord(c) % 16) AS mods,
+           len(t) AS n
+    FROM a
 ),
 hist AS (
     SELECT media_id, kind,

@@ -9,12 +9,14 @@ The reference dumps each Postgres table to one gzip-JSON blob —
 Spark-first re-expression: the ``data`` array is the part that cannot
 be a single driver-side blob at 100 TB, so the dump is a DISTRIBUTED
 gzip JSON-lines dataset (one part per partition, executors write in
-parallel) plus a tiny driver-side ``manifest.json`` carrying exactly
-the reference envelope's metadata (primary keys, column name->type,
-table name, row count). Timestamps serialise as ISO-8601 strings in
-the JSON — the loader restores them from the manifest's recorded
-schema, mirroring the reference's ``datetime.fromisoformat`` pass
-(``db_loader/loader.py:112-120``).
+parallel) plus a tiny ``manifest.json`` carrying exactly the reference
+envelope's metadata (primary keys, column name->type, table name).
+The manifest goes through Spark's Hadoop FileSystem API, NOT local
+``open()``, so the format works on any storage a real deployment dumps
+to (s3a://, hdfs://, abfss://) — same as the data files. Timestamps
+serialise as ISO-8601 strings in the JSON — the loader restores them
+from the manifest's recorded schema, mirroring the reference's
+``datetime.fromisoformat`` pass (``db_loader/loader.py:112-120``).
 
 The upsert half (``merge_upsert``) is the set-semantics equivalent of
 the reference's temp-table + ON CONFLICT statement: incoming rows win
@@ -29,7 +31,6 @@ so the set form is the faithful translation.)
 from __future__ import annotations
 
 import json
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -38,9 +39,48 @@ __all__ = ["dump_table", "load_dump", "merge_upsert"]
 
 _MANIFEST = "manifest.json"
 _DATA_DIR = "data"
-# Spark's default JSON timestampFormat keeps only milliseconds; pin full
-# microsecond ISO-8601 on both write and read so the round-trip is exact
+# Spark's default JSON timestamp formats keep only milliseconds; pin
+# full-microsecond ISO-8601 on BOTH timestamp flavours (timestampFormat
+# covers TIMESTAMP, timestampNTZFormat covers TIMESTAMP_NTZ — they are
+# separate reader/writer options) so the round-trip is exact.
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+_TS_NTZ_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _hadoop_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, p
+
+
+def _fs_write_text(spark: SparkSession, path: str, content: str) -> None:
+    """Write a small text file through the Hadoop FS (works for local,
+    s3a, hdfs, abfss — wherever the data files went)."""
+    fs, p = _hadoop_path(spark, path)
+    out = fs.create(p, True)
+    try:
+        out.write(bytearray(content.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    # py4j passes bytearrays by value, so Java-side stream.read(buf)
+    # cannot fill a Python buffer — drain the stream JVM-side instead
+    # (commons-io ships with Hadoop)
+    fs, p = _hadoop_path(spark, path)
+    stream = fs.open(p)
+    try:
+        return spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+
+
+def _join(path: str, name: str) -> str:
+    return path.rstrip("/") + "/" + name
 
 
 def dump_table(
@@ -57,23 +97,27 @@ def dump_table(
     missing = [k for k in primary_keys if k not in df.columns]
     if missing:
         raise ValueError(f"dump_table: primary keys not in frame: {missing}")
-    df.write.mode("overwrite").option("compression", "gzip").option(
-        "timestampFormat", _TS_FMT
-    ).json(os.path.join(path, _DATA_DIR))
+    (
+        df.write.mode("overwrite")
+        .option("compression", "gzip")
+        .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+        .json(_join(path, _DATA_DIR))
+    )
     manifest = {
         "table_name": table_name,
         "primary_keys": list(primary_keys),
-        # Spark DDL strings round-trip through T._parse_datatype_string-
-        # compatible `schema` argument of spark.read
+        # Spark DDL strings round-trip through the `schema` argument of
+        # spark.read
         "columns": {f.name: f.dataType.simpleString() for f in df.schema.fields},
     }
-    with open(os.path.join(path, _MANIFEST), "w") as fh:
-        json.dump(manifest, fh, indent=1)
+    _fs_write_text(
+        df.sparkSession, _join(path, _MANIFEST), json.dumps(manifest, indent=1)
+    )
 
 
-def read_manifest(path: str) -> dict:
-    with open(os.path.join(path, _MANIFEST)) as fh:
-        return json.load(fh)
+def read_manifest(spark: SparkSession, path: str) -> dict:
+    return json.loads(_fs_read_text(spark, _join(path, _MANIFEST)))
 
 
 def load_dump(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
@@ -82,13 +126,16 @@ def load_dump(spark: SparkSession, path: str) -> tuple[DataFrame, dict]:
     from their ISO strings and numeric types keep their exact Spark
     type — the reference's fromisoformat + typed-temp-table step).
     Returns ``(frame, manifest)``."""
-    manifest = read_manifest(path)
+    manifest = read_manifest(spark, path)
     # the reader accepts a DDL schema string directly — no private parser
     ddl = ", ".join(
         f"`{name}` {dtype}" for name, dtype in manifest["columns"].items()
     )
-    df = spark.read.schema(ddl).option("timestampFormat", _TS_FMT).json(
-        os.path.join(path, _DATA_DIR)
+    df = (
+        spark.read.schema(ddl)
+        .option("timestampFormat", _TS_FMT)
+        .option("timestampNTZFormat", _TS_NTZ_FMT)
+        .json(_join(path, _DATA_DIR))
     )
     # JSON drops all-null fields per record; the explicit schema restores
     # them as typed nulls, so select in manifest order for a stable shape

@@ -82,47 +82,52 @@ def release_delta_stream(
     at zero.
 
     Batch mode recomputes the lag over all releases every run; here the
-    state store carries ONE scalar per group (the last seen cumulative),
-    so a daily release costs O(groups) regardless of history length —
-    same state-size argument as ``running_totals_stream``. Releases must
-    arrive in order per group (true of a release feed; within a batch
-    rows are sorted by ``release_col``).
+    state store carries ONE scalar per group (the previous release's
+    value), so a daily release costs O(groups) regardless of history
+    length — same state-size argument as ``running_totals_stream``.
+    Releases must arrive in order per group (true of a release feed;
+    within a batch rows are sorted by ``release_col``).
 
-    Emits every input row plus ``delta``; a NULL value carries the
-    previous state forward and emits a NULL delta (matching lag-over-
-    nulls in the batch operator).
+    Null semantics MIRROR the batch operator exactly (parity-tested):
+    the previous value is the strict previous ROW's value — a NULL
+    release does not get skipped over — and with ``clamp_negative`` a
+    null-involved delta coerces to 0 (Spark's ``greatest(NULL, 0)``);
+    without it, nulls propagate.
     """
     out_schema = (
         f"{group_col} string, {release_col} string, "
         f"{value_col} double, delta double"
     )
-    state_schema = "last double"
+    # previous row's value may itself be NULL — track presence separately
+    state_schema = "last double, seen boolean"
 
     def update(
         key: tuple,
         pdfs: Iterable[pd.DataFrame],
         state: GroupState,
     ) -> Iterable[pd.DataFrame]:
-        (last,) = state.get if state.exists else (None,)
+        if state.exists:
+            last, seen = state.get
+        else:
+            last, seen = None, False
         batch = pd.concat(list(pdfs), ignore_index=True)
         if len(batch):
             batch = batch.sort_values(release_col, kind="mergesort")
             deltas = []
             for v in batch[value_col]:
-                if pd.isna(v):
-                    deltas.append(None)
-                    continue
-                if last is None or pd.isna(last):
-                    d = None
-                else:
-                    d = v - last
+                v_ok = not pd.isna(v)
+                prev_ok = seen and last is not None and not pd.isna(last)
+                if v_ok and prev_ok:
+                    d = float(v) - float(last)
                     if clamp_negative and d < 0:
                         d = 0.0
+                else:
+                    # value - lag is NULL; greatest(NULL, 0) = 0 under clamp
+                    d = 0.0 if clamp_negative else None
                 deltas.append(d)
-                last = float(v)
+                last, seen = (float(v) if v_ok else None), True
             batch["delta"] = pd.array(deltas, dtype="float64")
-            if last is not None and not pd.isna(last):
-                state.update((float(last),))
+            state.update((last, seen))
             yield batch[[group_col, release_col, value_col, "delta"]]
 
     return stream.groupBy(group_col).applyInPandasWithState(

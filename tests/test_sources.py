@@ -135,12 +135,18 @@ def test_dump_load_roundtrip(spark, tmp_path):
     )
 
     rows = [
-        (1, "alpha", 1.5, datetime(2023, 11, 14, 22, 13, 20, 123456)),
-        (2, "beta", None, datetime(2024, 1, 1, 0, 0, 0)),
-        (3, None, -7.25, None),
+        (1, "alpha", 1.5, datetime(2023, 11, 14, 22, 13, 20, 123456),
+         datetime(2023, 11, 14, 22, 13, 20, 654321)),
+        (2, "beta", None, datetime(2024, 1, 1, 0, 0, 0), None),
+        (3, None, -7.25, None, datetime(2024, 6, 1, 1, 2, 3, 4)),
     ]
+    # one LTZ and one NTZ column: the two flavours take SEPARATE
+    # format options (timestampFormat vs timestampNTZFormat) and both
+    # must round-trip at full microsecond precision
     df = spark.createDataFrame(
-        rows, "id bigint, name string, score double, updated timestamp"
+        rows,
+        "id bigint, name string, score double, updated timestamp, "
+        "logged timestamp_ntz",
     )
     d = str(tmp_path / "dump")
     dump_table(df, d, "covid19.sample", ["id"])
@@ -152,10 +158,11 @@ def test_dump_load_roundtrip(spark, tmp_path):
 
     incoming = spark.createDataFrame(
         [
-            (2, "beta2", 9.0, datetime(2024, 6, 1)),   # conflict -> update
-            (4, "delta", 0.5, None),                    # new -> insert
+            (2, "beta2", 9.0, datetime(2024, 6, 1), None),  # conflict
+            (4, "delta", 0.5, None, None),                  # new -> insert
         ],
-        "id bigint, name string, score double, updated timestamp",
+        "id bigint, name string, score double, updated timestamp, "
+        "logged timestamp_ntz",
     )
     merged = {r["id"]: r for r in merge_upsert(back, incoming, ["id"]).collect()}
     assert set(merged) == {1, 2, 3, 4}

@@ -433,8 +433,12 @@ def test_enrich_with_dims_on_stream(spark, tmp_path):
 
 def test_stateful_release_delta_across_batches(spark, tmp_path):
     """applyInPandasWithState release deltas: the previous release's
-    cumulative must carry across micro-batches, deltas clamp at zero,
-    and nulls pass through without corrupting state."""
+    value must carry across micro-batches, and null handling must be
+    ROW-IDENTICAL to the batch operators.asof.release_delta it twins
+    (strict previous-row lag; clamp coerces null-involved deltas to 0)."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        release_delta,
+    )
     from coronavirus_dashboard_pipeline_etl_spark.streaming.stateful import (
         release_delta_stream,
     )
@@ -482,12 +486,33 @@ def test_stateful_release_delta_across_batches(spark, tmp_path):
         (r["areaCode"], r["release_date"]): r["delta"]
         for r in spark.table("release_delta").collect()
     }
-    assert rows[("A", "2021-01-01")] is None      # no previous release
+    assert rows[("A", "2021-01-01")] == 0.0   # null lag -> greatest(NULL,0)
     assert rows[("A", "2021-01-02")] == 3.0
-    assert rows[("A", "2021-01-03")] == 0.0        # 12 < 13 -> clamped
-    assert rows[("A", "2021-01-04")] is None       # null passes through
-    assert rows[("A", "2021-01-05")] == 8.0        # vs 12, not the null
-    assert rows[("B", "2021-01-02")] == 4.0        # state across batches
+    assert rows[("A", "2021-01-03")] == 0.0   # 12 < 13 -> clamped
+    assert rows[("A", "2021-01-04")] == 0.0   # null value -> 0 under clamp
+    assert rows[("A", "2021-01-05")] == 0.0   # prev ROW is null, not 12
+    assert rows[("B", "2021-01-02")] == 4.0   # state across batches
+
+    # exact parity with the batch operator on the same feed
+    batch_in = spark.createDataFrame(
+        [
+            ("A", "2021-01-01", 10.0),
+            ("A", "2021-01-02", 13.0),
+            ("A", "2021-01-03", 12.0),
+            ("A", "2021-01-04", None),
+            ("A", "2021-01-05", 20.0),
+            ("B", "2021-01-01", 5.0),
+            ("B", "2021-01-02", 9.0),
+        ],
+        "areaCode string, release_date string, value double",
+    )
+    batch = {
+        (r["areaCode"], r["release_date"]): r["delta"]
+        for r in release_delta(
+            batch_in, ["areaCode"], "release_date", "value"
+        ).collect()
+    }
+    assert rows == batch
 
 
 def test_extract_features_ann_ready(spark):

@@ -47,6 +47,9 @@ def measure(spark, fn, sf_dir: str) -> dict[str, float]:
     store = spark._jsparkSession.sharedState().statusStore()
     before = store.executionsCount()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # the SQL status listener updates the store ASYNCHRONOUSLY from the
+    # listener bus — drain it before reading or metrics under-report
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
     out = {
         "shuffle_bytes": 0.0,
         "shuffle_records": 0,
