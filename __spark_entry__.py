@@ -38,6 +38,8 @@ _PRIORITY = [
     "x18_shard_assign",
     "m3_image_features",
     "pipe12_training_layout",
+    "j14_interval_overlap",
+    "st5_stream_stream_join",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",

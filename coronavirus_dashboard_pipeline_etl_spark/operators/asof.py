@@ -282,3 +282,65 @@ def snapshot_diff(
         *[f"{c}_prev" for c in value_cols],
         status.alias("status"),
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id_col: str = "interval_id",
+    right_id_col: str = "interval_id",
+    start_us_col: str = "start_us",
+    end_us_col: str = "end_us",
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval x interval OVERLAP join (both sides are ranges,
+    half-open ``[start, end)``) — the third temporal join Spark lacks,
+    completing the family (``asof_join`` point->latest, ``range_join``
+    point->containing-interval).
+
+    Same grid trick as ``range_join``: both sides explode onto the
+    ``bucket_seconds`` cells they cover and the join is a pure equi-join
+    on the cell id. A pair overlapping across many shared cells would
+    surface once per cell, so the join keeps only the FIRST shared cell
+    — ``cell == greatest(start_cell_l, start_cell_r)`` — which
+    deduplicates by construction, with NO distinct shuffle afterwards.
+    INNER semantics; overlap test ``l.s < r.e AND r.s < l.e`` runs on
+    the co-bucketed candidates only.
+
+    Shuffles each side once on well-spread grid cells; fan-out per
+    interval is its covered-cell count (pick ``bucket_seconds`` near
+    the typical interval length, exactly as in ``range_join``).
+    """
+    if bucket_seconds <= 0:
+        raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    bus = bucket_seconds * 1_000_000
+
+    def cells(df: DataFrame, id_col: str, tag: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{tag}_id"),
+            F.col(start_us_col).alias(f"{tag}_s"),
+            F.col(end_us_col).alias(f"{tag}_e"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{tag}_s div {bus}"),
+                    F.expr(f"({tag}_e - 1) div {bus}"),
+                )
+            ).alias("__cell"),
+        )
+
+    l = cells(left, left_id_col, "l")
+    r = cells(right, right_id_col, "r")
+    first_shared = F.greatest(
+        F.expr(f"l_s div {bus}"), F.expr(f"r_s div {bus}")
+    )
+    return (
+        l.join(r, "__cell")
+        .filter(
+            (F.col("l_s") < F.col("r_e"))
+            & (F.col("r_s") < F.col("l_e"))
+            & (F.col("__cell") == first_shared)
+        )
+        .select("l_id", "r_id", "l_s", "l_e", "r_s", "r_e")
+    )

@@ -5474,3 +5474,99 @@ PIPE12_SQL = PIPE12_SQL.format(
 
 QUERIES["pipe12_training_layout"] = pipe12_training_layout
 ORACLE["pipe12_training_layout"] = PIPE12_SQL
+
+
+from ..operators.asof import interval_overlap_join  # noqa: E402
+
+
+def j14_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval x interval overlap join (grid-bucketed equi-join with
+    first-shared-cell dedup — no distinct shuffle, never all-pairs):
+    30-minute click windows vs 45-minute view windows for a user
+    subset."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def windows(etype: str, minutes: int) -> DataFrame:
+        us = ts_micros("ts")
+        return (
+            ev.filter(
+                (F.col("event_type") == etype) & (F.col("user_id") < 50)
+            )
+            .select(
+                F.col("event_id").alias("interval_id"),
+                us.alias("start_us"),
+                (us + F.lit(minutes * 60 * 1_000_000)).alias("end_us"),
+            )
+        )
+
+    out = interval_overlap_join(
+        windows("click", 30), windows("view", 45), bucket_seconds=1800
+    )
+    return out.select("l_id", "r_id")
+
+
+J14_SQL = """
+WITH l AS (
+    SELECT event_id AS id, epoch_us(ts) AS s,
+           epoch_us(ts) + 30 * 60 * CAST(1000000 AS BIGINT) AS e
+    FROM events WHERE event_type = 'click' AND user_id < 50
+),
+r AS (
+    SELECT event_id AS id, epoch_us(ts) AS s,
+           epoch_us(ts) + 45 * 60 * CAST(1000000 AS BIGINT) AS e
+    FROM events WHERE event_type = 'view' AND user_id < 50
+)
+SELECT l.id AS l_id, r.id AS r_id
+FROM l JOIN r ON l.s < r.e AND r.s < l.e
+"""
+
+QUERIES["j14_interval_overlap"] = j14_interval_overlap
+ORACLE["j14_interval_overlap"] = J14_SQL
+
+
+from ..streaming.windows import join_streams_within  # noqa: E402
+
+
+def st5_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream correlation join in batch mode: clicks
+    joined to the same user's views within ±10 minutes of event time.
+    The identical expression deploys on two live streams with bounded
+    state (both sides watermarked); the oracle proves the batch
+    closure."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(
+        (F.col("event_type") == "click") & (F.col("user_id") < 100)
+    ).select("user_id", F.col("event_id").alias("click_id"), "ts")
+    views = ev.filter(
+        (F.col("event_type") == "view") & (F.col("user_id") < 100)
+    ).select("user_id", F.col("event_id").alias("view_id"), "ts")
+    out = join_streams_within(
+        clicks, views, keys=["user_id"], before="10 minutes", after="10 minutes"
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "view_id",
+        ts_micros("ts").alias("click_ts_us"),
+        ts_micros("right_ts_out").alias("view_ts_us"),
+    )
+
+
+ST5_SQL = """
+WITH c AS (
+    SELECT user_id, event_id AS click_id, epoch_us(ts) AS cus
+    FROM events WHERE event_type = 'click' AND user_id < 100
+),
+v AS (
+    SELECT user_id, event_id AS view_id, epoch_us(ts) AS vus
+    FROM events WHERE event_type = 'view' AND user_id < 100
+)
+SELECT c.user_id, c.click_id, v.view_id,
+       c.cus AS click_ts_us, v.vus AS view_ts_us
+FROM c JOIN v ON c.user_id = v.user_id
+ AND v.vus >= c.cus - 10 * 60 * CAST(1000000 AS BIGINT)
+ AND v.vus <= c.cus + 10 * 60 * CAST(1000000 AS BIGINT)
+"""
+
+QUERIES["st5_stream_stream_join"] = st5_stream_stream_join
+ORACLE["st5_stream_stream_join"] = ST5_SQL

@@ -172,3 +172,58 @@ def enrich_with_dims(
             f"enrich_with_dims supports inner/left, got {how!r}"
         )
     return stream.join(broadcast(dims), on=list(keys), how=how)
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    before: str = "10 minutes",
+    after: str = "10 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the §2.9 capability
+    ``enrich_with_dims`` (stream-static) does not cover: correlate two
+    event streams on keys within an event-time window
+    (``r.ts ∈ [l.ts - before, l.ts + after]``).
+
+    On streams, BOTH sides carry the watermark and the time-range
+    condition bounds the join state: each side keeps only rows inside
+    the watermark horizon, so state is O(rate x horizon), never
+    O(stream length) — the property that keeps a correlation job alive
+    indefinitely. On batch frames the identical expression is a plain
+    range-condition join, which is what the oracle gate verifies.
+
+    The right side's timestamp surfaces as ``right_ts_out`` (streams
+    often share the column name 'ts'); all other column names must be
+    disjoint across the two sides apart from ``keys``.
+    """
+    dup = (set(left.columns) & set(right.columns)) - set(keys) - {right_ts}
+    if dup:
+        raise ValueError(
+            f"join_streams_within: column collision outside keys: {sorted(dup)}"
+        )
+    l = left.withColumn(left_ts, as_ltz(left_ts))
+    r = right.withColumn(right_ts, as_ltz(right_ts))
+    if l.isStreaming:
+        l = l.withWatermark(left_ts, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(right_ts, watermark)
+    r = r.withColumnRenamed(right_ts, "right_ts_out")
+    la, ra = l.alias("l"), r.alias("r")
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in keys]
+    cond.append(
+        F.col("r.right_ts_out")
+        >= F.col(f"l.{left_ts}") - F.expr(f"INTERVAL {before}")
+    )
+    cond.append(
+        F.col("r.right_ts_out")
+        <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {after}")
+    )
+    out_cols = (
+        [F.col(f"l.{c}") for c in l.columns]
+        + [F.col(f"r.{c}") for c in r.columns if c not in keys]
+    )
+    return la.join(ra, cond, "inner").select(*out_cols)

@@ -578,3 +578,61 @@ def test_split_corpus_partition_property(spark, ids):
         for r in split_corpus(df.repartition(5).sortWithinPartitions("doc_id")).collect()
     }
     assert {r["doc_id"]: r["split"] for r in out} == again
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=400),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500),
+            st.integers(min_value=1, max_value=400),
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.sampled_from([1, 7, 60]),
+)
+def test_interval_overlap_join_matches_bruteforce(spark, lspec, rspec, bucket_s):
+    """Grid-bucketed interval overlap == brute force for every bucket
+    width — the first-shared-cell dedup must emit each overlapping pair
+    EXACTLY once (cross-cell pairs are the adversarial case)."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        interval_overlap_join,
+    )
+
+    def frame(spec, tag):
+        rows = [
+            (i, s * 1_000_000, (s + dur) * 1_000_000)
+            for i, (s, dur) in enumerate(spec)
+        ]
+        return spark.createDataFrame(
+            rows, "interval_id long, start_us long, end_us long"
+        ), rows
+
+    ldf, lrows = frame(lspec, "l")
+    rdf, rrows = frame(rspec, "r")
+    got = sorted(
+        (r["l_id"], r["r_id"])
+        for r in interval_overlap_join(
+            ldf, rdf, bucket_seconds=bucket_s
+        ).collect()
+    )
+    want = sorted(
+        (li, ri)
+        for li, ls, le in lrows
+        for ri, rs, re in rrows
+        if ls < re and rs < le
+    )
+    assert got == want

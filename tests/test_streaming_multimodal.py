@@ -627,3 +627,57 @@ def test_transform_with_state_parity(spark, tmp_path):
             )
     assert new == old
     assert new[("A", "2021-01-03")] == (4.0, 7.0)
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """join_streams_within on two live file streams (both watermarked)
+    must emit exactly the batch join's matches."""
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.windows import (
+        join_streams_within,
+    )
+
+    clicks_dir = tmp_path / "clicks"
+    views_dir = tmp_path / "views"
+    clicks_dir.mkdir()
+    views_dir.mkdir()
+    clicks = [
+        {"user_id": 1, "click_id": 10, "ts": "2021-01-01T10:00:00.000Z"},
+        {"user_id": 1, "click_id": 11, "ts": "2021-01-01T12:00:00.000Z"},
+        {"user_id": 2, "click_id": 12, "ts": "2021-01-01T10:00:00.000Z"},
+    ]
+    views = [
+        {"user_id": 1, "view_id": 20, "ts": "2021-01-01T10:05:00.000Z"},  # +5m -> match 10
+        {"user_id": 1, "view_id": 21, "ts": "2021-01-01T11:00:00.000Z"},  # matches none
+        {"user_id": 2, "view_id": 22, "ts": "2021-01-01T09:51:00.000Z"},  # -9m -> match 12
+        {"user_id": 3, "view_id": 23, "ts": "2021-01-01T10:00:00.000Z"},  # other user
+    ]
+    (clicks_dir / "c.json").write_text("\n".join(json.dumps(r) for r in clicks))
+    (views_dir / "v.json").write_text("\n".join(json.dumps(r) for r in views))
+
+    schema_c = "user_id long, click_id long, ts timestamp"
+    schema_v = "user_id long, view_id long, ts timestamp"
+    sc = spark.readStream.format("json").schema(schema_c).load(str(clicks_dir))
+    sv = spark.readStream.format("json").schema(schema_v).load(str(views_dir))
+    q = (
+        join_streams_within(sc, sv, keys=["user_id"])
+        .writeStream.format("memory")
+        .queryName("ssj")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["click_id"], r["view_id"])
+        for r in spark.table("ssj").collect()
+    }
+    assert got == {(10, 20), (12, 22)}
+
+    # batch closure: identical matches from the same function on static frames
+    bc = spark.read.format("json").schema(schema_c).load(str(clicks_dir))
+    bv = spark.read.format("json").schema(schema_v).load(str(views_dir))
+    batch = {
+        (r["click_id"], r["view_id"])
+        for r in join_streams_within(bc, bv, keys=["user_id"]).collect()
+    }
+    assert batch == got
