@@ -52,6 +52,8 @@ HEADLINE = [
     "pipe11_ann_index",
     "x18_shard_assign",
     "m3_image_features",
+    "pipe12_training_layout",
+    "j14_interval_overlap",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
