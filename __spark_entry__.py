@@ -40,6 +40,8 @@ _PRIORITY = [
     "pipe12_training_layout",
     "j14_interval_overlap",
     "st5_stream_stream_join",
+    "s3_ann_ivf_nprobe",
+    "s4_ann_recall",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",

@@ -146,8 +146,9 @@ def cosine_topk_ivf(
     k: int = 5,
     exclude_self: bool = True,
     max_queries: int = 100_000,
+    probe_col: str | None = None,
 ) -> DataFrame:
-    """IVF-bucketed top-k: search only the query's own coarse bucket.
+    """IVF-bucketed top-k: search the query's coarse bucket(s).
 
     The bucket column plays the role of the IVF centroid assignment (a
     real deployment computes it with k-means once and stores it; here the
@@ -155,16 +156,22 @@ def cosine_topk_ivf(
     local-top-k shape as cosine_topk (including the ``max_queries``
     small-side guard), but each corpus batch only scores against queries
     sharing its bucket — the IVF pruning happens inside the kernel with
-    a bucket equality mask, cutting FLOPs by ~1/n_buckets without any
-    extra shuffle.
+    a bucket membership mask, cutting FLOPs by ~nprobe/n_buckets without
+    any extra shuffle.
+
+    ``probe_col`` (multi-probe IVF): names an array column on the QUERY
+    side holding the nprobe bucket ids to search (from ``probe_assign``)
+    instead of the single ``bucket_col`` — the standard recall lever;
+    nprobe = number of cells searched per query.
     """
     import numpy as np
     import pandas as pd
 
+    qb_expr = F.col(probe_col) if probe_col else F.array(F.col(bucket_col))
     q_rows = (
         queries.select(
             F.col(id_col).alias("qid"),
-            F.col(bucket_col).alias("qb"),
+            qb_expr.alias("qb"),
             F.col(vec_col).alias("qv"),
         )
         .limit(max_queries + 1)
@@ -184,7 +191,8 @@ def cosine_topk_ivf(
     import numpy as np
 
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
-    q_buckets = np.array([r["qb"] for r in q_rows])
+    # per-query PROBE SET (singleton without probe_col)
+    q_buckets = [np.asarray(list(r["qb"])) for r in q_rows]
     q_mat = np.array([r["qv"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
     sc = corpus.sparkSession.sparkContext
@@ -208,7 +216,7 @@ def cosine_topk_ivf(
             scores = (cmat @ mat_b.T) / np.outer(cnorm, norm_b)
             out_q, out_n, out_s = [], [], []
             for j in range(len(ids_b)):
-                mask = cbuckets == buckets_b[j]
+                mask = np.isin(cbuckets, buckets_b[j])
                 if exclude_self:
                     mask = mask & (cids != ids_b[j])
                 cand_ids, cand_s = cids[mask], scores[mask, j]
@@ -426,4 +434,69 @@ def negative_pairs(
     )
     return drawn.join(lookup, "__nidx").select(
         id_col, F.col("neg_rank").cast("long").alias("neg_rank"), "neg_id"
+    )
+
+
+def probe_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    out_col: str = "probe_buckets",
+    max_centroids: int = 10_000,
+) -> DataFrame:
+    """The multi-probe half of IVF search: attach the ids of the
+    ``nprobe`` NEAREST centroids (cosine, ties by smaller id) as an
+    array column — real IVF recall comes from searching several nearby
+    cells, not just the assigned one.
+
+    Same zero-shuffle literal-centroid design as ``assign_centroids``:
+    centroids inline as literals, scores compute per row inside
+    codegen, and the top-nprobe selection is an array sort on
+    (-score, cid) structs — no join, no exchange, no UDF.
+    """
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    rows = (
+        centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            _to_double(F.col(centroid_vec_col)).alias("cvec"),
+        )
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    if len(rows) > max_centroids:
+        raise ValueError(
+            f"probe_assign: centroid side exceeds max_centroids="
+            f"{max_centroids}; it must be the small side"
+        )
+    if not rows:
+        raise ValueError("probe_assign: empty centroid set")
+    rows = sorted(rows, key=lambda r: r["cid"])
+    v = _to_double(F.col(vec_col))
+    scored = F.array(
+        *[
+            F.struct(
+                (
+                    -_dot(v, F.array(*[F.lit(float(x)) for x in r["cvec"]]))
+                    / (
+                        _norm(v)
+                        * F.lit(
+                            float(
+                                sum(float(x) ** 2 for x in r["cvec"]) ** 0.5
+                            )
+                        )
+                    )
+                ).alias("neg_score"),
+                F.lit(int(r["cid"])).alias("cid"),
+            )
+            for r in rows
+        ]
+    )
+    # sort_array on (neg_score asc, cid asc) = score desc, cid asc
+    top = F.slice(F.sort_array(scored), 1, nprobe)
+    return df.withColumn(
+        out_col, F.transform(top, lambda s: s.cid.cast("long"))
     )

@@ -5570,3 +5570,154 @@ FROM c JOIN v ON c.user_id = v.user_id
 
 QUERIES["st5_stream_stream_join"] = st5_stream_stream_join
 ORACLE["st5_stream_stream_join"] = ST5_SQL
+
+
+from ..functions.similarity import probe_assign  # noqa: E402
+
+
+def s3_ann_ivf_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF search (nprobe=2): each query searches its TWO
+    nearest centroid cells — the standard IVF recall lever. Probe
+    selection is a zero-shuffle literal-centroid expression; the search
+    kernel masks candidates by probe-set membership."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    indexed = assign_centroids(emb, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    queries = probe_assign(
+        indexed.filter(F.col("vec_id") % 41 == 0), cents, nprobe=2
+    )
+    out = cosine_topk_ivf(
+        indexed, queries, bucket_col="centroid_id", k=3,
+        probe_col="probe_buckets",
+    )
+    return out.select("query_id", "rank", "neighbor_id")
+
+
+S3_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+    SELECT vec_id, v, cid AS centroid_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, c
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, c
+    ) WHERE rn <= 2
+),
+q AS (SELECT * FROM probes WHERE vec_id % 41 = 0),
+scored AS (
+    SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, a.v) AS score
+    FROM q JOIN assigned a ON q.cid = a.centroid_id
+    WHERE q.vec_id <> a.vec_id
+),
+dedup AS (SELECT DISTINCT query_id, neighbor_id, score FROM scored)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, neighbor_id
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rn
+    FROM dedup
+) WHERE rn <= 3
+"""
+
+QUERIES["s3_ann_ivf_nprobe"] = s3_ann_ivf_nprobe
+ORACLE["s3_ann_ivf_nprobe"] = S3_SQL
+
+
+def s4_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of single-probe IVF search against brute-force ground
+    truth, per query — the measurement a real ANN deployment tunes
+    nprobe/n_buckets by ("measure, don't guess" applied to recall, not
+    just latency). Both arms are deterministic, so recall itself is
+    exactly reproducible cross-engine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    indexed = assign_centroids(emb, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    queries = indexed.filter(F.col("vec_id") % 41 == 0)
+    truth = cosine_topk(indexed, queries, k=5).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    approx = cosine_topk_ivf(
+        indexed, queries, bucket_col="centroid_id", k=5
+    ).select("query_id", F.col("neighbor_id").alias("got_id"))
+    hits = truth.join(
+        approx,
+        (truth["query_id"] == approx["query_id"])
+        & (truth["true_id"] == approx["got_id"]),
+        "left",
+    ).groupBy(truth["query_id"].alias("query_id")).agg(
+        (F.count("got_id") / F.lit(5.0)).alias("recall_at_5")
+    )
+    return hits
+
+
+S4_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+    SELECT vec_id, v, cid AS centroid_id FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, c
+    ) WHERE rn = 1
+),
+q AS (SELECT * FROM assigned WHERE vec_id % 41 = 0),
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, a.v) DESC, a.vec_id ASC
+               ) AS rn
+        FROM q, assigned a WHERE q.vec_id <> a.vec_id
+    ) WHERE rn <= 5
+),
+approx AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(q.v, a.v) DESC, a.vec_id ASC
+               ) AS rn
+        FROM q JOIN assigned a ON q.centroid_id = a.centroid_id
+        WHERE q.vec_id <> a.vec_id
+    ) WHERE rn <= 5
+)
+SELECT t.query_id,
+       COUNT(ap.neighbor_id) / 5.0 AS recall_at_5
+FROM truth t LEFT JOIN approx ap
+  ON t.query_id = ap.query_id AND t.neighbor_id = ap.neighbor_id
+GROUP BY t.query_id
+"""
+
+QUERIES["s4_ann_recall"] = s4_ann_recall
+ORACLE["s4_ann_recall"] = S4_SQL

@@ -636,3 +636,55 @@ def test_interval_overlap_join_matches_bruteforce(spark, lspec, rspec, bucket_s)
         if ls < re and rs < le
     )
     assert got == want
+
+
+def test_multiprobe_improves_recall(spark):
+    """nprobe=2 must dominate nprobe=1 recall against brute force —
+    the lever's whole point — and probe_assign's first probe must equal
+    the assign_centroids bucket (consistency of the two expressions)."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        assign_centroids,
+        cosine_topk,
+        cosine_topk_ivf,
+        probe_assign,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    indexed = assign_centroids(emb, cents).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    queries = probe_assign(
+        indexed.filter(F.col("vec_id") % 17 == 0), cents, nprobe=2
+    )
+    first_probe = queries.filter(
+        F.col("probe_buckets")[0] != F.col("centroid_id")
+    ).count()
+    assert first_probe == 0
+
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(indexed, queries, k=5).collect()
+    }
+
+    def recall(out):
+        got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+        return len(got & truth) / len(truth)
+
+    r1 = recall(
+        cosine_topk_ivf(indexed, queries, bucket_col="centroid_id", k=5)
+    )
+    r2 = recall(
+        cosine_topk_ivf(
+            indexed, queries, bucket_col="centroid_id", k=5,
+            probe_col="probe_buckets",
+        )
+    )
+    # strict dominance: the second probe cell must add recall (absolute
+    # recall is data-dependent — measured 0.23 -> 0.37 on this fixture)
+    assert r2 > r1
