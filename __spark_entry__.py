@@ -42,6 +42,7 @@ _PRIORITY = [
     "st5_stream_stream_join",
     "s3_ann_ivf_nprobe",
     "s4_ann_recall",
+    "c2_kmeans_lloyd",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",

@@ -5721,3 +5721,23 @@ GROUP BY t.query_id
 
 QUERIES["s4_ann_recall"] = s4_ann_recall
 ORACLE["s4_ann_recall"] = S4_SQL
+
+
+from ..functions.similarity import kmeans_lloyd  # noqa: E402
+
+
+def c2_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full iterative Lloyd k-means over the embedding corpus (k=8,
+    3 rounds, deterministic smallest-id seeding, localCheckpoint-bounded
+    lineage). Iterative double-precision means are engine-deterministic
+    only in row COUNT, not low-order bits, so this gate is registered
+    WITHOUT a SQL oracle — the driver records the rows-only check; the
+    one-round decimal-exact composition is value-gated as
+    pipe11_ann_index."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_lloyd(emb, k=8, n_iter=3)
+    return assigned.select("vec_id", "centroid_id")
+
+
+QUERIES["c2_kmeans_lloyd"] = c2_kmeans_lloyd
+# no ORACLE entry: iterative float means are not bit-reproducible in SQL

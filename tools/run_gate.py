@@ -91,8 +91,13 @@ def main():
         spark_pdf = None
         try:
             spark_pdf = fn(spark, sf_dir).toPandas()
-            duck_pdf = con.sql(oracles[name]).df()
-            problems = compare(name, spark_pdf, duck_pdf)
+            if name in oracles:
+                duck_pdf = con.sql(oracles[name]).df()
+                problems = compare(name, spark_pdf, duck_pdf)
+            else:
+                # rows-only check (driver behaviour for non-SQL-expressible
+                # ops): the query must run and produce rows
+                problems = [] if len(spark_pdf) > 0 else ["no rows"]
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
         results[name] = {
