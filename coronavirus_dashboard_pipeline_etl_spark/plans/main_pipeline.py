@@ -28,6 +28,8 @@ partition parallelism, the orchestrator barrier is a stage boundary.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..config import (
@@ -274,3 +276,50 @@ def run_main(
     if store_path:
         write_store(long, store_path)
     return long
+
+
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    partitions: Sequence[str] | None = None,
+    target_rows_per_file: int = 2_000_000,
+) -> dict[str, int]:
+    """Small-file compaction for the partitioned serving store — the
+    housekeeping a daily-release store needs at 100 TB: each release
+    rewrite leaves one file set per partition per run, and serving scan
+    cost degrades with file count, not bytes.
+
+    Per selected ``partition_id`` (default: all), rewrites the
+    partition's rows into ``ceil(rows / target_rows_per_file)`` files
+    via the same dynamic-overwrite path as ``write_store`` — so a
+    killed compaction run is re-runnable (idempotent per partition) and
+    concurrent readers of OTHER partitions never see a partial state.
+    Returns ``{partition_id: file_count_written}``.
+
+    Scale shape: one count + one coalesced rewrite per partition, each
+    bounded by that partition's size — never a full-store shuffle. The
+    coalesce is a NARROW repartition (no exchange) since output files
+    only need merging, not redistribution.
+    """
+    store = spark.read.parquet(path)
+    if partitions is None:
+        partitions = [
+            r["partition_id"]
+            for r in store.select("partition_id").distinct().collect()
+        ]
+    written: dict[str, int] = {}
+    for pid in partitions:
+        part = store.filter(F.col("partition_id") == pid)
+        n = part.count()
+        if n == 0:
+            continue
+        n_files = max(1, -(-n // target_rows_per_file))
+        (
+            part.coalesce(n_files)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("partition_id")
+            .parquet(path)
+        )
+        written[pid] = n_files
+    return written

@@ -273,3 +273,39 @@ def test_drop_weekly_metric_nulls_name_driven(spark):
         ("weeklyAdmissions", "3"),
         ("newCasesBySpecimenDate", None),
     }
+
+
+def test_compact_store_merges_files_idempotently(spark, tmp_path):
+    """compact_store must shrink a fragmented partition to its target
+    file count without changing a single row, leave other partitions'
+    data intact, and be re-runnable."""
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        compact_store,
+    )
+
+    path = str(tmp_path / "store")
+    frag = (
+        spark.range(0, 3000)
+        .selectExpr(
+            "concat('h', id) AS hash",
+            "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS partition_id",
+            "concat('{\"value\":', id, '}') AS payload",
+        )
+        .repartition(24)  # 24 files per partition
+    )
+    frag.write.mode("overwrite").partitionBy("partition_id").parquet(path)
+    before = {r["hash"]: r["payload"] for r in spark.read.parquet(path).collect()}
+    n_before = len(list((tmp_path / "store" / "partition_id=a").glob("*.parquet")))
+    assert n_before > 1
+
+    written = compact_store(spark, path, partitions=["a"])
+    assert written == {"a": 1}
+    n_after = len(list((tmp_path / "store" / "partition_id=a").glob("*.parquet")))
+    assert n_after == 1
+    after = {r["hash"]: r["payload"] for r in spark.read.parquet(path).collect()}
+    assert after == before  # rows identical, partition b untouched
+
+    # idempotent re-run
+    assert compact_store(spark, path, partitions=["a"]) == {"a": 1}
+    again = {r["hash"]: r["payload"] for r in spark.read.parquet(path).collect()}
+    assert again == before
