@@ -188,8 +188,6 @@ def cosine_topk_ivf(
         return spark.createDataFrame(
             [], "query_id long, rank long, neighbor_id long, score double"
         )
-    import numpy as np
-
     q_ids = np.array([r["qid"] for r in q_rows], dtype=np.int64)
     # per-query PROBE SET (singleton without probe_col)
     q_buckets = [np.asarray(list(r["qb"])) for r in q_rows]
@@ -245,6 +243,34 @@ def cosine_topk_ivf(
     )
 
 
+def _collect_centroids(
+    centroids: DataFrame,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+    max_centroids: int,
+    caller: str,
+) -> list:
+    """Shared small-side centroid collection: guard, collect, and sort
+    by centroid id (so 'first index wins' tie-breaks resolve to the
+    smallest id) — used by every literal-centroid expression builder."""
+    rows = (
+        centroids.select(
+            F.col(centroid_id_col).alias("cid"),
+            _to_double(F.col(centroid_vec_col)).alias("cvec"),
+        )
+        .limit(max_centroids + 1)
+        .collect()
+    )
+    if len(rows) > max_centroids:
+        raise ValueError(
+            f"{caller}: centroid side exceeds max_centroids="
+            f"{max_centroids}; it must be the small side"
+        )
+    if not rows:
+        raise ValueError(f"{caller}: empty centroid set")
+    return sorted(rows, key=lambda r: r["cid"])
+
+
 def assign_centroids(
     df: DataFrame,
     centroids: DataFrame,
@@ -267,24 +293,10 @@ def assign_centroids(
 
     Returns the input plus ``centroid_id`` and ``centroid_score``.
     """
-    rows = (
-        centroids.select(
-            F.col(centroid_id_col).alias("cid"),
-            _to_double(F.col(centroid_vec_col)).alias("cvec"),
-        )
-        .limit(max_centroids + 1)
-        .collect()
+    rows = _collect_centroids(
+        centroids, centroid_id_col, centroid_vec_col, max_centroids,
+        "assign_centroids",
     )
-    if len(rows) > max_centroids:
-        raise ValueError(
-            f"assign_centroids: centroid side exceeds max_centroids="
-            f"{max_centroids}; it must be the small side"
-        )
-    if not rows:
-        raise ValueError("assign_centroids: empty centroid set")
-    # order by centroid id so "first index wins" ties deterministically
-    # resolve to the smallest centroid id
-    rows = sorted(rows, key=lambda r: r["cid"])
     cid_arr = F.array(*[F.lit(int(r["cid"])) for r in rows])
     cent_arr = F.array(
         *[
@@ -459,22 +471,10 @@ def probe_assign(
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
-    rows = (
-        centroids.select(
-            F.col(centroid_id_col).alias("cid"),
-            _to_double(F.col(centroid_vec_col)).alias("cvec"),
-        )
-        .limit(max_centroids + 1)
-        .collect()
+    rows = _collect_centroids(
+        centroids, centroid_id_col, centroid_vec_col, max_centroids,
+        "probe_assign",
     )
-    if len(rows) > max_centroids:
-        raise ValueError(
-            f"probe_assign: centroid side exceeds max_centroids="
-            f"{max_centroids}; it must be the small side"
-        )
-    if not rows:
-        raise ValueError("probe_assign: empty centroid set")
-    rows = sorted(rows, key=lambda r: r["cid"])
     v = _to_double(F.col(vec_col))
     scored = F.array(
         *[

@@ -302,20 +302,21 @@ def compact_store(
     only need merging, not redistribution.
     """
     store = spark.read.parquet(path)
-    if partitions is None:
-        partitions = [
-            r["partition_id"]
-            for r in store.select("partition_id").distinct().collect()
-        ]
+    # ONE grouped count for every selected partition (not a count-scan
+    # per partition); the rewrites that follow each scan only their own
+    # partition's files via partition pruning
+    counts_df = store.groupBy("partition_id").count()
+    if partitions is not None:
+        counts_df = counts_df.filter(F.col("partition_id").isin(list(partitions)))
+    counts = {r["partition_id"]: r["count"] for r in counts_df.collect()}
     written: dict[str, int] = {}
-    for pid in partitions:
-        part = store.filter(F.col("partition_id") == pid)
-        n = part.count()
+    for pid, n in sorted(counts.items()):
         if n == 0:
             continue
         n_files = max(1, -(-n // target_rows_per_file))
         (
-            part.coalesce(n_files)
+            store.filter(F.col("partition_id") == pid)
+            .coalesce(n_files)
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_id")
