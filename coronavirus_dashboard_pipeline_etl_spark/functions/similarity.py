@@ -322,13 +322,16 @@ def kmeans_lloyd(
     n_iter: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seeding: str = "min_id",
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means over an embedding column (cosine assignment,
     mean update), the iterative-algorithm companion to the one-shot
     ``assign_centroids``.
 
-    Seeding is deterministic: the k rows with the smallest ``id_col``
-    (no RNG — re-runs agree, tests agree). Each round: map-side
+    Seeding is deterministic either way (no RNG — re-runs and engines
+    agree): ``"min_id"`` takes the k smallest-``id_col`` rows (cheapest,
+    one scan); ``"farthest"`` uses ``kmeans_seeds_farthest`` (k extra
+    scans, spreads seeds when ids correlate with content). Each round: map-side
     assignment (zero shuffle), then the centroid update as
     posexplode -> groupBy (cluster, dim) mean -> re-collect — one
     shuffle per round keyed on (cluster, dimension), k*dim rows out.
@@ -340,21 +343,28 @@ def kmeans_lloyd(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    centroids = (
-        df.orderBy(id_col)
-        .limit(k)
-        .select(
-            F.col(id_col).cast("long").alias("centroid_id"),
-            _to_double(F.col(vec_col)).alias("centroid"),
+    if seeding == "farthest":
+        centroids = kmeans_seeds_farthest(df, k, id_col=id_col, vec_col=vec_col)
+    elif seeding == "min_id":
+        centroids = (
+            df.orderBy(id_col)
+            .limit(k)
+            .select(
+                F.col(id_col).cast("long").alias("centroid_id"),
+                _to_double(F.col(vec_col)).alias("centroid"),
+            )
         )
-    )
-    # re-key 0..k-1 for stable ids across updates
-    centroids = centroids.select(
-        (F.row_number().over(Window.orderBy("centroid_id")) - 1)
-        .cast("long")
-        .alias("centroid_id"),
-        "centroid",
-    )
+        # re-key 0..k-1 for stable ids across updates
+        centroids = centroids.select(
+            (F.row_number().over(Window.orderBy("centroid_id")) - 1)
+            .cast("long")
+            .alias("centroid_id"),
+            "centroid",
+        )
+    else:
+        raise ValueError(
+            f"seeding must be 'min_id' or 'farthest', got {seeding!r}"
+        )
     for _ in range(n_iter):
         assigned = assign_centroids(
             df, centroids, id_col=id_col, vec_col=vec_col
@@ -499,4 +509,61 @@ def probe_assign(
     top = F.slice(F.sort_array(scored), 1, nprobe)
     return df.withColumn(
         out_col, F.transform(top, lambda s: s.cid.cast("long"))
+    )
+
+
+def kmeans_seeds_farthest(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic farthest-point seeding (the k-means++ idea without
+    RNG): seed 0 is the smallest-id row; each next seed is the corpus
+    row LEAST similar to its nearest existing seed (ties by smallest
+    id). Smallest-id seeding can pick k co-located vectors when ids
+    correlate with content; farthest-point spreads seeds across the
+    data's extent, and determinism survives re-runs and engines.
+
+    Cost: k-1 rounds of one zero-shuffle assignment scan + a
+    TakeOrdered(1) each — O(k) corpus scans, the standard price of
+    farthest-point; the selected seed rows come back to the driver one
+    at a time (k rows total). Returns a (centroid_id 0..k-1, centroid)
+    frame ready for ``assign_centroids`` / ``kmeans_lloyd``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    first = (
+        df.orderBy(id_col)
+        .limit(1)
+        .select(F.col(id_col), _to_double(F.col(vec_col)).alias("centroid"))
+        .collect()
+    )
+    if not first:
+        raise ValueError("kmeans_seeds_farthest: empty input")
+    seed_rows = [(0, first[0]["centroid"])]
+    seed_ids = {first[0][id_col]}
+    spark = df.sparkSession
+    for i in range(1, k):
+        seeds = spark.createDataFrame(
+            seed_rows, "centroid_id long, centroid array<double>"
+        )
+        cand = assign_centroids(
+            df.filter(~F.col(id_col).isin(list(seed_ids))), seeds,
+            id_col=id_col, vec_col=vec_col,
+        )
+        nxt = (
+            cand.orderBy(
+                F.col("centroid_score").asc(), F.col(id_col).asc()
+            )
+            .limit(1)
+            .select(F.col(id_col), _to_double(F.col(vec_col)).alias("v"))
+            .collect()
+        )
+        if not nxt:  # fewer distinct rows than k
+            break
+        seed_rows.append((i, nxt[0]["v"]))
+        seed_ids.add(nxt[0][id_col])
+    return spark.createDataFrame(
+        seed_rows, "centroid_id long, centroid array<double>"
     )

@@ -688,3 +688,38 @@ def test_multiprobe_improves_recall(spark):
     # strict dominance: the second probe cell must add recall (absolute
     # recall is data-dependent — measured 0.23 -> 0.37 on this fixture)
     assert r2 > r1
+
+
+def test_farthest_seeding_spreads_clusters(spark):
+    """Farthest-point seeding must place seeds in BOTH clusters of a
+    corpus whose smallest ids all sit in one cluster (the degenerate
+    case min_id seeding gets wrong), and the seeded kmeans must then
+    separate the clusters exactly."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        kmeans_lloyd,
+        kmeans_seeds_farthest,
+    )
+
+    # ids 0-9: cluster around +x; ids 10-19: cluster around +y
+    rows = [(i, [10.0 + (i % 5) * 0.01, float(i % 3) * 0.01]) for i in range(10)]
+    rows += [(i, [float(i % 3) * 0.01, 10.0 + (i % 5) * 0.01]) for i in range(10, 20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    seeds = kmeans_seeds_farthest(df, k=2).collect()
+    vecs = {r["centroid_id"]: r["centroid"] for r in seeds}
+    # one seed per cluster: one x-dominant, one y-dominant
+    assert len(vecs) == 2
+    dominant = sorted(v[0] > v[1] for v in vecs.values())
+    assert dominant == [False, True]
+
+    assigned, _ = kmeans_lloyd(df, k=2, n_iter=3, seeding="farthest")
+    clusters = {
+        r["vec_id"]: r["centroid_id"] for r in assigned.collect()
+    }
+    a = {clusters[i] for i in range(10)}
+    b = {clusters[i] for i in range(10, 20)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+
+    import pytest
+    with pytest.raises(ValueError, match="seeding"):
+        kmeans_lloyd(df, k=2, seeding="random")
