@@ -324,3 +324,26 @@ def compact_store(
         )
         written[pid] = n_files
     return written
+
+
+def read_store(
+    spark: SparkSession,
+    path: str,
+    partitions: Sequence[str] | None = None,
+    columns: Sequence[str] | None = None,
+) -> DataFrame:
+    """Serving-store reader that keeps the scan minimal by
+    construction: the ``partitions`` filter is an equality/IN predicate
+    on the partition column (so Spark prunes directories — a release's
+    query never lists, let alone reads, other releases' files) and
+    ``columns`` projects before anything else (so ReadSchema carries
+    only what the caller asked for). Both properties are asserted by
+    the plan regression tests; callers composing further filters on the
+    result keep full pushdown since nothing here materialises.
+    """
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.filter(F.col("partition_id").isin(list(partitions)))
+    if columns is not None:
+        df = df.select(*columns)
+    return df

@@ -299,3 +299,34 @@ def test_dump_load_reload_prunes_columns(spark, tmp_path):
     back, _ = load_dump(spark, d)
     plan = executed_plan(back.select("n_nationkey"))
     assert "n_name" not in plan.split("ReadSchema")[-1]
+
+
+def test_read_store_prunes_partitions_and_columns(spark, tmp_path):
+    """read_store: a partition filter must reach the scan as partition
+    pruning (PartitionFilters/pushed predicate on partition_id) and a
+    column projection must narrow ReadSchema."""
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        read_store,
+    )
+
+    path = str(tmp_path / "store")
+    (
+        spark.range(0, 200)
+        .selectExpr(
+            "concat('h', id) AS hash",
+            "concat('p', id % 4) AS partition_id",
+            "concat('{\"value\":', id, '}') AS payload",
+        )
+        .write.mode("overwrite")
+        .partitionBy("partition_id")
+        .parquet(path)
+    )
+    df = read_store(spark, path, partitions=["p1"], columns=["hash"])
+    plan = executed_plan(df)
+    assert "partition_id" in plan  # the pruning predicate is present
+    read_schema = plan.split("ReadSchema")[-1]
+    assert "payload" not in read_schema  # projection narrowed the scan
+    assert df.count() == 50
+    assert set(r["hash"] for r in df.collect()) == {
+        f"h{i}" for i in range(200) if i % 4 == 1
+    }
