@@ -323,6 +323,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seeding: str = "min_id",
+    exact: bool = False,
 ) -> tuple[DataFrame, DataFrame]:
     """Lloyd's k-means over an embedding column (cosine assignment,
     mean update), the iterative-algorithm companion to the one-shot
@@ -340,6 +341,14 @@ def kmeans_lloyd(
 
     Returns ``(assigned, centroids)`` — the corpus with final
     ``centroid_id``/``centroid_score``, and the centroid table.
+
+    ``exact=True`` switches the centroid update to the decimal-exact
+    form used by the pipe11 gate: per-(cluster, dim) SUM over
+    ``decimal(30,15)`` (exact, order/partitioning-independent) cast to
+    double, divided by the count. Identical results across engines,
+    partition layouts, and AQE decisions — the driver-verifiable mode.
+    Plain ``exact=False`` keeps double ``avg`` (faster; low-order bits
+    may vary with aggregation order).
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -373,9 +382,16 @@ def kmeans_lloyd(
             F.col("centroid_id"),
             F.posexplode(_to_double(F.col(vec_col))).alias("dim", "x"),
         )
+        if exact:
+            mean_expr = (
+                F.sum(F.col("x").cast("decimal(30,15)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        else:
+            mean_expr = F.avg("x").alias("m")
         centroids = (
             dims.groupBy("centroid_id", "dim")
-            .agg(F.avg("x").alias("m"))
+            .agg(mean_expr)
             .groupBy("centroid_id")
             .agg(
                 F.transform(

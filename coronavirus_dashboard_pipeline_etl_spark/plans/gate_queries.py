@@ -5729,15 +5729,79 @@ from ..functions.similarity import kmeans_lloyd  # noqa: E402
 def c2_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full iterative Lloyd k-means over the embedding corpus (k=8,
     3 rounds, deterministic smallest-id seeding, localCheckpoint-bounded
-    lineage). Iterative double-precision means are engine-deterministic
-    only in row COUNT, not low-order bits, so this gate is registered
-    WITHOUT a SQL oracle — the driver records the rows-only check; the
-    one-round decimal-exact composition is value-gated as
-    pipe11_ann_index."""
+    lineage) in ``exact=True`` mode: every centroid update is a
+    decimal(30,15) SUM (exact, order/partitioning-independent) cast to
+    double before the /count division, so all three rounds of centroids
+    — and every assignment decision downstream — are bit-identical
+    across engines. The oracle unrolls the three Lloyd rounds as
+    repeated CTEs (the pipe11 single-round technique, iterated).
+
+    The production default (``exact=False``, plain double avg) trades
+    that reproducibility for one fewer decimal pass per round; the
+    assignment plan is identical."""
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, _cents = kmeans_lloyd(emb, k=8, n_iter=3)
+    assigned, _cents = kmeans_lloyd(emb, k=8, n_iter=3, exact=True)
     return assigned.select("vec_id", "centroid_id")
 
 
+def _c2_round_sql(a: str, prev_c: str, x: str, nxt_c: str) -> str:
+    """One unrolled Lloyd round (assign vs ``prev_c`` -> exact update
+    into ``nxt_c``) as DuckDB CTE clauses. Python-side string assembly
+    only — the emitted SQL is static per gate run."""
+    return f"""
+{a} AS (
+    SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, {prev_c} c
+    ) WHERE rn = 1
+),
+{x} AS (
+    SELECT {a}.cid, t.dim, e.v[t.dim] AS x
+    FROM {a} JOIN e USING (vec_id),
+         LATERAL (SELECT UNNEST(generate_series(1, 64)) AS dim) t
+),
+{nxt_c} AS (
+    SELECT cid,
+           list(CAST(CAST(sx AS DOUBLE) / n AS DOUBLE) ORDER BY dim) AS cv
+    FROM (
+        SELECT cid, dim,
+               SUM(CAST(x AS DECIMAL(30,15))) AS sx,
+               COUNT(*) AS n
+        FROM {x} GROUP BY cid, dim
+    ) GROUP BY cid
+)"""
+
+
+C2_SQL = (
+    """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+seeds AS (
+    SELECT CAST(rn - 1 AS BIGINT) AS cid, v AS cv FROM (
+        SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e
+    ) WHERE rn <= 8
+),"""
+    + _c2_round_sql("a0", "seeds", "x0", "c1")
+    + ","
+    + _c2_round_sql("a1", "c1", "x1", "c2")
+    + ","
+    + _c2_round_sql("a2", "c2", "x2", "c3")
+    + """
+SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+           ) AS rn
+    FROM e, c3 c
+) WHERE rn = 1
+"""
+)
+
 QUERIES["c2_kmeans_lloyd"] = c2_kmeans_lloyd
-# no ORACLE entry: iterative float means are not bit-reproducible in SQL
+ORACLE["c2_kmeans_lloyd"] = C2_SQL
