@@ -21,10 +21,18 @@ from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import ORACLE, 
 # been driver-verified.  tools/run_gate.py (same compare, plain session)
 # covers the full registry every round regardless — see SELFCHECK.json.
 _PRIORITY = [
-    # Round-4 rotation: every gate with NO driver verdict yet across
-    # r2-r3 goes first — the 6 repaired by the TIMESTAMP_NTZ fix, the 17
-    # the driver never sampled, and the new S15 gate. Cumulative driver
-    # coverage r2∪r3∪r4 = the full registry.
+    # Round-5 rotation: r2∪r3∪r4 drove every registered gate green
+    # except c2 (which was rows-only until this round). Slot 1 = the
+    # re-cut c2 (now decimal-exact with a full unrolled oracle); then
+    # the four gates NEW this round (LEFT temporal-join variants + the
+    # store write->compact->read round-trip); then re-confirmation of
+    # the composed pipelines, the r4-verified families, and the
+    # flagships whose verdicts are oldest (r2).
+    "c2_kmeans_lloyd",
+    "j11b_asof_tolerance",
+    "j12b_range_join_left",
+    "j14b_interval_overlap_left",
+    "s10b_store_roundtrip",
     "st3_session_window",
     "j11_asof_join",
     "j12_range_join",
@@ -42,7 +50,6 @@ _PRIORITY = [
     "st5_stream_stream_join",
     "s3_ann_ivf_nprobe",
     "s4_ann_recall",
-    "c2_kmeans_lloyd",
     "d4b_simhash_pairs",
     "g3_archive_dates",
     "h3_ntile_summary",

@@ -59,6 +59,30 @@ HEADLINE = [
 BUCKET_TABLE = "bench_serving_store"
 
 
+def _calibrate() -> dict[str, float]:
+    """Spark-independent host-speed probes, reported alongside the query
+    times so per-round numbers can be normalised across hosts: rounds
+    run on different machines/conditions (r5 measured byte-identical
+    queries at 1.4-2x r4's times on an idle box), and without a
+    calibration constant that reads as a code regression. numpy matmul
+    ~ the vectorised/JVM-adjacent path; the pure-Python loop ~ driver
+    overhead. Both deterministic, single-threaded-ish, ~1 s total."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(10):
+        a = a @ a * 1e-3
+    matmul = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i & 1023
+    loop = round(time.perf_counter() - t0, 3)
+    return {"numpy_matmul_sec": matmul, "python_loop_sec": loop}
+
+
 def _bucketed_store_setup(spark, sf_dir: str) -> None:
     """Build the bucketed serving store once (untimed): ~1.8M long rows
     melted from lineitem, bucketed+sorted by (area_code, metric)."""
@@ -173,16 +197,23 @@ def main() -> None:
     # bench-only; the md5 gate above proves the pipeline's semantics)
     timed("d3b_lsh_pairs_xxhash", lambda: lsh_xxhash_pairs(spark, sf_dir))
 
+    # A failed query would shrink the headline total and read as a
+    # speedup in round-over-round comparisons, so an incomplete run
+    # reports value=null (per-query timings still carried for debugging)
+    # plus an explicit complete flag.
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_wall",
-        "value": total,
+        "value": None if errors else total,
         "unit": "sec",
+        "complete": not errors,
         "queries": timings,
+        "calibration": _calibrate(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
         out["errors"] = errors
+        out["partial_total"] = total
     print(json.dumps(out))
     spark.stop()
 

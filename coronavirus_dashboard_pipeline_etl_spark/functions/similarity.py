@@ -494,6 +494,10 @@ def probe_assign(
     centroids inline as literals, scores compute per row inside
     codegen, and the top-nprobe selection is an array sort on
     (-score, cid) structs — no join, no exchange, no UDF.
+
+    A zero-norm query vector would make every cosine NULL and
+    sort_array would then pick an arbitrary probe set; instead the
+    norm is guarded and such rows fail loudly at execution time.
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
@@ -502,13 +506,19 @@ def probe_assign(
         "probe_assign",
     )
     v = _to_double(F.col(vec_col))
+    vnorm_raw = _norm(v)
+    vnorm = F.when(vnorm_raw > 0, vnorm_raw).otherwise(
+        F.assert_true(
+            F.lit(False), F.lit("probe_assign: zero-norm query vector")
+        ).cast("double")
+    )
     scored = F.array(
         *[
             F.struct(
                 (
                     -_dot(v, F.array(*[F.lit(float(x)) for x in r["cvec"]]))
                     / (
-                        _norm(v)
+                        vnorm
                         * F.lit(
                             float(
                                 sum(float(x) ** 2 for x in r["cvec"]) ** 0.5

@@ -147,9 +147,10 @@ def range_join(
     start_us_col: str = "start_us",
     end_us_col: str = "end_us",
     bucket_seconds: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
-    """Point-in-interval LEFT join (event -> containing window,
-    half-open ``[start, end)``), the second temporal join Spark lacks.
+    """Point-in-interval join (event -> containing window, half-open
+    ``[start, end)``), the second temporal join Spark lacks.
 
     Scale path: a time GRID turns the inequality join into an equi-join
     — each interval explodes onto the ``bucket_seconds`` cells it
@@ -161,13 +162,18 @@ def range_join(
     near the typical interval length).
 
     Overlapping intervals produce one output row per containing
-    interval. INNER semantics: events contained in no interval drop —
-    deliberate, because a generic LEFT variant would need a total row
-    identity to restore misses (join back on your own id column when
-    you need the unmatched rows).
+    interval. ``how="left"`` keeps events contained in no interval with
+    a NULL ``interval_id`` — free here (unlike ``interval_overlap_join``)
+    because the point side never fans out: each event owns exactly ONE
+    grid cell, so moving the containment predicate into the join's ON
+    clause preserves misses without needing a row identity, at the same
+    single-shuffle cost as the inner form (pandas ``merge_asof``-style
+    enrichment default, cf. the reference's despatch enrichment joins).
     """
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    if how not in ("inner", "left"):
+        raise ValueError(f"range_join supports inner/left, got {how!r}")
     bus = bucket_seconds * 1_000_000
     ev = left.withColumn("__us", ts_micros(ts_col))
     ev = ev.withColumn("__cell", F.expr(f"__us div {bus}"))
@@ -187,11 +193,16 @@ def range_join(
             )
         ).alias("__cell"),
     )
-    return (
-        ev.join(cells, "__cell")
-        .filter((F.col("__us") >= F.col("__s")) & (F.col("__us") < F.col("__e")))
-        .select(*left.columns, interval_id_col)
-    )
+    contained = (F.col("__us") >= F.col("__s")) & (F.col("__us") < F.col("__e"))
+    if how == "inner":
+        joined = ev.join(cells, "__cell").filter(contained)
+    else:
+        # containment INSIDE the ON clause: an event whose co-bucketed
+        # candidates all fail (or whose cell holds no interval) emits
+        # exactly one NULL-extended row — still a cell-keyed equi-join
+        cond = (ev["__cell"] == cells["__cell"]) & contained
+        joined = ev.join(cells, cond, "left")
+    return joined.select(*left.columns, interval_id_col)
 
 
 def scd2_intervals(
@@ -292,6 +303,7 @@ def interval_overlap_join(
     start_us_col: str = "start_us",
     end_us_col: str = "end_us",
     bucket_seconds: int = 3600,
+    how: str = "inner",
 ) -> DataFrame:
     """Interval x interval OVERLAP join (both sides are ranges,
     half-open ``[start, end)``) — the third temporal join Spark lacks,
@@ -304,8 +316,17 @@ def interval_overlap_join(
     surface once per cell, so the join keeps only the FIRST shared cell
     — ``cell == greatest(start_cell_l, start_cell_r)`` — which
     deduplicates by construction, with NO distinct shuffle afterwards.
-    INNER semantics; overlap test ``l.s < r.e AND r.s < l.e`` runs on
-    the co-bucketed candidates only.
+    Overlap test ``l.s < r.e AND r.s < l.e`` runs on the co-bucketed
+    candidates only.
+
+    ``how="left"`` keeps left intervals overlapping nothing, with NULL
+    ``r_id``/``r_s``/``r_e``. Unlike ``range_join`` the left side DOES
+    fan out onto its covered cells, so misses cannot be restored in the
+    ON clause (a NULL-extended row would surface once per uncovered
+    cell); instead the miss set is recovered by a LEFT ANTI join of the
+    left side against the matched ``l_id`` set — ``left_id_col`` must
+    therefore be unique per left row. Costs one extra exchange of the
+    (narrow, 3-column) left side keyed on the id.
 
     Shuffles each side once on well-spread grid cells; fan-out per
     interval is its covered-cell count (pick ``bucket_seconds`` near
@@ -313,6 +334,10 @@ def interval_overlap_join(
     """
     if bucket_seconds <= 0:
         raise ValueError(f"bucket_seconds must be > 0, got {bucket_seconds}")
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"interval_overlap_join supports inner/left, got {how!r}"
+        )
     bus = bucket_seconds * 1_000_000
 
     def cells(df: DataFrame, id_col: str, tag: str) -> DataFrame:
@@ -335,7 +360,7 @@ def interval_overlap_join(
     first_shared = F.greatest(
         F.expr(f"l_s div {bus}"), F.expr(f"r_s div {bus}")
     )
-    return (
+    matched = (
         l.join(r, "__cell")
         .filter(
             (F.col("l_s") < F.col("r_e"))
@@ -344,3 +369,22 @@ def interval_overlap_join(
         )
         .select("l_id", "r_id", "l_s", "l_e", "r_s", "r_e")
     )
+    if how == "inner":
+        return matched
+    misses = (
+        left.select(
+            F.col(left_id_col).alias("l_id"),
+            F.col(start_us_col).alias("l_s"),
+            F.col(end_us_col).alias("l_e"),
+        )
+        .join(matched.select("l_id"), "l_id", "left_anti")
+        .select(
+            "l_id",
+            F.lit(None).cast(matched.schema["r_id"].dataType).alias("r_id"),
+            "l_s",
+            "l_e",
+            F.lit(None).cast("long").alias("r_s"),
+            F.lit(None).cast("long").alias("r_e"),
+        )
+    )
+    return matched.unionByName(misses)

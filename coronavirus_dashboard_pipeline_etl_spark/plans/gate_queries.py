@@ -4156,6 +4156,100 @@ QUERIES["j12_range_join"] = j12_range_join
 ORACLE["j12_range_join"] = J12_SQL
 
 
+_J11B_TOL_S = 2 * 86_400  # 2-day as-of tolerance (voids ~1/3 of matches)
+
+
+def j11b_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of LEFT join with a tolerance bound (pandas
+    ``merge_asof(tolerance=...)`` semantics): a match older than 2 days
+    is voided — the left row survives with NULL ``asof_ts_us`` and NULL
+    carried columns. Exercises the tolerance-void path j11 does not."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("ref_event"))
+    )
+    out = asof_join(
+        clicks,
+        signups,
+        keys=["user_id"],
+        right_cols=["ref_event"],
+        tolerance_seconds=_J11B_TOL_S,
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_micros("ts").alias("ts_us"),
+        "asof_ts_us",
+        "ref_event",
+    )
+
+
+J11B_SQL = f"""
+WITH l AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT user_id, epoch_us(ts) AS rus, MAX(event_id) AS ref_event
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, epoch_us(ts)
+),
+m AS (
+    SELECT l.user_id, l.event_id, l.ts_us, r.rus, r.ref_event
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND r.rus <= l.ts_us
+)
+SELECT user_id, event_id, ts_us,
+       CASE WHEN rus >= ts_us - {_J11B_TOL_S * 1_000_000}
+            THEN rus END AS asof_ts_us,
+       CASE WHEN rus >= ts_us - {_J11B_TOL_S * 1_000_000}
+            THEN ref_event END AS ref_event
+FROM m
+"""
+
+QUERIES["j11b_asof_tolerance"] = j11b_asof_tolerance
+ORACLE["j11b_asof_tolerance"] = J11B_SQL
+
+
+def j12b_range_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT point-in-interval join: events contained in no maintenance
+    window survive with NULL ``interval_id``. Same single-shuffle
+    grid plan as j12 — the point side owns exactly one cell, so misses
+    are preserved by moving containment into the join's ON clause, with
+    no row-identity anti-join needed."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    iv = spark.range(37).select(
+        F.col("id").alias("interval_id"),
+        (F.lit(_RJ_T0_US) + F.col("id") * _RJ_STEP_US).alias("start_us"),
+        (F.lit(_RJ_T0_US) + F.col("id") * _RJ_STEP_US + _RJ_LEN_US).alias(
+            "end_us"
+        ),
+    )
+    return range_join(ev, iv, bucket_seconds=3600, how="left").select(
+        "event_id", "user_id", "interval_id"
+    )
+
+
+J12B_SQL = f"""
+WITH iv AS (
+    SELECT i AS interval_id,
+           {_RJ_T0_US} + i * {_RJ_STEP_US} AS start_us,
+           {_RJ_T0_US} + i * {_RJ_STEP_US} + {_RJ_LEN_US} AS end_us
+    FROM range(37) t(i)
+),
+e AS (SELECT event_id, user_id, epoch_us(ts) AS us FROM events)
+SELECT e.event_id, e.user_id, iv.interval_id
+FROM e LEFT JOIN iv ON e.us >= iv.start_us AND e.us < iv.end_us
+"""
+
+QUERIES["j12b_range_join_left"] = j12b_range_join_left
+ORACLE["j12b_range_join_left"] = J12B_SQL
+
+
 from ..operators.asof import scd2_intervals  # noqa: E402
 from ..functions.curation import ntile_summary  # noqa: E402
 
@@ -5137,6 +5231,68 @@ QUERIES["s15_dump_load"] = s15_dump_load
 ORACLE["s15_dump_load"] = S15_SQL
 
 
+def s10b_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10 serving-store lifecycle end to end, value-gated: two release
+    writes through ``write_store`` (dynamic partition overwrite,
+    release-scoped ``partition_id`` = "<release>_<grp>" exactly like the
+    reference's "Y_m_d|grp" scheme, uploader.py:246-295), then
+    ``compact_store`` rewrites every partition's files, then
+    ``read_store`` reads back a partition SELECTION with a column
+    projection. Any loss in the write/compact/read path — dropped rows,
+    partition leakage (1_b must NOT appear), type drift through the
+    parquet round-trip — surfaces as a value mismatch."""
+    import shutil
+    import tempfile
+
+    from .main_pipeline import compact_store, read_store, write_store
+
+    nation = load_table(spark, sf_dir, "nation")
+
+    def release(rid: int, name_col) -> DataFrame:
+        grp = F.when(F.col("n_regionkey") < 2, "a").otherwise("b")
+        return nation.select(
+            F.col("n_nationkey").alias("key"),
+            name_col.alias("name"),
+            F.concat(F.lit(f"{rid}_"), grp).alias("partition_id"),
+            F.lit(rid).alias("release_id"),
+        )
+
+    d = tempfile.mkdtemp(prefix="s10b_store_")
+    try:
+        write_store(release(1, F.col("n_name")), d)
+        write_store(release(2, F.upper(F.col("n_name"))), d)
+        written = compact_store(spark, d, target_rows_per_file=1_000)
+        if not written:
+            raise RuntimeError("s10b: compaction rewrote no partitions")
+        out = read_store(
+            spark,
+            d,
+            partitions=["1_a", "2_a", "2_b"],
+            columns=["key", "name", "release_id", "partition_id"],
+        )
+        # materialise before removing the store dir (the scan is lazy)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+S10B_SQL = """
+WITH src AS (
+    SELECT n_nationkey AS key, n_name AS name,
+           CASE WHEN n_regionkey < 2 THEN 'a' ELSE 'b' END AS grp
+    FROM nation
+)
+SELECT key, name, 1 AS release_id, '1_' || grp AS partition_id
+FROM src WHERE grp = 'a'
+UNION ALL
+SELECT key, UPPER(name) AS name, 2 AS release_id, '2_' || grp AS partition_id
+FROM src
+"""
+
+QUERIES["s10b_store_roundtrip"] = s10b_store_roundtrip
+ORACLE["s10b_store_roundtrip"] = S10B_SQL
+
+
 def pipe11_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANN index build + query (the IVF pipeline pipe7 is to
     dedup): seed centroids (vec_id < 8) -> map-side assignment -> ONE
@@ -5522,6 +5678,53 @@ FROM l JOIN r ON l.s < r.e AND r.s < l.e
 
 QUERIES["j14_interval_overlap"] = j14_interval_overlap
 ORACLE["j14_interval_overlap"] = J14_SQL
+
+
+def j14b_interval_overlap_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT interval-overlap join: click windows overlapping no view
+    window survive with NULL ``r_id``. The grid side fans left intervals
+    onto many cells, so misses are restored with a LEFT ANTI join on the
+    (unique) left interval id rather than in the ON clause — one extra
+    narrow exchange, still never all-pairs."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def windows(etype: str, minutes: int) -> DataFrame:
+        us = ts_micros("ts")
+        return (
+            ev.filter(
+                (F.col("event_type") == etype) & (F.col("user_id") < 50)
+            )
+            .select(
+                F.col("event_id").alias("interval_id"),
+                us.alias("start_us"),
+                (us + F.lit(minutes * 60 * 1_000_000)).alias("end_us"),
+            )
+        )
+
+    out = interval_overlap_join(
+        windows("click", 30), windows("view", 45),
+        bucket_seconds=1800, how="left",
+    )
+    return out.select("l_id", "r_id")
+
+
+J14B_SQL = """
+WITH l AS (
+    SELECT event_id AS id, epoch_us(ts) AS s,
+           epoch_us(ts) + 30 * 60 * CAST(1000000 AS BIGINT) AS e
+    FROM events WHERE event_type = 'click' AND user_id < 50
+),
+r AS (
+    SELECT event_id AS id, epoch_us(ts) AS s,
+           epoch_us(ts) + 45 * 60 * CAST(1000000 AS BIGINT) AS e
+    FROM events WHERE event_type = 'view' AND user_id < 50
+)
+SELECT l.id AS l_id, r.id AS r_id
+FROM l LEFT JOIN r ON l.s < r.e AND r.s < l.e
+"""
+
+QUERIES["j14b_interval_overlap_left"] = j14b_interval_overlap_left
+ORACLE["j14b_interval_overlap_left"] = J14B_SQL
 
 
 from ..streaming.windows import join_streams_within  # noqa: E402

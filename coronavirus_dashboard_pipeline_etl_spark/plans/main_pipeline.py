@@ -300,6 +300,14 @@ def compact_store(
     bounded by that partition's size — never a full-store shuffle. The
     coalesce is a NARROW repartition (no exchange) since output files
     only need merging, not redistribution.
+
+    Concurrency contract: plain-parquet dynamic overwrite offers NO
+    snapshot isolation WITHIN a partition — a reader or writer touching
+    a partition while it is being compacted can observe a partial file
+    set. Schedule compaction in the release window when the selected
+    partitions are quiescent (the store's release scheduling already
+    serialises writers per partition); for concurrent-safe compaction
+    use a table format with commit protocols (Delta/Iceberg) instead.
     """
     store = spark.read.parquet(path)
     # ONE grouped count for every selected partition (not a count-scan

@@ -205,6 +205,16 @@ def join_streams_within(
         raise ValueError(
             f"join_streams_within: column collision outside keys: {sorted(dup)}"
         )
+    # 'right_ts_out' is reserved for the renamed right timestamp; a
+    # column with that literal name on either side would slip past the
+    # intersection check above and yield a duplicate output column.
+    if "right_ts_out" in left.columns or (
+        "right_ts_out" in right.columns and right_ts != "right_ts_out"
+    ):
+        raise ValueError(
+            "join_streams_within: 'right_ts_out' is a reserved output "
+            "column name; rename it on the input side"
+        )
     l = left.withColumn(left_ts, as_ltz(left_ts))
     r = right.withColumn(right_ts, as_ltz(right_ts))
     if l.isStreaming:

@@ -723,3 +723,43 @@ def test_farthest_seeding_spreads_clusters(spark):
     import pytest
     with pytest.raises(ValueError, match="seeding"):
         kmeans_lloyd(df, k=2, seeding="random")
+
+
+def test_probe_assign_zero_norm_fails_loudly(spark):
+    """A zero-norm query vector must raise at execution, not silently
+    pick an arbitrary probe set (NULL cosines sort first otherwise)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        probe_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 0.0])], ["vec_id", "embedding"]
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["centroid_id", "centroid"]
+    )
+    good = probe_assign(
+        df.filter(F.col("vec_id") == 1), cents, nprobe=1
+    ).collect()
+    assert good[0]["probe_buckets"] == [0]
+    with pytest.raises(Exception, match="zero-norm"):
+        probe_assign(df, cents, nprobe=1).collect()
+
+
+def test_kmeans_lloyd_exact_mode(spark):
+    """exact=True must agree with exact=False on assignment decisions
+    for well-separated data and be reproducible across partitionings."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        kmeans_lloyd,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    a1, _ = kmeans_lloyd(emb, k=4, n_iter=2, exact=True)
+    a2, _ = kmeans_lloyd(emb.repartition(7), k=4, n_iter=2, exact=True)
+    r1 = {(r["vec_id"], r["centroid_id"]) for r in a1.collect()}
+    r2 = {(r["vec_id"], r["centroid_id"]) for r in a2.collect()}
+    assert r1 == r2 and len(r1) > 0

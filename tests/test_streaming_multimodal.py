@@ -681,3 +681,29 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
         for r in join_streams_within(bc, bv, keys=["user_id"]).collect()
     }
     assert batch == got
+
+
+def test_join_streams_within_reserved_name_raises(spark):
+    """'right_ts_out' is the reserved output name for the renamed right
+    timestamp; a column literally named that on either input must raise
+    loudly instead of yielding duplicate/ambiguous output columns."""
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.windows import (
+        join_streams_within,
+    )
+
+    left = spark.createDataFrame(
+        [(1, "2021-01-01 10:00:00", "x")],
+        "user_id long, ts string, right_ts_out string",
+    )
+    right = spark.createDataFrame(
+        [(1, "2021-01-01 10:01:00")], "user_id long, ts string"
+    )
+    with pytest.raises(ValueError, match="right_ts_out"):
+        join_streams_within(left, right, keys=["user_id"])
+    with pytest.raises(ValueError, match="right_ts_out"):
+        join_streams_within(
+            right, left.withColumnRenamed("ts", "ts2"),
+            keys=["user_id"], right_ts="ts2",
+        )

@@ -96,8 +96,20 @@ def main():
                 problems = compare(name, spark_pdf, duck_pdf)
             else:
                 # rows-only check (driver behaviour for non-SQL-expressible
-                # ops): the query must run and produce rows
+                # ops): the query must run and produce rows, plus cheap
+                # structural invariants so "any non-empty frame" can't pass
+                # (as of round 5 every registered gate carries an oracle —
+                # this path guards future oracle-less additions)
                 problems = [] if len(spark_pdf) > 0 else ["no rows"]
+                if not problems:
+                    if spark_pdf.columns.duplicated().any():
+                        problems.append("duplicate column names")
+                    all_null = [
+                        c for c in spark_pdf.columns
+                        if spark_pdf[c].isna().all()
+                    ]
+                    if all_null:
+                        problems.append(f"all-null columns: {all_null}")
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
         results[name] = {
