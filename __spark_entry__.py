@@ -33,6 +33,7 @@ _PRIORITY = [
     "j12b_range_join_left",
     "j14b_interval_overlap_left",
     "s10b_store_roundtrip",
+    "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",
     "j12_range_join",

@@ -54,6 +54,8 @@ HEADLINE = [
     "m3_image_features",
     "pipe12_training_layout",
     "j14_interval_overlap",
+    # round-5: semantic dedup via IVF probe buckets
+    "d10_embedding_neardup",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

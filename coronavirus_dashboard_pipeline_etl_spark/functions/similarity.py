@@ -538,6 +538,105 @@ def probe_assign(
     )
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_id_col: str = "centroid_id",
+    centroid_vec_col: str = "centroid",
+    max_bucket: int = 100_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the semantic-dedup mode
+    of the family (MinHash/SimHash/Jaccard catch lexical dups; this
+    catches paraphrases that share an embedding neighbourhood). Never
+    all-pairs: candidates come from IVF probe buckets.
+
+    Plan: ``probe_assign`` attaches each vector's ``nprobe`` nearest
+    centroid ids (zero-shuffle codegen); vectors explode onto their
+    probe buckets; the self-join is an equi-join ON THE BUCKET ID with
+    ``id_l < id_r``. A pair sharing several probe buckets would surface
+    once per shared bucket, so only the smallest shared bucket keeps
+    the pair (``bucket == array_min(array_intersect(l, r))``) — dedup
+    by construction, no distinct shuffle (the interval_overlap_join
+    first-shared-cell trick in embedding space). Cosine is computed on
+    the surviving candidates only and ROUNDED to ``round_digits``
+    before the threshold test so the engine's low-order summation bits
+    cannot flip an inclusion decision at the boundary.
+
+    Scale: in-bucket candidate cost is sum(bucket²) — size ``k`` (the
+    centroid count) so buckets hold roughly corpus/k vectors (k ~ N /
+    1e4 keeps buckets joinable at any corpus size; train centroids with
+    ``kmeans_lloyd``). A bucket above ``max_bucket`` raises loudly
+    (skewed/undertrained centroids) rather than silently running an
+    all-pairs-sized join; the check is one bounded aggregate.
+    """
+    if not 0.0 <= threshold <= 1.0:
+        raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    probed = probe_assign(
+        df.select(
+            F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
+        ),
+        centroids,
+        nprobe=nprobe,
+        vec_col="__v",
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    )
+    x = probed.select(
+        F.col(id_col),
+        "__v",
+        F.col("probe_buckets").alias("__bs"),
+        F.explode("probe_buckets").alias("__b"),
+    )
+    oversized = (
+        x.groupBy("__b")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        raise ValueError(
+            f"embedding_neardup_pairs: probe bucket {oversized[0]['__b']} "
+            f"holds {oversized[0]['count']} > max_bucket={max_bucket} "
+            "vectors; train more centroids (k ~ corpus/1e4) or raise "
+            "max_bucket explicitly"
+        )
+    l = x.select(
+        F.col(id_col).alias("id_l"),
+        F.col("__v").alias("__vl"),
+        F.col("__bs").alias("__bl"),
+        "__b",
+    )
+    r = x.select(
+        F.col(id_col).alias("id_r"),
+        F.col("__v").alias("__vr"),
+        F.col("__bs").alias("__br"),
+        "__b",
+    )
+    cos = F.round(
+        _dot(F.col("__vl"), F.col("__vr"))
+        / (_norm(F.col("__vl")) * _norm(F.col("__vr"))),
+        round_digits,
+    )
+    return (
+        l.join(r, "__b")
+        .filter(
+            (F.col("id_l") < F.col("id_r"))
+            & (
+                F.col("__b")
+                == F.array_min(F.array_intersect("__bl", "__br"))
+            )
+        )
+        .select("id_l", "id_r", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def kmeans_seeds_farthest(
     df: DataFrame,
     k: int,

@@ -5438,6 +5438,54 @@ QUERIES["d9_editdist_pairs"] = d9_editdist_pairs
 ORACLE["d9_editdist_pairs"] = D9_SQL
 
 
+def d10_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) near-dup pairs via IVF probe
+    buckets: probe_assign(nprobe=2) -> explode onto buckets ->
+    in-bucket self-join (id_l < id_r) -> first-shared-bucket dedup ->
+    rounded-cosine threshold. Candidate generation is the bucketed
+    scale path (never all-pairs); the oracle mirrors the probe and
+    dedup decisions exactly, so recall choices are value-checked, not
+    just row-counted."""
+    from ..functions.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return embedding_neardup_pairs(emb, seeds, threshold=0.35, nprobe=2)
+
+
+D10_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+probes AS (
+    SELECT vec_id, v, list(cid ORDER BY rn) AS buckets FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, cents c
+    ) t WHERE rn <= 2
+    GROUP BY vec_id, v
+),
+x AS (SELECT vec_id, v, buckets, UNNEST(buckets) AS b FROM probes),
+pairs AS (
+    SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+           ROUND(list_cosine_similarity(l.v, r.v), 6) AS cosine
+    FROM x l JOIN x r ON l.b = r.b AND l.vec_id < r.vec_id
+    WHERE l.b = list_min(list_intersect(l.buckets, r.buckets))
+)
+SELECT id_l, id_r, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+QUERIES["d10_embedding_neardup"] = d10_embedding_neardup
+ORACLE["d10_embedding_neardup"] = D10_SQL
+
+
 from ..functions.curation import assign_shards, split_corpus  # noqa: E402
 
 

@@ -763,3 +763,35 @@ def test_kmeans_lloyd_exact_mode(spark):
     r1 = {(r["vec_id"], r["centroid_id"]) for r in a1.collect()}
     r2 = {(r["vec_id"], r["centroid_id"]) for r in a2.collect()}
     assert r1 == r2 and len(r1) > 0
+
+
+def test_embedding_neardup_guard_and_symmetry(spark):
+    """Oversized probe buckets must raise loudly (the never-all-pairs
+    contract); pair output must be canonical (id_l < id_r, no dups)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        embedding_neardup_pairs,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    with pytest.raises(ValueError, match="max_bucket"):
+        embedding_neardup_pairs(emb, seeds, threshold=0.3, max_bucket=10)
+
+    pairs = embedding_neardup_pairs(emb, seeds, threshold=0.3).collect()
+    assert pairs, "fixture should produce pairs at threshold 0.3"
+    seen = set()
+    for p in pairs:
+        assert p["id_l"] < p["id_r"]
+        assert (p["id_l"], p["id_r"]) not in seen
+        seen.add((p["id_l"], p["id_r"]))
+        assert p["cosine"] >= 0.3
+
+    with pytest.raises(ValueError, match="threshold"):
+        embedding_neardup_pairs(emb, seeds, threshold=1.5)
