@@ -66,23 +66,25 @@ def _calibrate() -> dict[str, float]:
     times so per-round numbers can be normalised across hosts: rounds
     run on different machines/conditions (r5 measured byte-identical
     queries at 1.4-2x r4's times on an idle box), and without a
-    calibration constant that reads as a code regression. numpy matmul
-    ~ the vectorised/JVM-adjacent path; the pure-Python loop ~ driver
-    overhead. Both deterministic, single-threaded-ish, ~1 s total."""
+    calibration constant that reads as a code regression. Both probes
+    are SINGLE-THREADED by construction — numpy elementwise ops never
+    route to BLAS (a threaded matmul would measure thread config, not
+    host speed) — so the numbers depend only on the core + memory bus.
+    ~1 s total, deterministic."""
     import numpy as np
 
     rng = np.random.default_rng(42)
-    a = rng.standard_normal((1024, 1024))
+    a = rng.standard_normal(1 << 24)
     t0 = time.perf_counter()
     for _ in range(10):
-        a = a @ a * 1e-3
-    matmul = round(time.perf_counter() - t0, 3)
+        a = a * 1.000001 + 0.5
+    elementwise = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     s = 0
     for i in range(5_000_000):
         s += i & 1023
     loop = round(time.perf_counter() - t0, 3)
-    return {"numpy_matmul_sec": matmul, "python_loop_sec": loop}
+    return {"numpy_elementwise_sec": elementwise, "python_loop_sec": loop}
 
 
 def _bucketed_store_setup(spark, sf_dir: str) -> None:

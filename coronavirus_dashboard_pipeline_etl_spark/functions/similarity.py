@@ -345,8 +345,13 @@ def kmeans_lloyd(
     ``exact=True`` switches the centroid update to the decimal-exact
     form used by the pipe11 gate: per-(cluster, dim) SUM over
     ``decimal(30,15)`` (exact, order/partitioning-independent) cast to
-    double, divided by the count. Identical results across engines,
-    partition layouts, and AQE decisions — the driver-verifiable mode.
+    double, divided by the count. Centroids are then identical across
+    engines, partition layouts, and AQE decisions — the
+    driver-verifiable mode. Assignment decisions on top of them compare
+    double cosines computed with the same sequential fold order in both
+    engines, exact ties broken by smallest centroid id; an
+    epsilon-near-tie between two centroids could in principle resolve
+    differently across engines (not observed at any tested scale).
     Plain ``exact=False`` keeps double ``avg`` (faster; low-order bits
     may vary with aggregation order).
     """
@@ -592,6 +597,13 @@ def embedding_neardup_pairs(
         F.col("probe_buckets").alias("__bs"),
         F.explode("probe_buckets").alias("__b"),
     )
+    # One scoring pass total: the k-wide probe scoring would otherwise
+    # re-execute three times (the guard job + each side of the
+    # self-join — the sides project different aliases, so exchange
+    # reuse cannot kick in). localCheckpoint materialises the exploded
+    # (id, vec, buckets) rows once — nprobe x corpus, linear — and the
+    # guard collect doubles as the eager materialisation.
+    x = x.localCheckpoint(eager=False)
     oversized = (
         x.groupBy("__b")
         .count()

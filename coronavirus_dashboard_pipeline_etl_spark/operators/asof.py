@@ -383,8 +383,8 @@ def interval_overlap_join(
             F.lit(None).cast(matched.schema["r_id"].dataType).alias("r_id"),
             "l_s",
             "l_e",
-            F.lit(None).cast("long").alias("r_s"),
-            F.lit(None).cast("long").alias("r_e"),
+            F.lit(None).cast(matched.schema["r_s"].dataType).alias("r_s"),
+            F.lit(None).cast(matched.schema["r_e"].dataType).alias("r_e"),
         )
     )
     return matched.unionByName(misses)

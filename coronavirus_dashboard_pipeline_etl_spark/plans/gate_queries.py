@@ -1906,11 +1906,57 @@ def d6_dedup_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup RESOLUTION: LSH candidate pairs -> connected components ->
     (doc_id, canonical_id). The drop-list query for corpus dedup; the
     Spark side iterates min-label propagation to the (unique) fixpoint,
-    the oracle takes the same closure with a recursive CTE."""
+    the oracle unrolls propagate+pointer-jump rounds (``_cc_rounds_sql``)
+    — the same fixpoint, reachable at every tested scale factor."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, k=16)
     pairs = lsh_candidate_pairs(sigs, k=16, bands=2)
     return dedup_components(pairs, docs.select("doc_id"))
+
+
+def _cc_rounds_sql(n_rounds: int = 16) -> str:
+    """Unrolled min-label connected components over CTEs ``edges(a, b)``
+    (directed both ways) and ``documents(doc_id)``, ending in
+    ``cc(node, label)`` with label = the component's minimum doc_id.
+
+    Replaces a transitive-closure recursive CTE whose working set is
+    O(sum of component size squared) — unusable on the sf0.1 candidate
+    graph (millions of pairs; the recursion churned >30 min before
+    being killed). Each unrolled round is a propagate step (min over
+    own + in-neighbour labels, O(N+E) rows) followed by a pointer-jump
+    (label <- label's label, O(N) rows) — the Shiloach-Vishkin
+    schedule, so label reach at least doubles per round and
+    ``n_rounds=16`` converges for any component diameter up to ~2^16:
+    far beyond any gate-scale graph. A non-converged oracle would
+    hash-mismatch the Spark fixpoint, which is the loud failure mode
+    the gate wants.
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB otherwise INLINES each
+    reference, so 16 rounds each referencing ``edges`` (and ``j``
+    referencing ``p`` twice) would re-expand the whole upstream LSH
+    pipeline per reference — file-handle exhaustion before it even
+    runs. The caller's ``edges`` CTE must be MATERIALIZED for the same
+    reason."""
+    parts = [
+        "l0 AS MATERIALIZED (SELECT doc_id AS node, doc_id AS label FROM documents)"
+    ]
+    prev = "l0"
+    for r in range(1, n_rounds + 1):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+    SELECT node, MIN(label) AS label FROM (
+        SELECT node, label FROM {prev}
+        UNION ALL
+        SELECT e.b AS node, l.label FROM {prev} l JOIN edges e ON e.a = l.node
+    ) t GROUP BY node
+),
+j{r} AS MATERIALIZED (
+    SELECT l.node, l2.label
+    FROM p{r} l JOIN p{r} l2 ON l.label = l2.node
+)""")
+        prev = f"j{r}"
+    parts.append(f"cc AS (SELECT node, label FROM {prev})")
+    return ",".join(parts)
 
 
 def _d6_sql() -> str:
@@ -1922,7 +1968,7 @@ def _d6_sql() -> str:
             "FROM sig WHERE mh0 IS NOT NULL"
         )
     return f"""
-WITH RECURSIVE th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
 sig AS (
     SELECT doc_id,
            {','.join(f'list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}' for i, (a, b) in enumerate(hash_params(16)))}
@@ -1934,18 +1980,13 @@ pairs AS (
     FROM bands l JOIN bands r
       ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM pairs
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM pairs
 ),
-reach(node, other) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
-)
-SELECT node AS doc_id, MIN(other) AS canonical_id
-FROM reach GROUP BY node
+{_cc_rounds_sql()}
+SELECT node AS doc_id, label AS canonical_id FROM cc
 """
 
 
@@ -4330,9 +4371,10 @@ def pipe7_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, canonical_id, kept). Docs keep iff they are their
     component's minimum id; the drop list is kept = false.
 
-    Oracle note: like d6, the recursive-CTE closure is gate-scale only
-    (its working set explodes on the sf0.1 candidate graph while the
-    Spark side resolves it in seconds — see dedup_components)."""
+    Oracle note: components resolve via the unrolled propagate+jump
+    rounds (``_cc_rounds_sql``) — O(N+E) per round, so the oracle holds
+    at sf0.1's million-pair candidate graph too (the old
+    transitive-closure recursion did not)."""
     from ..functions.dedup import dedup_components
 
     docs = load_table(spark, sf_dir, "documents")
@@ -4373,7 +4415,7 @@ def _pipe7_sql() -> str:
         for i, (a, b) in enumerate(hash_params(16))
     )
     return f"""
-WITH RECURSIVE th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
 sig AS (SELECT doc_id, {sig_exprs} FROM th),
 bands AS ({' UNION ALL '.join(bands)}),
 pairs AS (
@@ -4391,19 +4433,15 @@ verified AS (
           / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
           >= 0.5
 ),
-edges AS (
+edges AS MATERIALIZED (
     SELECT id_a AS a, id_b AS b FROM verified
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM verified
 ),
-reach(node, other) AS (
-    SELECT doc_id, doc_id FROM documents
-    UNION
-    SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
-)
-SELECT node AS doc_id, MIN(other) AS canonical_id,
-       node = MIN(other) AS kept
-FROM reach GROUP BY node
+{_cc_rounds_sql()}
+SELECT node AS doc_id, label AS canonical_id,
+       node = label AS kept
+FROM cc
 """
 
 
@@ -5983,9 +6021,12 @@ def c2_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage) in ``exact=True`` mode: every centroid update is a
     decimal(30,15) SUM (exact, order/partitioning-independent) cast to
     double before the /count division, so all three rounds of centroids
-    — and every assignment decision downstream — are bit-identical
-    across engines. The oracle unrolls the three Lloyd rounds as
-    repeated CTEs (the pipe11 single-round technique, iterated).
+    are bit-identical across engines. Assignments compare double
+    cosines with matching fold order and id tie-breaks (the same
+    contract every ANN gate in this registry relies on; near-tie
+    epsilon flips are possible in principle, not observed at any tested
+    scale). The oracle unrolls the three Lloyd rounds as repeated CTEs
+    (the pipe11 single-round technique, iterated).
 
     The production default (``exact=False``, plain double avg) trades
     that reproducibility for one fewer decimal pass per round; the

@@ -750,8 +750,12 @@ def test_probe_assign_zero_norm_fails_loudly(spark):
 
 
 def test_kmeans_lloyd_exact_mode(spark):
-    """exact=True must agree with exact=False on assignment decisions
-    for well-separated data and be reproducible across partitionings."""
+    """exact=True must be reproducible across partitionings (decimal
+    sums are order-independent), and on this well-separated fixture its
+    assignment decisions must agree with the production exact=False
+    path — a regression that shifts exact-mode centroids (wrong scale,
+    dropped /count) would diverge from the plain path even while
+    staying internally deterministic."""
     from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
         kmeans_lloyd,
     )
@@ -763,6 +767,10 @@ def test_kmeans_lloyd_exact_mode(spark):
     r1 = {(r["vec_id"], r["centroid_id"]) for r in a1.collect()}
     r2 = {(r["vec_id"], r["centroid_id"]) for r in a2.collect()}
     assert r1 == r2 and len(r1) > 0
+
+    a3, _ = kmeans_lloyd(emb, k=4, n_iter=2, exact=False)
+    r3 = {(r["vec_id"], r["centroid_id"]) for r in a3.collect()}
+    assert r1 == r3
 
 
 def test_embedding_neardup_guard_and_symmetry(spark):

@@ -103,13 +103,16 @@ def main():
                 problems = [] if len(spark_pdf) > 0 else ["no rows"]
                 if not problems:
                     if spark_pdf.columns.duplicated().any():
+                        # stop here: spark_pdf[c] would return a frame
+                        # for a duplicated name and crash the null check
                         problems.append("duplicate column names")
-                    all_null = [
-                        c for c in spark_pdf.columns
-                        if spark_pdf[c].isna().all()
-                    ]
-                    if all_null:
-                        problems.append(f"all-null columns: {all_null}")
+                    else:
+                        all_null = [
+                            c for c in spark_pdf.columns
+                            if spark_pdf[c].isna().all()
+                        ]
+                        if all_null:
+                            problems.append(f"all-null columns: {all_null}")
         except Exception as e:  # noqa: BLE001
             problems = [f"EXCEPTION: {type(e).__name__}: {e}"]
         results[name] = {
