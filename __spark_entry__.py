@@ -33,6 +33,16 @@ _PRIORITY = [
     "j12b_range_join_left",
     "j14b_interval_overlap_left",
     "s10b_store_roundtrip",
+    # sketches / rollup / nearest-asof / span-dedup / TPC-H breadth —
+    # new in the second half of round 5, never driver-sampled:
+    "sk1_hll_registers",
+    "sk1b_hll_estimate",
+    "sk2_countmin_heavy",
+    "d11_span_dedup",
+    "j11c_asof_nearest",
+    "g5_rollup_events",
+    "q4_order_priority",
+    "q18_large_volume",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

@@ -632,3 +632,54 @@ def editdist_pairs(
         .filter(F.col("dist") >= 0)
         .select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    span_tokens: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact substring-level dedup: find every ``span_tokens``-token
+    passage that recurs across >= ``min_docs`` distinct documents (the
+    "deduplicating training data makes language models better" exact-
+    substring pass, at token-window granularity instead of suffix-array
+    byte granularity — the Spark-native equivalent: fixed-width token
+    windows hash into a groupBy instead of a cross-partition suffix
+    sort).
+
+    Returns ``(fp, n_docs, n_occurrences, first_doc)`` — the duplicated
+    span fingerprints with their spread; join back on a recomputed fp to
+    locate/mask the passages in situ.
+
+    Scale: the explode is x(tokens - span + 1) on the map side but each
+    shingle row is just (id, 16-byte fp); ONE groupBy on the md5 key
+    (uniform by construction, no skew), map-side combine collapses
+    within-doc repeats first. No pairwise expansion anywhere — a span
+    shared by a million docs is one reduce group, not 10^12 pairs.
+    """
+    if span_tokens < 1:
+        raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size(F.col("__toks"))
+    fps = F.when(
+        n >= span_tokens,
+        F.transform(
+            F.sequence(F.lit(1), n - span_tokens + 1),
+            lambda s: F.md5(
+                F.array_join(F.slice(F.col("__toks"), s, span_tokens), " ")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    spans = base.select(id_col, F.explode(fps).alias("fp"))
+    return (
+        spans.groupBy("fp")
+        .agg(
+            F.countDistinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min(F.col(id_col)).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

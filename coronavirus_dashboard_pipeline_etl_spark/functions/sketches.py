@@ -1,0 +1,213 @@
+"""Mergeable streaming sketches: HyperLogLog distinct-count and
+count-min frequency, built deterministic-by-construction.
+
+Beyond-reference capability (the reference counts distincts exactly in
+Postgres, e.g. ``db_etl/homepage_graphs/queries.py`` COUNT(DISTINCT)
+patterns); at 100 TB an exact distinct is a full shuffle of every key,
+while a sketch is a bounded-size, mergeable aggregate that map-side
+combines — the standard engine answer (Spark's own
+``approx_count_distinct`` is an HLL++).
+
+Why hand-rolled rather than ``approx_count_distinct``: the built-in's
+register layout is engine-internal (not cross-checkable, not portable),
+and its estimate differs run-to-run across engines.  This one derives
+every register from ``md5`` so the SAME sketch state is reproducible in
+any engine (the DuckDB oracle rebuilds it bit-for-bit), and the
+register table itself is the exported artifact — union two register
+tables and take ``max`` per bucket to merge (classic HLL merge), which
+also makes it a valid custom *streaming* aggregate.
+
+Determinism contract (matches gate_queries.py):
+
+* the 60-bit item hash is the first 15 hex chars of md5 — identical
+  everywhere;
+* register ranks are pure integer ops (bit-length via ``bin``/``%b``,
+  never ``log2`` whose libm rounding may differ);
+* the harmonic-mean denominator is an EXACT decimal sum of integer
+  powers of two (scaled by 2^61 so empty buckets contribute 2^61);
+  only the final alpha*m^2 correction touches doubles (mul/div only —
+  IEEE-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# 60-bit hash from md5 hex; bucket = low p bits, rank from the rest.
+_HASH_BITS = 60
+
+
+def _h60(col: Column) -> Column:
+    """First 15 md5 hex chars as a non-negative 60-bit BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hll_registers(df: DataFrame, item: Column, p: int = 9) -> DataFrame:
+    """HyperLogLog register table for the distinct count of ``item``.
+
+    Returns one row per OCCUPIED bucket: ``(bucket, max_rank)`` with
+    ``bucket`` in [0, 2^p) and ``max_rank`` in [1, 60-p+1].  This is
+    the sketch's full state: mergeable by ``union`` + ``max(max_rank)
+    GROUP BY bucket``, and O(2^p) rows regardless of input size.
+
+    Scale shape: one map-side-combinable groupBy on a p-bit key — the
+    partial aggregate per task is at most 2^p rows, so the shuffle is
+    constant-size no matter how many input rows each task scans.
+    """
+    if not 4 <= p <= 16:
+        raise ValueError(f"hll_registers: p must be in [4,16], got {p}")
+    m = 1 << p
+    h = _h60(item)
+    bucket = (h % F.lit(m)).alias("bucket")
+    # top 60-p bits; shiftright, never double division (h > 2^53 would
+    # round through a double and corrupt the rank)
+    w = F.shiftright(h, p)
+    wbits = _HASH_BITS - p
+    # rank = position of the leftmost 1-bit of w within (60-p) bits,
+    # counted from 1; all-zero w -> wbits + 1 (standard HLL rho).
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(bucket, rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("max_rank"))
+    )
+
+
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches built with the same ``p``: max rank per bucket.
+
+    This is what makes the sketch a distributed/streaming aggregate:
+    shard corpora, sketch each shard, merge the tiny register tables.
+    """
+    if not register_tables:
+        raise ValueError("hll_merge: need at least one register table")
+    out = register_tables[0]
+    for t in register_tables[1:]:
+        out = out.unionByName(t)
+    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+
+
+def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
+    """One-row estimate summary from a register table.
+
+    Columns: ``m`` (buckets), ``v_empty`` (zero registers), ``s_scaled``
+    (exact integer harmonic-mean denominator, scaled by 2^(61-p)),
+    ``raw_estimate`` (alpha_m * m^2 / sum(2^-M_j), the uncorrected HLL
+    estimator — deterministic: exact integers into one double div/mul).
+
+    The 2^(61-p) scaling is chosen so the denominator is EXACT BIGINT
+    arithmetic end-to-end: the largest register contribution is
+    2^(60-p), the smallest 2^0, and the worst-case total m * 2^(61-p)
+    = 2^61 < 2^63.  Staying in int64 (not DECIMAL) matters because the
+    final int->double cast is IEEE round-nearest in every engine,
+    whereas wide-decimal->double conversion rounds differently between
+    engines (observed: Spark vs DuckDB differ in the last ulp on a
+    70-bit unscaled value).
+
+    The small-range linear-counting correction (m * ln(m / V)) is the
+    right production refinement but ``ln`` is libm-dependent, so it is
+    left to callers that don't need cross-engine bit-equality:
+    ``corrected = m * math.log(m / v_empty)`` when ``raw <= 2.5 m`` and
+    ``v_empty > 0``.
+    """
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    scale_pow = 61 - p  # empty-bucket contribution: 2^scale_pow
+    # integer shift, never pow(): the double round-trip is not reliably
+    # exact (F.shiftleft only takes a literal shift; the SQL form takes
+    # an expression)
+    scaled = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - max_rank)"
+    )
+    agg = registers.agg(
+        F.count(F.lit(1)).alias("present"),
+        F.sum(scaled).alias("s_occ"),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m"),
+        (F.lit(m) - F.col("present")).cast("long").alias("v_empty"),
+        (
+            F.col("s_occ")
+            + (F.lit(m) - F.col("present")).cast("long")
+            * F.lit(1 << scale_pow).cast("long")
+        ).cast("long").alias("s_scaled"),
+    ).select(
+        "m",
+        "v_empty",
+        "s_scaled",
+        # single precomputed double coefficient (alpha * m^2 * 2^(61-p))
+        # so an oracle can embed the identical literal
+        (
+            F.lit(alpha * m * m * float(1 << scale_pow))
+            / F.col("s_scaled").cast("double")
+        ).alias("raw_estimate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# count-min
+# --------------------------------------------------------------------------
+
+def countmin_sketch(
+    df: DataFrame, item: Column, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min sketch of ``item`` frequencies: ``(row, col, cnt)``,
+    at most depth*width rows.  Row i uses hash ``md5(i || '|' || item)``
+    so the d hash functions are independent and reproducible anywhere.
+
+    Mergeable by ``union`` + ``sum(cnt) GROUP BY row, col`` — a valid
+    shard/stream aggregate.  Scale shape: the explode is x``depth`` on
+    the map side, then one groupBy on a (depth*width)-ary key with
+    map-side combine; shuffle size is bounded by the sketch, not the
+    data.
+    """
+    if depth < 1 or width < 2:
+        raise ValueError("countmin_sketch: need depth >= 1, width >= 2")
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    tagged = df.select(item.alias("__item"), rows)
+    col = _h60(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("__item"))
+    ) % F.lit(width)
+    return (
+        tagged.select("row", col.alias("col"))
+        .groupBy("row", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    candidates: DataFrame,
+    item: Column,
+    depth: int = 4,
+    width: int = 512,
+) -> DataFrame:
+    """Point-estimate each candidate's frequency: min over the d rows.
+
+    ``candidates`` is expected small (heavy-hitter shortlist); the join
+    against the bounded sketch broadcasts.  Output keeps every candidate
+    column and appends ``cm_estimate`` (upper-bound count: the count-min
+    guarantee is estimate >= true, overcount bounded by e*N/width with
+    probability 1 - e^-depth).
+    """
+    from pyspark.sql.functions import broadcast
+
+    rows = F.explode(
+        F.array(*[F.lit(i) for i in range(depth)])
+    ).alias("row")
+    keyed = candidates.withColumn("__item", item).select("*", rows)
+    col = _h60(
+        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("__item"))
+    ) % F.lit(width)
+    probed = keyed.withColumn("col", col).join(
+        broadcast(sketch), on=["row", "col"], how="left"
+    )
+    out_cols = [c for c in candidates.columns]
+    return (
+        probed.groupBy(*out_cols)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    )

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .util import ts_micros
 
@@ -71,12 +71,15 @@ def asof_join(
     right_ts: str = "ts",
     right_cols: Sequence[str] = (),
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Generic backward as-of LEFT join: each left row picks the right
-    row with the greatest ``right_ts`` <= ``left_ts`` within its key
-    group (ties at the exact same timestamp match — ``<=``, the
-    pandas/kdb default). The operator Spark lacks natively, built
-    Spark-first:
+    """Generic as-of LEFT join: each left row picks, within its key
+    group, the right row with the greatest ``right_ts <= left_ts``
+    (``direction="backward"``, the pandas/kdb default — ties at the
+    exact same timestamp match), the least ``right_ts >= left_ts``
+    (``"forward"``), or whichever of the two is closer in time
+    (``"nearest"``, ties broken toward backward as pandas does). The
+    operator Spark lacks natively, built Spark-first:
 
     UNION the two sides tagged (right rows sort BEFORE left rows at
     equal timestamps), then one ``last(value, ignorenulls=True)`` window
@@ -84,14 +87,25 @@ def asof_join(
     row. ONE shuffle on the join keys — never a range-join explosion or
     a per-key sort-merge of left x right; at 100 TB both sides stream
     through the same hash exchange and the window is a linear scan.
+    ``forward`` mirrors the frame (``first`` over the following rows,
+    left rows sorting before equal-timestamp right rows so ``>=`` ties
+    match); ``nearest`` evaluates both windows inside the SAME
+    partition-level sort pipeline — still one shuffle, two in-partition
+    sort orders — and keeps the closer match.
 
     ``right_cols`` are carried onto matches (they must not collide with
     left column names); unmatched left rows keep them NULL plus a NULL
-    ``asof_ts_us``. ``tolerance_seconds`` voids matches older than the
-    bound (pandas ``merge_asof`` tolerance). Right rows should be
-    unique per (keys, right_ts) — among exact duplicates the carried row
-    is frame-order-dependent; pre-aggregate to make it total.
+    ``asof_ts_us``. ``tolerance_seconds`` voids matches further than the
+    bound in the match's direction (pandas ``merge_asof`` tolerance;
+    for ``nearest`` it bounds the absolute distance). Right rows should
+    be unique per (keys, right_ts) — among exact duplicates the carried
+    row is frame-order-dependent; pre-aggregate to make it total.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward/nearest,"
+            f" got {direction!r}"
+        )
     overlap = set(right_cols) & set(left.columns)
     if overlap:
         raise ValueError(
@@ -117,21 +131,59 @@ def asof_join(
         F.lit(None).cast(r_tagged.schema["__rv"].dataType).alias("__rv"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
-    w = (
+    tagged = r_tagged.unionByName(l_tagged)
+    tol_us = (
+        None if tolerance_seconds is None else tolerance_seconds * 1_000_000
+    )
+
+    def _bounded(m: Column, back: bool) -> Column:
+        if tol_us is None:
+            return m
+        if back:
+            ok = m["asof_ts_us"] >= F.col("__us") - F.lit(tol_us)
+        else:
+            ok = m["asof_ts_us"] <= F.col("__us") + F.lit(tol_us)
+        return F.when(ok, m)
+
+    # backward frame: right rows (tag 0) sort before equal-ts left rows,
+    # so <= ties land inside the preceding frame
+    w_back = (
         Window.partitionBy(*key_list)
         .orderBy("__us", "__is_left")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = r_tagged.unionByName(l_tagged).withColumn(
-        "__match", F.last("__rv", ignorenulls=True).over(w)
+    # forward frame: left rows sort before equal-ts right rows, so >=
+    # ties land inside the following frame
+    w_fwd = (
+        Window.partitionBy(*key_list)
+        .orderBy("__us", F.col("__is_left").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    out = carried.filter(F.col("__is_left") == 1)
-    match = F.col("__match")
-    if tolerance_seconds is not None:
-        in_tol = match["asof_ts_us"] >= F.col("__us") - F.lit(
-            tolerance_seconds * 1_000_000
+    if direction == "backward":
+        carried = tagged.withColumn(
+            "__match", F.last("__rv", ignorenulls=True).over(w_back)
         )
-        match = F.when(in_tol, match)
+        match = _bounded(F.col("__match"), back=True)
+    elif direction == "forward":
+        carried = tagged.withColumn(
+            "__match", F.first("__rv", ignorenulls=True).over(w_fwd)
+        )
+        match = _bounded(F.col("__match"), back=False)
+    else:  # nearest
+        carried = tagged.withColumn(
+            "__mb", F.last("__rv", ignorenulls=True).over(w_back)
+        ).withColumn("__mf", F.first("__rv", ignorenulls=True).over(w_fwd))
+        mb = _bounded(F.col("__mb"), back=True)
+        mf = _bounded(F.col("__mf"), back=False)
+        d_back = F.col("__us") - mb["asof_ts_us"]
+        d_fwd = mf["asof_ts_us"] - F.col("__us")
+        match = (
+            F.when(mb.isNull(), mf)
+            .when(mf.isNull(), mb)
+            .when(d_fwd < d_back, mf)  # tie -> backward (pandas)
+            .otherwise(mb)
+        )
+    out = carried.filter(F.col("__is_left") == 1)
     return out.select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         match["asof_ts_us"].alias("asof_ts_us"),

@@ -6097,3 +6097,411 @@ SELECT vec_id, cid AS centroid_id FROM (
 
 QUERIES["c2_kmeans_lloyd"] = c2_kmeans_lloyd
 ORACLE["c2_kmeans_lloyd"] = C2_SQL
+
+
+# --------------------------------------------------------------------------
+# round 5: mergeable sketches, rollup, nearest as-of, span dedup, TPC-H
+# breadth (q4/q18 shapes on the reduced synthetic schema)
+# --------------------------------------------------------------------------
+from ..functions.sketches import (  # noqa: E402
+    countmin_lookup,
+    countmin_sketch,
+    hll_registers,
+    hll_summary,
+)
+from ..functions.dedup import duplicated_spans  # noqa: E402
+
+_HLL_P = 9
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+_HLL_ITEM_SQL = "CAST(event_id AS VARCHAR)"
+
+
+def sk1_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over event ids: the full mergeable
+    sketch state (<= 2^p rows whatever the input size), every register
+    derived from md5 so the oracle rebuilds it bit-for-bit. The groupBy
+    map-side combines to <= 2^p rows per task — constant shuffle at any
+    corpus size (cf. exact COUNT(DISTINCT) patterns in the reference's
+    db_etl/homepage_graphs/queries.py, which shuffle every key)."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, F.col("event_id").cast("string"), p=_HLL_P)
+    return regs.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("max_rank").cast("long").alias("max_rank"),
+    )
+
+
+def _hll_regs_sql() -> str:
+    h = _md5int_sql(_HLL_ITEM_SQL)
+    wbits = 60 - _HLL_P
+    return f"""
+hashed AS (SELECT {h} AS h FROM events),
+regs AS (
+    SELECT CAST(h % {_HLL_M} AS BIGINT) AS bucket,
+           CAST(CASE WHEN h // {_HLL_M} = 0 THEN {wbits + 1}
+                     ELSE {wbits} - length(printf('%b', h // {_HLL_M})) + 1
+                END AS BIGINT) AS rank
+    FROM hashed
+)"""
+
+
+SK1_SQL = (
+    "WITH "
+    + _hll_regs_sql()
+    + """
+SELECT bucket, MAX(rank) AS max_rank FROM regs GROUP BY bucket
+"""
+)
+
+
+def sk1b_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row HLL summary next to the exact answer: the harmonic-mean
+    denominator is an EXACT decimal sum of integer powers of two, so
+    both engines agree bit-for-bit; only the final alpha*m^2 correction
+    touches doubles (mul/div only). rel_err documents the sketch's
+    accuracy against COUNT(DISTINCT) on the same data."""
+    ev = load_table(spark, sf_dir, "events")
+    regs = hll_registers(ev, F.col("event_id").cast("string"), p=_HLL_P)
+    summ = hll_summary(regs, p=_HLL_P)
+    exact = ev.agg(
+        F.countDistinct(F.col("event_id").cast("string")).alias(
+            "exact_distinct"
+        )
+    )
+    out = summ.crossJoin(exact)
+    rel = F.abs(
+        F.col("raw_estimate") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return out.select(
+        "m", "v_empty", "s_scaled", "raw_estimate", "exact_distinct",
+        rel.alias("rel_err"),
+    )
+
+
+_HLL_SCALE = 1 << (61 - _HLL_P)  # empty-bucket contribution; sum fits int64
+
+SK1B_SQL = (
+    "WITH "
+    + _hll_regs_sql()
+    + f""",
+r AS (SELECT bucket, MAX(rank) AS max_rank FROM regs GROUP BY bucket),
+s AS (
+    SELECT COUNT(*) AS present,
+           CAST(SUM(CAST(1 AS BIGINT) << ({61 - _HLL_P} - max_rank))
+                AS BIGINT) AS s_occ
+    FROM r
+),
+x AS (SELECT COUNT(DISTINCT {_HLL_ITEM_SQL}) AS exact_distinct FROM events),
+f AS (
+    SELECT CAST({_HLL_M} AS BIGINT) AS m,
+           CAST({_HLL_M} - present AS BIGINT) AS v_empty,
+           CAST(s_occ + ({_HLL_M} - present) * CAST({_HLL_SCALE} AS BIGINT)
+                AS BIGINT) AS s_scaled,
+           exact_distinct
+    FROM s, x
+)
+SELECT m, v_empty, s_scaled,
+       CAST({_HLL_ALPHA_M2 * float(_HLL_SCALE)!r} AS DOUBLE)
+           / CAST(s_scaled AS DOUBLE) AS raw_estimate,
+       exact_distinct,
+       abs(CAST({_HLL_ALPHA_M2 * float(_HLL_SCALE)!r} AS DOUBLE)
+           / CAST(s_scaled AS DOUBLE)
+           - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)
+           AS rel_err
+FROM f
+"""
+)
+
+_CM_D = 4
+_CM_W = 512
+
+
+def sk2_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter check: build the bounded
+    (depth x width) frequency sketch over event user_ids, then probe it
+    for the exact top-20 users — emitting true count next to the sketch
+    upper bound. All-integer md5 arithmetic: the oracle rebuilds the
+    sketch exactly. Sketch shuffle is bounded by depth*width, not by
+    the key cardinality."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.col("user_id").cast("string")
+    sk = countmin_sketch(ev, item, depth=_CM_D, width=_CM_W)
+    top = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+        .orderBy(F.desc("true_n"), F.asc("user_id"))
+        .limit(20)
+    )
+    est = countmin_lookup(sk, top, item, depth=_CM_D, width=_CM_W)
+    return est.select("user_id", "true_n", "cm_estimate")
+
+
+def _cm_hash_sql(row_expr: str, item_expr: str) -> str:
+    return (
+        _md5int_sql(
+            f"concat(CAST({row_expr} AS VARCHAR), '|', {item_expr})"
+        )
+        + f" % {_CM_W}"
+    )
+
+
+SK2_SQL = f"""
+WITH sk AS (
+    SELECT t.r AS row, {_cm_hash_sql('t.r', 'CAST(user_id AS VARCHAR)')} AS col,
+           COUNT(*) AS cnt
+    FROM events, range({_CM_D}) t(r)
+    GROUP BY 1, 2
+),
+top AS (
+    SELECT user_id, COUNT(*) AS true_n FROM events
+    GROUP BY 1 ORDER BY true_n DESC, user_id ASC LIMIT 20
+),
+probe AS (
+    SELECT top.user_id, top.true_n, t.r AS row,
+           {_cm_hash_sql('t.r', 'CAST(top.user_id AS VARCHAR)')} AS col
+    FROM top, range({_CM_D}) t(r)
+)
+SELECT p.user_id, p.true_n,
+       MIN(COALESCE(sk.cnt, 0)) AS cm_estimate
+FROM probe p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+GROUP BY 1, 2
+"""
+
+
+def d11_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage detection (the 'Deduplicating Training
+    Data Makes Language Models Better' exact-substring pass as token
+    windows): every 8-token span occurring in >= 2 distinct documents,
+    with spread counts. One groupBy on a uniform md5 key; no pairwise
+    expansion, no suffix sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(docs, span_tokens=8, min_docs=2)
+
+
+D11_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents
+),
+spans AS (
+    SELECT doc_id,
+           md5(array_to_string(tk[g.i : g.i + 7], ' ')) AS fp
+    FROM toks, LATERAL (
+        SELECT UNNEST(generate_series(1, len(tk) - 7)) AS i
+    ) g
+    WHERE len(tk) >= 8
+)
+SELECT fp,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM spans
+GROUP BY fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+def j11c_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each click matches the user's CLOSEST signup
+    in either time direction, ties broken toward the past. Same single
+    shuffle as j11 — both window frames evaluate inside one partition
+    pipeline (two in-partition sorts, zero extra exchanges)."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts"
+    )
+    signups = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("ref_event"))
+    )
+    out = asof_join(
+        clicks,
+        signups,
+        keys=["user_id"],
+        right_cols=["ref_event"],
+        direction="nearest",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        ts_micros("ts").alias("ts_us"),
+        "asof_ts_us",
+        "ref_event",
+    )
+
+
+J11C_SQL = """
+WITH l AS (
+    SELECT user_id, event_id, epoch_us(ts) AS ts_us
+    FROM events WHERE event_type = 'click'
+),
+r AS (
+    SELECT user_id, epoch_us(ts) AS rus, MAX(event_id) AS ref_event
+    FROM events WHERE event_type = 'signup'
+    GROUP BY user_id, epoch_us(ts)
+),
+b AS (
+    SELECT l.user_id, l.event_id, l.ts_us,
+           r.rus AS brus, r.ref_event AS bref
+    FROM l ASOF LEFT JOIN r
+      ON l.user_id = r.user_id AND r.rus <= l.ts_us
+),
+m AS (
+    SELECT b.*, r.rus AS frus, r.ref_event AS fref
+    FROM b ASOF LEFT JOIN r
+      ON b.user_id = r.user_id AND r.rus >= b.ts_us
+)
+SELECT user_id, event_id, ts_us,
+       CASE WHEN brus IS NULL THEN frus
+            WHEN frus IS NULL THEN brus
+            WHEN (frus - ts_us) < (ts_us - brus) THEN frus
+            ELSE brus END AS asof_ts_us,
+       CASE WHEN brus IS NULL THEN fref
+            WHEN frus IS NULL THEN bref
+            WHEN (frus - ts_us) < (ts_us - brus) THEN fref
+            ELSE bref END AS ref_event
+FROM m
+"""
+
+
+def g5_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (subtotal lattice) over (event_type, month)
+    with per-column GROUPING flags — the multi-level summary shape the
+    reference materialises as separate queries per level
+    (db_etl/homepage_graphs/queries.py runs one query per breakdown);
+    one rollup pass computes the whole lattice with map-side partials."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    return (
+        ev.rollup("event_type", "month")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("month").cast("long").alias("g_month"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("val_d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "month", "g_type", "g_month", "val_d", "n")
+    )
+
+
+G5_SQL = """
+SELECT event_type, month,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(month) AS BIGINT) AS g_month,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_d,
+       COUNT(*) AS n
+FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events)
+GROUP BY ROLLUP(event_type, month)
+"""
+
+_Q4_LATE_US = 60 * 86_400 * 1_000_000  # shipped > 60 days after order
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape on the reduced schema: count orders per priority
+    having at least one late lineitem (shipped > 60 days after the
+    order date). LEFT SEMI join — the existence probe never duplicates
+    orders, and both sides shuffle once on the order key."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        ts_micros("o_orderdate").alias("__od_us"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", ts_micros("l_shipdate").alias("__ship_us")
+    )
+    late = o.join(
+        li,
+        (F.col("o_orderkey") == F.col("l_orderkey"))
+        & (F.col("__ship_us") > F.col("__od_us") + F.lit(_Q4_LATE_US)),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_late_orders")
+    )
+
+
+Q4_SQL = f"""
+SELECT o_orderpriority, COUNT(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND epoch_us(l.l_shipdate) > epoch_us(o.o_orderdate)
+                                   + CAST({_Q4_LATE_US} AS BIGINT)
+)
+GROUP BY o_orderpriority
+"""
+
+_Q18_MIN_QTY = 180
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (total quantity > 180) with
+    their customer. The HAVING filter runs on the partial-aggregated
+    lineitem BEFORE the joins, so only ~10% of orders reach the
+    customer join; the dimension join shuffles on the already-reduced
+    side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_totalprice",
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+Q18_SQL = f"""
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty
+    FROM lineitem GROUP BY 1
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > {_Q18_MIN_QTY}
+)
+SELECT c.c_custkey, c.c_name, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+       o.o_totalprice, CAST(big.sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders o ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+QUERIES.update({
+    "sk1_hll_registers": sk1_hll_registers,
+    "sk1b_hll_estimate": sk1b_hll_estimate,
+    "sk2_countmin_heavy": sk2_countmin_heavy,
+    "d11_span_dedup": d11_span_dedup,
+    "j11c_asof_nearest": j11c_asof_nearest,
+    "g5_rollup_events": g5_rollup_events,
+    "q4_order_priority": q4_order_priority,
+    "q18_large_volume": q18_large_volume,
+})
+ORACLE.update({
+    "sk1_hll_registers": SK1_SQL,
+    "sk1b_hll_estimate": SK1B_SQL,
+    "sk2_countmin_heavy": SK2_SQL,
+    "d11_span_dedup": D11_SQL,
+    "j11c_asof_nearest": J11C_SQL,
+    "g5_rollup_events": G5_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q18_large_volume": Q18_SQL,
+})

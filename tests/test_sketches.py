@@ -1,0 +1,251 @@
+"""Deterministic HLL / count-min sketch semantics, merge laws, and the
+nearest/forward as-of directions plus duplicated-span detection added in
+round 5."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+    countmin_lookup,
+    countmin_sketch,
+    hll_merge,
+    hll_registers,
+    hll_summary,
+)
+from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+    duplicated_spans,
+)
+from coronavirus_dashboard_pipeline_etl_spark.operators.asof import asof_join
+
+
+def _items(spark, n, tag=""):
+    return spark.range(n).select(
+        F.concat(F.lit(tag), F.col("id").cast("string")).alias("it")
+    )
+
+
+def test_hll_registers_bounded_and_deterministic(spark):
+    df = _items(spark, 5000)
+    r1 = hll_registers(df, F.col("it"), p=8)
+    rows = r1.collect()
+    assert len(rows) <= 256
+    assert all(0 <= r.bucket < 256 for r in rows)
+    assert all(1 <= r.max_rank <= 53 for r in rows)
+    # rerun identical (pure function of md5)
+    r2 = sorted((r.bucket, r.max_rank) for r in hll_registers(df, F.col("it"), p=8).collect())
+    assert r2 == sorted((r.bucket, r.max_rank) for r in rows)
+
+
+def test_hll_merge_equals_whole(spark):
+    a = _items(spark, 3000)
+    b = spark.range(2000, 6000).select(F.col("id").cast("string").alias("it"))
+    whole = a.unionByName(b)
+    merged = hll_merge(
+        hll_registers(a, F.col("it"), p=7), hll_registers(b, F.col("it"), p=7)
+    )
+    expect = sorted(
+        (r.bucket, r.max_rank)
+        for r in hll_registers(whole, F.col("it"), p=7).collect()
+    )
+    assert sorted((r.bucket, r.max_rank) for r in merged.collect()) == expect
+
+
+def test_hll_estimate_accuracy(spark):
+    # p=10 -> typical rel error ~ 1.04/sqrt(1024) ~ 3.3%; assert a loose 15%
+    df = _items(spark, 20000)
+    regs = hll_registers(df, F.col("it"), p=10)
+    est = hll_summary(regs, p=10).collect()[0]
+    assert est.m == 1024
+    assert abs(est.raw_estimate - 20000) / 20000 < 0.15
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    base = _items(spark, 1000)
+    dup = base.unionByName(base).unionByName(base)
+    r_base = sorted(
+        (r.bucket, r.max_rank)
+        for r in hll_registers(base, F.col("it"), p=8).collect()
+    )
+    r_dup = sorted(
+        (r.bucket, r.max_rank)
+        for r in hll_registers(dup, F.col("it"), p=8).collect()
+    )
+    assert r_base == r_dup
+
+
+def test_hll_p_validation(spark):
+    df = _items(spark, 10)
+    with pytest.raises(ValueError):
+        hll_registers(df, F.col("it"), p=3)
+    with pytest.raises(ValueError):
+        hll_registers(df, F.col("it"), p=17)
+
+
+def test_countmin_never_undercounts(spark):
+    # skewed stream: item k appears k times, k in 1..60
+    df = spark.range(60).select(
+        (F.col("id") + 1).alias("k")
+    ).select(F.explode(F.sequence(F.lit(1), F.col("k"))).alias("_"), "k")
+    sk = countmin_sketch(df, F.col("k").cast("string"), depth=3, width=64)
+    true = df.groupBy("k").count().withColumnRenamed("count", "true_n")
+    est = countmin_lookup(
+        sk, true, F.col("k").cast("string"), depth=3, width=64
+    ).collect()
+    assert all(r.cm_estimate >= r.true_n for r in est)
+    # sketch is bounded regardless of cardinality
+    assert sk.count() <= 3 * 64
+
+
+def test_countmin_merge_by_union_sum(spark):
+    a = _items(spark, 500)
+    b = _items(spark, 500)  # identical items -> counts double
+    sa = countmin_sketch(a, F.col("it"), depth=2, width=32)
+    sb = countmin_sketch(b, F.col("it"), depth=2, width=32)
+    merged = (
+        sa.unionByName(sb).groupBy("row", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_sketch(
+        a.unionByName(b), F.col("it"), depth=2, width=32
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_countmin_validation(spark):
+    df = _items(spark, 5)
+    with pytest.raises(ValueError):
+        countmin_sketch(df, F.col("it"), depth=0)
+    with pytest.raises(ValueError):
+        countmin_sketch(df, F.col("it"), width=1)
+
+
+# --------------------------------------------------------------------------
+# as-of directions
+# --------------------------------------------------------------------------
+
+def _t(h, m=0):
+    return datetime(2024, 1, 1, h, m)
+
+
+@pytest.fixture()
+def asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _t(10)), (1, 101, _t(12)), (1, 102, _t(14))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(9), 7), (1, _t(11, 30), 8), (1, _t(13), 9)],
+        "user_id long, ts timestamp, ref long",
+    )
+    return left, right
+
+
+def test_asof_forward(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r.event_id: r.ref
+        for r in asof_join(
+            left, right, ["user_id"], right_cols=["ref"], direction="forward"
+        ).collect()
+    }
+    # 10:00 -> next right at 11:30; 12:00 -> 13:00; 14:00 -> none
+    assert out == {100: 8, 101: 9, 102: None}
+
+
+def test_asof_forward_equal_ts_matches(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _t(11))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(11), 5)], "user_id long, ts timestamp, ref long"
+    )
+    row = asof_join(
+        left, right, ["user_id"], right_cols=["ref"], direction="forward"
+    ).collect()[0]
+    assert row.ref == 5
+
+
+def test_asof_nearest_picks_closer_and_ties_backward(spark):
+    left = spark.createDataFrame(
+        # 11:00 is 60m from 10:00 and 30m from 11:30 -> forward wins;
+        # 12:00 is exactly 30m from both 11:30 and 12:30 -> backward wins
+        [(1, 100, _t(11)), (1, 101, _t(12))],
+        "user_id long, event_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, _t(10), 1), (1, _t(11, 30), 2), (1, _t(12, 30), 3)],
+        "user_id long, ts timestamp, ref long",
+    )
+    out = {
+        r.event_id: r.ref
+        for r in asof_join(
+            left, right, ["user_id"], right_cols=["ref"], direction="nearest"
+        ).collect()
+    }
+    assert out == {100: 2, 101: 2}
+
+
+def test_asof_nearest_tolerance_bounds_both_sides(spark):
+    left = spark.createDataFrame(
+        [(1, 100, _t(12))], "user_id long, event_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _t(8), 1), (1, _t(15), 2)], "user_id long, ts timestamp, ref long"
+    )
+    # within 4h: backward (8:00) exactly at bound matches; forward 15:00 (3h) nearer
+    near = asof_join(
+        left, right, ["user_id"], right_cols=["ref"],
+        direction="nearest", tolerance_seconds=4 * 3600,
+    ).collect()[0]
+    assert near.ref == 2
+    # 1h tolerance: both out of range -> NULL
+    none = asof_join(
+        left, right, ["user_id"], right_cols=["ref"],
+        direction="nearest", tolerance_seconds=3600,
+    ).collect()[0]
+    assert none.ref is None and none.asof_ts_us is None
+
+
+def test_asof_direction_validation(spark, asof_frames):
+    left, right = asof_frames
+    with pytest.raises(ValueError):
+        asof_join(left, right, ["user_id"], direction="sideways")
+
+
+# --------------------------------------------------------------------------
+# duplicated spans
+# --------------------------------------------------------------------------
+
+def test_duplicated_spans_finds_shared_passage(spark):
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words " + shared + " tail one"),
+            (2, "other prefix here " + shared),
+            (3, "completely different text with no repeats at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    out = duplicated_spans(docs, span_tokens=8, min_docs=2).collect()
+    # 9-token shared passage -> two overlapping 8-token spans, both in docs 1+2
+    assert len(out) == 2
+    assert all(r.n_docs == 2 and r.first_doc == 1 for r in out)
+
+
+def test_duplicated_spans_short_docs_and_repeats(spark):
+    docs = spark.createDataFrame(
+        [(1, "too short"), (2, "a b c a b c a b c a b c")],
+        "doc_id long, text string",
+    )
+    # within-doc repetition alone never reaches min_docs=2
+    assert duplicated_spans(docs, span_tokens=4, min_docs=2).count() == 0
+    one = duplicated_spans(docs, span_tokens=4, min_docs=1)
+    rows = one.collect()
+    assert all(r.n_docs == 1 for r in rows)
+    # doc 2 has repeated 4-grams: some fp must have n_occurrences > 1
+    assert any(r.n_occurrences > 1 for r in rows)
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, span_tokens=0)
