@@ -56,6 +56,13 @@ HEADLINE = [
     "j14_interval_overlap",
     # round-5: semantic dedup via IVF probe buckets
     "d10_embedding_neardup",
+    # round-5 second half: sketch build at volume, substring-span dedup
+    # over the corpus, nearest as-of, and the large-volume join
+    "sk1_hll_registers",
+    "sk2_countmin_heavy",
+    "d11_span_dedup",
+    "j11c_asof_nearest",
+    "q18_large_volume",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -554,6 +554,7 @@ def embedding_neardup_pairs(
     centroid_vec_col: str = "centroid",
     max_bucket: int = 100_000,
     round_digits: int = 6,
+    join_slices: int = 32,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs — the semantic-dedup mode
     of the family (MinHash/SimHash/Jaccard catch lexical dups; this
@@ -578,9 +579,16 @@ def embedding_neardup_pairs(
     ``kmeans_lloyd``). A bucket above ``max_bucket`` raises loudly
     (skewed/undertrained centroids) rather than silently running an
     all-pairs-sized join; the check is one bounded aggregate.
+
+    ``join_slices`` salts the in-bucket join so its parallelism is
+    k * join_slices tasks instead of k (output pairs are identical;
+    see the inline comment). Leave the default unless the corpus is
+    tiny (slices below ~1k rows just add scheduling overhead).
     """
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if join_slices < 1:
+        raise ValueError(f"join_slices must be >= 1, got {join_slices}")
     probed = probe_assign(
         df.select(
             F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
@@ -618,25 +626,55 @@ def embedding_neardup_pairs(
             "vectors; train more centroids (k ~ corpus/1e4) or raise "
             "max_bucket explicitly"
         )
+    # Salt the in-bucket self-join: with few trained centroids the join
+    # key (__b) has cardinality k, so the quadratic in-bucket pair work
+    # would land on at most k tasks no matter how many cores exist (and
+    # AQE's skew split never fires — the INPUT partitions are tiny, the
+    # blow-up is in the join OUTPUT). Slice the right side into
+    # join_slices deterministic sub-keys and explode the left over all
+    # of them: the key becomes (__b, slice) with k*join_slices values,
+    # the pair set is UNCHANGED (every left row still meets every right
+    # row of its bucket exactly once), and the only cost is a
+    # join_slices-fold duplication of the (id, vec) rows on the left —
+    # linear and tiny next to the quadratic pair work it spreads out.
+    s = F.pmod(F.xxhash64(F.col(id_col)), F.lit(join_slices))
+    # Precompute each row's norm ONCE (linear) instead of inside the
+    # per-pair cosine (quadratic): same expression on the same data, so
+    # the resulting doubles — and the rounded threshold decisions — are
+    # bit-identical to the inline form.
+    x = x.withColumn("__n", _norm(F.col("__v")))
     l = x.select(
         F.col(id_col).alias("id_l"),
         F.col("__v").alias("__vl"),
+        F.col("__n").alias("__nl"),
         F.col("__bs").alias("__bl"),
         "__b",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(join_slices - 1))
+        ).alias("__sl"),
     )
+    # Round-robin the exploded left across the cluster: when the right
+    # side is small enough to auto-broadcast, the join's parallelism is
+    # exactly the LEFT side's partitioning — and a small corpus read
+    # from one parquet file would otherwise run the whole quadratic
+    # pair evaluation in ONE task. The shuffle moved is the linear
+    # (id, vec) x join_slices rows, never the pair blow-up.
+    l = l.repartition(df.sparkSession.sparkContext.defaultParallelism)
     r = x.select(
         F.col(id_col).alias("id_r"),
         F.col("__v").alias("__vr"),
+        F.col("__n").alias("__nr"),
         F.col("__bs").alias("__br"),
         "__b",
+        s.cast("int").alias("__sl"),
     )
     cos = F.round(
         _dot(F.col("__vl"), F.col("__vr"))
-        / (_norm(F.col("__vl")) * _norm(F.col("__vr"))),
+        / (F.col("__nl") * F.col("__nr")),
         round_digits,
     )
     return (
-        l.join(r, "__b")
+        l.join(r, ["__b", "__sl"])
         .filter(
             (F.col("id_l") < F.col("id_r"))
             & (

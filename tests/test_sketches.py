@@ -249,3 +249,88 @@ def test_duplicated_spans_short_docs_and_repeats(spark):
     assert any(r.n_occurrences > 1 for r in rows)
     with pytest.raises(ValueError):
         duplicated_spans(docs, span_tokens=0)
+
+
+# --------------------------------------------------------------------------
+# sketches as LIVE streaming aggregates (registers/counters are classic
+# monotone/commutative state, so the same DataFrame code runs unchanged
+# on a readStream frame)
+# --------------------------------------------------------------------------
+
+def test_hll_registers_stream_matches_batch(spark, tmp_path):
+    import json as _json
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(_json.dumps({"it": f"x{i}"}) for i in range(400))
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(_json.dumps({"it": f"x{i}"}) for i in range(200, 700))
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("it string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        hll_registers(stream, F.col("it"), p=7)
+        .writeStream.format("memory")
+        .queryName("hll_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.bucket, r.max_rank)
+        for r in spark.sql("SELECT * FROM hll_stream_test").collect()
+    )
+    batch = spark.createDataFrame(
+        [(f"x{i}",) for i in range(700)], "it string"
+    )
+    expect = sorted(
+        (r.bucket, r.max_rank)
+        for r in hll_registers(batch, F.col("it"), p=7).collect()
+    )
+    assert got == expect
+
+
+def test_countmin_stream_matches_batch(spark, tmp_path):
+    import json as _json
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    rows = [f"k{i % 30}" for i in range(500)]
+    (in_dir / "b1.json").write_text(
+        "\n".join(_json.dumps({"it": r}) for r in rows[:250])
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(_json.dumps({"it": r}) for r in rows[250:])
+    )
+    stream = (
+        spark.readStream.format("json")
+        .schema("it string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    q = (
+        countmin_sketch(stream, F.col("it"), depth=3, width=64)
+        .writeStream.format("memory")
+        .queryName("cm_stream_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM cm_stream_test").collect())
+    )
+    batch = spark.createDataFrame([(r,) for r in rows], "it string")
+    expect = sorted(
+        map(tuple, countmin_sketch(batch, F.col("it"), depth=3, width=64).collect())
+    )
+    assert got == expect

@@ -203,3 +203,77 @@ def test_profile_table_counts(spark):
 
     with _pytest.raises(ValueError, match="empty column list"):
         profile_table(df, ())
+
+
+def test_asof_directions_match_pandas_merge_asof(spark):
+    """Cross-validate all three directions (and tolerance) against
+    pandas.merge_asof on pseudo-random data. Distances are made
+    tie-free (left ts odd, right ts even microsecond parity) so the
+    nearest tie-break convention difference cannot trigger."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(42)
+    left_rows = [
+        (u, i, 2 * rng.randrange(0, 500_000) + 1)  # odd micros
+        for i, u in enumerate(rng.choices(range(8), k=300))
+    ]
+    right_rows = [
+        (u, 1000 + i, 2 * rng.randrange(0, 500_000))  # even micros
+        for i, u in enumerate(rng.choices(range(8), k=200))
+    ]
+    # make right unique per (user, ts)
+    seen = set()
+    right_rows = [
+        r for r in right_rows
+        if (r[0], r[2]) not in seen and not seen.add((r[0], r[2]))
+    ]
+
+    left = spark.createDataFrame(
+        [(u, i, ts) for u, i, ts in left_rows],
+        "user_id long, event_id long, us long",
+    ).select(
+        "user_id", "event_id",
+        F.timestamp_micros(F.col("us")).alias("ts"),
+    )
+    right = spark.createDataFrame(
+        [(u, r, ts) for u, r, ts in right_rows],
+        "user_id long, ref long, us long",
+    ).select(
+        "user_id", "ref", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+
+    lpd = pd.DataFrame(
+        left_rows, columns=["user_id", "event_id", "us"]
+    ).sort_values("us").reset_index(drop=True)
+    rpd = pd.DataFrame(
+        right_rows, columns=["user_id", "ref", "us"]
+    ).sort_values("us").reset_index(drop=True)
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol_s in (None, 1):  # tolerance in whole seconds
+            got = {
+                r.event_id: (r.ref, r.asof_ts_us)
+                for r in asof_join(
+                    left, right, ["user_id"], right_cols=["ref"],
+                    direction=direction, tolerance_seconds=tol_s,
+                ).collect()
+            }
+            kw = {}
+            if tol_s is not None:
+                kw["tolerance"] = tol_s * 1_000_000  # integer micros
+            exp_df = pd.merge_asof(
+                lpd, rpd, on="us", by="user_id",
+                direction=direction, suffixes=("", "_r"), **kw,
+            )
+            # pandas keeps the matched right 'us' only via the ref row;
+            # recover matched ts by joining ref -> us
+            ref_ts = dict(zip(rpd["ref"], rpd["us"]))
+            for _, row in exp_df.iterrows():
+                ref = None if pd.isna(row["ref"]) else int(row["ref"])
+                exp_ts = ref_ts.get(ref) if ref is not None else None
+                assert got[int(row["event_id"])] == (ref, exp_ts), (
+                    direction, tol_s, row["event_id"],
+                    got[int(row["event_id"])], (ref, exp_ts),
+                )
