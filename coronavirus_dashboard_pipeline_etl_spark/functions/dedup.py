@@ -156,11 +156,17 @@ def lsh_candidate_pairs(
     return _bucket_pairs(exploded, id_col, max_bucket)
 
 
-def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
-    """Distinct (id_a, id_b) pairs of rows sharing a (band, sig) bucket —
-    the shared candidate-expansion core for every banded-LSH family
-    (MinHash bands, SimHash bit chunks). See ``lsh_candidate_pairs`` for
-    the small/giant bucket routing rationale."""
+def _banded_pairs(
+    exploded: DataFrame, id_col: str, max_bucket: int
+) -> DataFrame:
+    """(band, id_a, id_b) candidates of rows sharing a (band, sig)
+    bucket — the shared expansion core for every banded-LSH family
+    (MinHash bands, SimHash bit chunks). Within ONE band each row sits
+    in exactly one bucket, so a pair appears at most once per band;
+    cross-band duplicates are the caller's to resolve (``_bucket_pairs``
+    distincts; ``simhash_candidate_pairs`` keeps only the first shared
+    band, which needs the band carried through — hence this split).
+    See ``lsh_candidate_pairs`` for the small/giant routing rationale."""
     counted = exploded.withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("band", "sig"))
     )
@@ -171,9 +177,20 @@ def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int) -> DataFram
         .agg(F.sort_array(F.collect_list(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    # Spread the quadratic in-bucket expansion explicitly: the pair
+    # blow-up happens AFTER this exchange, so AQE — which sizes stages
+    # by their INPUT bytes — would coalesce the tiny bucket-list rows
+    # into one or two tasks and serialize the expansion (observed 2
+    # tasks for a 2.2M-pair simhash expansion at sf0.1). One linear
+    # round-robin shuffle of the id arrays buys even expansion
+    # parallelism at every scale.
+    small = small.repartition(
+        exploded.sparkSession.sparkContext.defaultParallelism
+    )
     small_pairs = small.select(
-        "ids", F.posexplode("ids").alias("__i", "id_a")
+        "band", "ids", F.posexplode("ids").alias("__i", "id_a")
     ).select(
+        "band",
         "id_a",
         F.explode(
             F.slice("ids", F.col("__i") + F.lit(2), F.size("ids"))
@@ -189,9 +206,23 @@ def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int) -> DataFram
             F.col("l.sig") == F.col("r.sig"),
             F.col(f"l.{id_col}") < F.col(f"r.{id_col}"),
         ],
-    ).select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+    ).select(
+        F.col("l.band").alias("band"),
+        F.col(f"l.{id_col}").alias("id_a"),
+        F.col(f"r.{id_col}").alias("id_b"),
+    )
 
-    return small_pairs.unionByName(giant_pairs).distinct()
+    return small_pairs.unionByName(giant_pairs)
+
+
+def _bucket_pairs(exploded: DataFrame, id_col: str, max_bucket: int) -> DataFrame:
+    """Distinct (id_a, id_b) pairs of rows sharing any (band, sig)
+    bucket — ``_banded_pairs`` with cross-band dedup by ``distinct``."""
+    return (
+        _banded_pairs(exploded, id_col, max_bucket)
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def simhash(
@@ -246,13 +277,30 @@ def simhash_candidate_pairs(
     null for an empty shingle set) are dropped up front: every such doc
     would otherwise collide into one degenerate bucket per band, same
     rationale as ``lsh_candidate_pairs``.
+
+    Cross-band dedup is the FIRST-SHARED-BAND rule, not a ``distinct``:
+    a pair colliding in several bands survives only from its earliest
+    colliding band, decided by comparing the two signatures' earlier
+    chunks — pure codegen'd bit ops on rows the hamming join already
+    produced. This removes the full shuffle of the multi-band candidate
+    stream (the pair blow-up is the dominant volume in this operator;
+    at sf0.1 it is 11M candidate rows for a 5k corpus).
     """
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}) for the "
             "pigeonhole recall guarantee; raise bands instead"
         )
-    sigs = sigs.filter(F.col(sim_col).isNotNull())
+    # Materialise the (id, signature) projection ONCE: it feeds three
+    # consumers (the band explode and both sides of the hamming join),
+    # and without a checkpoint each would recompute the full signature
+    # scan — the token hashing + bit votes dominate this operator's
+    # cost. The materialised rows are linear and tiny (id + 64-bit sig).
+    sigs = (
+        sigs.filter(F.col(sim_col).isNotNull())
+        .select(F.col(id_col), F.col(sim_col))
+        .localCheckpoint(eager=False)
+    )
     width = bits // bands
     mask = (1 << width) - 1
     chunks = [
@@ -268,7 +316,7 @@ def simhash_candidate_pairs(
     exploded = sigs.select(
         F.col(id_col), F.explode(F.array(*chunks)).alias("b")
     ).select(id_col, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-    pairs = _bucket_pairs(exploded, id_col, max_bucket)
+    pairs = _banded_pairs(exploded, id_col, max_bucket)
 
     hashes = sigs.select(F.col(id_col), F.col(sim_col))
     ha = hashes.select(
@@ -278,9 +326,26 @@ def simhash_candidate_pairs(
         F.col(id_col).alias("id_b"), F.col(sim_col).alias("__hb")
     )
     hamming = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb")))
+
+    def _chunk(col: Column, j: int) -> Column:
+        return F.shiftright(col, j * width).bitwiseAND(F.lit(mask))
+
+    # collided in some band earlier than the one this candidate came
+    # from? then that earlier band already emitted the pair — drop it
+    collided_before = F.lit(False)
+    prior = F.lit(False)
+    for j in range(bands - 1):
+        prior = prior | (
+            _chunk(F.col("__ha"), j) == _chunk(F.col("__hb"), j)
+        )
+        collided_before = F.when(
+            F.col("band") == j + 1, prior
+        ).otherwise(collided_before)
+
     return (
         pairs.join(ha, on="id_a")
         .join(hb, on="id_b")
+        .filter(~collided_before)
         .withColumn("hamming", hamming.cast("long"))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -610,9 +675,16 @@ def editdist_pairs(
             )
 
     b = F.col("__bucket")
-    left = base.withColumn(
-        "__probe", F.explode(F.array(b - 1, b, b + 1))
-    ).alias("l")
+    # The banded-DP evaluation happens in the JOIN OUTPUT, whose cost
+    # AQE cannot see (it plans by input bytes, and a small corpus that
+    # auto-broadcasts the right side leaves the left's file partitioning
+    # — possibly ONE task — to run every DP). Round-robin the exploded
+    # probes: linear rows, even DP spread at any scale.
+    left = (
+        base.withColumn("__probe", F.explode(F.array(b - 1, b, b + 1)))
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .alias("l")
+    )
     right = base.alias("r")
     cond = [F.col(f"l.{c}") == F.col(f"r.{c}") for c in block_cols]
     cond.append(F.col("l.__probe") == F.col("r.__bucket"))

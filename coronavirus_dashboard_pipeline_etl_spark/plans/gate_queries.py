@@ -3305,7 +3305,12 @@ def d4b_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded near-dup pairs (Hamming <= 3 over 32-bit
     signatures, 4 x 8-bit band chunks) — the scale path for SimHash:
     pigeonhole makes recall exact at max_hamming = bands - 1."""
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the per-doc signature compute: the test corpus is one
+    # small parquet file (one scan partition); at real scale the scan
+    # is already split and this repartition is a cheap linear shuffle
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = simhash(docs)
     return simhash_candidate_pairs(sigs)
 
