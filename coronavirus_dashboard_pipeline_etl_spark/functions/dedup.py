@@ -475,9 +475,14 @@ def dedup_components(
     # become the canonical_id of real docs — every doc paired with it
     # would then land on the drop list with no surviving representative.
     id_set = ids.select(F.col(id_col).alias("__id"))
+    # Materialise the edge list EVENLY SPREAD: with broadcast labels the
+    # per-round join inherits the edge frame's stored partitioning, and
+    # an AQE-coalesced (or single-file) layout would serialize every
+    # round onto one task.
     edges = (
         edges.join(id_set, edges.src == F.col("__id"), "left_semi")
         .join(id_set, edges.dst == F.col("__id"), "left_semi")
+        .repartition(edges.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
 
@@ -493,24 +498,59 @@ def dedup_components(
         .localCheckpoint(eager=True)
     )
 
+    # When the edge-node set is modest, broadcast the label table into
+    # the per-round join: the edge list — the big side — then never
+    # shuffles (the checkpointed LogicalRDD has no stats, so the
+    # optimizer would otherwise plan three full-edge exchanges EVERY
+    # round). The count is already materialised by the eager
+    # checkpoint. Above the cap (label row ~16 bytes; 2M nodes ~ 32 MB
+    # broadcast) fall back to shuffle joins, which are the right plan
+    # when candidates are that dense.
+    n_nodes = labels.count()
+    bcast = n_nodes <= 2_000_000
+
     changed = -1
     for _ in range(max_iter):
+        lbl = F.broadcast(labels) if bcast else labels
         nbr = (
-            edges.join(labels, edges.dst == labels.node)
+            edges.join(lbl, edges.dst == lbl["node"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # convergence flag computed inside the same projection — no
-        # third join per round just to count moved labels
-        new = (
+        # One propagate + one pointer-jump per round: after taking the
+        # min neighbour label, follow it one more hop through the
+        # PREVIOUS round's (already checkpointed) label table — the
+        # jump table costs no extra job and compresses label chains,
+        # so convergence needs ~log(diameter) rounds instead of
+        # diameter. The round cost here is dominated by fixed per-job
+        # overhead (checkpoint + count actions), so fewer rounds is
+        # the lever that matters.
+        jump = labels.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        )
+        jmp = F.broadcast(jump) if bcast else jump
+        prop = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
                 "node",
+                F.col("label").alias("__orig"),
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("__p"),
+            )
+        )
+        new = (
+            prop.join(jmp, prop["__p"] == F.col("__jn"), "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("__p"), F.coalesce("__jl", "__p")
                 ).alias("label"),
-                F.coalesce(
-                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                # convergence flag computed inside the same projection —
+                # no extra join per round just to count moved labels
+                (
+                    F.least(F.col("__p"), F.coalesce("__jl", "__p"))
+                    < F.col("__orig")
                 ).alias("moved"),
             )
             .localCheckpoint(eager=True)

@@ -300,3 +300,71 @@ def rolling_percentile(
     return df.withColumn(
         out, F.when(F.count(F.col(col)).over(w) >= need, val)
     )
+
+
+def ewma_halving(
+    df: DataFrame,
+    group_keys: Sequence[str],
+    date_col: str,
+    value_col: str,
+    lags: int = 10,
+    scale: int = 1_000_000,
+    out: str = "ewma",
+) -> DataFrame:
+    """Exponentially weighted moving average with decay 1/2, truncated
+    to the last ``lags`` rows — the smoothing companion to
+    ``rolling_mean_centered`` (the reference smooths with centered
+    means, ``db_etl/processors/rolling.py``; EWMA weights recency,
+    the standard live-dashboard variant).
+
+    ewma_t = sum_{k<n} x_{t-k} * 2^-(k) / sum_{k<n} 2^-(k), n = rows
+    available (head-truncated like pandas ``ewm(...).mean()`` with
+    adjust=True, but hard-truncated at ``lags`` so the state is a
+    constant-size frame).
+
+    Cross-engine determinism: values are scaled to integers (``scale``
+    must cover the input's decimal places), weights are integer powers
+    of two (2^(lags-1-k)), numerator and denominator are exact BIGINT
+    sums, and the single final division is double/double. int64->double
+    conversion is hardware round-nearest everywhere — unlike
+    wide-DECIMAL->double casts, which differ in the last ulp between
+    engines. Requires |value| * scale * 2^lags * lags < 2^63; with the
+    defaults that bounds |value| < ~9e5, asserted per row (NULL result
+    would silently corrupt an average — raise instead via ANSI
+    overflow on the shifted product).
+
+    One shuffle on the group keys, shared with any co-planned window.
+    """
+    if not 1 <= lags <= 40:
+        raise ValueError(f"lags must be in [1, 40], got {lags}")
+    w = (
+        Window.partitionBy(*group_keys)
+        .orderBy(date_col)
+        .rowsBetween(-(lags - 1), 0)
+    )
+    x_scaled = (
+        (F.col(value_col).cast("decimal(18,6)") * F.lit(scale))
+        .cast("decimal(24,0)")
+        .cast("long")
+    )
+    arr = F.collect_list(x_scaled).over(w)  # oldest .. newest, <= lags
+    n = F.size(arr)
+    # literal weight vector, newest first: [2^(lags-1), ..., 2^0];
+    # zip against the reversed frame (slice keeps lengths equal —
+    # zip_with would null-pad a longer side)
+    weights = F.array(
+        *[F.lit(1 << (lags - 1 - k)).cast("long") for k in range(lags)]
+    )
+    rev = F.reverse(arr)
+    num = F.aggregate(
+        F.zip_with(rev, F.slice(weights, 1, n), lambda x, wt: x * wt),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    den = F.aggregate(
+        F.slice(weights, 1, n),
+        F.lit(0).cast("long"),
+        lambda acc, z: acc + z,
+    )
+    ewma = num.cast("double") / (den * F.lit(scale)).cast("double")
+    return df.withColumn(out, F.when(n > 0, ewma))

@@ -1010,19 +1010,37 @@ WHERE rn <= 5
 
 
 def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, blocked by the coarse bucket."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    from ..functions.similarity import cosine_similarity_col
+    """Embedding-cosine near-dup pairs, blocked by the coarse bucket.
 
+    The double-cast and the norm are computed once per ROW before the
+    blocked self-join (identical doubles — same fold on the same data —
+    but linear instead of per-pair), and the left side round-robins so
+    the quadratic in-block cosine work spreads over the cluster instead
+    of inheriting the scan's partitioning under an auto-broadcast
+    right."""
+    from ..functions.similarity import _dot, _norm, _to_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _to_double(F.col("embedding")).alias("__v")
+    ).withColumn("__n", _norm(F.col("__v")))
     left = emb.select(
-        F.col("vec_id").alias("id_a"), F.col("label").alias("la"), F.col("embedding").alias("ea")
-    )
+        F.col("vec_id").alias("id_a"),
+        F.col("label").alias("la"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    ).repartition(spark.sparkContext.defaultParallelism)
     right = emb.select(
-        F.col("vec_id").alias("id_b"), F.col("label").alias("lb"), F.col("embedding").alias("eb")
+        F.col("vec_id").alias("id_b"),
+        F.col("label").alias("lb"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    score = _dot(F.col("__va"), F.col("__vb")) / (
+        F.col("__na") * F.col("__nb")
     )
     return (
         left.join(right, on=[F.col("la") == F.col("lb"), F.col("id_a") < F.col("id_b")])
-        .withColumn("score", cosine_similarity_col(F.col("ea"), F.col("eb")))
+        .withColumn("score", score)
         .filter(F.col("score") >= 0.9)
         .select("id_a", "id_b")
     )
@@ -4382,23 +4400,39 @@ def pipe7_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     transitive-closure recursion did not)."""
     from ..functions.dedup import dedup_components
 
-    docs = load_table(spark, sf_dir, "documents")
+    # spread the per-doc signature compute across cores (one small
+    # parquet file = one scan partition locally; free at real scale)
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     sigs = minhash_signatures(docs, k=16)
-    cands = lsh_candidate_pairs(sigs, k=16, bands=2)
+    # round-robin the candidate pairs before the verification joins:
+    # the per-pair array_intersect is the pipeline's heavy stage and
+    # its cost is invisible to AQE (small pair rows in, quadratic
+    # token-compare work out)
+    cands = lsh_candidate_pairs(sigs, k=16, bands=2).repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
     toks = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
     )
     a = toks.select(F.col("doc_id").alias("id_a"), F.col("toks").alias("__ta"))
     b = toks.select(F.col("doc_id").alias("id_b"), F.col("toks").alias("__tb"))
+    # materialise the intersection size once per pair (naming it stops
+    # the filter from evaluating array_intersect twice)
     inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
-    union = (
-        F.size("__ta") + F.size("__tb") - F.size(F.array_intersect("__ta", "__tb"))
-    ).cast("double")
     verified = (
         cands.join(a, "id_a")
         .join(b, "id_b")
-        .filter(inter / union >= 0.5)
+        .withColumn("__i", inter)
+        .withColumn(
+            "__u",
+            F.size("__ta").cast("double")
+            + F.size("__tb").cast("double")
+            - F.col("__i"),
+        )
+        .filter(F.col("__i") / F.col("__u") >= 0.5)
         .select("id_a", "id_b")
     )
     resolved = dedup_components(verified, docs.select("doc_id"))
@@ -6509,4 +6543,86 @@ ORACLE.update({
     "g5_rollup_events": G5_SQL,
     "q4_order_priority": Q4_SQL,
     "q18_large_volume": Q18_SQL,
+})
+
+
+from ..operators.rolling import ewma_halving  # noqa: E402
+
+
+def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted smoothing over the daily panel: truncated
+    half-decay EWMA, exact-integer numerator/denominator so both
+    engines produce the identical double (see ewma_halving)."""
+    daily = _daily(spark, sf_dir)
+    out = ewma_halving(
+        daily, ["event_type"], "date", "val_d", lags=10, out="ewma"
+    )
+    return out.select("event_type", "date", "ewma")
+
+
+W10_SQL = (
+    "WITH "
+    + _DAILY_SQL.strip()
+    + """,
+e AS (
+    SELECT event_type, date,
+           CAST(CAST(val_d * 1000000 AS DECIMAL(24,0)) AS BIGINT) AS xs
+    FROM daily
+),
+win AS (
+    SELECT event_type, date,
+           list(xs) OVER (
+               PARTITION BY event_type ORDER BY date
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW
+           ) AS arr
+    FROM e
+)
+SELECT event_type, date,
+       CAST(CAST(list_sum(list_transform(arr,
+                (v, i) -> v * (CAST(1 AS BIGINT) << (9 - (len(arr) - i)))))
+            AS BIGINT) AS DOUBLE)
+       / CAST(((CAST(1 AS BIGINT) << 10)
+               - (CAST(1 AS BIGINT) << (10 - len(arr)))) * 1000000
+              AS DOUBLE) AS ewma
+FROM win
+"""
+)
+
+
+def g6_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE lattice over (event_type, month): every grouping combination
+    in one pass (g5 covers the ROLLUP prefix lattice; CUBE adds the
+    month-only slice)."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    return (
+        ev.cube("event_type", "month")
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("month").cast("long").alias("g_month"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias("val_d"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "month", "g_type", "g_month", "val_d", "n")
+    )
+
+
+G6_SQL = """
+SELECT event_type, month,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(month) AS BIGINT) AS g_month,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_d,
+       COUNT(*) AS n
+FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events)
+GROUP BY CUBE(event_type, month)
+"""
+
+QUERIES.update({
+    "w10_ewma": w10_ewma,
+    "g6_cube_events": g6_cube_events,
+})
+ORACLE.update({
+    "w10_ewma": W10_SQL,
+    "g6_cube_events": G6_SQL,
 })
