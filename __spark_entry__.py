@@ -43,6 +43,8 @@ _PRIORITY = [
     "g5_rollup_events",
     "q4_order_priority",
     "q18_large_volume",
+    "w10_ewma",
+    "g6_cube_events",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

@@ -239,3 +239,48 @@ def test_age_standardised_rate_partial_coverage(spark):
     # partial coverage: denominator is only the present band's weight
     assert out["B"].asr == (0.6 * 20) / 0.6 and out["B"].n_bands == 1
     assert out["C"].asr is None and out["C"].n_bands == 0
+
+
+def test_ewma_halving_matches_reference(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rolling import (
+        ewma_halving,
+    )
+
+    rows = [("a", f"2024-01-{d:02d}", float(v)) for d, v in
+            enumerate([10, 20, 40, 40, 0, 80], start=1)]
+    df = spark.createDataFrame(rows, "g string, date string, v double")
+    out = {
+        r.date: r.ewma
+        for r in ewma_halving(df, ["g"], "date", "v", lags=3).collect()
+    }
+
+    def expect(vals):
+        # newest first weights 4, 2, 1 truncated to available
+        w = [4, 2, 1][: len(vals)]
+        vs = list(reversed(vals))[: len(w)]
+        return sum(x * y for x, y in zip(vs, w)) / sum(w)
+
+    series = [10, 20, 40, 40, 0, 80]
+    for i, d in enumerate(sorted(out)):
+        assert abs(out[d] - expect(series[: i + 1])) < 1e-9, (d, out[d])
+
+
+def test_ewma_halving_groups_independent_and_validation(spark):
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rolling import (
+        ewma_halving,
+    )
+
+    df = spark.createDataFrame(
+        [("a", "d1", 10.0), ("b", "d1", 1000.0), ("a", "d2", 20.0)],
+        "g string, date string, v double",
+    )
+    out = {(r.g, r.date): r.ewma
+           for r in ewma_halving(df, ["g"], "date", "v", lags=4).collect()}
+    assert out[("a", "d1")] == 10.0
+    assert out[("b", "d1")] == 1000.0
+    # a/d2: (20*8 + 10*4) / 12
+    assert abs(out[("a", "d2")] - (20 * 8 + 10 * 4) / 12) < 1e-12
+    with _pytest.raises(ValueError):
+        ewma_halving(df, ["g"], "date", "v", lags=0)
