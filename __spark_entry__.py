@@ -45,6 +45,7 @@ _PRIORITY = [
     "q18_large_volume",
     "w10_ewma",
     "g6_cube_events",
+    "sk3_hll_grouped",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

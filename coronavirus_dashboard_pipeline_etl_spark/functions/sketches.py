@@ -42,17 +42,26 @@ def _h60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def hll_registers(df: DataFrame, item: Column, p: int = 9) -> DataFrame:
-    """HyperLogLog register table for the distinct count of ``item``.
+def hll_registers(
+    df: DataFrame,
+    item: Column,
+    p: int = 9,
+    group_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """HyperLogLog register table for the distinct count of ``item``,
+    optionally one sketch per ``group_cols`` key (distinct-users-per-
+    source/day style monitoring — ONE pass builds every group's sketch).
 
-    Returns one row per OCCUPIED bucket: ``(bucket, max_rank)`` with
-    ``bucket`` in [0, 2^p) and ``max_rank`` in [1, 60-p+1].  This is
-    the sketch's full state: mergeable by ``union`` + ``max(max_rank)
-    GROUP BY bucket``, and O(2^p) rows regardless of input size.
+    Returns one row per OCCUPIED bucket: ``(*group_cols, bucket,
+    max_rank)`` with ``bucket`` in [0, 2^p) and ``max_rank`` in
+    [1, 60-p+1].  This is the sketch's full state: mergeable by
+    ``union`` + ``max(max_rank) GROUP BY (*group_cols, bucket)``, and
+    O(groups * 2^p) rows regardless of input size.
 
-    Scale shape: one map-side-combinable groupBy on a p-bit key — the
-    partial aggregate per task is at most 2^p rows, so the shuffle is
-    constant-size no matter how many input rows each task scans.
+    Scale shape: one map-side-combinable groupBy on a (group, p-bit)
+    key — the partial aggregate per task is bounded by groups * 2^p
+    rows, so the shuffle is constant-size per group no matter how many
+    input rows each task scans.
     """
     if not 4 <= p <= 16:
         raise ValueError(f"hll_registers: p must be in [4,16], got {p}")
@@ -68,15 +77,19 @@ def hll_registers(df: DataFrame, item: Column, p: int = 9) -> DataFrame:
     rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
         F.lit(wbits) - F.length(F.bin(w)) + 1
     )
+    keys = [F.col(c) for c in group_cols]
     return (
-        df.select(bucket, rank.alias("rank"))
-        .groupBy("bucket")
+        df.select(*keys, bucket, rank.alias("rank"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rank").alias("max_rank"))
     )
 
 
-def hll_merge(*register_tables: DataFrame) -> DataFrame:
-    """Merge sketches built with the same ``p``: max rank per bucket.
+def hll_merge(
+    *register_tables: DataFrame, group_cols: "tuple[str, ...]" = ()
+) -> DataFrame:
+    """Merge sketches built with the same ``p`` (and the same
+    ``group_cols``): max rank per (group, bucket).
 
     This is what makes the sketch a distributed/streaming aggregate:
     shard corpora, sketch each shard, merge the tiny register tables.
@@ -86,11 +99,18 @@ def hll_merge(*register_tables: DataFrame) -> DataFrame:
     out = register_tables[0]
     for t in register_tables[1:]:
         out = out.unionByName(t)
-    return out.groupBy("bucket").agg(F.max("max_rank").alias("max_rank"))
+    return out.groupBy(*group_cols, "bucket").agg(
+        F.max("max_rank").alias("max_rank")
+    )
 
 
-def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
-    """One-row estimate summary from a register table.
+def hll_summary(
+    registers: DataFrame,
+    p: int = 9,
+    group_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Estimate summary from a register table: one row per
+    ``group_cols`` key (one row total when empty).
 
     Columns: ``m`` (buckets), ``v_empty`` (zero registers), ``s_scaled``
     (exact integer harmonic-mean denominator, scaled by 2^(61-p)),
@@ -121,11 +141,13 @@ def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
     scaled = F.expr(
         f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - max_rank)"
     )
-    agg = registers.agg(
+    pre = registers.select(*group_cols, scaled.alias("__scaled"))
+    agg = pre.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("present"),
-        F.sum(scaled).alias("s_occ"),
+        F.sum("__scaled").alias("s_occ"),
     )
     return agg.select(
+        *group_cols,
         F.lit(m).cast("long").alias("m"),
         (F.lit(m) - F.col("present")).cast("long").alias("v_empty"),
         (
@@ -134,6 +156,7 @@ def hll_summary(registers: DataFrame, p: int = 9) -> DataFrame:
             * F.lit(1 << scale_pow).cast("long")
         ).cast("long").alias("s_scaled"),
     ).select(
+        *group_cols,
         "m",
         "v_empty",
         "s_scaled",

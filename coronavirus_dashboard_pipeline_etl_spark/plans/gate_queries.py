@@ -6626,3 +6626,92 @@ ORACLE.update({
     "w10_ewma": W10_SQL,
     "g6_cube_events": G6_SQL,
 })
+
+
+_SK3_P = 7
+_SK3_M = 1 << _SK3_P
+_SK3_SCALE = 1 << (61 - _SK3_P)
+_SK3_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _SK3_M)) * _SK3_M * _SK3_M
+_SK3_ITEM_SQL = "concat(CAST(user_id AS VARCHAR), '|', strftime(ts, '%Y-%m-%d'))"
+
+
+def sk3_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key HLL sketches in ONE pass: distinct (user, day) estimate
+    per event_type next to the exact count — the distinct-per-partition
+    monitoring shape that at 100 TB replaces a per-key exact
+    COUNT(DISTINCT) shuffle of every (user, day) pair with a
+    groups x 2^p bounded aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    item = F.concat(
+        F.col("user_id").cast("string"),
+        F.lit("|"),
+        F.date_format("ts", "yyyy-MM-dd"),
+    )
+    regs = hll_registers(ev, item, p=_SK3_P, group_cols=("event_type",))
+    summ = hll_summary(regs, p=_SK3_P, group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct(
+            F.col("user_id"), F.date_format("ts", "yyyy-MM-dd")
+        ).alias("exact_distinct")
+    )
+    out = summ.join(exact, "event_type")
+    rel = F.abs(
+        F.col("raw_estimate") - F.col("exact_distinct").cast("double")
+    ) / F.col("exact_distinct").cast("double")
+    return out.select(
+        "event_type", "m", "v_empty", "s_scaled", "raw_estimate",
+        "exact_distinct", rel.alias("rel_err"),
+    )
+
+
+SK3_SQL = f"""
+WITH hashed AS (
+    SELECT event_type, {_md5int_sql(_SK3_ITEM_SQL)} AS h FROM events
+),
+regs AS (
+    SELECT event_type,
+           CAST(h % {_SK3_M} AS BIGINT) AS bucket,
+           CAST(CASE WHEN h // {_SK3_M} = 0 THEN {60 - _SK3_P + 1}
+                     ELSE {60 - _SK3_P}
+                          - length(printf('%b', h // {_SK3_M})) + 1
+                END AS BIGINT) AS rank
+    FROM hashed
+),
+r AS (
+    SELECT event_type, bucket, MAX(rank) AS max_rank
+    FROM regs GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type, COUNT(*) AS present,
+           CAST(SUM(CAST(1 AS BIGINT) << ({61 - _SK3_P} - max_rank))
+                AS BIGINT) AS s_occ
+    FROM r GROUP BY 1
+),
+x AS (
+    SELECT event_type,
+           COUNT(DISTINCT (user_id, strftime(ts, '%Y-%m-%d')))
+               AS exact_distinct
+    FROM events GROUP BY 1
+),
+f AS (
+    SELECT s.event_type,
+           CAST({_SK3_M} AS BIGINT) AS m,
+           CAST({_SK3_M} - present AS BIGINT) AS v_empty,
+           CAST(s_occ + ({_SK3_M} - present) * CAST({_SK3_SCALE} AS BIGINT)
+                AS BIGINT) AS s_scaled,
+           exact_distinct
+    FROM s JOIN x ON s.event_type = x.event_type
+)
+SELECT event_type, m, v_empty, s_scaled,
+       CAST({_SK3_ALPHA_M2 * float(_SK3_SCALE)!r} AS DOUBLE)
+           / CAST(s_scaled AS DOUBLE) AS raw_estimate,
+       exact_distinct,
+       abs(CAST({_SK3_ALPHA_M2 * float(_SK3_SCALE)!r} AS DOUBLE)
+           / CAST(s_scaled AS DOUBLE)
+           - CAST(exact_distinct AS DOUBLE)) / CAST(exact_distinct AS DOUBLE)
+           AS rel_err
+FROM f
+"""
+
+QUERIES["sk3_hll_grouped"] = sk3_hll_grouped
+ORACLE["sk3_hll_grouped"] = SK3_SQL

@@ -334,3 +334,28 @@ def test_countmin_stream_matches_batch(spark, tmp_path):
         map(tuple, countmin_sketch(batch, F.col("it"), depth=3, width=64).collect())
     )
     assert got == expect
+
+
+def test_hll_grouped_matches_per_group_filter(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        F.col("id").cast("string").alias("it"),
+    )
+    grouped = hll_registers(df, F.col("it"), p=7, group_cols=("g",))
+    for g in ("0", "1", "2"):
+        solo = sorted(
+            (r.bucket, r.max_rank)
+            for r in hll_registers(
+                df.filter(F.col("g") == g), F.col("it"), p=7
+            ).collect()
+        )
+        sub = sorted(
+            (r.bucket, r.max_rank)
+            for r in grouped.filter(F.col("g") == g).collect()
+        )
+        assert sub == solo
+    summ = hll_summary(grouped, p=7, group_cols=("g",))
+    rows = {r.g: r for r in summ.collect()}
+    assert len(rows) == 3
+    for g, r in rows.items():
+        assert abs(r.raw_estimate - 1000) / 1000 < 0.3
