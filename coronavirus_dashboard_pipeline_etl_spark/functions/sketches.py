@@ -33,13 +33,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-# 60-bit hash from md5 hex; bucket = low p bits, rank from the rest.
+from .dedup import md5_prefix_long as _h60  # shared 60-bit base hash
+
+# bucket = low p bits of the 60-bit hash, rank from the rest.
 _HASH_BITS = 60
-
-
-def _h60(col: Column) -> Column:
-    """First 15 md5 hex chars as a non-negative 60-bit BIGINT."""
-    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
 def hll_registers(
@@ -66,6 +63,11 @@ def hll_registers(
     if not 4 <= p <= 16:
         raise ValueError(f"hll_registers: p must be in [4,16], got {p}")
     m = 1 << p
+    # NULL items are not observations (matching COUNT(DISTINCT) and
+    # Spark's approx_count_distinct); without this filter they would
+    # produce a (NULL, NULL) register row that corrupts v_empty and
+    # survives merges forever
+    df = df.filter(item.isNotNull())
     h = _h60(item)
     bucket = (h % F.lit(m)).alias("bucket")
     # top 60-p bits; shiftright, never double division (h > 2^53 would
@@ -191,7 +193,10 @@ def countmin_sketch(
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(depth)])
     ).alias("row")
-    tagged = df.select(item.alias("__item"), rows)
+    # NULL items are not observations (a NULL concat would null the
+    # hash and pile every NULL into phantom (row, NULL) cells that
+    # lookups then undercount)
+    tagged = df.filter(item.isNotNull()).select(item.alias("__item"), rows)
     col = _h60(
         F.concat(F.col("row").cast("string"), F.lit("|"), F.col("__item"))
     ) % F.lit(width)
@@ -215,22 +220,39 @@ def countmin_lookup(
     against the bounded sketch broadcasts.  Output keeps every candidate
     column and appends ``cm_estimate`` (upper-bound count: the count-min
     guarantee is estimate >= true, overcount bounded by e*N/width with
-    probability 1 - e^-depth).
+    probability 1 - e^-depth).  NULL-item candidates get NULL (they are
+    never counted into the sketch, so 0 would masquerade as an exact
+    answer).  Internal keys are ``__``-prefixed so candidate frames may
+    themselves carry ``row``/``col``/``cnt`` columns.
     """
     from pyspark.sql.functions import broadcast
 
+    if any(c.startswith("__") for c in candidates.columns):
+        raise ValueError(
+            "countmin_lookup: candidate columns must not start with '__'"
+        )
     rows = F.explode(
         F.array(*[F.lit(i) for i in range(depth)])
-    ).alias("row")
+    ).alias("__row")
     keyed = candidates.withColumn("__item", item).select("*", rows)
     col = _h60(
-        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("__item"))
+        F.concat(F.col("__row").cast("string"), F.lit("|"), F.col("__item"))
     ) % F.lit(width)
-    probed = keyed.withColumn("col", col).join(
-        broadcast(sketch), on=["row", "col"], how="left"
+    sk = broadcast(
+        sketch.select(
+            F.col("row").alias("__row"),
+            F.col("col").alias("__col"),
+            F.col("cnt").alias("__cnt"),
+        )
+    )
+    probed = keyed.withColumn("__col", col).join(
+        sk, on=["__row", "__col"], how="left"
     )
     out_cols = [c for c in candidates.columns]
-    return (
-        probed.groupBy(*out_cols)
-        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cm_estimate"))
+    est = F.min(
+        F.when(
+            F.col("__item").isNotNull(),
+            F.coalesce(F.col("__cnt"), F.lit(0)),
+        )
     )
+    return probed.groupBy(*out_cols).agg(est.alias("cm_estimate"))

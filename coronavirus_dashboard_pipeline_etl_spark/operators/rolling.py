@@ -322,6 +322,11 @@ def ewma_halving(
     adjust=True, but hard-truncated at ``lags`` so the state is a
     constant-size frame).
 
+    NULL values are SKIPPED (``collect_list`` drops them): the window
+    then holds the last ``lags`` non-null rows, so older values inherit
+    the recency weights of the gap. Pre-filter or zero-fill if the
+    series has holes and calendar-faithful weights matter.
+
     Cross-engine determinism: values are scaled to integers (``scale``
     must cover the input's decimal places), weights are integer powers
     of two (2^(lags-1-k)), numerator and denominator are exact BIGINT

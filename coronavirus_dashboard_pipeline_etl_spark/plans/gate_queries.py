@@ -6416,15 +6416,21 @@ def g5_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "month", F.date_format("ts", "yyyy-MM")
     )
+    # grand-total rows sum the WHOLE table, so the value column is
+    # exact integer micro-units end-to-end: a wide-decimal->double cast
+    # would diverge between engines in the last ulp once the unscaled
+    # total passes 2^53 (the sketches.py finding), and the gate compares
+    # floats exactly. BIGINT sums overflow loudly under ANSI instead.
+    micro = (F.col("value").cast(DEC) * 1_000_000).cast("decimal(24,0)")
     return (
         ev.rollup("event_type", "month")
         .agg(
             F.grouping("event_type").cast("long").alias("g_type"),
             F.grouping("month").cast("long").alias("g_month"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("val_d"),
+            F.sum(micro).cast("long").alias("val_micro"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("event_type", "month", "g_type", "g_month", "val_d", "n")
+        .select("event_type", "month", "g_type", "g_month", "val_micro", "n")
     )
 
 
@@ -6432,7 +6438,8 @@ G5_SQL = """
 SELECT event_type, month,
        CAST(GROUPING(event_type) AS BIGINT) AS g_type,
        CAST(GROUPING(month) AS BIGINT) AS g_month,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_d,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(24,0))) AS BIGINT) AS val_micro,
        COUNT(*) AS n
 FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events)
 GROUP BY ROLLUP(event_type, month)
@@ -6552,8 +6559,12 @@ from ..operators.rolling import ewma_halving  # noqa: E402
 def w10_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted smoothing over the daily panel: truncated
     half-decay EWMA, exact-integer numerator/denominator so both
-    engines produce the identical double (see ewma_halving)."""
-    daily = _daily(spark, sf_dir)
+    engines produce the identical double (see ewma_halving).
+
+    NULL panel values are excluded up front in BOTH engines: Spark's
+    collect_list skips NULLs while DuckDB's list() keeps them, so an
+    unfiltered NULL would shift the window length and the weights."""
+    daily = _daily(spark, sf_dir).filter(F.col("val_d").isNotNull())
     out = ewma_halving(
         daily, ["event_type"], "date", "val_d", lags=10, out="ewma"
     )
@@ -6568,6 +6579,7 @@ e AS (
     SELECT event_type, date,
            CAST(CAST(val_d * 1000000 AS DECIMAL(24,0)) AS BIGINT) AS xs
     FROM daily
+    WHERE val_d IS NOT NULL
 ),
 win AS (
     SELECT event_type, date,
@@ -6596,15 +6608,17 @@ def g6_cube_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "month", F.date_format("ts", "yyyy-MM")
     )
+    # exact integer micro-units for the same reason as g5
+    micro = (F.col("value").cast(DEC) * 1_000_000).cast("decimal(24,0)")
     return (
         ev.cube("event_type", "month")
         .agg(
             F.grouping("event_type").cast("long").alias("g_type"),
             F.grouping("month").cast("long").alias("g_month"),
-            F.sum(F.col("value").cast(DEC)).cast("double").alias("val_d"),
+            F.sum(micro).cast("long").alias("val_micro"),
             F.count(F.lit(1)).alias("n"),
         )
-        .select("event_type", "month", "g_type", "g_month", "val_d", "n")
+        .select("event_type", "month", "g_type", "g_month", "val_micro", "n")
     )
 
 
@@ -6612,7 +6626,8 @@ G6_SQL = """
 SELECT event_type, month,
        CAST(GROUPING(event_type) AS BIGINT) AS g_type,
        CAST(GROUPING(month) AS BIGINT) AS g_month,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS val_d,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000
+                     AS DECIMAL(24,0))) AS BIGINT) AS val_micro,
        COUNT(*) AS n
 FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events)
 GROUP BY CUBE(event_type, month)

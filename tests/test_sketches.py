@@ -359,3 +359,42 @@ def test_hll_grouped_matches_per_group_filter(spark):
     assert len(rows) == 3
     for g, r in rows.items():
         assert abs(r.raw_estimate - 1000) / 1000 < 0.3
+
+
+def test_sketches_ignore_null_items(spark):
+    with_nulls = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "it string"
+    )
+    clean = spark.createDataFrame([("a",), ("b",)], "it string")
+    r_n = sorted(map(tuple, hll_registers(with_nulls, F.col("it"), p=4).collect()))
+    r_c = sorted(map(tuple, hll_registers(clean, F.col("it"), p=4).collect()))
+    assert r_n == r_c and all(b is not None for b, _ in r_n)
+    s_n = sorted(map(tuple, countmin_sketch(with_nulls, F.col("it"), 2, 8).collect()))
+    s_c = sorted(map(tuple, countmin_sketch(clean, F.col("it"), 2, 8).collect()))
+    assert s_n == s_c
+    # NULL candidate estimates NULL (never a fake exact 0)
+    est = countmin_lookup(
+        countmin_sketch(with_nulls, F.col("it"), 2, 8),
+        with_nulls.distinct(), F.col("it"), 2, 8,
+    ).collect()
+    by_item = {r.it: r.cm_estimate for r in est}
+    assert by_item[None] is None
+    assert by_item["a"] >= 1 and by_item["b"] >= 1
+
+
+def test_countmin_lookup_candidate_name_collisions(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame([("a",), ("a",), ("b",)], "it string")
+    sk = countmin_sketch(df, F.col("it"), depth=2, width=8)
+    # candidates carrying row/col/cnt columns must survive the probe
+    cands = spark.createDataFrame(
+        [("a", 1, 2, 3), ("b", 4, 5, 6)], "it string, row int, col int, cnt int"
+    )
+    out = {r.it: r.cm_estimate
+           for r in countmin_lookup(sk, cands, F.col("it"), 2, 8).collect()}
+    assert out == {"a": 2, "b": 1}
+    with _pytest.raises(ValueError):
+        countmin_lookup(
+            sk, cands.withColumnRenamed("row", "__row"), F.col("it"), 2, 8
+        )
