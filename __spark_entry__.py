@@ -46,6 +46,7 @@ _PRIORITY = [
     "w10_ewma",
     "g6_cube_events",
     "sk3_hll_grouped",
+    "sk4_bloom_semijoin",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

@@ -256,3 +256,77 @@ def countmin_lookup(
         )
     )
     return probed.groupBy(*out_cols).agg(est.alias("cm_estimate"))
+
+
+# --------------------------------------------------------------------------
+# bloom filter
+# --------------------------------------------------------------------------
+
+def bloom_bits(
+    df: DataFrame, item: Column, m_bits: int = 8192, k_hashes: int = 4
+) -> DataFrame:
+    """Bloom-filter membership sketch as a SET-BIT table: one row per
+    distinct set position, at most ``m_bits`` rows whatever the input.
+    The portable form of the bloom Spark builds internally for runtime
+    join-filter pushdown — here it is an explicit, engine-independent
+    artifact (md5-derived positions) you can persist next to a corpus
+    and probe from any engine.
+
+    Mergeable by ``union`` + ``distinct`` (bit-OR).  Guarantee: a probe
+    of any inserted item finds all its bits (NO false negatives);
+    absent items collide with probability ~(1 - e^(-k n / m))^k.
+
+    Scale shape: explode x``k_hashes`` then one map-side-combinable
+    distinct on a bounded key — constant-size shuffle like the other
+    sketches.  NULL items are not observations.
+    """
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("bloom_bits: need m_bits >= 2, k_hashes >= 1")
+    hashes = F.explode(
+        F.array(*[F.lit(i) for i in range(k_hashes)])
+    ).alias("__k")
+    tagged = df.filter(item.isNotNull()).select(item.alias("__item"), hashes)
+    bit = _h60(
+        F.concat(F.col("__k").cast("string"), F.lit("|"), F.col("__item"))
+    ) % F.lit(m_bits)
+    return tagged.select(bit.alias("bit")).distinct()
+
+
+def bloom_probe(
+    bits: DataFrame,
+    candidates: DataFrame,
+    item: Column,
+    m_bits: int = 8192,
+    k_hashes: int = 4,
+) -> DataFrame:
+    """Probe the set-bit table: appends ``maybe_present`` per candidate
+    (true iff ALL k positions are set; false is definitive absence).
+    The bit table is bounded by ``m_bits`` rows, so it broadcasts — the
+    probe never shuffles the candidate side, which is what makes this
+    the semi-join pre-filter at scale (drop definitively-absent rows
+    before the real join moves any data).  NULL-item candidates probe
+    to NULL.
+    """
+    from pyspark.sql.functions import broadcast
+
+    if any(c.startswith("__") for c in candidates.columns):
+        raise ValueError(
+            "bloom_probe: candidate columns must not start with '__'"
+        )
+    hashes = F.explode(
+        F.array(*[F.lit(i) for i in range(k_hashes)])
+    ).alias("__k")
+    keyed = candidates.withColumn("__item", item).select("*", hashes)
+    bit = _h60(
+        F.concat(F.col("__k").cast("string"), F.lit("|"), F.col("__item"))
+    ) % F.lit(m_bits)
+    probed = keyed.withColumn("__bit", bit).join(
+        broadcast(bits.select(F.col("bit").alias("__bit"), F.lit(1).alias("__hit"))),
+        on="__bit",
+        how="left",
+    )
+    out_cols = [c for c in candidates.columns]
+    maybe = F.when(
+        F.max(F.col("__item").isNull().cast("int")) == 1, F.lit(None)
+    ).otherwise(F.min(F.coalesce(F.col("__hit"), F.lit(0))) == 1)
+    return probed.groupBy(*out_cols).agg(maybe.alias("maybe_present"))

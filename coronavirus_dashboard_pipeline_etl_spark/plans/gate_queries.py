@@ -6730,3 +6730,83 @@ FROM f
 
 QUERIES["sk3_hll_grouped"] = sk3_hll_grouped
 ORACLE["sk3_hll_grouped"] = SK3_SQL
+
+
+from ..functions.sketches import bloom_bits, bloom_probe  # noqa: E402
+
+_BLOOM_M = 65536
+_BLOOM_K = 4
+
+
+def sk4_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter, made explicit: build the
+    set-bit table over high-balance customers, probe every ordering
+    customer, and emit the bloom verdict next to ground truth. The
+    bit table is bounded (<= m rows) and broadcasts; the probe side
+    never shuffles — the pattern that drops definitively-absent rows
+    at 100 TB before the real join moves any data (Spark's runtime
+    join bloom pushdown, as a persistable cross-engine artifact).
+    No-false-negative guarantee is visible in the output: every
+    actually_present row has maybe_present = true."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 5000
+    )
+    bits = bloom_bits(
+        cust, F.col("c_custkey").cast("string"),
+        m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+    )
+    cand = load_table(spark, sf_dir, "orders").select(
+        "o_custkey"
+    ).distinct()
+    probed = bloom_probe(
+        bits, cand, F.col("o_custkey").cast("string"),
+        m_bits=_BLOOM_M, k_hashes=_BLOOM_K,
+    )
+    truth = cust.select(
+        F.col("c_custkey").alias("o_custkey"), F.lit(1).alias("__t")
+    ).distinct()
+    return probed.join(truth, "o_custkey", "left").select(
+        "o_custkey",
+        "maybe_present",
+        F.col("__t").isNotNull().alias("actually_present"),
+    )
+
+
+def _bloom_hash_sql(k_expr: str, item_expr: str) -> str:
+    return (
+        _md5int_sql(f"concat(CAST({k_expr} AS VARCHAR), '|', {item_expr})")
+        + f" % {_BLOOM_M}"
+    )
+
+
+SK4_SQL = f"""
+WITH ins AS (
+    SELECT CAST(c_custkey AS VARCHAR) AS it, c_custkey
+    FROM customer WHERE c_acctbal > 5000
+),
+bits AS (
+    SELECT DISTINCT {_bloom_hash_sql('t.k', 'it')} AS bit
+    FROM ins, range({_BLOOM_K}) t(k)
+),
+cand AS (SELECT DISTINCT o_custkey FROM orders),
+probe AS (
+    SELECT cand.o_custkey, t.k,
+           {_bloom_hash_sql('t.k', 'CAST(cand.o_custkey AS VARCHAR)')} AS bit
+    FROM cand, range({_BLOOM_K}) t(k)
+),
+verdict AS (
+    SELECT p.o_custkey,
+           MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1
+               AS maybe_present
+    FROM probe p LEFT JOIN bits b ON b.bit = p.bit
+    GROUP BY 1
+)
+SELECT v.o_custkey, v.maybe_present,
+       i.c_custkey IS NOT NULL AS actually_present
+FROM verdict v
+LEFT JOIN (SELECT DISTINCT c_custkey FROM ins) i
+  ON i.c_custkey = v.o_custkey
+"""
+
+QUERIES["sk4_bloom_semijoin"] = sk4_bloom_semijoin
+ORACLE["sk4_bloom_semijoin"] = SK4_SQL

@@ -398,3 +398,37 @@ def test_countmin_lookup_candidate_name_collisions(spark):
         countmin_lookup(
             sk, cands.withColumnRenamed("row", "__row"), F.col("it"), 2, 8
         )
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        bloom_bits,
+        bloom_probe,
+    )
+
+    a = _items(spark, 300)
+    b = spark.range(300, 600).select(F.col("id").cast("string").alias("it"))
+    bits_a = bloom_bits(a, F.col("it"), m_bits=4096, k_hashes=3)
+    bits_b = bloom_bits(b, F.col("it"), m_bits=4096, k_hashes=3)
+    merged = bits_a.unionByName(bits_b).distinct()
+    whole = bloom_bits(a.unionByName(b), F.col("it"), m_bits=4096, k_hashes=3)
+    assert sorted(r.bit for r in merged.collect()) == sorted(
+        r.bit for r in whole.collect()
+    )
+    # every inserted item probes true; bit table bounded
+    probe = bloom_probe(whole, a.unionByName(b), F.col("it"), 4096, 3)
+    assert probe.filter(~F.col("maybe_present")).count() == 0
+    assert whole.count() <= 4096
+    # items far outside the set mostly probe false (fp rate sane)
+    absent = spark.range(100000, 101000).select(
+        F.col("id").cast("string").alias("it")
+    )
+    fp = bloom_probe(whole, absent, F.col("it"), 4096, 3)
+    assert fp.filter(F.col("maybe_present")).count() < 200
+    # NULL candidate -> NULL verdict
+    null_probe = bloom_probe(
+        whole,
+        spark.createDataFrame([(None,)], "it string"),
+        F.col("it"), 4096, 3,
+    ).collect()[0]
+    assert null_probe.maybe_present is None
