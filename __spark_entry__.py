@@ -47,6 +47,7 @@ _PRIORITY = [
     "g6_cube_events",
     "sk3_hll_grouped",
     "sk4_bloom_semijoin",
+    "pipe13_corpus_monitor",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

@@ -63,6 +63,7 @@ HEADLINE = [
     "d11_span_dedup",
     "j11c_asof_nearest",
     "q18_large_volume",
+    "pipe13_corpus_monitor",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

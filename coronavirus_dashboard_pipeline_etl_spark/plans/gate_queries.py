@@ -6810,3 +6810,113 @@ LEFT JOIN (SELECT DISTINCT c_custkey FROM ins) i
 
 QUERIES["sk4_bloom_semijoin"] = sk4_bloom_semijoin
 ORACLE["sk4_bloom_semijoin"] = SK4_SQL
+
+
+_P13_P = 8
+_P13_M = 1 << _P13_P
+_P13_SCALE = 1 << (61 - _P13_P)
+_P13_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / _P13_M)) * _P13_M * _P13_M
+_P13_CM_D = 3
+_P13_CM_W = 64
+_P13_FP_SQL = r"md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"
+
+
+def pipe13_corpus_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus monitoring panel, the sketches composed the way
+    a production ingest would run them: per language — exact doc count,
+    exact distinct-content count, the per-key HLL estimate of the same
+    (the bounded aggregate that replaces the exact distinct at 100 TB),
+    and the count-min upper bound of the language's own volume. Every
+    sketch column is deterministic, so the whole monitoring artifact is
+    value-checked against the SQL oracle, not just row-counted."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "fp", fingerprint("text")
+    )
+    exact = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("fp").alias("exact_distinct_fp"),
+    )
+    regs = hll_registers(docs, F.col("fp"), p=_P13_P, group_cols=("lang",))
+    summ = hll_summary(regs, p=_P13_P, group_cols=("lang",)).select(
+        "lang",
+        F.col("s_scaled").alias("hll_s_scaled"),
+        F.col("raw_estimate").alias("hll_estimate"),
+    )
+    cm = countmin_sketch(
+        docs, F.col("lang"), depth=_P13_CM_D, width=_P13_CM_W
+    )
+    langs = docs.select("lang").distinct()
+    cm_est = countmin_lookup(
+        cm, langs, F.col("lang"), depth=_P13_CM_D, width=_P13_CM_W
+    ).select("lang", F.col("cm_estimate").alias("cm_n_docs"))
+    return (
+        exact.join(summ, "lang")
+        .join(cm_est, "lang")
+        .select(
+            "lang", "n_docs", "exact_distinct_fp",
+            "hll_s_scaled", "hll_estimate", "cm_n_docs",
+        )
+    )
+
+
+PIPE13_SQL = f"""
+WITH d AS (SELECT lang, {_P13_FP_SQL} AS fp FROM documents),
+exact AS (
+    SELECT lang, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fp) AS exact_distinct_fp
+    FROM d GROUP BY 1
+),
+hashed AS (SELECT lang, {_md5int_sql('fp')} AS h FROM d),
+regs AS (
+    SELECT lang, CAST(h % {_P13_M} AS BIGINT) AS bucket,
+           CAST(CASE WHEN h // {_P13_M} = 0 THEN {60 - _P13_P + 1}
+                     ELSE {60 - _P13_P}
+                          - length(printf('%b', h // {_P13_M})) + 1
+                END AS BIGINT) AS rank
+    FROM hashed
+),
+r AS (SELECT lang, bucket, MAX(rank) AS max_rank FROM regs GROUP BY 1, 2),
+s AS (
+    SELECT lang, COUNT(*) AS present,
+           CAST(SUM(CAST(1 AS BIGINT) << ({61 - _P13_P} - max_rank))
+                AS BIGINT) AS s_occ
+    FROM r GROUP BY 1
+),
+hll AS (
+    SELECT lang,
+           CAST(s_occ + ({_P13_M} - present) * CAST({_P13_SCALE} AS BIGINT)
+                AS BIGINT) AS hll_s_scaled
+    FROM s
+),
+sk AS (
+    SELECT t.r AS row,
+           {_md5int_sql("concat(CAST(t.r AS VARCHAR), '|', lang)")}
+               % {_P13_CM_W} AS col,
+           COUNT(*) AS cnt
+    FROM documents, range({_P13_CM_D}) t(r)
+    GROUP BY 1, 2
+),
+langs AS (SELECT DISTINCT lang FROM documents),
+probe AS (
+    SELECT langs.lang, t.r AS row,
+           {_md5int_sql("concat(CAST(t.r AS VARCHAR), '|', langs.lang)")}
+               % {_P13_CM_W} AS col
+    FROM langs, range({_P13_CM_D}) t(r)
+),
+cm AS (
+    SELECT p.lang, MIN(COALESCE(sk.cnt, 0)) AS cm_n_docs
+    FROM probe p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
+    GROUP BY 1
+)
+SELECT e.lang, e.n_docs, e.exact_distinct_fp,
+       h.hll_s_scaled,
+       CAST({_P13_ALPHA_M2 * float(_P13_SCALE)!r} AS DOUBLE)
+           / CAST(h.hll_s_scaled AS DOUBLE) AS hll_estimate,
+       cm.cm_n_docs
+FROM exact e
+JOIN hll h ON e.lang = h.lang
+JOIN cm ON e.lang = cm.lang
+"""
+
+QUERIES["pipe13_corpus_monitor"] = pipe13_corpus_monitor
+ORACLE["pipe13_corpus_monitor"] = PIPE13_SQL
