@@ -432,3 +432,52 @@ def test_bloom_no_false_negatives_and_merge(spark):
         F.col("it"), 4096, 3,
     ).collect()[0]
     assert null_probe.maybe_present is None
+
+
+def test_hll_grouped_by_event_time_window_streams(spark, tmp_path):
+    """Grouped HLL keyed by an event-time window runs as a live
+    streaming aggregation (complete mode) and matches batch — the
+    distinct-per-hour monitoring shape."""
+    import json as _json
+
+    in_dir, ckpt = tmp_path / "in", tmp_path / "ckpt"
+    in_dir.mkdir()
+    rows = [
+        {"it": f"u{i % 37}", "ts": f"2024-01-01T{10 + (i % 2):02d}:0{i % 6}:00"}
+        for i in range(200)
+    ]
+    (in_dir / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[:100])
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in rows[100:])
+    )
+    schema = "it string, ts timestamp"
+
+    def sketch(df):
+        win = df.withColumn(
+            "hour", F.date_format(F.window("ts", "1 hour").start, "HH")
+        )
+        return hll_registers(win, F.col("it"), p=6, group_cols=("hour",))
+
+    stream = (
+        spark.readStream.format("json").schema(schema)
+        .option("maxFilesPerTrigger", 1).load(str(in_dir))
+    )
+    q = (
+        sketch(stream)
+        .writeStream.format("memory").queryName("hll_win_test")
+        .outputMode("complete")
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM hll_win_test").collect())
+    )
+    batch = spark.createDataFrame(
+        [(r["it"], r["ts"].replace("T", " ")) for r in rows],
+        "it string, ts string",
+    ).selectExpr("it", "CAST(ts AS TIMESTAMP) ts")
+    expect = sorted(map(tuple, sketch(batch).collect()))
+    assert got == expect

@@ -1,0 +1,54 @@
+"""Steady-state timing sweep over the full gate registry: run every
+queries() entry twice at the given sf (default sf0.1) and record the
+SECOND run's wall time — plan-compile/codegen noise excluded — so
+regressions in the heavy tail are visible per round.
+
+Usage: python tools/timing_sweep.py [sf_dir] [out_json]
+
+Writes one JSON object {gate: seconds | "ERR <type>"} and prints the
+slowest 15. Compare across rounds only after dividing by the host
+calibration in BENCH_rN.json (see ROUND_NOTES.md).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import QUERIES
+from coronavirus_dashboard_pipeline_etl_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else "TIMING_SWEEP.json"
+    spark = get_spark(master="local[32]", shuffle_partitions=32)
+    out: dict[str, object] = {}
+    for name, fn in QUERIES.items():
+        try:
+            fn(spark, sf_dir).count()  # warm: plan compile + codegen
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            out[name] = round(time.time() - t0, 2)
+        except Exception as e:  # noqa: BLE001 — record, keep sweeping
+            out[name] = f"ERR {type(e).__name__}"
+    with open(out_path, "w") as f:
+        json.dump({"sf_dir": sf_dir, "steady_s": out}, f, indent=1)
+    ranked = sorted(
+        ((v, k) for k, v in out.items() if isinstance(v, float)),
+        reverse=True,
+    )
+    for v, k in ranked[:15]:
+        print(f"{v:7.2f}  {k}")
+    errs = {k: v for k, v in out.items() if isinstance(v, str)}
+    if errs:
+        print("errors:", errs)
+    print(f"total steady {sum(v for v, _ in ranked):.1f}s; wrote {out_path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
