@@ -48,6 +48,7 @@ _PRIORITY = [
     "sk3_hll_grouped",
     "sk4_bloom_semijoin",
     "pipe13_corpus_monitor",
+    "sk5_hist_quantiles",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

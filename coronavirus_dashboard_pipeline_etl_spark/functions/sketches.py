@@ -330,3 +330,74 @@ def bloom_probe(
         F.max(F.col("__item").isNull().cast("int")) == 1, F.lit(None)
     ).otherwise(F.min(F.coalesce(F.col("__hit"), F.lit(0))) == 1)
     return probed.groupBy(*out_cols).agg(maybe.alias("maybe_present"))
+
+
+# --------------------------------------------------------------------------
+# histogram quantiles
+# --------------------------------------------------------------------------
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    bins: int,
+    qs: "tuple[float, ...]" = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Approximate quantiles from a fixed-bound equi-width histogram —
+    the deterministic, mergeable twin of ``approxQuantile``: the
+    histogram is ONE map-side-combinable pass (``curation.
+    histogram_fixed``), merges by adding counts, and the estimate is
+    linear interpolation inside the covering bucket from EXACT integer
+    counts, so two engines (or two shards merged) produce identical
+    doubles.
+
+    Returns ``(q, est)`` per requested quantile. Error is bounded by
+    one bucket width; choose ``bins`` for the precision the monitor
+    needs. The post-histogram work is a window over <= ``bins`` rows —
+    bounded, never data-sized.
+    """
+    from .curation import histogram_fixed
+
+    if not qs:
+        raise ValueError("histogram_quantiles: need at least one q")
+    if any(not 0.0 < q <= 1.0 for q in qs):
+        raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    from pyspark.sql import Window
+
+    width = (hi - lo) / bins
+    hist = histogram_fixed(df, value_col, lo, hi, bins)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "bucket",
+        "n",
+        F.sum("n").over(w).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    )
+    qdf = hist.sparkSession.createDataFrame(
+        [(float(q),) for q in qs], "q double"
+    )
+    # covering bucket: smallest bucket whose inclusive cumulative count
+    # reaches q * total (exact-int cum vs double target — deterministic)
+    cand = qdf.crossJoin(cum).filter(
+        F.col("cum").cast("double") >= F.col("q") * F.col("total")
+    )
+    wq = Window.partitionBy("q").orderBy("bucket")
+    first = cand.withColumn("__rn", F.row_number().over(wq)).filter(
+        F.col("__rn") == 1
+    )
+    est = (
+        F.lit(lo)
+        + F.col("bucket").cast("double") * F.lit(width)
+        + (
+            F.col("q") * F.col("total")
+            - (F.col("cum") - F.col("n")).cast("double")
+        )
+        / F.col("n").cast("double")
+        * F.lit(width)
+    )
+    return first.select("q", est.alias("est"))

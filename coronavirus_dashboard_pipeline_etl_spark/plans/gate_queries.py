@@ -6920,3 +6920,99 @@ JOIN cm ON e.lang = cm.lang
 
 QUERIES["pipe13_corpus_monitor"] = pipe13_corpus_monitor
 ORACLE["pipe13_corpus_monitor"] = PIPE13_SQL
+
+
+from ..functions.sketches import histogram_quantiles  # noqa: E402
+
+_SK5_LO = 900.0
+_SK5_HI = 105000.0
+_SK5_BINS = 128
+_SK5_QS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def sk5_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles next to the exact interpolated
+    percentile: the mergeable one-pass approximation whose error is
+    bounded by a bucket width — the monitoring replacement for a full
+    sort at 100 TB. Both the estimate and the error column are
+    deterministic, so accuracy itself is value-gated."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = histogram_quantiles(
+        li, "l_extendedprice", _SK5_LO, _SK5_HI, _SK5_BINS, _SK5_QS
+    )
+    exact = li.agg(
+        *[
+            F.expr(f"percentile(l_extendedprice, {q!r})").alias(f"__e{i}")
+            for i, q in enumerate(_SK5_QS)
+        ]
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(f"__e{i}").alias("exact"),
+                    )
+                    for i, q in enumerate(_SK5_QS)
+                ]
+            )
+        ).alias("s")
+    ).select("s.q", "s.exact")
+    out = approx.join(exact, "q")
+    return out.select(
+        "q", "est", "exact", F.abs(F.col("est") - F.col("exact")).alias("abs_err")
+    )
+
+
+_SK5_W = (_SK5_HI - _SK5_LO) / _SK5_BINS
+
+SK5_SQL = f"""
+WITH hist AS (
+    SELECT LEAST(GREATEST(
+               CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - {_SK5_LO!r})
+                          / {_SK5_W!r}) AS BIGINT),
+               0), {_SK5_BINS - 1}) AS bucket,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY 1
+),
+cum AS (
+    SELECT bucket, n,
+           SUM(n) OVER (ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum,
+           SUM(n) OVER () AS total
+    FROM hist
+),
+qs AS (SELECT UNNEST([{", ".join(repr(float(q)) for q in _SK5_QS)}]) AS q),
+first_b AS (
+    SELECT q, bucket, n, cum, total FROM (
+        SELECT qs.q, c.bucket, c.n, c.cum, c.total,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qs.q ORDER BY c.bucket
+               ) AS rn
+        FROM qs JOIN cum c
+          ON CAST(c.cum AS DOUBLE) >= qs.q * c.total
+    ) WHERE rn = 1
+),
+approx AS (
+    SELECT q,
+           {_SK5_LO!r} + CAST(bucket AS DOUBLE) * {_SK5_W!r}
+           + (q * total - CAST(cum - n AS DOUBLE))
+             / CAST(n AS DOUBLE) * {_SK5_W!r} AS est
+    FROM first_b
+),
+exact AS (
+    -- quantile_cont requires a CONSTANT q in DuckDB
+    SELECT 0.1 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.1) AS exact FROM lineitem
+    UNION ALL SELECT 0.25 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25) AS exact FROM lineitem
+    UNION ALL SELECT 0.5 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5) AS exact FROM lineitem
+    UNION ALL SELECT 0.75 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75) AS exact FROM lineitem
+    UNION ALL SELECT 0.9 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9) AS exact FROM lineitem
+    UNION ALL SELECT 0.99 AS q, quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.99) AS exact FROM lineitem
+)
+SELECT a.q, a.est, e.exact, abs(a.est - e.exact) AS abs_err
+FROM approx a JOIN exact e ON a.q = e.q
+"""
+
+QUERIES["sk5_hist_quantiles"] = sk5_hist_quantiles
+ORACLE["sk5_hist_quantiles"] = SK5_SQL

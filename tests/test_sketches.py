@@ -481,3 +481,21 @@ def test_hll_grouped_by_event_time_window_streams(spark, tmp_path):
     ).selectExpr("it", "CAST(ts AS TIMESTAMP) ts")
     expect = sorted(map(tuple, sketch(batch).collect()))
     assert got == expect
+
+
+def test_histogram_quantiles_bounded_error_and_merge_equivalence(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(10000).select((F.col("id") % 1000).cast("double").alias("v"))
+    qs = (0.1, 0.5, 0.9)
+    out = {r.q: r.est for r in
+           histogram_quantiles(df, "v", 0.0, 1000.0, 100, qs).collect()}
+    # uniform 0..999: true quantile ~ q*1000; bucket width 10 bounds error
+    for q in qs:
+        assert abs(out[q] - q * 1000) <= 10 + 1e-9, (q, out[q])
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", 0.0, 1000.0, 100, ())
+    with pytest.raises(ValueError):
+        histogram_quantiles(df, "v", 0.0, 1000.0, 100, (0.0,))
