@@ -491,10 +491,16 @@ def dedup_components(
     # pay per-round join cost. At corpus scale the edge-node set is a
     # small fraction of |ids| (near-dup candidates are rare), so this
     # shrinks every round's working set from |corpus| to |candidates|.
+    # Initial label = min(node, min direct neighbour): this IS the
+    # first propagation round, fused into initialisation for free (one
+    # aggregation replaces a full round's join + checkpoint + count).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
 
@@ -517,18 +523,22 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # One propagate + one pointer-jump per round: after taking the
-        # min neighbour label, follow it one more hop through the
+        # One propagate + two pointer-jumps per round: after taking the
+        # min neighbour label, follow it two more hops through the
         # PREVIOUS round's (already checkpointed) label table — the
-        # jump table costs no extra job and compresses label chains,
-        # so convergence needs ~log(diameter) rounds instead of
-        # diameter. The round cost here is dominated by fixed per-job
-        # overhead (checkpoint + count actions), so fewer rounds is
-        # the lever that matters.
-        jump = labels.select(
+        # jump lookups cost no extra jobs (tiny joins inside the same
+        # DAG) and compress label chains, so convergence needs
+        # ~log(diameter) rounds instead of diameter. The round cost
+        # here is dominated by fixed per-job overhead (checkpoint +
+        # count actions), so fewer rounds is the lever that matters.
+        jump1 = labels.select(
             F.col("node").alias("__jn"), F.col("label").alias("__jl")
         )
-        jmp = F.broadcast(jump) if bcast else jump
+        jump2 = labels.select(
+            F.col("node").alias("__kn"), F.col("label").alias("__kl")
+        )
+        jmp1 = F.broadcast(jump1) if bcast else jump1
+        jmp2 = F.broadcast(jump2) if bcast else jump2
         prop = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
@@ -539,19 +549,25 @@ def dedup_components(
                 ).alias("__p"),
             )
         )
-        new = (
-            prop.join(jmp, prop["__p"] == F.col("__jn"), "left")
+        hop1 = (
+            prop.join(jmp1, prop["__p"] == F.col("__jn"), "left")
             .select(
                 "node",
+                "__orig",
                 F.least(
                     F.col("__p"), F.coalesce("__jl", "__p")
-                ).alias("label"),
+                ).alias("__p2"),
+            )
+        )
+        final = F.least(F.col("__p2"), F.coalesce("__kl", "__p2"))
+        new = (
+            hop1.join(jmp2, hop1["__p2"] == F.col("__kn"), "left")
+            .select(
+                "node",
+                final.alias("label"),
                 # convergence flag computed inside the same projection —
                 # no extra join per round just to count moved labels
-                (
-                    F.least(F.col("__p"), F.coalesce("__jl", "__p"))
-                    < F.col("__orig")
-                ).alias("moved"),
+                (final < F.col("__orig")).alias("moved"),
             )
             .localCheckpoint(eager=True)
         )
