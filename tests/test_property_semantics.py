@@ -803,3 +803,94 @@ def test_embedding_neardup_guard_and_symmetry(spark):
 
     with pytest.raises(ValueError, match="threshold"):
         embedding_neardup_pairs(emb, seeds, threshold=1.5)
+
+
+# --------------------------------------------------------------------------
+# round 5: EWMA and duplicated-span references
+# --------------------------------------------------------------------------
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    series=st.lists(
+        st.integers(min_value=-1000, max_value=1000), min_size=1, max_size=30
+    ),
+    lags=st.integers(min_value=1, max_value=12),
+)
+def test_ewma_halving_matches_python_reference(spark, series, lags):
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rolling import (
+        ewma_halving,
+    )
+
+    rows = [("g", f"d{i:03d}", float(v)) for i, v in enumerate(series)]
+    df = spark.createDataFrame(rows, "g string, date string, v double")
+    got = {
+        r.date: r.ewma
+        for r in ewma_halving(df, ["g"], "date", "v", lags=lags).collect()
+    }
+
+    for t in range(len(series)):
+        window = series[max(0, t - lags + 1): t + 1]
+        # newest value (end of window) pairs with the largest weight
+        # 2^(lags-1)
+        num = sum(
+            v * (2 ** (lags - 1 - (len(window) - 1 - i)))
+            for i, v in enumerate(window)
+        )
+        den = sum(2 ** (lags - 1 - k) for k in range(len(window)))
+        expect = num / den
+        assert math.isclose(
+            got[f"d{t:03d}"], expect, rel_tol=0, abs_tol=1e-9
+        ), (t, got[f"d{t:03d}"], expect)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("abcde"), min_size=0, max_size=12
+        ).map(lambda ts: " ".join(ts)),
+        min_size=1,
+        max_size=8,
+    ),
+    span=st.integers(min_value=1, max_value=4),
+)
+def test_duplicated_spans_matches_python_reference(spark, docs, span):
+    import hashlib
+    from collections import defaultdict
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    got = {
+        r.fp: (r.n_docs, r.n_occurrences, r.first_doc)
+        for r in duplicated_spans(
+            df, span_tokens=span, min_docs=1
+        ).collect()
+    }
+
+    expect = defaultdict(lambda: [set(), 0, None])
+    for i, t in enumerate(docs):
+        toks = [w for w in t.split(" ") if w != ""]
+        for s in range(len(toks) - span + 1):
+            fp = hashlib.md5(
+                " ".join(toks[s: s + span]).encode()
+            ).hexdigest()
+            e = expect[fp]
+            e[0].add(i)
+            e[1] += 1
+            e[2] = i if e[2] is None else min(e[2], i)
+    assert got == {
+        fp: (len(d), n, first) for fp, (d, n, first) in expect.items()
+    }
