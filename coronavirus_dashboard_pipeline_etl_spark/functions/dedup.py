@@ -523,22 +523,32 @@ def dedup_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        # One propagate + two pointer-jumps per round: after taking the
-        # min neighbour label, follow it two more hops through the
-        # PREVIOUS round's (already checkpointed) label table — the
-        # jump lookups cost no extra jobs (tiny joins inside the same
-        # DAG) and compress label chains, so convergence needs
-        # ~log(diameter) rounds instead of diameter. The round cost
-        # here is dominated by fixed per-job overhead (checkpoint +
-        # count actions), so fewer rounds is the lever that matters.
-        jump1 = labels.select(
-            F.col("node").alias("__jn"), F.col("label").alias("__jl")
+        # One propagate + a SQUARED pointer-jump per round: the jump
+        # table is the previous round's labels composed with themselves
+        # (node -> label-of-label, a label-sized self-join — tiny, no
+        # broadcast needed for its build), so ONE lookup resolves two
+        # hops and only one label-table broadcast ships per round.
+        # Labels are monotone (label <= node, updates only decrease),
+        # so min(p, jump_sq[p]) equals the sequential two-hop chain.
+        # Chain compression makes convergence ~log(diameter) rounds
+        # instead of diameter; round cost is dominated by fixed per-job
+        # overhead (checkpoint + count), so fewer rounds is the lever
+        # that matters.
+        j_a = labels.select(
+            F.col("node").alias("__jn"), F.col("label").alias("__l1")
         )
-        jump2 = labels.select(
-            F.col("node").alias("__kn"), F.col("label").alias("__kl")
+        j_b = labels.select(
+            F.col("node").alias("__kn"), F.col("label").alias("__l2")
         )
-        jmp1 = F.broadcast(jump1) if bcast else jump1
-        jmp2 = F.broadcast(jump2) if bcast else jump2
+        jump_sq = j_a.join(
+            j_b, j_a["__l1"] == F.col("__kn"), "left"
+        ).select(
+            "__jn",
+            F.least(
+                F.col("__l1"), F.coalesce("__l2", "__l1")
+            ).alias("__jl"),
+        )
+        jmp = F.broadcast(jump_sq) if bcast else jump_sq
         prop = (
             labels.join(nbr, labels.node == nbr.src, "left")
             .select(
@@ -549,19 +559,9 @@ def dedup_components(
                 ).alias("__p"),
             )
         )
-        hop1 = (
-            prop.join(jmp1, prop["__p"] == F.col("__jn"), "left")
-            .select(
-                "node",
-                "__orig",
-                F.least(
-                    F.col("__p"), F.coalesce("__jl", "__p")
-                ).alias("__p2"),
-            )
-        )
-        final = F.least(F.col("__p2"), F.coalesce("__kl", "__p2"))
+        final = F.least(F.col("__p"), F.coalesce("__jl", "__p"))
         new = (
-            hop1.join(jmp2, hop1["__p2"] == F.col("__kn"), "left")
+            prop.join(jmp, prop["__p"] == F.col("__jn"), "left")
             .select(
                 "node",
                 final.alias("label"),

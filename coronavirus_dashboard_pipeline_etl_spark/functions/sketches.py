@@ -39,6 +39,17 @@ from .dedup import md5_prefix_long as _h60  # shared 60-bit base hash
 _HASH_BITS = 60
 
 
+def _salted_mod(salt: Column, item: Column, modulus: int) -> Column:
+    """The ONE salted-hash construction every multi-hash sketch uses:
+    ``md5(salt || '|' || item) % modulus``. Count-min rows and bloom
+    positions must build and probe with the identical formula — keep a
+    single definition so they cannot drift (the SQL oracles mirror it
+    via gate_queries' shared builder)."""
+    return _h60(
+        F.concat(salt.cast("string"), F.lit("|"), item)
+    ) % F.lit(modulus)
+
+
 def hll_registers(
     df: DataFrame,
     item: Column,
@@ -87,17 +98,31 @@ def hll_registers(
     )
 
 
-def hll_merge(
-    *register_tables: DataFrame, group_cols: "tuple[str, ...]" = ()
-) -> DataFrame:
-    """Merge sketches built with the same ``p`` (and the same
-    ``group_cols``): max rank per (group, bucket).
+def hll_merge(*register_tables: DataFrame) -> DataFrame:
+    """Merge sketches built with the same ``p``: max rank per
+    (group, bucket). The group columns are INFERRED from the schema
+    (everything that isn't ``bucket``/``max_rank``) so merging grouped
+    sketches can't silently collapse groups by forgetting a parameter.
 
     This is what makes the sketch a distributed/streaming aggregate:
     shard corpora, sketch each shard, merge the tiny register tables.
     """
     if not register_tables:
         raise ValueError("hll_merge: need at least one register table")
+    cols = set(register_tables[0].columns)
+    if not {"bucket", "max_rank"} <= cols:
+        raise ValueError(
+            "hll_merge: inputs must be hll_registers outputs "
+            f"(bucket, max_rank[, group cols]); got {sorted(cols)}"
+        )
+    for t in register_tables[1:]:
+        if set(t.columns) != cols:
+            raise ValueError(
+                "hll_merge: register tables disagree on columns: "
+                f"{sorted(cols)} vs {sorted(t.columns)}"
+            )
+    group_cols = [c for c in register_tables[0].columns
+                  if c not in ("bucket", "max_rank")]
     out = register_tables[0]
     for t in register_tables[1:]:
         out = out.unionByName(t)
@@ -197,9 +222,7 @@ def countmin_sketch(
     # hash and pile every NULL into phantom (row, NULL) cells that
     # lookups then undercount)
     tagged = df.filter(item.isNotNull()).select(item.alias("__item"), rows)
-    col = _h60(
-        F.concat(F.col("row").cast("string"), F.lit("|"), F.col("__item"))
-    ) % F.lit(width)
+    col = _salted_mod(F.col("row"), F.col("__item"), width)
     return (
         tagged.select("row", col.alias("col"))
         .groupBy("row", "col")
@@ -235,9 +258,7 @@ def countmin_lookup(
         F.array(*[F.lit(i) for i in range(depth)])
     ).alias("__row")
     keyed = candidates.withColumn("__item", item).select("*", rows)
-    col = _h60(
-        F.concat(F.col("__row").cast("string"), F.lit("|"), F.col("__item"))
-    ) % F.lit(width)
+    col = _salted_mod(F.col("__row"), F.col("__item"), width)
     sk = broadcast(
         sketch.select(
             F.col("row").alias("__row"),
@@ -286,9 +307,7 @@ def bloom_bits(
         F.array(*[F.lit(i) for i in range(k_hashes)])
     ).alias("__k")
     tagged = df.filter(item.isNotNull()).select(item.alias("__item"), hashes)
-    bit = _h60(
-        F.concat(F.col("__k").cast("string"), F.lit("|"), F.col("__item"))
-    ) % F.lit(m_bits)
+    bit = _salted_mod(F.col("__k"), F.col("__item"), m_bits)
     return tagged.select(bit.alias("bit")).distinct()
 
 
@@ -309,6 +328,11 @@ def bloom_probe(
     """
     from pyspark.sql.functions import broadcast
 
+    # same bounds as bloom_bits: probing with parameters different from
+    # the build would silently produce false negatives, violating the
+    # 'false is definitive absence' contract
+    if m_bits < 2 or k_hashes < 1:
+        raise ValueError("bloom_probe: need m_bits >= 2, k_hashes >= 1")
     if any(c.startswith("__") for c in candidates.columns):
         raise ValueError(
             "bloom_probe: candidate columns must not start with '__'"
@@ -317,9 +341,7 @@ def bloom_probe(
         F.array(*[F.lit(i) for i in range(k_hashes)])
     ).alias("__k")
     keyed = candidates.withColumn("__item", item).select("*", hashes)
-    bit = _h60(
-        F.concat(F.col("__k").cast("string"), F.lit("|"), F.col("__item"))
-    ) % F.lit(m_bits)
+    bit = _salted_mod(F.col("__k"), F.col("__item"), m_bits)
     probed = keyed.withColumn("__bit", bit).join(
         broadcast(bits.select(F.col("bit").alias("__bit"), F.lit(1).alias("__hit"))),
         on="__bit",
@@ -363,9 +385,17 @@ def histogram_quantiles(
         raise ValueError("histogram_quantiles: need at least one q")
     if any(not 0.0 < q <= 1.0 for q in qs):
         raise ValueError(f"quantiles must be in (0, 1], got {qs}")
+    if bins < 1:
+        raise ValueError(f"bins must be >= 1, got {bins}")
+    if not hi > lo:
+        raise ValueError(f"need hi > lo, got [{lo}, {hi}]")
     from pyspark.sql import Window
 
     width = (hi - lo) / bins
+    # NULL values are not observations: histogram_fixed's edge clamp
+    # (greatest skips NULLs in Spark) would otherwise silently pile
+    # them into bucket 0 and skew every quantile
+    df = df.filter(F.col(value_col).isNotNull())
     hist = histogram_fixed(df, value_col, lo, hi, bins)
     w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.select(

@@ -6171,15 +6171,25 @@ def sk1_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hll_regs_sql() -> str:
-    h = _md5int_sql(_HLL_ITEM_SQL)
-    wbits = 60 - _HLL_P
+def _hll_regs_sql(
+    p: int = None, item_sql: str = None,
+    group_sql: str = "", from_sql: str = "events",
+) -> str:
+    """The ONE SQL rendering of the HLL bucket/rank derivation — every
+    HLL gate's oracle (sk1/sk1b/sk3/pipe13) builds from this so the
+    rank formula cannot drift between copies. ``group_sql`` is a
+    trailing-comma column prefix (e.g. ``"lang, "``)."""
+    p = _HLL_P if p is None else p
+    item_sql = _HLL_ITEM_SQL if item_sql is None else item_sql
+    m = 1 << p
+    h = _md5int_sql(item_sql)
+    wbits = 60 - p
     return f"""
-hashed AS (SELECT {h} AS h FROM events),
+hashed AS (SELECT {group_sql}{h} AS h FROM {from_sql}),
 regs AS (
-    SELECT CAST(h % {_HLL_M} AS BIGINT) AS bucket,
-           CAST(CASE WHEN h // {_HLL_M} = 0 THEN {wbits + 1}
-                     ELSE {wbits} - length(printf('%b', h // {_HLL_M})) + 1
+    SELECT {group_sql}CAST(h % {m} AS BIGINT) AS bucket,
+           CAST(CASE WHEN h // {m} = 0 THEN {wbits + 1}
+                     ELSE {wbits} - length(printf('%b', h // {m})) + 1
                 END AS BIGINT) AS rank
     FROM hashed
 )"""
@@ -6276,13 +6286,19 @@ def sk2_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.select("user_id", "true_n", "cm_estimate")
 
 
-def _cm_hash_sql(row_expr: str, item_expr: str) -> str:
+def _salted_mod_sql(salt_expr: str, item_expr: str, modulus: int) -> str:
+    """SQL twin of sketches._salted_mod — the one salted-hash formula
+    count-min and bloom share; build and probe must agree exactly."""
     return (
         _md5int_sql(
-            f"concat(CAST({row_expr} AS VARCHAR), '|', {item_expr})"
+            f"concat(CAST({salt_expr} AS VARCHAR), '|', {item_expr})"
         )
-        + f" % {_CM_W}"
+        + f" % {modulus}"
     )
+
+
+def _cm_hash_sql(row_expr: str, item_expr: str) -> str:
+    return _salted_mod_sql(row_expr, item_expr, _CM_W)
 
 
 SK2_SQL = f"""
@@ -6679,19 +6695,11 @@ def sk3_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SK3_SQL = f"""
-WITH hashed AS (
-    SELECT event_type, {_md5int_sql(_SK3_ITEM_SQL)} AS h FROM events
-),
-regs AS (
-    SELECT event_type,
-           CAST(h % {_SK3_M} AS BIGINT) AS bucket,
-           CAST(CASE WHEN h // {_SK3_M} = 0 THEN {60 - _SK3_P + 1}
-                     ELSE {60 - _SK3_P}
-                          - length(printf('%b', h // {_SK3_M})) + 1
-                END AS BIGINT) AS rank
-    FROM hashed
-),
+SK3_SQL = (
+    "WITH "
+    + _hll_regs_sql(p=_SK3_P, item_sql=_SK3_ITEM_SQL,
+                    group_sql="event_type, ")
+    + f""",
 r AS (
     SELECT event_type, bucket, MAX(rank) AS max_rank
     FROM regs GROUP BY 1, 2
@@ -6727,6 +6735,7 @@ SELECT event_type, m, v_empty, s_scaled,
            AS rel_err
 FROM f
 """
+)
 
 QUERIES["sk3_hll_grouped"] = sk3_hll_grouped
 ORACLE["sk3_hll_grouped"] = SK3_SQL
@@ -6773,10 +6782,7 @@ def sk4_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_hash_sql(k_expr: str, item_expr: str) -> str:
-    return (
-        _md5int_sql(f"concat(CAST({k_expr} AS VARCHAR), '|', {item_expr})")
-        + f" % {_BLOOM_M}"
-    )
+    return _salted_mod_sql(k_expr, item_expr, _BLOOM_M)
 
 
 SK4_SQL = f"""
@@ -6859,22 +6865,17 @@ def pipe13_corpus_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PIPE13_SQL = f"""
+PIPE13_SQL = (
+    f"""
 WITH d AS (SELECT lang, {_P13_FP_SQL} AS fp FROM documents),
 exact AS (
     SELECT lang, COUNT(*) AS n_docs,
            COUNT(DISTINCT fp) AS exact_distinct_fp
     FROM d GROUP BY 1
-),
-hashed AS (SELECT lang, {_md5int_sql('fp')} AS h FROM d),
-regs AS (
-    SELECT lang, CAST(h % {_P13_M} AS BIGINT) AS bucket,
-           CAST(CASE WHEN h // {_P13_M} = 0 THEN {60 - _P13_P + 1}
-                     ELSE {60 - _P13_P}
-                          - length(printf('%b', h // {_P13_M})) + 1
-                END AS BIGINT) AS rank
-    FROM hashed
-),
+),"""
+    + _hll_regs_sql(p=_P13_P, item_sql="fp", group_sql="lang, ",
+                    from_sql="d")
+    + f""",
 r AS (SELECT lang, bucket, MAX(rank) AS max_rank FROM regs GROUP BY 1, 2),
 s AS (
     SELECT lang, COUNT(*) AS present,
@@ -6890,8 +6891,7 @@ hll AS (
 ),
 sk AS (
     SELECT t.r AS row,
-           {_md5int_sql("concat(CAST(t.r AS VARCHAR), '|', lang)")}
-               % {_P13_CM_W} AS col,
+           {_salted_mod_sql('t.r', 'lang', _P13_CM_W)} AS col,
            COUNT(*) AS cnt
     FROM documents, range({_P13_CM_D}) t(r)
     GROUP BY 1, 2
@@ -6899,8 +6899,7 @@ sk AS (
 langs AS (SELECT DISTINCT lang FROM documents),
 probe AS (
     SELECT langs.lang, t.r AS row,
-           {_md5int_sql("concat(CAST(t.r AS VARCHAR), '|', langs.lang)")}
-               % {_P13_CM_W} AS col
+           {_salted_mod_sql('t.r', 'langs.lang', _P13_CM_W)} AS col
     FROM langs, range({_P13_CM_D}) t(r)
 ),
 cm AS (
@@ -6917,6 +6916,7 @@ FROM exact e
 JOIN hll h ON e.lang = h.lang
 JOIN cm ON e.lang = cm.lang
 """
+)
 
 QUERIES["pipe13_corpus_monitor"] = pipe13_corpus_monitor
 ORACLE["pipe13_corpus_monitor"] = PIPE13_SQL
