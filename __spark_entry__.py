@@ -49,6 +49,7 @@ _PRIORITY = [
     "sk4_bloom_semijoin",
     "pipe13_corpus_monitor",
     "sk5_hist_quantiles",
+    "u2_intersect_except",
     "d10_embedding_neardup",
     "st3_session_window",
     "j11_asof_join",

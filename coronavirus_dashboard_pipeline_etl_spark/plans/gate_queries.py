@@ -7016,3 +7016,49 @@ FROM approx a JOIN exact e ON a.q = e.q
 
 QUERIES["sk5_hist_quantiles"] = sk5_hist_quantiles
 ORACLE["sk5_hist_quantiles"] = SK5_SQL
+
+
+def u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation breadth beyond the reference's UNION usage:
+    customers who ordered in BOTH halves of the order-date range
+    (INTERSECT) and those exclusive to the first half (EXCEPT),
+    labelled and unioned. Distinct set semantics — both ops reduce to
+    one hash aggregation per side on the already-distinct keys."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", ts_micros("o_orderdate").alias("__us")
+    )
+    mid = o.agg(
+        ((F.min("__us") + F.max("__us")) / F.lit(2)).cast("long").alias("m")
+    )
+    with_mid = o.crossJoin(F.broadcast(mid))
+    early = with_mid.filter(F.col("__us") < F.col("m")).select("o_custkey")
+    late = with_mid.filter(F.col("__us") >= F.col("m")).select("o_custkey")
+    both = early.intersect(late).select(
+        "o_custkey", F.lit("both_halves").alias("segment")
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll's multiset semantics would
+    # leak keys that appear more often in early than in late)
+    only_early = early.subtract(late).select(
+        "o_custkey", F.lit("early_only").alias("segment")
+    )
+    return both.unionByName(only_early)
+
+
+U2_SQL = """
+WITH o AS (
+    SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders
+),
+m AS (
+    SELECT CAST((MIN(us) + MAX(us)) / 2 AS BIGINT) AS m FROM o
+),
+early AS (SELECT o_custkey FROM o, m WHERE us < m.m),
+late  AS (SELECT o_custkey FROM o, m WHERE us >= m.m)
+SELECT o_custkey, 'both_halves' AS segment
+FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late)
+UNION ALL
+SELECT o_custkey, 'early_only' AS segment
+FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
+"""
+
+QUERIES["u2_intersect_except"] = u2_intersect_except
+ORACLE["u2_intersect_except"] = U2_SQL
