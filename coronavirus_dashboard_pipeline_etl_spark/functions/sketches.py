@@ -169,9 +169,12 @@ def hll_summary(
         f"shiftleft(CAST(1 AS BIGINT), {scale_pow} - max_rank)"
     )
     pre = registers.select(*group_cols, scaled.alias("__scaled"))
+    # coalesce: SUM over zero rows is NULL; the ungrouped empty-input
+    # row must still carry the empty-sketch values (present=0 so
+    # s_scaled = m * 2^(61-p) and raw ~ alpha*m), not NULLs
     agg = pre.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("present"),
-        F.sum("__scaled").alias("s_occ"),
+        F.coalesce(F.sum("__scaled"), F.lit(0).cast("long")).alias("s_occ"),
     )
     return agg.select(
         *group_cols,

@@ -322,10 +322,15 @@ def ewma_halving(
     adjust=True, but hard-truncated at ``lags`` so the state is a
     constant-size frame).
 
-    NULL values are SKIPPED (``collect_list`` drops them): the window
-    then holds the last ``lags`` non-null rows, so older values inherit
-    the recency weights of the gap. Pre-filter or zero-fill if the
-    series has holes and calendar-faithful weights matter.
+    NULL values are SKIPPED (``collect_list`` drops them) but the frame
+    is still ``rowsBetween(-(lags-1), 0)`` over ALL rows: a NULL row
+    occupies a frame slot, so the window holds the NON-NULL values
+    among the last ``lags`` rows — the array shrinks rather than
+    reaching further back for older non-null values, and the remaining
+    values take the most-recent weights. Pre-filter NULL rows before
+    calling if last-``lags``-non-null semantics are wanted, or
+    zero-fill if the series has holes and calendar-faithful weights
+    matter.
 
     Cross-engine determinism: values are scaled to integers (``scale``
     must cover the input's decimal places), weights are integer powers

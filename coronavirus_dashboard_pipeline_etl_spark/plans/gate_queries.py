@@ -6303,9 +6303,13 @@ def _cm_hash_sql(row_expr: str, item_expr: str) -> str:
 
 SK2_SQL = f"""
 WITH sk AS (
+    -- NULL items are not observations (mirrors countmin_sketch's
+    -- item.isNotNull() filter; DuckDB concat would otherwise hash
+    -- NULLs into phantom cells Spark never builds)
     SELECT t.r AS row, {_cm_hash_sql('t.r', 'CAST(user_id AS VARCHAR)')} AS col,
            COUNT(*) AS cnt
     FROM events, range({_CM_D}) t(r)
+    WHERE user_id IS NOT NULL
     GROUP BY 1, 2
 ),
 top AS (
@@ -6318,7 +6322,10 @@ probe AS (
     FROM top, range({_CM_D}) t(r)
 )
 SELECT p.user_id, p.true_n,
-       MIN(COALESCE(sk.cnt, 0)) AS cm_estimate
+       -- NULL candidates estimate to NULL (countmin_lookup parity:
+       -- never counted into the sketch, so 0 would masquerade as exact)
+       CASE WHEN p.user_id IS NULL THEN NULL
+            ELSE MIN(COALESCE(sk.cnt, 0)) END AS cm_estimate
 FROM probe p LEFT JOIN sk ON sk.row = p.row AND sk.col = p.col
 GROUP BY 1, 2
 """
@@ -6787,8 +6794,9 @@ def _bloom_hash_sql(k_expr: str, item_expr: str) -> str:
 
 SK4_SQL = f"""
 WITH ins AS (
+    -- NULL items are not observations (bloom_bits parity)
     SELECT CAST(c_custkey AS VARCHAR) AS it, c_custkey
-    FROM customer WHERE c_acctbal > 5000
+    FROM customer WHERE c_acctbal > 5000 AND c_custkey IS NOT NULL
 ),
 bits AS (
     SELECT DISTINCT {_bloom_hash_sql('t.k', 'it')} AS bit
@@ -6802,8 +6810,11 @@ probe AS (
 ),
 verdict AS (
     SELECT p.o_custkey,
-           MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1
-               AS maybe_present
+           -- NULL candidates probe to NULL (bloom_probe parity: false
+           -- claims definitive absence, which a NULL key can't assert)
+           CASE WHEN p.o_custkey IS NULL THEN NULL
+                ELSE MIN(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = 1
+           END AS maybe_present
     FROM probe p LEFT JOIN bits b ON b.bit = p.bit
     GROUP BY 1
 )
@@ -7027,8 +7038,12 @@ def u2_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select(
         "o_custkey", ts_micros("o_orderdate").alias("__us")
     )
+    # exact integer floor division (div), NOT double-divide-then-cast:
+    # double /2 + cast truncates toward zero while DuckDB's CAST(double
+    # AS BIGINT) rounds to nearest, so the midpoints would diverge by
+    # 1us whenever min+max microseconds is odd and flip boundary rows
     mid = o.agg(
-        ((F.min("__us") + F.max("__us")) / F.lit(2)).cast("long").alias("m")
+        F.expr("(min(__us) + max(__us)) div 2").alias("m")
     )
     with_mid = o.crossJoin(F.broadcast(mid))
     early = with_mid.filter(F.col("__us") < F.col("m")).select("o_custkey")
@@ -7049,7 +7064,8 @@ WITH o AS (
     SELECT o_custkey, epoch_us(o_orderdate) AS us FROM orders
 ),
 m AS (
-    SELECT CAST((MIN(us) + MAX(us)) / 2 AS BIGINT) AS m FROM o
+    -- integer floor division, matching Spark's `div` exactly
+    SELECT (MIN(us) + MAX(us)) // 2 AS m FROM o
 ),
 early AS (SELECT o_custkey FROM o, m WHERE us < m.m),
 late  AS (SELECT o_custkey FROM o, m WHERE us >= m.m)

@@ -499,3 +499,19 @@ def test_histogram_quantiles_bounded_error_and_merge_equivalence(spark):
         histogram_quantiles(df, "v", 0.0, 1000.0, 100, ())
     with pytest.raises(ValueError):
         histogram_quantiles(df, "v", 0.0, 1000.0, 100, (0.0,))
+
+
+def test_hll_summary_empty_input_is_empty_sketch(spark):
+    # SUM over zero rows is NULL; the ungrouped one-row summary must
+    # still carry the empty-sketch values: v_empty = m and
+    # s_scaled = m * 2^(61-p) (every bucket contributes 2^(61-p)),
+    # raw_estimate ~ alpha_m * m — not NULLs (ADVICE r5)
+    p = 7
+    m = 1 << p
+    empty = _items(spark, 5).filter(F.lit(False))
+    regs = hll_registers(empty, F.col("it"), p=p)
+    row = hll_summary(regs, p=p).collect()[0]
+    assert row.m == m and row.v_empty == m
+    assert row.s_scaled == m * (1 << (61 - p))
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    assert abs(row.raw_estimate - alpha * m) < 1e-9
