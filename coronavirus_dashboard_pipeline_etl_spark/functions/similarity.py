@@ -297,13 +297,13 @@ def assign_centroids(
         centroids, centroid_id_col, centroid_vec_col, max_centroids,
         "assign_centroids",
     )
-    cid_arr = F.array(*[F.lit(int(r["cid"])) for r in rows])
-    cent_arr = F.array(
-        *[
-            F.array(*[F.lit(float(x)) for x in r["cvec"]])
-            for r in rows
-        ]
-    )
+    # single ARRAY literals (python lists), NOT F.array(*[F.lit(x)...]):
+    # per-element literals build a k*dim-node CreateArray tree that
+    # Catalyst re-analyses on every plan compile — at k=8, dim=64
+    # that's ~512 nodes per call and was the dominant first-run
+    # plan-compile cost of the ANN pipeline gates
+    cid_arr = F.lit([int(r["cid"]) for r in rows])
+    cent_arr = F.lit([[float(x) for x in r["cvec"]] for r in rows])
     v = _to_double(F.col(vec_col))
     scores = F.transform(
         cent_arr, lambda c: _dot(v, c) / (_norm(v) * _norm(c))
@@ -517,24 +517,25 @@ def probe_assign(
             F.lit(False), F.lit("probe_assign: zero-norm query vector")
         ).cast("double")
     )
-    scored = F.array(
-        *[
-            F.struct(
-                (
-                    -_dot(v, F.array(*[F.lit(float(x)) for x in r["cvec"]]))
-                    / (
-                        vnorm
-                        * F.lit(
-                            float(
-                                sum(float(x) ** 2 for x in r["cvec"]) ** 0.5
-                            )
-                        )
-                    )
-                ).alias("neg_score"),
-                F.lit(int(r["cid"])).alias("cid"),
-            )
-            for r in rows
-        ]
+    # single ARRAY literals + an index transform, NOT per-element
+    # F.lit trees (same plan-compile rationale as assign_centroids:
+    # k*dim literal nodes per call dominate first-run compile time).
+    # Fold order inside _dot is unchanged, so scores are bit-identical.
+    cid_arr = F.lit([int(r["cid"]) for r in rows])
+    cent_arr = F.lit([[float(x) for x in r["cvec"]] for r in rows])
+    cnorm_arr = F.lit(
+        [float(sum(float(x) ** 2 for x in r["cvec"]) ** 0.5) for r in rows]
+    )
+    idx = F.sequence(F.lit(1), F.lit(len(rows)))
+    scored = F.transform(
+        idx,
+        lambda i: F.struct(
+            (
+                -_dot(v, F.element_at(cent_arr, i))
+                / (vnorm * F.element_at(cnorm_arr, i))
+            ).alias("neg_score"),
+            F.element_at(cid_arr, i).cast("long").alias("cid"),
+        ),
     )
     # sort_array on (neg_score asc, cid asc) = score desc, cid asc
     top = F.slice(F.sort_array(scored), 1, nprobe)
@@ -708,6 +709,12 @@ def kmeans_seeds_farthest(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    # materialise the input once before the k-round loop: each round
+    # re-evaluates `df`, so an uncached upstream (join/agg/source scan)
+    # would be recomputed k times — localCheckpoint makes every round
+    # a scan of the materialised blocks and truncates lineage so the
+    # loop's plan stays bounded
+    df = df.select(id_col, vec_col).localCheckpoint(eager=True)
     first = (
         df.orderBy(id_col)
         .limit(1)
