@@ -7078,3 +7078,155 @@ FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late)
 
 QUERIES["u2_intersect_except"] = u2_intersect_except
 ORACLE["u2_intersect_except"] = U2_SQL
+
+
+# ---------------------------------------------------------------------------
+# s7b — blob-path metadata parse + process-label routing
+# ---------------------------------------------------------------------------
+
+def s7b_path_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blob-path routing, the reference's ``parse_filepath`` +
+    ``category_label`` (utilities/data_files.py:69-130) over a
+    synthetic listing: build deterministic paths from the events table
+    covering every shape — plain category files, MSOA-prefixed,
+    subcategory files, the ``data_*.json`` main fallback, and
+    unparseable garbage — then parse with codegen'd regexp_extract and
+    resolve labels via the broadcast mapping dimension.  Zero-shuffle
+    except the broadcast: metadata extraction fuses into the scan.
+    """
+    from ..sources.path_metadata import parse_filepaths, with_process_label
+
+    cats = [
+        "cases-by-specimen-date",
+        "vaccinations-by-vaccination-date",
+        "deaths28days-by-death-date",
+        "variants",
+        "healthcare",
+    ]
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts")
+    datep = F.date_format("ts", "yyyy-MM-dd")
+    ts12 = F.date_format("ts", "yyyyMMddHHmm")
+    cat = F.element_at(
+        F.lit(cats), (F.pmod(F.col("event_id"), F.lit(5)) + 1).cast("int")
+    )
+    mode = F.pmod(F.col("event_id"), F.lit(7))
+    path = (
+        F.when(mode == 0, F.concat(F.lit("data_"), ts12, F.lit(".json")))
+        .when(
+            mode == 1,
+            F.concat(F.lit("misc/file-"), F.col("event_id"), F.lit(".txt")),
+        )
+        .when(
+            mode == 2,
+            F.concat(
+                datep, F.lit("/MSOA_"), cat, F.lit("_"), ts12,
+                F.lit(".parquet"),
+            ),
+        )
+        .when(
+            mode == 3,
+            F.concat(
+                datep, F.lit("/"), cat, F.lit("_age-demographics_"), ts12,
+                F.lit(".parquet"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                datep, F.lit("/"), cat, F.lit("_"), ts12, F.lit(".parquet")
+            )
+        )
+    )
+    listing = ev.select("event_id", path.alias("path"))
+    parsed = parse_filepaths(listing, "path", prefix="f_")
+    return with_process_label(parsed, spark, prefix="f_").select(
+        "event_id", "path", "f_date", "f_area_type", "f_category",
+        "f_subcategory", "f_timestamp", "process_name",
+    )
+
+
+from ..sources.path_metadata import (  # noqa: E402
+    FILENAME_PATTERN as _S7B_PAT,
+    MAIN_PATTERN as _S7B_MAIN,
+    PROCESS_LABELS as _S7B_LABELS,
+)
+
+_S7B_LABEL_VALUES = ",\n        ".join(
+    "({}, {}, {}, '{}')".format(
+        f"'{c}'",
+        "NULL" if a is None else f"'{a}'",
+        "NULL" if s is None else f"'{s}'",
+        n,
+    )
+    for c, a, s, n in _S7B_LABELS
+)
+
+S7B_SQL = f"""
+WITH listing AS (
+    SELECT event_id,
+           CASE event_id % 7
+             WHEN 0 THEN 'data_' || strftime(ts, '%Y%m%d%H%M') || '.json'
+             WHEN 1 THEN 'misc/file-' || event_id || '.txt'
+             WHEN 2 THEN strftime(ts, '%Y-%m-%d') || '/MSOA_'
+                  || cat || '_' || strftime(ts, '%Y%m%d%H%M') || '.parquet'
+             WHEN 3 THEN strftime(ts, '%Y-%m-%d') || '/'
+                  || cat || '_age-demographics_'
+                  || strftime(ts, '%Y%m%d%H%M') || '.parquet'
+             ELSE strftime(ts, '%Y-%m-%d') || '/'
+                  || cat || '_' || strftime(ts, '%Y%m%d%H%M') || '.parquet'
+           END AS path
+    FROM (
+        SELECT event_id, ts,
+               ['cases-by-specimen-date',
+                'vaccinations-by-vaccination-date',
+                'deaths28days-by-death-date',
+                'variants',
+                'healthcare'][CAST(event_id % 5 AS INT) + 1] AS cat
+        FROM events
+    )
+),
+parsed AS (
+    SELECT event_id, path,
+           regexp_extract(path, '{_S7B_PAT}', 5) <> '' AS ok,
+           regexp_extract(path, '{_S7B_MAIN}', 1) AS main_ts,
+           regexp_extract(path, '{_S7B_PAT}', 1) AS g1,
+           regexp_extract(path, '{_S7B_PAT}', 2) AS g2,
+           regexp_extract(path, '{_S7B_PAT}', 3) AS g3,
+           regexp_extract(path, '{_S7B_PAT}', 4) AS g4,
+           regexp_extract(path, '{_S7B_PAT}', 5) AS g5
+    FROM listing
+),
+meta AS (
+    SELECT event_id, path,
+           CASE WHEN ok THEN g1
+                WHEN main_ts <> '' THEN
+                    strftime(strptime(main_ts, '%Y%m%d%H%M'), '%Y-%m-%d')
+           END AS f_date,
+           CASE WHEN ok AND g2 <> '' THEN g2 END AS f_area_type,
+           CASE WHEN ok AND g3 <> '' THEN g3
+                WHEN NOT ok AND main_ts <> '' THEN 'main'
+           END AS f_category,
+           CASE WHEN ok AND g4 <> '' THEN g4 END AS f_subcategory,
+           CASE WHEN ok THEN g5
+                WHEN main_ts <> '' THEN
+                    strftime(strptime(main_ts, '%Y%m%d%H%M'),
+                             '%Y-%m-%dT%H:%M:%S')
+           END AS f_timestamp
+    FROM parsed
+),
+labels(category, area_type, subcategory, process_name) AS (
+    VALUES
+        {_S7B_LABEL_VALUES}
+)
+SELECT m.event_id, m.path, m.f_date, m.f_area_type, m.f_category,
+       m.f_subcategory, m.f_timestamp, l.process_name
+FROM meta m
+LEFT JOIN labels l
+  ON (CASE WHEN m.f_timestamp IS NOT NULL
+           THEN COALESCE(m.f_category, 'main') END)
+     IS NOT DISTINCT FROM l.category
+ AND upper(m.f_area_type) IS NOT DISTINCT FROM upper(l.area_type)
+ AND m.f_subcategory IS NOT DISTINCT FROM l.subcategory
+"""
+
+QUERIES["s7b_path_metadata"] = s7b_path_metadata
+ORACLE["s7b_path_metadata"] = S7B_SQL

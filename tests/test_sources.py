@@ -168,3 +168,68 @@ def test_dump_load_roundtrip(spark, tmp_path):
     assert set(merged) == {1, 2, 3, 4}
     assert merged[2]["name"] == "beta2" and merged[2]["score"] == 9.0
     assert merged[1]["name"] == "alpha"  # untouched rows survive
+
+
+def test_path_metadata_input_file_routing(spark, tmp_path):
+    # real input_file_name() path: write pattern-named parquet files,
+    # read by glob, recover per-file routing metadata + process label
+    # (reference utilities/data_files.py:69-130 parity)
+    from coronavirus_dashboard_pipeline_etl_spark.sources.path_metadata import (
+        parse_filepaths,
+        with_input_file_metadata,
+        with_process_label,
+    )
+
+    d = tmp_path / "2024-05-01"
+    d.mkdir()
+    spark.range(3).coalesce(1).write.parquet(
+        str(d / "cases-by-specimen-date_202405010930.parquet")
+    )
+    spark.range(2).coalesce(1).write.parquet(
+        str(d / "MSOA_vaccinations-by-vaccination-date_202405010930.parquet")
+    )
+    # NOTE: each .parquet "file" written by Spark is a DIRECTORY of
+    # part files, so input_file_name()'s last two segments are
+    # "<name>.parquet/part-...". The operator anchors on the LAST TWO
+    # segments; write single files the way a blob store presents them.
+    import shutil
+
+    for sub in d.iterdir():
+        part = next(p for p in sub.iterdir() if p.name.endswith(".parquet"))
+        tmp = d / (sub.name + ".tmp")
+        shutil.copyfile(part, tmp)
+        shutil.rmtree(sub)
+        tmp.rename(d / sub.name)
+
+    df = spark.read.parquet(str(d / "*.parquet"))
+    out = with_process_label(with_input_file_metadata(df)).collect()
+    assert len(out) == 5
+    by_cat = {}
+    for r in out:
+        by_cat.setdefault((r["category"], r["area_type"]), set()).add(
+            r["process_name"]
+        )
+        assert r["date"] == "2024-05-01"
+        assert r["timestamp"] == "202405010930"
+        assert r["source_path"].startswith("file:")
+    # plain category with no subcategory has no (cat, NULL, NULL)
+    # mapping -> NULL label (reference would KeyError; we quarantine)
+    assert by_cat[("cases-by-specimen-date", None)] == {None}
+    assert by_cat[("vaccinations-by-vaccination-date", "MSOA")] == {
+        "MSOA: VACCINATION - EVENT DATE"
+    }
+
+    # main-fallback + garbage via parse_filepaths on a literal listing
+    listing = spark.createDataFrame(
+        [("data_202109301358.json",), ("misc/readme.txt",)], "path string"
+    )
+    rows = {r["path"]: r for r in parse_filepaths(listing).collect()}
+    main = rows["data_202109301358.json"]
+    assert (main["category"], main["date"], main["timestamp"]) == (
+        "main", "2021-09-30", "2021-09-30T13:58:00"
+    )
+    junk = rows["misc/readme.txt"]
+    assert all(
+        junk[c] is None
+        for c in ("date", "area_type", "category", "subcategory", "timestamp")
+    )
