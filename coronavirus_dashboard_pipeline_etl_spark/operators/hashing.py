@@ -37,20 +37,28 @@ def row_hash_blake2(
     out: str = "hash",
     digest_size: int = 12,
     key: bytes | None = None,
+    algo: str = "blake2s",
 ) -> DataFrame:
-    """Keyed blake2b/2s digest of the concatenated columns (hash parity).
+    """Keyed blake2 digest of the concatenated columns (hash parity).
 
     ``key`` defaults to $RECORD_KEY like the reference
     (uploader.py:47: ``RECORD_KEY = getenv("RECORD_KEY").encode()``).
+    ``algo``: ``"blake2s"`` matches the uploader/msoa/converter row ids
+    (db_etl_upload/uploader.py:171-179); ``"blake2b"`` with
+    ``digest_size=20`` matches the private-report record slugs
+    (main_etl_postprocessors/private_report/process.py:124-127).
     """
+    if algo not in ("blake2s", "blake2b"):
+        raise ValueError(f"algo must be blake2s or blake2b, got {algo!r}")
     resolved_key = key if key is not None else os.environ.get("RECORD_KEY", "").encode()
 
     @pandas_udf(StringType())
     def _digest(s: pd.Series) -> pd.Series:
-        from hashlib import blake2s
+        import hashlib
 
+        h = getattr(hashlib, algo)
         return s.map(
-            lambda x: blake2s(
+            lambda x: h(
                 str(x).encode(), key=resolved_key, digest_size=digest_size
             ).hexdigest()
         )

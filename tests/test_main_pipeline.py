@@ -309,3 +309,42 @@ def test_compact_store_merges_files_idempotently(spark, tmp_path):
     assert compact_store(spark, path, partitions=["a"]) == {"a": 1}
     again = {r["hash"]: r["payload"] for r in spark.read.parquet(path).collect()}
     assert again == before
+
+
+def test_row_hash_blake2b_private_report_slug(spark):
+    # blake2b digest_size=20 parity with the reference's private-report
+    # record ids (private_report/process.py:124-127: blake2b over
+    # %Y%m%d with key=RECORD_KEY)
+    from hashlib import blake2b, blake2s
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.hashing import (
+        row_hash_blake2,
+    )
+
+    df = spark.createDataFrame(
+        [("20240501",), ("20240502",)], "record_date string"
+    )
+    key = b"test-record-key"
+    out = {
+        r["record_date"]: r["slug"]
+        for r in row_hash_blake2(
+            df, ["record_date"], out="slug", digest_size=20, key=key,
+            algo="blake2b",
+        ).collect()
+    }
+    for d in ("20240501", "20240502"):
+        assert out[d] == blake2b(
+            d.encode(), digest_size=20, key=key
+        ).hexdigest()
+        assert len(out[d]) == 40
+
+    # default algo unchanged: keyed blake2s
+    s = row_hash_blake2(df, ["record_date"], key=key).collect()[0]
+    assert s["hash"] == blake2s(
+        s["record_date"].encode(), digest_size=12, key=key
+    ).hexdigest()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        row_hash_blake2(df, ["record_date"], algo="md5")
