@@ -23,6 +23,25 @@ DB_INSERT_MAX_ROWS = 8_000  # reference chunk size (db_tables/covid19.py:48)
 REDIS_TTL_SECONDS = 12 * 24 * 60 * 60  # caching/redis.py:38
 
 
+def upsert_sql(
+    table: str,
+    columns: Sequence[str],
+    conflict_cols: Sequence[str],
+    update_cols: Sequence[str],
+    placeholder: str = "%s",
+) -> str:
+    """The ON CONFLICT statement jdbc_upsert executes, exposed so tests
+    and callers can inspect it (reference text:
+    ``db_etl_upload/uploader.py:302-336``)."""
+    conflict = ", ".join(conflict_cols)
+    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
+    placeholders = ", ".join([placeholder] * len(columns))
+    return (
+        f"INSERT INTO {table} ({', '.join(columns)}) VALUES ({placeholders}) "
+        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
+    )
+
+
 def jdbc_upsert(
     df: DataFrame,
     dsn: str,
@@ -30,30 +49,35 @@ def jdbc_upsert(
     conflict_cols: Sequence[str] = ("hash", "partition_id"),
     update_cols: Sequence[str] = ("payload",),
     chunk_rows: int = DB_INSERT_MAX_ROWS,
+    connect=None,
+    placeholder: str = "%s",
 ) -> None:
     """Distributed upsert: every partition opens one connection and
     writes its rows in ``chunk_rows`` batches with ON CONFLICT DO UPDATE.
 
     Executor-side parallelism replaces the reference's per-file Azure
     Function fan-out; partition count bounds connection count (repartition
-    before calling to tune)."""
+    before calling to tune).
+
+    ``connect`` injects a DB-API connection factory (``dsn -> conn``) —
+    default is psycopg2; any driver whose cursors support
+    ``executemany`` + context management works (tests drive sqlite
+    through it; the SQL itself comes from ``upsert_sql`` with
+    ``placeholder`` adapted to the driver's paramstyle)."""
     columns = list(df.columns)
-    conflict = ", ".join(conflict_cols)
-    updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in update_cols)
-    placeholders = ", ".join(["%s"] * len(columns))
-    sql = (
-        f"INSERT INTO {table} ({', '.join(columns)}) VALUES ({placeholders}) "
-        f"ON CONFLICT ({conflict}) DO UPDATE SET {updates}"
-    )
+    sql = upsert_sql(table, columns, conflict_cols, update_cols, placeholder)
 
     def write_partition(rows) -> None:
-        try:
-            import psycopg2  # noqa: PLC0415
-        except ImportError as err:  # pragma: no cover
-            raise RuntimeError(
-                "jdbc_upsert needs psycopg2 on the executors"
-            ) from err
-        conn = psycopg2.connect(dsn)
+        if connect is not None:
+            conn = connect(dsn)
+        else:
+            try:
+                import psycopg2  # noqa: PLC0415
+            except ImportError as err:  # pragma: no cover
+                raise RuntimeError(
+                    "jdbc_upsert needs psycopg2 on the executors"
+                ) from err
+            conn = psycopg2.connect(dsn)
         try:
             with conn.cursor() as cur:
                 buf = []
