@@ -7230,3 +7230,137 @@ LEFT JOIN labels l
 
 QUERIES["s7b_path_metadata"] = s7b_path_metadata
 ORACLE["s7b_path_metadata"] = S7B_SQL
+
+
+# ---------------------------------------------------------------------------
+# q17 / q20 — correlated-subquery shapes (scalar-agg threshold per group,
+# semi-join on an aggregate share), the reference's
+# `date IN (SELECT MAX(date)...)` idiom (rate_scales_worker/queries.py:23-30)
+# at TPC-H depth
+# ---------------------------------------------------------------------------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of their part's average — a correlated scalar subquery
+    (per-part AVG) de-correlated Spark-first into a WINDOW over the
+    broadcast-pruned join (the filtered part dim broadcasts, so the
+    per-part stats are computed only for surviving parts and the only
+    shuffle keys on l_partkey).
+
+    Exact cross-engine threshold: qty < 0.2 * avg = sum/cnt is
+    evaluated as 5 * qty * cnt < sum in DECIMAL — no division, no
+    float rounding at the boundary.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast(DEC).alias("qty"),
+        F.col("l_extendedprice").cast(DEC).alias("price"),
+    )
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#4", "Brand#19")
+    ).select("p_partkey", "p_brand")
+    joined = li.join(
+        broadcast(pt), li.l_partkey == pt.p_partkey
+    ).select("l_partkey", "p_brand", "qty", "price")
+    w = Window.partitionBy("l_partkey")
+    stats = joined.select(
+        "*",
+        F.sum("qty").over(w).alias("part_sum"),
+        F.count(F.lit(1)).over(w).alias("part_cnt"),
+    )
+    small = stats.filter(
+        F.col("qty") * 5 * F.col("part_cnt") < F.col("part_sum")
+    )
+    return small.groupBy("p_brand").agg(
+        (F.sum("price").cast("double") / F.lit(7.0)).alias("avg_yearly")
+    )
+
+
+Q17_SQL = """
+WITH li AS (
+    SELECT l_partkey,
+           CAST(l_quantity AS DECIMAL(18,6)) AS qty,
+           CAST(l_extendedprice AS DECIMAL(18,6)) AS price
+    FROM lineitem
+),
+pt AS (
+    SELECT p_partkey, p_brand FROM part
+    WHERE p_brand IN ('Brand#4', 'Brand#19')
+),
+stats AS (
+    SELECT li.l_partkey, pt.p_brand, li.qty, li.price,
+           SUM(li.qty) OVER (PARTITION BY li.l_partkey) AS part_sum,
+           COUNT(*) OVER (PARTITION BY li.l_partkey) AS part_cnt
+    FROM li JOIN pt ON li.l_partkey = pt.p_partkey
+)
+SELECT p_brand,
+       CAST(SUM(price) AS DOUBLE) / 7.0 AS avg_yearly
+FROM stats
+WHERE qty * 5 * part_cnt < part_sum
+GROUP BY p_brand
+"""
+
+QUERIES["q17_small_qty_revenue"] = q17_small_qty_revenue
+ORACLE["q17_small_qty_revenue"] = Q17_SQL
+
+
+def q20_threshold_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers (in two nations) that dominate the
+    supply of some part — a semi-join whose inner side is an aggregate
+    compared against a CORRELATED aggregate threshold (supplier's
+    shipped quantity for a part > 30% of that part's total).
+
+    De-correlation: one (partkey, suppkey) aggregate, a window for the
+    per-part total (second shuffle is over already-aggregated rows),
+    exact-decimal share test 5*sq > tq, then LEFT SEMI join into
+    the supplier dim with the nation filter broadcast. No row of
+    lineitem is shuffled twice; the semi-join probe side is the tiny
+    qualifying-supplier set.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.col("l_quantity").cast(DEC).alias("qty"),
+    )
+    pair = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("sq")
+    )
+    w = Window.partitionBy("l_partkey")
+    share = pair.select(
+        "*", F.sum("sq").over(w).alias("tq")
+    )
+    qual = share.filter(
+        F.col("sq") * 5 > F.col("tq")
+    ).select("l_suppkey").distinct()
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    ).select("n_nationkey", "n_name")
+    named = sup.join(
+        broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    )
+    return named.join(
+        qual, named.s_suppkey == qual.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name", "n_name")
+
+
+Q20_SQL = """
+WITH pair AS (
+    SELECT l_partkey, l_suppkey,
+           SUM(CAST(l_quantity AS DECIMAL(18,6))) AS sq
+    FROM lineitem GROUP BY 1, 2
+),
+share AS (
+    SELECT *, SUM(sq) OVER (PARTITION BY l_partkey) AS tq FROM pair
+),
+qual AS (
+    SELECT DISTINCT l_suppkey FROM share WHERE sq * 5 > tq
+)
+SELECT s.s_suppkey, s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_3', 'NATION_7')
+  AND s.s_suppkey IN (SELECT l_suppkey FROM qual)
+"""
+
+QUERIES["q20_threshold_semijoin"] = q20_threshold_semijoin
+ORACLE["q20_threshold_semijoin"] = Q20_SQL
