@@ -7312,7 +7312,7 @@ def q20_threshold_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     De-correlation: one (partkey, suppkey) aggregate, a window for the
     per-part total (second shuffle is over already-aggregated rows),
-    exact-decimal share test 5*sq > tq, then LEFT SEMI join into
+    exact-decimal share test 8*sq > tq, then LEFT SEMI join into
     the supplier dim with the nation filter broadcast. No row of
     lineitem is shuffled twice; the semi-join probe side is the tiny
     qualifying-supplier set.
@@ -7329,7 +7329,7 @@ def q20_threshold_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.sum("sq").over(w).alias("tq")
     )
     qual = share.filter(
-        F.col("sq") * 5 > F.col("tq")
+        F.col("sq") * 8 > F.col("tq")
     ).select("l_suppkey").distinct()
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation").filter(
@@ -7353,7 +7353,7 @@ share AS (
     SELECT *, SUM(sq) OVER (PARTITION BY l_partkey) AS tq FROM pair
 ),
 qual AS (
-    SELECT DISTINCT l_suppkey FROM share WHERE sq * 5 > tq
+    SELECT DISTINCT l_suppkey FROM share WHERE sq * 8 > tq
 )
 SELECT s.s_suppkey, s.s_name, n.n_name
 FROM supplier s
