@@ -352,6 +352,95 @@ def simhash_candidate_pairs(
     )
 
 
+def _jaccard_pairs_prefix(
+    toks: DataFrame,
+    id_col: str,
+    block_cols: tuple[str, ...],
+    threshold: float,
+    max_block: int | None,
+) -> DataFrame:
+    """PPJoin candidate generation + exact verification (see
+    ngram_jaccard_pairs docstring). ``toks`` carries (id, blocks,
+    toks-array-distinct)."""
+    from pyspark.sql import Window
+
+    sized = toks.select(
+        "*", F.size("toks").alias("__sz")
+    ).filter(F.col("__sz") > 0)
+    # prefix length p = sz - ceil(t*sz) + 1: if two sets share no
+    # prefix token under a TOTAL global order, every common token sits
+    # in both suffixes, so overlap <= ceil(t*sz)-1 < t*sz <= t*|union|
+    p_len = (
+        F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
+    ).cast("int")
+    exploded = sized.select(
+        F.col(id_col), *block_cols, "__sz", p_len.alias("__p"),
+        F.explode("toks").alias("__tok"),
+    )
+    freq = (
+        exploded.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__freq"))
+    )
+    ranked = exploded.join(freq, "__tok").withColumn(
+        "__rank",
+        F.row_number().over(
+            Window.partitionBy(id_col).orderBy("__freq", "__tok")
+        ),
+    )
+    prefix = ranked.filter(F.col("__rank") <= F.col("__p")).select(
+        *block_cols, "__tok", F.col(id_col), "__sz"
+    )
+    if max_block is not None:
+        oversized = (
+            prefix.groupBy(*block_cols, "__tok")
+            .count()
+            .filter(F.col("count") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            raise RuntimeError(
+                "ngram_jaccard_pairs[prefix]: posting list(s) over "
+                f"max_block={max_block}: {[r.asDict() for r in oversized]}; "
+                "use lsh_candidate_pairs for corpora with shared-prefix "
+                "hubs this size"
+            )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond += [
+        F.col("a.__tok") == F.col("b.__tok"),
+        F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+        # J >= t forces t*|a| <= |b| <= |a|/t
+        F.col("b.__sz") * F.lit(threshold) <= F.col("a.__sz"),
+        F.col("a.__sz") * F.lit(threshold) <= F.col("b.__sz"),
+    ]
+    cand = (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    arrays = sized.select(F.col(id_col), "toks")
+    la = arrays.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("__ta")
+    )
+    lb = arrays.select(
+        F.col(id_col).alias("id_b"), F.col("toks").alias("__tb")
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    union = F.size("__ta") + F.size("__tb") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -360,36 +449,54 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     length_banding: bool = True,
     max_block: int | None = 100_000,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Blocked pairwise word-set Jaccard. Emits (id_a, id_b, jaccard).
+    EXACT under both strategies — candidate generation never drops a
+    qualifying pair; only the verified-true pairs are returned.
 
-    This is the exact small-block tool; ``lsh_candidate_pairs`` is the
-    scale path for corpora where any block is web-scale.
+    ``strategy="prefix"`` (default — the scale path): PPJoin-style
+    prefix filtering (Bayardo WWW'07 / Vernica SIGMOD'10, the standard
+    distributed exact set-similarity join). Tokens get a global
+    rarity order (one corpus-wide frequency aggregate); each doc keeps
+    only its ``|d| - ceil(t*|d|) + 1`` RAREST tokens as its prefix
+    (if two sets share no prefix token, their overlap is < t*|union|,
+    so Jaccard < t — no false negatives); candidates form by
+    equi-join on (block, prefix-token) with the |b| in
+    [ceil(t*|a|), floor(|a|/t)] length filter, then exact Jaccard
+    verification on the full arrays. Every stage is linear in corpus
+    size except pair verification, which is linear in CANDIDATES —
+    bounded by prefix-token co-occurrence (rare tokens), not by block
+    cardinality. This is what survives a block with millions of docs,
+    where any length-band scheme is still quadratic per cell.
 
-    Candidate pairs only form inside a block. The block key is the
-    caller's ``block_cols`` PLUS (by default) a geometric token-count
-    bucket: Jaccard >= t forces the two token-set sizes within a factor
-    1/t of each other, so with buckets of base ~1/t a qualifying pair
-    can sit at most one bucket apart — each left row probes buckets
-    {b-1, b, b+1} via a 3-element explode and the join stays a pure
-    equi-join on (block_cols, bucket). The base is widened 1%% so float
-    log rounding can never push a qualifying pair two buckets apart:
-    the output is IDENTICAL to unbanded blocking, but a single-language
-    corpus no longer plans an all-pairs self-join — the quadratic cost
-    is bounded per (block, length-bucket) cell.
+    ``strategy="band"``: the small-corpus tool — caller blocks PLUS a
+    geometric token-count bucket (base ~1/t, widened 1% so float log
+    rounding can never push a qualifying pair two buckets apart; each
+    left row probes buckets {b-1, b, b+1} via a 3-element explode).
+    Quadratic per (block, length-bucket) cell; cheaper than prefix on
+    corpora small enough that cells fit (no freq aggregate, no
+    per-pair candidate dedup).
 
-    ``max_block`` is a loud guard, not a silent cap: if any cell
-    exceeds it the operator raises (one cheap aggregate action — far
-    cheaper than the quadratic join it prevents) and names the
-    offending blocks; route such corpora through the LSH path.
+    ``max_block`` is a loud guard, not a silent cap: if any candidate
+    cell (length-band cell, or prefix-token posting list) exceeds it
+    the operator raises (one cheap aggregate action — far cheaper than
+    the quadratic join it prevents) and names the offenders; route
+    such corpora through the LSH path.
     """
     import math
 
+    if strategy not in ("prefix", "band"):
+        raise ValueError(f"strategy must be prefix|band, got {strategy!r}")
     toks = df.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         F.array_distinct(tokens(text_col)).alias("toks"),
     )
+    if strategy == "prefix":
+        return _jaccard_pairs_prefix(
+            toks, id_col, block_cols, threshold, max_block
+        )
     if length_banding:
         base = 1.01 / threshold
         bucket = F.floor(
