@@ -574,24 +574,29 @@ def dedup_components(
     while this operator resolves the same graph in seconds; measured at
     sf0.1, 1.94M pairs -> 16s here vs >25min for the SQL closure).
     """
-    fwd = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.unionByName(rev)
-    # Drop edges touching ids absent from `ids` (a stale/broader pair
+    # Drop pairs touching ids absent from `ids` (a stale/broader pair
     # list): a foreign endpoint could otherwise win a min-label race and
     # become the canonical_id of real docs — every doc paired with it
     # would then land on the drop list with no surviving representative.
     id_set = ids.select(F.col(id_col).alias("__id"))
-    # Materialise the edge list EVENLY SPREAD: with broadcast labels the
-    # per-round join inherits the edge frame's stored partitioning, and
-    # an AQE-coalesced (or single-file) layout would serialize every
-    # round onto one task.
-    edges = (
-        edges.join(id_set, edges.src == F.col("__id"), "left_semi")
-        .join(id_set, edges.dst == F.col("__id"), "left_semi")
-        .repartition(edges.sparkSession.sparkContext.defaultParallelism)
+    # Materialise the UNDIRECTED pair list once, evenly spread (the
+    # repartition matters: with broadcast labels the passes inherit
+    # this frame's partitioning, and an AQE-coalesced layout would
+    # serialize them onto one task). The BIDIRECTIONAL edge view is
+    # never checkpointed — it streams out of these blocks for exactly
+    # two passes (initial label aggregate, contraction map) and the
+    # iteration then runs on the CONTRACTED graph only. At 10x scale
+    # the old 2x-pairs edge checkpoint was a third of the resolve.
+    kept = (
+        pairs.select("id_a", "id_b")
+        .join(id_set, F.col("id_a") == F.col("__id"), "left_semi")
+        .join(id_set, F.col("id_b") == F.col("__id"), "left_semi")
+        .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
+    fwd = kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    rev = kept.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    edges = fwd.unionByName(rev)
 
     # Iterate ONLY over nodes that appear in an edge: a doc with no
     # candidate pair is its own canonical id by definition and must not
@@ -621,6 +626,63 @@ def dedup_components(
     # when candidates are that dense.
     n_nodes = labels.count()
     bcast = n_nodes <= 2_000_000
+
+    # CONTRACT the graph through the initial labels before iterating:
+    # the fused first round (min of node and direct neighbours) already
+    # collapses every LSH bucket-clique onto its minimum, so mapping
+    # each edge endpoint to its label and dropping self-loops +
+    # duplicates shrinks the edge list from |candidate pairs| to
+    # |cross-clique links|. Near-dup graphs are unions of bucket
+    # cliques by construction, so this is typically a 10-1000x edge
+    # reduction — every subsequent round then joins/aggregates the
+    # CONTRACTED edges, not the full pair list (measured at 10x scale:
+    # the per-round agg over 41M edge rows was the whole cost of the
+    # resolve). Components are preserved: l(v) is a node of v's own
+    # component, and the final per-node answer composes through l
+    # (node -> l(node) -> fixpoint label of l(node)).
+    node_to_init = labels.select(
+        F.col("node").alias("__n"), F.col("label").alias("__l")
+    )
+    lm_a = F.broadcast(node_to_init) if bcast else node_to_init
+    # map the UNDIRECTED pairs (half the rows of the edge view),
+    # normalise each contracted pair to (min, max) so distinct halves
+    # its input again, then symmetrise the (tiny) result for the loop
+    cpair = (
+        kept.join(lm_a, F.col("id_a") == F.col("__n"))
+        .select(F.col("__l").alias("la"), "id_b")
+        .join(
+            lm_a.select(
+                F.col("__n").alias("__n2"), F.col("__l").alias("__l2")
+            ),
+            F.col("id_b") == F.col("__n2"),
+        )
+        .select(
+            F.least(F.col("la"), F.col("__l2")).alias("src"),
+            F.greatest(F.col("la"), F.col("__l2")).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    edges = (
+        cpair.unionByName(
+            cpair.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .repartition(kept.sparkSession.sparkContext.defaultParallelism)
+        .localCheckpoint(eager=True)
+    )
+    iter_labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("__mn"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("__mn")).alias("label"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    full_labels, labels = labels, iter_labels
+    bcast = labels.count() <= 2_000_000
 
     changed = -1
     for _ in range(max_iter):
@@ -691,8 +753,19 @@ def dedup_components(
             "long-chain components"
         )
 
-    resolved = labels.select(
-        F.col("node").alias(id_col), F.col("label").alias("canonical_id")
+    # compose node -> initial label -> contracted-graph fixpoint (a
+    # super-node with no contracted edge keeps its own id via the
+    # left-join coalesce)
+    fixpoint = labels.select(
+        F.col("node").alias("__fl"), F.col("label").alias("__fx")
+    )
+    fx = F.broadcast(fixpoint) if bcast else fixpoint
+    resolved = (
+        full_labels.join(fx, full_labels.label == F.col("__fl"), "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("__fx", "label").alias("canonical_id"),
+        )
     )
     # isolated docs (no candidate pair) re-join as their own canonical
     # id — one join at the end instead of |corpus| rows in every round

@@ -27,31 +27,52 @@ def _docs(spark, n=60):
     return spark.createDataFrame(rows)
 
 
-def test_banded_output_matches_unbanded(spark):
+def test_all_strategies_agree(spark):
     docs = _docs(spark)
-    banded = ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=None)
+    prefix = ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=None)
+    banded = ngram_jaccard_pairs(
+        docs, block_cols=("lang",), max_block=None, strategy="band"
+    )
     unbanded = ngram_jaccard_pairs(
-        docs, block_cols=("lang",), length_banding=False, max_block=None
+        docs, block_cols=("lang",), length_banding=False, max_block=None,
+        strategy="band",
     )
-    assert sorted(map(tuple, banded.collect())) == sorted(
-        map(tuple, unbanded.collect())
-    )
-    assert banded.count() >= 1  # the planted near-dup pair survives
+    expect = sorted(map(tuple, unbanded.collect()))
+    assert sorted(map(tuple, banded.collect())) == expect
+    assert sorted(map(tuple, prefix.collect())) == expect
+    assert len(expect) >= 1  # the planted near-dup pair survives
 
 
 def test_single_lang_corpus_joins_on_length_bucket(spark):
-    """lang-only blocking must NOT plan an unrestricted self-join: the
-    equi-join keys must include the derived length bucket."""
+    """band strategy: lang-only blocking must NOT plan an unrestricted
+    self-join — the equi-join keys must include the length bucket."""
+    docs = _docs(spark)
+    out = ngram_jaccard_pairs(
+        docs, block_cols=("lang",), max_block=None, strategy="band"
+    )
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "__len_bucket" in plan and "__probe" in plan
+
+
+def test_prefix_strategy_joins_on_posting_token(spark):
+    """prefix strategy (default): candidates must equi-join on the
+    prefix token, and verification must run on a deduped pair set."""
     docs = _docs(spark)
     out = ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=None)
     plan = out._jdf.queryExecution().analyzed().toString()
-    assert "__len_bucket" in plan and "__probe" in plan
+    assert "__tok" in plan and "__rank" in plan
+    assert "Deduplicate" in plan
 
 
 def test_max_block_guard_raises_loudly(spark):
     docs = _docs(spark, n=30)
     with pytest.raises(RuntimeError, match="lsh_candidate_pairs"):
-        ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=3)
+        ngram_jaccard_pairs(
+            docs, block_cols=("lang",), max_block=3, strategy="band"
+        )
+    with pytest.raises(RuntimeError, match="lsh_candidate_pairs"):
+        # a token shared by every doc's prefix overflows a posting list
+        ngram_jaccard_pairs(docs, block_cols=("lang",), max_block=1)
 
 
 def test_cosine_topk_query_side_guard(spark):
