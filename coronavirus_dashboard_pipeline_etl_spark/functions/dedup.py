@@ -885,6 +885,17 @@ def editdist_pairs(
     with an ``abs(len diff) <= d`` prefilter before the DP. Same
     never-all-pairs guarantee as the Jaccard blocker, same loud
     ``max_block`` guard (route over-dense corpora through LSH first).
+
+    Scale note (measured at 10x corpus): candidate pairs grow
+    QUADRATICALLY per (block, length-bucket) cell — 257k pairs at 50k
+    docs -> 19.2M at 500k (75x for 10x data; ~30s wall on 32 cores).
+    Levenshtein has no cheap exact pre-filter that beats the banded DP
+    itself (a q-gram count filter was measured SLOWER: it ships
+    n-gram arrays through the pair join), so unlike the Jaccard
+    operator there is no prefix-filtering rescue — at corpora where
+    cells exceed ``max_block``, pre-cluster with
+    ``lsh_candidate_pairs`` and run this op per cluster, which is what
+    the guard message directs.
     """
     if max_distance < 1:
         raise ValueError(f"max_distance must be >= 1, got {max_distance}")

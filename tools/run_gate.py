@@ -50,18 +50,32 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
         problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
         return problems
     s, d = normalise(spark_pdf), normalise(duck_pdf)
+    # vectorised per-column equality (a per-cell Python loop is minutes
+    # per million-row gate at sf1): equal iff repr-normalised values
+    # match, with None==None and NaN==NaN allowed
     for col in s.columns:
-        for i in range(len(s)):
-            a, b = s[col].iloc[i], d[col].iloc[i]
-            if a is None and b is None:
-                continue
-            if isinstance(a, float) and isinstance(b, float):
-                if a != b and not (math.isnan(a) and math.isnan(b)):
-                    problems.append(f"{col}[{i}]: spark={a!r} duck={b!r}")
-            elif a != b:
-                problems.append(f"{col}[{i}]: spark={a!r} duck={b!r}")
-            if len(problems) > 5:
-                return problems
+        a, b = s[col], d[col].reset_index(drop=True)
+        eq = a.map(repr).to_numpy() == b.map(repr).to_numpy()
+        if not eq.all():
+            import numpy as np
+
+            # repr mismatches re-checked with the lenient per-cell
+            # rule (1 == 1.0, NaN == NaN) — only the mismatching cells
+            # pay Python-loop cost
+            for i in np.flatnonzero(~eq):
+                av, bv = a.iloc[int(i)], b.iloc[int(i)]
+                if (
+                    isinstance(av, float)
+                    and isinstance(bv, float)
+                    and math.isnan(av)
+                    and math.isnan(bv)
+                ):
+                    continue
+                if av == bv:
+                    continue
+                problems.append(f"{col}[{int(i)}]: spark={av!r} duck={bv!r}")
+                if len(problems) > 5:
+                    return problems
     return problems
 
 
