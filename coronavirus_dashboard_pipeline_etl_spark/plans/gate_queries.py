@@ -7364,3 +7364,67 @@ WHERE n.n_name IN ('NATION_3', 'NATION_7')
 
 QUERIES["q20_threshold_semijoin"] = q20_threshold_semijoin
 ORACLE["q20_threshold_semijoin"] = Q20_SQL
+
+
+def q22_anti_join_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: well-funded customers (balance above the
+    positive-balance average — an UNCORRELATED scalar subquery) with NO
+    URGENT-priority order (NOT EXISTS — a LEFT ANTI join against the
+    filtered order set; the filter reaches the scan), per nation.
+
+    Exactness at the threshold: the average is sum/count of doubles,
+    which is partition-order dependent in any engine — the compare is
+    therefore lifted to exact decimals with the division cleared:
+    bal * n_pos > sum_pos. The anti-join probe side is the orders
+    custkey set; Spark plans LEFT ANTI with the same hash exchange a
+    semi-join gets — no pair expansion anywhere.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        F.col("c_acctbal").cast(DEC).alias("bal"),
+    )
+    pos = cust.filter(F.col("bal") > 0).agg(
+        F.sum("bal").alias("sum_pos"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = cust.crossJoin(broadcast(pos)).filter(
+        F.col("bal") * F.col("n_pos") > F.col("sum_pos")
+    )
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    no_orders = rich.join(
+        urgent, rich.c_custkey == urgent.o_custkey, "left_anti"
+    )
+    return no_orders.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum("bal").cast("double").alias("totacctbal"),
+    )
+
+
+Q22_SQL = """
+WITH cust AS (
+    SELECT c_custkey, c_nationkey,
+           CAST(c_acctbal AS DECIMAL(18,6)) AS bal
+    FROM customer
+),
+pos AS (
+    SELECT SUM(bal) AS sum_pos, COUNT(*) AS n_pos
+    FROM cust WHERE bal > 0
+),
+rich AS (
+    SELECT c.* FROM cust c, pos WHERE c.bal * pos.n_pos > pos.sum_pos
+)
+SELECT c_nationkey, COUNT(*) AS numcust,
+       CAST(SUM(bal) AS DOUBLE) AS totacctbal
+FROM rich
+WHERE NOT EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = rich.c_custkey
+      AND o.o_orderpriority = '1-URGENT'
+)
+GROUP BY c_nationkey
+"""
+
+QUERIES["q22_anti_join_scalar"] = q22_anti_join_scalar
+ORACLE["q22_anti_join_scalar"] = Q22_SQL
