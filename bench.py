@@ -64,6 +64,16 @@ HEADLINE = [
     "j11c_asof_nearest",
     "q18_large_volume",
     "pipe13_corpus_monitor",
+    # round-6: exact Jaccard join (PPJoin prefix filtering — the
+    # linear-scaling rewrite), the contracted-graph component resolve
+    # inside the full near-dup pipeline, path-metadata routing, and
+    # the correlated-subquery TPC-H shapes
+    "d2_jaccard_pairs",
+    "pipe7_neardup_dedup",
+    "s7b_path_metadata",
+    "q17_small_qty_revenue",
+    "q20_threshold_semijoin",
+    "q22_anti_join_scalar",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
