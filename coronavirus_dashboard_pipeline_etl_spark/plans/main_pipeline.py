@@ -302,12 +302,16 @@ def compact_store(
     only need merging, not redistribution.
 
     Concurrency contract: plain-parquet dynamic overwrite offers NO
-    snapshot isolation WITHIN a partition — a reader or writer touching
-    a partition while it is being compacted can observe a partial file
-    set. Schedule compaction in the release window when the selected
-    partitions are quiescent (the store's release scheduling already
-    serialises writers per partition); for concurrent-safe compaction
-    use a table format with commit protocols (Delta/Iceberg) instead.
+    snapshot isolation WITHIN a partition — an EXTERNAL reader or
+    writer touching a partition while it is being compacted can observe
+    a partial file set. Schedule compaction in the release window when
+    the selected partitions are quiescent (the store's release
+    scheduling already serialises writers per partition); for
+    concurrent-safe compaction use a table format with commit protocols
+    (Delta/Iceberg) instead. The compactor's OWN read-then-replace
+    cycle is enforced safe below: each partition is materialised
+    (localCheckpoint) before its files are overwritten, so a task retry
+    mid-overwrite re-reads executor blocks, never half-replaced files.
     """
     store = spark.read.parquet(path)
     # ONE grouped count for every selected partition (not a count-scan
@@ -322,14 +326,25 @@ def compact_store(
         if n == 0:
             continue
         n_files = max(1, -(-n // target_rows_per_file))
-        (
+        # materialise the partition BEFORE the overwrite: the writer
+        # must never stream from the very files it is replacing (the
+        # same-partition reader/writer hazard the contract above
+        # documents — localCheckpoint severs the scan dependency, at a
+        # cost bounded by one partition's rows, so a task retry
+        # mid-overwrite re-reads executor blocks, not half-replaced
+        # files)
+        part_df = (
             store.filter(F.col("partition_id") == pid)
             .coalesce(n_files)
-            .write.mode("overwrite")
+            .localCheckpoint(eager=True)
+        )
+        (
+            part_df.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("partition_id")
             .parquet(path)
         )
+        part_df.unpersist()
         written[pid] = n_files
     return written
 
