@@ -19,6 +19,7 @@ from .derived import (
     negative_to_zero,
     ratio_to_percentage,
 )
+from .combine import combine_supplements
 from .hashing import row_hash_blake2, row_hash_sha2
 from .relabel import (
     drop_empty_rows,
@@ -52,6 +53,7 @@ from .util import with_scalar
 
 __all__ = [
     "asof_join",
+    "combine_supplements",
     "range_join",
     "rolling_percentile",
     "scd2_intervals",

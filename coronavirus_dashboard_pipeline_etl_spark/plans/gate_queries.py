@@ -7428,3 +7428,67 @@ GROUP BY c_nationkey
 
 QUERIES["q22_anti_join_scalar"] = q22_anti_join_scalar
 ORACLE["q22_anti_join_scalar"] = Q22_SQL
+
+
+def j15_combine_supplements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11 legacy multi-frame combine (reference db_etl/db_uploader/
+    chunk_ops/combine.py:116-153): main panel LEFT-joined with metric-
+    family supplements on the shared key, one supplement missing (None),
+    supplement-only keys dropped — all in a single shuffle via
+    operators.combine.combine_supplements."""
+    from ..operators.combine import combine_supplements
+
+    ev = load_table(spark, sf_dir, "events")
+    key = ["event_type", F.date_format("ts", "yyyy-MM-dd").alias("date")]
+    main = (
+        ev.filter(F.col("event_type") != "error")
+        .groupBy(*key)
+        .agg(F.sum(F.col("value").cast(DEC)).alias("val_main"))
+    )
+    sup_hi = (
+        ev.filter(F.col("value") > 9)
+        .groupBy(*key)
+        .agg(F.count(F.lit(1)).alias("cnt_hi"))
+    )
+    sup_even = (
+        ev.filter(F.col("user_id") % 2 == 0)
+        .groupBy(*key)
+        .agg(F.sum(F.col("value").cast(DEC)).alias("sum_even"))
+    )
+    out = combine_supplements(
+        main, [sup_hi, None, sup_even], keys=["event_type", "date"]
+    )
+    # exact-decimal sums, surfaced as double for the cross-engine compare
+    return out.withColumn("val_main", F.col("val_main").cast("double")).withColumn(
+        "sum_even", F.col("sum_even").cast("double")
+    )
+
+
+J15_SQL = """
+WITH main AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS val_main
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1, 2
+),
+sup_hi AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+           COUNT(*) AS cnt_hi
+    FROM events WHERE value > 9
+    GROUP BY 1, 2
+),
+sup_even AS (
+    SELECT event_type, strftime(ts, '%Y-%m-%d') AS date,
+           SUM(CAST(value AS DECIMAL(18,6))) AS sum_even
+    FROM events WHERE user_id % 2 = 0
+    GROUP BY 1, 2
+)
+SELECT m.event_type, m.date, CAST(m.val_main AS DOUBLE) AS val_main,
+       h.cnt_hi, CAST(e.sum_even AS DOUBLE) AS sum_even
+FROM main m
+LEFT JOIN sup_hi h USING (event_type, date)
+LEFT JOIN sup_even e USING (event_type, date)
+"""
+
+QUERIES["j15_combine_supplements"] = j15_combine_supplements
+ORACLE["j15_combine_supplements"] = J15_SQL
