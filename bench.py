@@ -74,6 +74,12 @@ HEADLINE = [
     "q17_small_qty_revenue",
     "q20_threshold_semijoin",
     "q22_anti_join_scalar",
+    # round-6 second half: the double-correlated EXISTS/NOT-EXISTS
+    # shape (two-level partial aggregation), the bilateral star volume
+    # join, and the legacy multi-frame supplement combine
+    "q21_waiting_supplier",
+    "q7_volume_shipping",
+    "j15_combine_supplements",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -52,7 +52,7 @@ from ..operators import (
     weekly_thin,
 )
 from ..operators.nesting import wrap_payload
-from ..operators.util import ts_micros
+from ..operators.util import ts_micros, with_scalar
 from ..sources import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -7492,3 +7492,492 @@ LEFT JOIN sup_even e USING (event_type, date)
 
 QUERIES["j15_combine_supplements"] = j15_combine_supplements
 ORACLE["j15_combine_supplements"] = J15_SQL
+
+
+# ---------------------------------------------------------------------------
+# Classic correlated / decorrelated query shapes (round 6 breadth batch).
+# Adapted to this star schema (no partsupp table: lineitem is the
+# part-supplier bridge). Mirrors the reference's correlated-latest idiom
+# (rate_scales_worker/queries.py:23-30) at TPC-H depth.
+# ---------------------------------------------------------------------------
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each surviving part, the supplier(s) offering
+    the minimum cost — a correlated scalar-MIN subquery, de-correlated
+    Spark-first into a window MIN over the broadcast-pruned bridge:
+    the p_size filter broadcasts into the lineitem scan, the per-part
+    minimum is a window over the (part, supplier) partial aggregate,
+    and the supplier/nation dims broadcast onto the tiny survivor set.
+    """
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", F.col("l_extendedprice").cast(DEC).alias("price")
+    )
+    offers = (
+        li.join(broadcast(pt), li.l_partkey == pt.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("price").alias("cost"))
+    )
+    best = offers.withColumn(
+        "min_cost", F.min("cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("cost") == F.col("min_cost"))
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        best.join(broadcast(sup), best.l_suppkey == sup.s_suppkey)
+        .join(broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.col("cost").cast("double").alias("cost"),
+        )
+    )
+
+
+Q2_SQL = """
+WITH offers AS (
+    SELECT l.l_partkey, l.l_suppkey,
+           MIN(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS cost
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size = 15
+    GROUP BY 1, 2
+)
+SELECT o.l_partkey AS p_partkey, s.s_name, n.n_name,
+       CAST(o.cost AS DOUBLE) AS cost
+FROM offers o
+JOIN supplier s ON o.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.cost = (SELECT MIN(o2.cost) FROM offers o2
+                WHERE o2.l_partkey = o.l_partkey)
+"""
+
+QUERIES["q2_min_cost_supplier"] = q2_min_cost_supplier
+ORACLE["q2_min_cost_supplier"] = Q2_SQL
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The supplier and customer nation dims broadcast; the
+    only big shuffle is lineitem->orders on orderkey (both fact-sized),
+    and the nation-pair filter prunes suppliers/customers BEFORE that
+    join so the shuffle carries only qualifying rows.
+    """
+    nat = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    ).select("n_nationkey", "n_name")
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(broadcast(nat), F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate").between(1996, 1999)
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.year("l_shipdate").alias("l_year"),
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).alias("volume"),
+    )
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    shipped = (
+        li.join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+    )
+    return shipped.groupBy("supp_nation", "cust_nation", "l_year").agg(
+        # rescale the exact sum to the data's true scale before the
+        # double cast so both engines convert the identical decimal
+        F.sum("volume").cast("decimal(30,6)").cast("double").alias("revenue")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l.l_shipdate) AS l_year,
+       CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+                * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+  AND n2.n_name IN ('NATION_1', 'NATION_2')
+  AND n1.n_name <> n2.n_name
+  AND year(l.l_shipdate) BETWEEN 1996 AND 1999
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q7_volume_shipping"] = q7_volume_shipping
+ORACLE["q7_volume_shipping"] = Q7_SQL
+
+
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part traded value for suppliers in a nation
+    subset, keeping parts above a fraction of the GLOBAL total — a
+    HAVING against an uncorrelated scalar subquery. The scalar rides a
+    1-row broadcast (operators.util.with_scalar), never a
+    single-partition window; the threshold compare is exact decimal
+    (value*1000 > total), no float division at the boundary.
+    """
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice").cast(DEC) * F.col("l_quantity").cast(DEC)).alias("val"),
+    )
+    per_part = (
+        li.join(broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum("val").alias("value"))
+    )
+    thresholded = with_scalar(per_part, "total", F.sum("value"))
+    return thresholded.filter(
+        F.col("value") * 1000 > F.col("total")
+    ).select(
+        F.col("l_partkey").alias("p_partkey"),
+        # data scale is <=4 fractional digits; rescale to 6 before the
+        # double cast so both engines convert the identical decimal
+        F.col("value").cast("decimal(30,6)").cast("double").alias("value"),
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+    SELECT l.l_partkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(28,6))
+               * CAST(l.l_quantity AS DECIMAL(28,6))) AS value
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE n.n_nationkey < 5
+    GROUP BY 1
+)
+SELECT l_partkey AS p_partkey,
+       CAST(CAST(value AS DECIMAL(30,6)) AS DOUBLE) AS value
+FROM per_part
+WHERE value * 1000 > (SELECT SUM(value) FROM per_part)
+"""
+
+QUERIES["q11_important_stock"] = q11_important_stock
+ORACLE["q11_important_stock"] = Q11_SQL
+
+
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation — per line status, how
+    many shipped lines belong to high- vs low-priority orders. One
+    fact-fact join on orderkey, the CASE folds into the partial agg so
+    the shuffle carries two counters per group, not rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1998
+    ).select("l_orderkey", "l_linestatus")
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE year(l.l_shipdate) = 1998
+GROUP BY 1
+"""
+
+QUERIES["q12_priority_by_status"] = q12_priority_by_status
+ORACLE["q12_priority_by_status"] = Q12_SQL
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of orders-per-customer INCLUDING
+    zero-order customers — LEFT OUTER join then two aggregations. The
+    zero bucket only exists if the outer join is genuinely outer; the
+    second groupBy keys on the tiny count domain.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        cust.join(ords, cust.c_custkey == ords.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+Q13_SQL = """
+WITH per_cust AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+         AND o.o_orderpriority <> '4-NOT SPECIFIED'
+    GROUP BY 1
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust
+GROUP BY 1
+"""
+
+QUERIES["q13_customer_distribution"] = q13_customer_distribution
+ORACLE["q13_customer_distribution"] = Q13_SQL
+
+
+def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: a conditional-revenue ratio over one ship
+    month — both the numerator CASE-sum and the denominator fold into
+    ONE aggregation pass (no second scan, no self-join); the division
+    happens once on the exact-decimal sums, cast to double at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.year("l_shipdate") == 1997) & (F.month("l_shipdate") == 9)
+    ).select(
+        "l_partkey",
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).alias("rev"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(broadcast(pt), li.l_partkey == pt.p_partkey)
+    sums = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("rev"))).alias("promo"),
+        F.sum("rev").alias("total"),
+    )
+    return sums.select(
+        (F.lit(100.0) * F.col("promo").cast("decimal(30,6)").cast("double")
+         / F.col("total").cast("decimal(30,6)").cast("double")).alias("promo_share")
+    )
+
+
+Q14_SQL = """
+WITH joined AS (
+    SELECT p.p_type,
+           CAST(l.l_extendedprice AS DECIMAL(18,6))
+           * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))) AS rev
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE year(l.l_shipdate) = 1997 AND month(l.l_shipdate) = 9
+)
+SELECT 100.0 * CAST(CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev END) AS DECIMAL(30,6)) AS DOUBLE)
+             / CAST(CAST(SUM(rev) AS DECIMAL(30,6)) AS DOUBLE) AS promo_share
+FROM joined
+"""
+
+QUERIES["q14_promo_revenue_share"] = q14_promo_revenue_share
+ORACLE["q14_promo_revenue_share"] = Q14_SQL
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarterly revenue equals the
+    global maximum — an aggregate view compared against its own scalar
+    MAX. The scalar rides a 1-row broadcast (with_scalar), ties are
+    kept (no LIMIT), and the compare is decimal-exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1998-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-04-01"))
+    ).select(
+        "l_suppkey",
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).alias("rev"),
+    )
+    revenue = li.groupBy("l_suppkey").agg(F.sum("rev").alias("total_revenue"))
+    best = with_scalar(revenue, "max_revenue", F.max("total_revenue")).filter(
+        F.col("total_revenue") == F.col("max_revenue")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return best.join(broadcast(sup), best.l_suppkey == sup.s_suppkey).select(
+        "s_suppkey",
+        "s_name",
+        F.col("total_revenue").cast("decimal(30,6)").cast("double").alias("total_revenue"),
+    )
+
+
+Q15_SQL = """
+WITH revenue AS (
+    SELECT l_suppkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS total_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-04-01'
+    GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name,
+       CAST(CAST(r.total_revenue AS DECIMAL(30,6)) AS DOUBLE) AS total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+QUERIES["q15_top_supplier"] = q15_top_supplier
+ORACLE["q15_top_supplier"] = Q15_SQL
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per part attribute
+    combo, with a NOT IN supplier exclusion re-expressed as a broadcast
+    LEFT ANTI join (the excluded set is a filtered dim — never a
+    shuffle). COUNT(DISTINCT) keys the shuffle on the group attrs.
+    """
+    pt = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9") & F.col("p_size").isin(9, 14, 19, 23, 36, 45, 49, 3)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad_sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    eligible = li.join(
+        broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti"
+    )
+    return (
+        eligible.join(broadcast(pt), eligible.l_partkey == pt.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#9'
+  AND p.p_size IN (9, 14, 19, 23, 36, 45, 49, 3)
+  AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+QUERIES["q16_supplier_count"] = q16_supplier_count
+ORACLE["q16_supplier_count"] = Q16_SQL
+
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate spanning
+    both join sides. Expressed as one declarative filter AFTER the
+    broadcast join so Catalyst splits it: the part-only conjuncts push
+    into the dim scan, the lineitem-only bounds (quantity <= 40) push
+    into the fact scan, and only the genuinely cross-side residual is
+    evaluated post-join.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_quantity",
+        (F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))).alias("rev"),
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = li.join(broadcast(pt), li.l_partkey == pt.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 10)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 15)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return joined.filter(cond).agg(
+        F.sum("rev").cast("decimal(30,6)").cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q19_SQL = """
+SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#1'  AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1  AND 11)
+   OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+QUERIES["q19_disjunctive_revenue"] = q19_disjunctive_revenue
+ORACLE["q19_disjunctive_revenue"] = Q19_SQL
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE returning supplier
+    in a finished multi-supplier order — EXISTS (another supplier in
+    the order) AND NOT EXISTS (another returning supplier). Both
+    correlated quantifiers de-correlate into ONE per-(order, supplier)
+    partial aggregate + ONE per-order rollup: n_supp >= 2 encodes the
+    EXISTS, n_ret_supp == 1 encodes the NOT EXISTS, and the returned-
+    line count per (order, supplier) preserves the reference row
+    multiplicity that the classic formulation counts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", (F.col("l_returnflag") == "R").alias("is_ret")
+    )
+    per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_ret"), 1).otherwise(0)).alias("n_ret_lines")
+    )
+    per_order = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_ret_lines") > 0, 1).otherwise(0)).alias("n_ret_supp"),
+    )
+    finished = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    sole = (
+        per_os.filter(F.col("n_ret_lines") > 0)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        .join(finished, per_os.l_orderkey == finished.o_orderkey, "left_semi")
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sole.join(broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_ret_lines").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+"""
+
+QUERIES["q21_waiting_supplier"] = q21_waiting_supplier
+ORACLE["q21_waiting_supplier"] = Q21_SQL

@@ -175,10 +175,11 @@ def main() -> None:
         import __spark_entry__ as e
 
         head50 = set(e._ordered()[:50])
-        must = set(p1) | {k for _, k in p2}
-        missing = sorted(must - head50)
-        if len(must) > 50:
-            missing = sorted(set(list(must)[:50]) - head50)
+        # when p1+p2 exceed the 50 driver slots, require the RANKED
+        # top-50 (p1 first, then p2 oldest-verdict-first) — a set
+        # sample would be nondeterministic
+        must_ranked = p1 + [k for _, k in p2]
+        missing = sorted(set(must_ranked[:50]) - head50)
         if missing:
             print(f"ROTATION STALE — p1/p2 gates outside head-50: {missing}")
             sys.exit(1)
