@@ -80,6 +80,8 @@ HEADLINE = [
     "q21_waiting_supplier",
     "q7_volume_shipping",
     "j15_combine_supplements",
+    "lm1_bigram_novelty",
+    "d12_containment_pairs",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -1002,3 +1002,123 @@ def duplicated_spans(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def shingle_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    threshold: float = 0.8,
+    shingle_k: int = 3,
+    max_block: int | None = 100_000,
+) -> DataFrame:
+    """Asymmetric set containment C(a->b) = |a ∩ b| / |a| over word
+    k-shingles: emits ordered pairs where b nearly CONTAINS a — the
+    quotation / near-superset signal symmetric Jaccard misses (a tiny
+    doc embedded in a big one has high containment but low Jaccard).
+
+    EXACT (no false negatives), prefix-filtered for scale:
+    - probe side: each doc keeps its ``|a| - ceil(t*|a|) + 1`` RAREST
+      shingles (global corpus-frequency order). If none of them occur
+      in b, the overlap is at most ``ceil(t*|a|) - 1 < t*|a|``, so
+      C(a->b) < t — pruning is lossless.
+    - index side: ALL of b's shingles, but semi-joined down to shingles
+      that occur in SOME probe prefix first — hub shingles that no
+      prefix references never enter the join, and the ``max_block``
+      guard (a loud raise, not a silent cap) applies to the PRUNED
+      posting lists, the ones the join actually pays for.
+    - size filter ``|b| >= t*|a|`` (overlap can't exceed |b|), then
+      exact verification on the full distinct-shingle arrays.
+
+    Every stage is linear in corpus size except candidate expansion,
+    which is bounded by rare-shingle co-occurrence. Shingles (default
+    k=3) rather than unigrams: unigram containment saturates on any
+    corpus with a shared vocabulary; k-shingles keep the signal
+    order-sensitive and selective.
+    """
+    from pyspark.sql import Window
+
+    from .text import tokens
+
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    w = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], w.alias("__w"))
+    n = F.size("__w")
+
+    def shingle(x: Column, i: Column) -> Column:
+        parts = [x] + [
+            F.element_at(F.col("__w"), i + 1 + j) for j in range(1, shingle_k)
+        ]
+        return F.concat_ws(" ", *parts)
+
+    sh = F.array_distinct(
+        F.transform(
+            F.slice("__w", 1, F.greatest(n - (shingle_k - 1), F.lit(0))), shingle
+        )
+    )
+    toks = base.select(
+        F.col(id_col), *block_cols, sh.alias("toks")
+    ).withColumn("__sz", F.size("toks")).filter(F.col("__sz") > 0)
+
+    p_len = (
+        F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
+    ).cast("int")
+    exploded = toks.select(
+        F.col(id_col), *block_cols, "__sz", p_len.alias("__p"),
+        F.explode("toks").alias("__tok"),
+    )
+    freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
+    ranked = exploded.join(freq, "__tok").withColumn(
+        "__rank",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("__freq", "__tok")),
+    )
+    prefix = ranked.filter(F.col("__rank") <= F.col("__p")).select(
+        *block_cols, "__tok", F.col(id_col), "__sz"
+    )
+    postings = exploded.select(*block_cols, "__tok", F.col(id_col), "__sz").join(
+        prefix.select("__tok").distinct(), "__tok", "left_semi"
+    )
+    if max_block is not None:
+        oversized = (
+            postings.groupBy(*block_cols, "__tok")
+            .count()
+            .filter(F.col("count") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            raise RuntimeError(
+                "shingle_containment_pairs: pruned posting list(s) over "
+                f"max_block={max_block}: {[r.asDict() for r in oversized]}; "
+                "raise shingle_k or route through lsh_candidate_pairs"
+            )
+    a, b = prefix.alias("a"), postings.alias("b")
+    cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
+    cond += [
+        F.col("a.__tok") == F.col("b.__tok"),
+        F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
+        F.col("b.__sz").cast("double") >= F.col("a.__sz") * F.lit(threshold),
+    ]
+    cand = (
+        a.join(b, on=cond)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    arrays = toks.select(F.col(id_col), "toks", "__sz")
+    la = arrays.select(
+        F.col(id_col).alias("id_a"), F.col("toks").alias("__ta"), F.col("__sz").alias("__sza")
+    )
+    lb = arrays.select(F.col(id_col).alias("id_b"), F.col("toks").alias("__tb"))
+    inter = F.size(F.array_intersect("__ta", "__tb"))
+    containment = inter.cast("double") / F.col("__sza").cast("double")
+    return (
+        cand.join(la, "id_a")
+        .join(lb, "id_b")
+        .select("id_a", "id_b", containment.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )

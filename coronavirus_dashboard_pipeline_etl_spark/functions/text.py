@@ -345,3 +345,102 @@ def bm25_topk(
         F.col("score").desc(), F.col(id_col).asc()
     )
     return ranked.limit(k)
+
+
+def bigram_lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 0.5,
+    mode: str = "log",
+) -> DataFrame:
+    """In-corpus bigram language-model scoring per document — the
+    CCNet/KenLM-style quality signal (docs whose word transitions are
+    improbable under the corpus model are boilerplate/garble; docs whose
+    bigrams occur nowhere else are templating/memorisation outliers).
+
+    Both modes share the same distributed model build (all JVM-side):
+    explode bigrams -> per-(doc, bigram) counts [shuffle keyed on the
+    pair] -> corpus bigram/unigram counts [vocabulary-keyed shuffles]
+    -> join doc counts to the model on the bigram key -> per-doc rollup.
+    Every shuffle carries counts, not text; hot bigrams ("of the") skew
+    the model join's probe side, which AQE skew-join splits — the model
+    side is one row per bigram, so no correctness hazard.
+
+    ``mode="log"`` (production): add-k smoothed transition log-probs
+    ``ln((C(w1,w2)+k) / (C(w1)+k*V))``, per-doc mean and perplexity
+    ``exp(-mean)``.  Uses libm ``ln`` — last-ulp engine-dependent, so
+    this mode is pytest-verified against a pure-Python reference, not
+    oracle-hashed (same contract as tfidf_topk's log_idf).
+
+    ``mode="rational"`` (oracle-gated): exact-integer per-doc stats —
+    bigram instances, distinct bigrams, instances unique to the doc
+    (corpus count == own count: the duplicate-n-gram/novelty signal),
+    integer corpus-frequency mass — with exactly ONE double division
+    each for the novelty and mean-frequency ratios, so DuckDB hashes
+    match bit-for-bit.
+    """
+    if mode not in ("log", "rational"):
+        raise ValueError(f"mode must be 'log' or 'rational', got {mode!r}")
+
+    arr = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), arr.alias("__toks"))
+    n_tok = F.size("__toks")
+    bigrams = F.transform(
+        F.slice("__toks", 1, F.greatest(n_tok - 1, F.lit(0))),
+        lambda x, i: F.concat_ws("\x01", x, F.element_at(F.col("__toks"), i + 2)),
+    )
+    exploded = base.select(
+        F.col(id_col), F.explode(bigrams).alias("__bg")
+    )
+    doc_bg = exploded.groupBy(id_col, "__bg").agg(
+        F.count(F.lit(1)).alias("__doc_cnt")
+    )
+    model = exploded.groupBy("__bg").agg(
+        F.count(F.lit(1)).alias("__corpus_cnt")
+    )
+    joined = doc_bg.join(model, "__bg")
+
+    if mode == "rational":
+        per_doc = joined.groupBy(id_col).agg(
+            F.sum("__doc_cnt").alias("n_bigrams"),
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            F.sum(
+                F.when(F.col("__corpus_cnt") == F.col("__doc_cnt"), F.col("__doc_cnt")).otherwise(0)
+            ).alias("novel_bigrams"),
+            F.sum(F.col("__doc_cnt") * F.col("__corpus_cnt")).alias("corpus_freq_mass"),
+        )
+        out = df.select(id_col).join(per_doc, id_col, "left")
+        n_d = F.col("n_bigrams").cast("double")
+        return out.select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_distinct_bigrams", F.lit(0)).alias("n_distinct_bigrams"),
+            F.coalesce("novel_bigrams", F.lit(0)).alias("novel_bigrams"),
+            (F.col("novel_bigrams").cast("double") / n_d).alias("novelty"),
+            (F.col("corpus_freq_mass").cast("double") / n_d).alias("avg_corpus_freq"),
+        )
+
+    # log mode: unigram CONTEXT counts C(w1) and vocabulary size V
+    unigrams = base.select(F.explode("__toks").alias("__w"))
+    uni_cnt = unigrams.groupBy("__w").agg(F.count(F.lit(1)).alias("__uni_cnt"))
+    vocab = unigrams.agg(F.countDistinct("__w").alias("__v"))
+    with_w1 = joined.withColumn(
+        "__w1", F.split("__bg", "\x01").getItem(0)
+    ).join(uni_cnt, F.col("__w1") == F.col("__w")).crossJoin(F.broadcast(vocab))
+    logp = F.log(
+        (F.col("__corpus_cnt") + F.lit(k))
+        / (F.col("__uni_cnt") + F.lit(k) * F.col("__v"))
+    )
+    per_doc = with_w1.groupBy(id_col).agg(
+        F.sum("__doc_cnt").alias("n_bigrams"),
+        F.sum(F.col("__doc_cnt") * logp).alias("__sum_logp"),
+    )
+    out = df.select(id_col).join(per_doc, id_col, "left")
+    avg = F.col("__sum_logp") / F.col("n_bigrams").cast("double")
+    return out.select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        avg.alias("avg_logprob"),
+        F.exp(-avg).alias("perplexity"),
+    )

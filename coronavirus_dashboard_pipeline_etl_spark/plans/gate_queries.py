@@ -7981,3 +7981,90 @@ LIMIT 20
 
 QUERIES["q21_waiting_supplier"] = q21_waiting_supplier
 ORACLE["q21_waiting_supplier"] = Q21_SQL
+
+
+def lm1_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-corpus bigram LM stats per document (rational oracle mode of
+    functions.text.bigram_lm_score): duplicate-n-gram novelty and mean
+    corpus frequency — exact integers with one double division each.
+    The log/perplexity production mode shares this plan and is pytest-
+    pinned against a pure-Python reference (libm ln is last-ulp
+    engine-dependent; see tfidf determinism contract)."""
+    from ..functions.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_score(docs, mode="rational")
+
+
+LM1_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)), i -> l[i] || chr(1) || l[i+1])) AS bg
+  FROM toks
+),
+doc_bg AS (SELECT doc_id, bg, COUNT(*) AS doc_cnt FROM bg GROUP BY 1, 2),
+model  AS (SELECT bg, COUNT(*) AS corpus_cnt FROM bg GROUP BY 1),
+per_doc AS (
+  SELECT d.doc_id,
+         SUM(d.doc_cnt) AS n_bigrams,
+         COUNT(*) AS n_distinct_bigrams,
+         SUM(CASE WHEN m.corpus_cnt = d.doc_cnt THEN d.doc_cnt ELSE 0 END) AS novel_bigrams,
+         SUM(d.doc_cnt * m.corpus_cnt) AS corpus_freq_mass
+  FROM doc_bg d JOIN model m USING (bg)
+  GROUP BY 1
+)
+SELECT t.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+       COALESCE(p.novel_bigrams, 0) AS novel_bigrams,
+       CAST(p.novel_bigrams AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS novelty,
+       CAST(p.corpus_freq_mass AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS avg_corpus_freq
+FROM toks t LEFT JOIN per_doc p USING (doc_id)
+"""
+
+QUERIES["lm1_bigram_novelty"] = lm1_bigram_novelty
+ORACLE["lm1_bigram_novelty"] = LM1_SQL
+
+
+def d12_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-superset detection: ordered (a, b) pairs where
+    >= 80% of a's word 3-shingles occur in b (functions.dedup.
+    shingle_containment_pairs — prefix-filtered exact containment; the
+    quotation signal symmetric Jaccard misses). Oracle is the full
+    all-pairs shingle join, feasible at oracle scale."""
+    from ..functions.dedup import shingle_containment_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shingle_containment_pairs(docs, threshold=0.8, shingle_k=3)
+
+
+D12_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang,
+         list_distinct(list_transform(range(1, len(w)-1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS l
+  FROM toks WHERE len(w) >= 3
+),
+tok AS (SELECT doc_id, lang, unnest(l) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+  FROM tok a JOIN tok b ON a.lang = b.lang AND a.s = b.s
+                       AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.o AS DOUBLE) / CAST(len(ta.l) AS DOUBLE) AS containment
+FROM inter i JOIN sh ta ON ta.doc_id = i.id_a
+WHERE CAST(i.o AS DOUBLE) / CAST(len(ta.l) AS DOUBLE) >= 0.8
+"""
+
+QUERIES["d12_containment_pairs"] = d12_containment_pairs
+ORACLE["d12_containment_pairs"] = D12_SQL
