@@ -1061,6 +1061,11 @@ def shingle_containment_pairs(
     toks = base.select(
         F.col(id_col), *block_cols, sh.alias("toks")
     ).withColumn("__sz", F.size("toks")).filter(F.col("__sz") > 0)
+    # materialise the shingle arrays ONCE: five downstream subtrees
+    # (freq agg, rank window, postings, and both verification sides)
+    # would otherwise each re-run the transform+concat shingle build —
+    # measured 5x ~36 s at sf1 (50k docs), ~90% of the operator's wall
+    toks = toks.localCheckpoint(eager=True)
 
     p_len = (
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1

@@ -7630,8 +7630,13 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     subset, keeping parts above a fraction of the GLOBAL total — a
     HAVING against an uncorrelated scalar subquery. The scalar rides a
     1-row broadcast (operators.util.with_scalar), never a
-    single-partition window; the threshold compare is exact decimal
-    (value*1000 > total), no float division at the boundary.
+    single-partition window; the threshold compare is exact decimal,
+    no float division at the boundary.
+
+    Selectivity is SCALE-ADAPTIVE — keep parts whose value exceeds 10x
+    the mean part value (value * n_parts > 10 * total) — because a
+    fixed global fraction (TPC-H's literal 0.0001) selects nothing
+    once the part count outgrows it (verified empty at sf1).
     """
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
     sup = (
@@ -7649,9 +7654,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(F.sum("val").alias("value"))
     )
-    thresholded = with_scalar(per_part, "total", F.sum("value"))
+    scalars = per_part.agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n_parts")
+    )
+    thresholded = per_part.crossJoin(broadcast(scalars))
     return thresholded.filter(
-        F.col("value") * 1000 > F.col("total")
+        F.col("value") * F.col("n_parts") > F.col("total") * 10
     ).select(
         F.col("l_partkey").alias("p_partkey"),
         # data scale is <=4 fractional digits; rescale to 6 before the
@@ -7674,7 +7682,8 @@ WITH per_part AS (
 SELECT l_partkey AS p_partkey,
        CAST(CAST(value AS DECIMAL(30,6)) AS DOUBLE) AS value
 FROM per_part
-WHERE value * 1000 > (SELECT SUM(value) FROM per_part)
+WHERE value * (SELECT COUNT(*) FROM per_part)
+      > (SELECT SUM(value) FROM per_part) * 10
 """
 
 QUERIES["q11_important_stock"] = q11_important_stock
@@ -7937,18 +7946,26 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_os = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("is_ret"), 1).otherwise(0)).alias("n_ret_lines")
     )
-    per_order = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("n_ret_lines") > 0, 1).otherwise(0)).alias("n_ret_supp"),
+    # per-order rollup as a WINDOW over the (order, supplier) partials
+    # instead of a groupBy + join-back: one orderkey exchange total
+    wo = Window.partitionBy("l_orderkey")
+    stats = per_os.select(
+        "*",
+        F.count(F.lit(1)).over(wo).alias("n_supp"),
+        F.sum(
+            F.when(F.col("n_ret_lines") > 0, 1).otherwise(0)
+        ).over(wo).alias("n_ret_supp"),
     )
     finished = load_table(spark, sf_dir, "orders").filter(
         F.col("o_orderstatus") == "F"
     ).select("o_orderkey")
     sole = (
-        per_os.filter(F.col("n_ret_lines") > 0)
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
-        .join(finished, per_os.l_orderkey == finished.o_orderkey, "left_semi")
+        stats.filter(
+            (F.col("n_ret_lines") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_ret_supp") == 1)
+        )
+        .join(finished, stats.l_orderkey == finished.o_orderkey, "left_semi")
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
