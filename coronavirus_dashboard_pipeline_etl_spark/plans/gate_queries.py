@@ -8085,3 +8085,126 @@ WHERE CAST(i.o AS DOUBLE) / CAST(len(ta.l) AS DOUBLE) >= 0.8
 
 QUERIES["d12_containment_pairs"] = d12_containment_pairs
 ORACLE["d12_containment_pairs"] = D12_SQL
+
+
+def pipe14_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus curation with the round-6 text operators
+    composed the way a training-data pass would run them:
+
+    1. containment dedup — drop any doc >= 80% 3-shingle-contained in
+       a LARGER doc (quotation/near-subset removal; ties by id so the
+       keep-set is deterministic) via shingle_containment_pairs;
+    2. bigram-LM quality gate on the SURVIVORS — rebuild the model on
+       the deduped corpus (duplicates would otherwise deflate novelty)
+       and keep docs that are neither templating outliers
+       (novelty > 0.5) nor too short to score (n_bigrams < 8);
+    3. emit the per-language curation ledger: kept count, mean
+       novelty, mean corpus frequency — exact integers + one double
+       division each, so the whole pipeline value-hashes vs DuckDB.
+    """
+    from ..functions.dedup import shingle_containment_pairs
+    from ..functions.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = shingle_containment_pairs(docs, threshold=0.8, shingle_k=3)
+    sizes = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("__n_toks")
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("id_a"), F.col("__n_toks").alias("__na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("id_b"), F.col("__n_toks").alias("__nb")
+    )
+    drops = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            (F.col("__nb") > F.col("__na"))
+            | ((F.col("__nb") == F.col("__na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+    )
+    kept = docs.join(drops, "doc_id", "left_anti")
+    scored = bigram_lm_score(kept, mode="rational").filter(
+        (F.col("n_bigrams") >= 8) & (F.col("novelty") <= 0.5)
+    )
+    enriched = scored.join(kept.select("doc_id", "lang"), "doc_id")
+    return enriched.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.sum("novel_bigrams").alias("total_novel"),
+        (
+            F.sum("novel_bigrams").cast("double")
+            / F.sum("n_bigrams").cast("double")
+        ).alias("novelty_rate"),
+    )
+
+
+PIPE14_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, lang, n_toks,
+         list_distinct(list_transform(range(1, len(w)-1),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS l
+  FROM toks WHERE len(w) >= 3
+),
+stok AS (SELECT doc_id, lang, unnest(l) AS s FROM sh),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS o
+  FROM stok a JOIN stok b ON a.lang = b.lang AND a.s = b.s
+                         AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+),
+drops AS (
+  SELECT DISTINCT i.id_a AS doc_id
+  FROM inter i
+  JOIN sh ta ON ta.doc_id = i.id_a
+  JOIN sh tb ON tb.doc_id = i.id_b
+  WHERE CAST(i.o AS DOUBLE) / CAST(len(ta.l) AS DOUBLE) >= 0.8
+    AND (tb.n_toks > ta.n_toks
+         OR (tb.n_toks = ta.n_toks AND i.id_b < i.id_a))
+),
+kept AS (
+  SELECT d.* FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM drops)
+),
+ktoks AS (
+  SELECT doc_id, lang, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM kept
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || chr(1) || w[i+1])) AS bg
+  FROM ktoks
+),
+doc_bg AS (SELECT doc_id, bg, COUNT(*) AS doc_cnt FROM bg GROUP BY 1, 2),
+model  AS (SELECT bg, COUNT(*) AS corpus_cnt FROM bg GROUP BY 1),
+per_doc AS (
+  SELECT d.doc_id,
+         SUM(d.doc_cnt) AS n_bigrams,
+         SUM(CASE WHEN m.corpus_cnt = d.doc_cnt THEN d.doc_cnt ELSE 0 END) AS novel_bigrams
+  FROM doc_bg d JOIN model m USING (bg)
+  GROUP BY 1
+),
+scored AS (
+  SELECT p.*, k.lang FROM per_doc p JOIN kept k USING (doc_id)
+  WHERE p.n_bigrams >= 8
+    AND CAST(p.novel_bigrams AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) <= 0.5
+)
+SELECT lang,
+       COUNT(*) AS kept_docs,
+       SUM(n_bigrams) AS total_bigrams,
+       SUM(novel_bigrams) AS total_novel,
+       CAST(SUM(novel_bigrams) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE) AS novelty_rate
+FROM scored
+GROUP BY 1
+"""
+
+QUERIES["pipe14_quality_dedup"] = pipe14_quality_dedup
+ORACLE["pipe14_quality_dedup"] = PIPE14_SQL
