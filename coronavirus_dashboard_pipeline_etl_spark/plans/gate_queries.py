@@ -8208,3 +8208,243 @@ GROUP BY 1
 
 QUERIES["pipe14_quality_dedup"] = pipe14_quality_dedup
 ORACLE["pipe14_quality_dedup"] = PIPE14_SQL
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a target nation's share of PROMO-part revenue
+    sold into one region, per order year — the classic
+    SUM(CASE WHEN nation THEN volume END) / SUM(volume) conditional
+    aggregate. Spark-first: region->nation->customer prunes the
+    customer side BEFORE the fact join (all three dims broadcast),
+    the part-type filter broadcasts into the lineitem scan, and the
+    only fact-sized shuffle is lineitem->orders on orderkey. The
+    share divides two exact decimal sums, cast to double once at the
+    end so both engines convert the identical decimals.
+    Reference idiom: ratio-of-conditional-sums as in the dashboard's
+    publish-rate panels (rate_scales_worker/queries.py).
+    """
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    cust_nat = nat.join(
+        broadcast(reg), nat.n_regionkey == reg.r_regionkey
+    ).select("n_nationkey")
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(broadcast(cust_nat), F.col("c_nationkey") == cust_nat.n_nationkey)
+        .select("c_custkey")
+    )
+    promo = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "PROMO"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).alias("volume"),
+    )
+    ords = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate").between(1996, 1997)
+    ).select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
+    sup_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(broadcast(nat), F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    vol = (
+        li.join(broadcast(promo), li.l_partkey == promo.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(cust, ords.o_custkey == cust.c_custkey, "left_semi")
+        .join(broadcast(sup_nat), li.l_suppkey == sup_nat.s_suppkey)
+    )
+    zero = F.lit(0).cast(DEC)
+    return vol.groupBy("o_year").agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)
+        ).cast("decimal(30,6)").cast("double").alias("nation_volume"),
+        F.sum("volume").cast("decimal(30,6)").cast("double").alias("total_volume"),
+        (
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_1", F.col("volume")).otherwise(zero)
+            ).cast("decimal(30,6)").cast("double")
+            / F.sum("volume").cast("decimal(30,6)").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+Q8_SQL = """
+WITH vol AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))) AS volume,
+           n1.n_name AS supp_nation
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+    JOIN region r ON n2.n_regionkey = r.r_regionkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+    WHERE p.p_type = 'PROMO'
+      AND r.r_name = 'EUROPE'
+      AND year(o.o_orderdate) BETWEEN 1996 AND 1997
+)
+SELECT o_year,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(30,6)) AS DOUBLE)
+         AS nation_volume,
+       CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS DOUBLE) AS total_volume,
+       CAST(CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume
+                          ELSE CAST(0 AS DECIMAL(18,6)) END) AS DECIMAL(30,6)) AS DOUBLE)
+         / CAST(CAST(SUM(volume) AS DECIMAL(30,6)) AS DOUBLE) AS mkt_share
+FROM vol
+GROUP BY 1
+"""
+
+QUERIES["q8_market_share"] = q8_market_share
+ORACLE["q8_market_share"] = Q8_SQL
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    part-name substring filter. The testdata carries no partsupp
+    table, so supply cost is the part's retail price per unit (the
+    same join topology: the cost rides in on the part dim). Part and
+    supplier-nation dims broadcast; lineitem->orders on orderkey is
+    the single fact shuffle, and the profit expression stays exact
+    decimal until one final double cast.
+    """
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("gear")
+    ).select("p_partkey", F.col("p_retailprice").cast(DEC).alias("unit_cost"))
+    sup_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.col("l_quantity").cast(DEC).alias("qty"),
+        (
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).alias("gross"),
+    )
+    ords = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("o_year")
+    )
+    profit = (
+        li.join(broadcast(pt), li.l_partkey == pt.p_partkey)
+        .join(broadcast(sup_nat), li.l_suppkey == sup_nat.s_suppkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .select(
+            "nation",
+            "o_year",
+            (F.col("gross") - F.col("unit_cost") * F.col("qty")).alias("amount"),
+        )
+    )
+    return profit.groupBy("nation", "o_year").agg(
+        F.sum("amount").cast("decimal(30,6)").cast("double").alias("sum_profit")
+    )
+
+
+Q9_SQL = """
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS o_year,
+       CAST(CAST(SUM(
+           CAST(l.l_extendedprice AS DECIMAL(18,6))
+             * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+           - CAST(p.p_retailprice AS DECIMAL(18,6)) * CAST(l.l_quantity AS DECIMAL(18,6))
+       ) AS DECIMAL(30,6)) AS DOUBLE) AS sum_profit
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE p.p_name LIKE '%gear%'
+GROUP BY 1, 2
+"""
+
+QUERIES["q9_product_profit"] = q9_product_profit
+ORACLE["q9_product_profit"] = Q9_SQL
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by revenue lost to returns in
+    one quarter. Revenue aggregates per customer FIRST (orderkey then
+    custkey exchanges, both carrying partial sums), the customer and
+    nation dims broadcast onto the small aggregate, and the top-k is
+    orderBy+limit — Spark plans TakeOrderedAndProject (per-partition
+    local top-20, merged on the driver; no global sort, no
+    single-partition window) — with custkey as the tiebreak so
+    boundary ties pick identical rows in both engines.
+    """
+    ords = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select(
+        "l_orderkey",
+        (
+            F.col("l_extendedprice").cast(DEC)
+            * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
+        ).alias("volume"),
+    )
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("volume").alias("rev"))
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ranked = (
+        per_cust.join(broadcast(cust), per_cust.o_custkey == cust.c_custkey)
+        .join(broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .orderBy(F.desc("rev"), F.asc("c_custkey"))
+        .limit(20)
+    )
+    return ranked.select(
+        "c_custkey",
+        "c_name",
+        F.col("rev").cast("decimal(30,6)").cast("double").alias("revenue"),
+        F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        "n_name",
+    )
+
+
+Q10_SQL = """
+WITH per_cust AS (
+    SELECT o.o_custkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))
+               * (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))) AS rev
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+)
+SELECT c.c_custkey, c.c_name,
+       CAST(CAST(p.rev AS DECIMAL(30,6)) AS DOUBLE) AS revenue,
+       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       n.n_name
+FROM per_cust p
+JOIN customer c ON p.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+QUALIFY ROW_NUMBER() OVER (ORDER BY p.rev DESC, c.c_custkey ASC) <= 20
+"""
+
+QUERIES["q10_returned_revenue"] = q10_returned_revenue
+ORACLE["q10_returned_revenue"] = Q10_SQL
