@@ -444,3 +444,63 @@ def bigram_lm_score(
         avg.alias("avg_logprob"),
         F.exp(-avg).alias("perplexity"),
     )
+
+
+def hashed_classifier_score(
+    df: DataFrame,
+    weights: Sequence[int],
+    text_col: str = "text",
+    bias: int = 0,
+    weight_scale: int = 1000,
+    keep_cols: Sequence[str] = ("doc_id", "lang"),
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Hashing-trick linear text classifier (the fastText-style quality
+    scorer of LLM curation pipelines), as pure JVM expressions.
+
+    Each token hashes to a bucket (``md5`` prefix mod ``len(weights)``
+    — the cross-engine base hash of ``dedup.md5_prefix_long``); the raw
+    score is the exact integer sum of the bucket weights plus ``bias``.
+    Weights are INTEGER fixed-point (true weight = w / weight_scale):
+    integer sums are order- and partition-independent, so the score is
+    bit-identical across engines — the float-free analogue of shipping
+    a learned weight vector. The per-row work is one array transform +
+    fold inside WholeStageCodegen; the weight vector rides along as ONE
+    array literal (the ``assign_centroids`` plan-compile lesson:
+    never k per-element literal trees).
+
+    Emits ``score_raw`` (exact), ``score`` (mean per-token weight as a
+    double — one division of identical operands), and the thresholded
+    ``label``. Empty documents score NULL / label false.
+    """
+    from .dedup import md5_prefix_long
+
+    n_buckets = len(weights)
+    if n_buckets < 1:
+        raise ValueError("weights must be non-empty")
+    warr = F.lit([int(w) for w in weights])
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    per_tok = F.transform(
+        toks,
+        lambda t: F.element_at(
+            warr, (md5_prefix_long(t) % n_buckets + 1).cast("int")
+        ).cast("long"),
+    )
+    raw = F.aggregate(
+        per_tok, F.lit(int(bias)).cast("long"), lambda acc, x: acc + x
+    )
+    n_tok = F.size(toks)
+    score = F.when(
+        n_tok > 0,
+        F.col("score_raw").cast("double")
+        / (n_tok * int(weight_scale)).cast("double"),
+    )
+    return (
+        df.withColumn("n_tokens", n_tok.cast("long"))
+        .withColumn("score_raw", raw)
+        .withColumn("score", score)
+        .withColumn(
+            "label", F.coalesce(score >= float(threshold), F.lit(False))
+        )
+        .select(*keep_cols, "n_tokens", "score_raw", "score", "label")
+    )

@@ -8448,3 +8448,112 @@ QUALIFY ROW_NUMBER() OVER (ORDER BY p.rev DESC, c.c_custkey ASC) <= 20
 
 QUERIES["q10_returned_revenue"] = q10_returned_revenue
 ORACLE["q10_returned_revenue"] = Q10_SQL
+
+
+def t8_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick linear quality classifier over the corpus
+    (functions.text.hashed_classifier_score): 1024 md5 buckets, a
+    deterministic Knuth-multiplicative integer weight per bucket
+    standing in for learned fastText-style weights, exact integer
+    score sums — so the oracle replays the model bit-for-bit.
+    """
+    from ..functions.text import hashed_classifier_score
+
+    weights = [((b * 2654435761) % 2001) - 1000 for b in range(1024)]
+    docs = load_table(spark, sf_dir, "documents")
+    return hashed_classifier_score(docs, weights=weights, threshold=0.0)
+
+
+_T8_MD5LONG = (
+    "list_reduce(list_transform(string_split(substr(md5(t),1,15), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b)"
+)
+
+T8_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, len(l) AS n_tokens,
+         COALESCE(list_sum(list_transform(l, t ->
+             ((({_T8_MD5LONG} % 1024) * 2654435761) % 2001) - 1000
+         )), 0) AS score_raw
+  FROM toks
+)
+SELECT doc_id, lang,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(score_raw AS BIGINT) AS score_raw,
+       CASE WHEN n_tokens > 0
+            THEN CAST(score_raw AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE)
+       END AS score,
+       COALESCE(
+         (CASE WHEN n_tokens > 0
+               THEN CAST(score_raw AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE)
+          END) >= 0.0, FALSE) AS label
+FROM scored
+"""
+
+QUERIES["t8_hashed_classifier"] = t8_hashed_classifier
+ORACLE["t8_hashed_classifier"] = T8_SQL
+
+
+def pr1_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (functions.graph.pagerank_fixed_point),
+    3 iterations over the symmetrised customer<->supplier trade graph
+    (distinct orders x lineitem pairs, supplier ids offset into a
+    disjoint space). Integer mass arithmetic makes every iteration
+    exactly reproducible, so a 3-round unrolled-CTE oracle compares
+    bit-for-bit — the same exactness strategy as the c2 Lloyd gate.
+    """
+    from ..functions.graph import bipartite_edges, pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    edges = bipartite_edges(pairs, "o_custkey", "l_suppkey")
+    return pagerank_fixed_point(edges, n_iter=3)
+
+
+PR1_SQL = """
+WITH pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s + 1000000 AS dst FROM pairs
+  UNION ALL
+  SELECT s + 1000000 AS src, c AS dst FROM pairs
+),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1),
+r0 AS (SELECT src, CAST(1000000000000 AS BIGINT) AS rank_int FROM deg),
+i1 AS (SELECT e.dst, SUM(r.rank_int // d.outdeg) AS incoming
+       FROM edges e JOIN r0 r ON e.src = r.src JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r1 AS (SELECT deg.src,
+              CAST(150000000000 + (85 * COALESCE(i.incoming, 0)) // 100 AS BIGINT) AS rank_int
+       FROM deg LEFT JOIN i1 i ON deg.src = i.dst),
+i2 AS (SELECT e.dst, SUM(r.rank_int // d.outdeg) AS incoming
+       FROM edges e JOIN r1 r ON e.src = r.src JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r2 AS (SELECT deg.src,
+              CAST(150000000000 + (85 * COALESCE(i.incoming, 0)) // 100 AS BIGINT) AS rank_int
+       FROM deg LEFT JOIN i2 i ON deg.src = i.dst),
+i3 AS (SELECT e.dst, SUM(r.rank_int // d.outdeg) AS incoming
+       FROM edges e JOIN r2 r ON e.src = r.src JOIN deg d ON e.src = d.src
+       GROUP BY 1),
+r3 AS (SELECT deg.src,
+              CAST(150000000000 + (85 * COALESCE(i.incoming, 0)) // 100 AS BIGINT) AS rank_int
+       FROM deg LEFT JOIN i3 i ON deg.src = i.dst)
+SELECT src AS node, rank_int,
+       CAST(rank_int AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS "rank"
+FROM r3
+"""
+
+QUERIES["pr1_pagerank"] = pr1_pagerank
+ORACLE["pr1_pagerank"] = PR1_SQL

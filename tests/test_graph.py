@@ -1,0 +1,137 @@
+"""Fixed-point PageRank + hashed linear classifier unit coverage.
+
+The gate (pr1/t8, tools/run_gate.py) pins cross-engine exactness; these
+tests pin the ALGORITHM against hand-computed / pure-Python references
+on graphs small enough to reason about.
+"""
+
+import pyspark.sql.functions as F
+
+from coronavirus_dashboard_pipeline_etl_spark.functions.graph import (
+    UNIT,
+    bipartite_edges,
+    pagerank_fixed_point,
+)
+from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+    hashed_classifier_score,
+)
+
+
+def _ranks(df):
+    return {r["node"]: r["rank_int"] for r in df.collect()}
+
+
+def test_two_node_cycle_is_stationary(spark):
+    # a <-> b: contributions are the full rank each way; the uniform
+    # distribution is stationary, so every iteration returns UNIT
+    # (up to the documented integer-division epsilon: none here).
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    got = _ranks(pagerank_fixed_point(edges, n_iter=4))
+    base = 15 * UNIT // 100
+    expect = UNIT
+    for _ in range(4):
+        expect = base + 85 * expect // 100
+    assert got == {0: expect, 1: expect}
+
+
+def test_one_iteration_matches_hand_computation(spark):
+    # star: 0->1, 0->2, 1->0, 2->0 (symmetrised star). outdeg(0)=2.
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 0)], "src long, dst long"
+    )
+    got = _ranks(pagerank_fixed_point(edges, n_iter=1))
+    base = 15 * UNIT // 100
+    # node 0 receives UNIT from 1 and UNIT from 2; nodes 1,2 each
+    # receive UNIT div 2 from 0.
+    assert got[0] == base + 85 * (2 * UNIT) // 100
+    assert got[1] == got[2] == base + 85 * (UNIT // 2) // 100
+
+
+def test_python_reference_simulation(spark):
+    # arbitrary digraph, every node has an out-edge; compare 3 rounds
+    # against a literal pure-Python simulation of the fixed-point rule.
+    raw = [(0, 1), (1, 2), (2, 0), (2, 1), (3, 0), (0, 3), (1, 3)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    nodes = sorted({s for s, _ in raw})
+    outdeg = {n: sum(1 for s, _ in raw if s == n) for n in nodes}
+    rank = {n: UNIT for n in nodes}
+    base = 15 * UNIT // 100
+    for _ in range(3):
+        inc = {n: 0 for n in nodes}
+        for s, d in raw:
+            inc[d] += rank[s] // outdeg[s]
+        rank = {n: base + 85 * inc[n] // 100 for n in nodes}
+    got = _ranks(pagerank_fixed_point(edges, n_iter=3))
+    assert got == rank
+
+
+def test_mass_decay_is_bounded(spark):
+    # integer truncation only ever DROPS sub-unit remainders: total
+    # mass stays within n_edges + n_nodes units of the damped total.
+    raw = [(i, (i * 7 + 1) % 23) for i in range(23)] + [
+        ((i * 7 + 1) % 23, i) for i in range(23)
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    out = pagerank_fixed_point(edges, n_iter=3)
+    total = out.agg(F.sum("rank_int")).collect()[0][0]
+    n_nodes = out.count()
+    assert total <= n_nodes * UNIT
+    assert total >= n_nodes * UNIT - 3 * (len(raw) + n_nodes) * 100
+
+
+def test_bipartite_edges_no_dangling(spark):
+    pairs = spark.createDataFrame(
+        [(1, 10), (2, 10), (2, 20)], "c long, s long"
+    )
+    e = bipartite_edges(pairs, "c", "s", right_offset=1000)
+    rows = {(r["src"], r["dst"]) for r in e.collect()}
+    assert rows == {
+        (1, 1010), (2, 1010), (2, 1020),
+        (1010, 1), (1010, 2), (1020, 2),
+    }
+    srcs = {s for s, _ in rows}
+    dsts = {d for _, d in rows}
+    assert dsts <= srcs  # every destination can forward its mass
+
+
+def test_classifier_matches_python_reference(spark):
+    import hashlib
+
+    weights = [((b * 31) % 201) - 100 for b in range(64)]
+
+    def bucket(tok: str) -> int:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % 64
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma", "en"), (2, "", "en"), (3, "alpha", "en")],
+        "doc_id long, text string, lang string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in hashed_classifier_score(
+            docs, weights=weights, threshold=0.0
+        ).collect()
+    }
+    for doc_id, text in [(1, "alpha beta gamma"), (3, "alpha")]:
+        toks = [t for t in text.split(" ") if t]
+        raw = sum(weights[bucket(t)] for t in toks)
+        assert out[doc_id]["score_raw"] == raw
+        assert out[doc_id]["score"] == raw / (len(toks) * 1000)
+        assert out[doc_id]["label"] == (out[doc_id]["score"] >= 0.0)
+    # empty doc: NULL score, label false, raw == bias == 0
+    assert out[2]["score_raw"] == 0
+    assert out[2]["score"] is None
+    assert out[2]["label"] is False
+
+
+def test_classifier_bias_and_threshold(spark):
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "en")], "doc_id long, text string, lang string"
+    )
+    weights = [0] * 8
+    out = hashed_classifier_score(
+        docs, weights=weights, bias=4000, threshold=0.5
+    ).collect()[0]
+    assert out["score_raw"] == 4000
+    assert out["score"] == 4000 / (4 * 1000)
+    assert out["label"] is True
