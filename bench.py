@@ -82,6 +82,14 @@ HEADLINE = [
     "j15_combine_supplements",
     "lm1_bigram_novelty",
     "d12_containment_pairs",
+    # round-6 third wave: the conditional-aggregate market-share star,
+    # the widest star join (profit by nation/year), iterative
+    # fixed-point PageRank over the trade graph, and the hashing-trick
+    # linear classifier scoring pass over the corpus
+    "q8_market_share",
+    "q9_product_profit",
+    "pr1_pagerank",
+    "t8_hashed_classifier",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -15,14 +15,14 @@ result is bit-identical across engines, partition layouts, and AQE
 decisions — the same trick as the decimal-exact Lloyd update in
 ``similarity.kmeans_lloyd(exact=True)``.
 
-Scale design (100 TB): each iteration is ONE shuffle keyed on the edge
-source (rank join) plus ONE keyed on the destination (contribution sum)
-— both carry (node, bigint) pairs, never raw edges more than once, and
-the rank table is |nodes|-sized (orders smaller than edges).
-``localCheckpoint`` truncates lineage per round, bounding the plan the
-way ``dedup_components`` does. Edges are re-used across iterations from
-one cached frame, so the per-round cost is rank-table-sized shuffles,
-not edge re-scans.
+Scale design (100 TB): the edge list is hash-partitioned by source ONCE
+and cached — InMemoryTableScan preserves that partitioning, so each
+iteration shuffles only (a) the |nodes|-sized rank table onto src and
+(b) the per-edge contributions onto dst (with map-side partial sums, so
+the wire carries at most one row per (task, dst)). The edge list itself
+is never re-shuffled or re-scanned from source after the first
+materialisation. ``localCheckpoint`` truncates the rank lineage per
+round, bounding the plan the way ``dedup_components`` does.
 """
 
 from __future__ import annotations
@@ -60,33 +60,42 @@ def pagerank_fixed_point(
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    # Edges are hash-partitioned by src ONCE and cached: InMemoryTableScan
+    # preserves outputPartitioning (localCheckpoint's LogicalRDD does
+    # not), so every iteration's rank join reuses the layout — the
+    # per-round shuffles are the node-sized rank table (onto src) and
+    # the contribution scatter (onto dst), never the edge list itself.
     e = (
         edges.select(
             F.col(src_col).cast("long").alias("src"),
             F.col(dst_col).cast("long").alias("dst"),
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .repartition("src")
+        .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    ranks = deg.select("src", F.lit(UNIT).cast("long").alias("rank_int"))
+    # deg rides the cached src partitioning (groupBy src needs no
+    # exchange) and is itself cached: it anchors every round's node set.
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
+    # the rank table carries outdeg so the hot loop joins ONE small
+    # frame to the edges instead of two
+    ranks = deg.select("src", "outdeg", F.lit(UNIT).cast("long").alias("rank_int"))
     base = (damping_den - damping_num) * UNIT // damping_den
     for _ in range(n_iter):
-        contrib = (
-            e.join(ranks.join(deg, "src"), "src")
-            .select(
-                "dst",
-                F.expr("rank_int div outdeg").alias("contrib"),
-            )
+        contrib = e.join(ranks, "src").select(
+            "dst",
+            F.expr("rank_int div outdeg").alias("contrib"),
         )
         incoming = contrib.groupBy("dst").agg(
             F.sum("contrib").alias("incoming")
         )
+        # deg is partitioned by src, incoming by dst (its agg key):
+        # both sides arrive partitioned on their join key — no exchange
         ranks = (
-            deg.select("src")
-            .join(incoming, F.col("src") == F.col("dst"), "left")
+            deg.join(incoming, F.col("src") == F.col("dst"), "left")
             .select(
                 "src",
+                "outdeg",
                 (
                     F.lit(base).cast("long")
                     + F.expr(
@@ -96,11 +105,17 @@ def pagerank_fixed_point(
             )
             .localCheckpoint(eager=False)
         )
-    return ranks.select(
+    # materialise the final ranks, then release the cached edge/degree
+    # frames — the operator returns a self-contained frame and leaves no
+    # cache residue in a long-lived session
+    out = ranks.select(
         F.col("src").alias("node"),
         "rank_int",
         (F.col("rank_int").cast("double") / F.lit(float(UNIT))).alias("rank"),
-    )
+    ).localCheckpoint(eager=True)
+    e.unpersist()
+    deg.unpersist()
+    return out
 
 
 def bipartite_edges(
