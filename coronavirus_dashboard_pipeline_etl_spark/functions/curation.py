@@ -23,7 +23,7 @@ Scale notes per op:
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -799,3 +799,103 @@ def assign_shards(
         )
         .drop("__key")
     )
+
+
+def moment_stats(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+    scale: str = "decimal(38,8)",
+) -> DataFrame:
+    """Exact-moment second-order statistics per group: mean / sample
+    stddev of ``x_col``, and sample covariance / Pearson correlation of
+    (``x_col``, ``y_col``).
+
+    Spark's ``stddev``/``corr`` accumulate doubles, so their low bits
+    depend on partitioning — no exact cross-engine oracle. This
+    operator instead aggregates the five raw moments (sum x, sum x^2,
+    sum y, sum y^2, sum xy) as EXACT decimals (order- and
+    partition-independent; inputs with <= 4 fractional digits make the
+    products exact at scale 8, so no rounding ever occurs), then
+    derives the statistics with one fixed double-arithmetic formula —
+    the same operand values and operation order in any engine give
+    bit-identical IEEE results. The shuffle carries five decimals + a
+    count per group: constant state, map-side combined, the same cost
+    as a plain sum.
+
+    The decimal->double step goes THROUGH A STRING: sums exceed 2^53
+    in scaled units, and engines disagree in the last ulp of a direct
+    decimal->double cast (DuckDB's is not correctly rounded), while
+    string->double parsing is correctly rounded everywhere — identical
+    decimals therefore yield identical doubles.
+    """
+    x = F.col(x_col).cast("decimal(18,6)")
+    y = F.col(y_col).cast("decimal(18,6)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x.cast(scale)).alias("__sx"),
+        F.sum((x * x).cast(scale)).alias("__sxx"),
+        F.sum(y.cast(scale)).alias("__sy"),
+        F.sum((y * y).cast(scale)).alias("__syy"),
+        F.sum((x * y).cast(scale)).alias("__sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("__sx").cast("string").cast("double")
+    sxx = F.col("__sxx").cast("string").cast("double")
+    sy = F.col("__sy").cast("string").cast("double")
+    syy = F.col("__syy").cast("string").cast("double")
+    sxy = F.col("__sxy").cast("string").cast("double")
+    mss_x = sxx - sx * sx / nd          # n * var_pop(x)
+    mss_y = syy - sy * sy / nd
+    co = sxy - sx * sy / nd             # n * covar_pop
+    n_gt1 = F.col("n") > 1
+    return agg.select(
+        *group_cols,
+        "n",
+        (sx / nd).alias("mean_x"),
+        F.when(n_gt1, F.sqrt(mss_x / (nd - F.lit(1.0)))).alias("stddev_x"),
+        F.when(n_gt1, co / (nd - F.lit(1.0))).alias("covar_xy"),
+        F.when(
+            n_gt1 & (mss_x > 0) & (mss_y > 0),
+            co / (F.sqrt(mss_x) * F.sqrt(mss_y)),
+        ).alias("corr_xy"),
+    )
+
+
+def zorder_key(cols: Sequence[Column | str], bits: int = 16) -> Column:
+    """Z-order (Morton) interleave of the low ``bits`` bits of each
+    column — the multi-dimensional clustering key for write layout.
+
+    Sorting a table by this key before writing co-locates rows that are
+    close in EVERY dimension, so per-file min/max statistics prune scans
+    filtered on ANY of the interleaved columns (the data-skipping
+    technique behind Delta/Iceberg OPTIMIZE ZORDER; at 100 TB the
+    difference between reading one file group and all of them). Pure
+    integer bit arithmetic — exact in any engine; inputs are taken
+    modulo 2^bits (callers quantize wider domains first).
+    """
+    n = len(cols)
+    if not 1 <= n * bits <= 63:
+        raise ValueError(f"total interleaved bits must fit a long, got {n}x{bits}")
+    cs = [F.col(c) if isinstance(c, str) else c for c in cols]
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cs):
+            out = out + F.shiftleft(
+                F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1)),
+                i * n + j,
+            )
+    return out
+
+
+def zorder_sql(col_names: Sequence[str], bits: int = 16) -> str:
+    """The ANSI-SQL twin of ``zorder_key`` (same term order, exact
+    integer arithmetic) for oracle queries."""
+    n = len(col_names)
+    terms = [
+        f"((({c} >> {i}) & 1) << {i * n + j})"
+        for i in range(bits)
+        for j, c in enumerate(col_names)
+    ]
+    return "(" + " + ".join(terms) + ")"

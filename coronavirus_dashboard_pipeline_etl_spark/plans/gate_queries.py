@@ -5451,7 +5451,7 @@ exploded AS (
 ),
 cents AS (
     SELECT cid,
-           list(CAST(CAST(sx AS DOUBLE) / n AS DOUBLE) ORDER BY dim) AS cv
+           list(CAST(CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS DOUBLE) ORDER BY dim) AS cv
     FROM (
         SELECT cid, dim,
                SUM(CAST(x AS DECIMAL(30,15))) AS sx,
@@ -6097,7 +6097,7 @@ def _c2_round_sql(a: str, prev_c: str, x: str, nxt_c: str) -> str:
 ),
 {nxt_c} AS (
     SELECT cid,
-           list(CAST(CAST(sx AS DOUBLE) / n AS DOUBLE) ORDER BY dim) AS cv
+           list(CAST(CAST(CAST(sx AS VARCHAR) AS DOUBLE) / n AS DOUBLE) ORDER BY dim) AS cv
     FROM (
         SELECT cid, dim,
                SUM(CAST(x AS DECIMAL(30,15))) AS sx,
@@ -8557,3 +8557,161 @@ FROM r3
 
 QUERIES["pr1_pagerank"] = pr1_pagerank
 ORACLE["pr1_pagerank"] = PR1_SQL
+
+
+def h4_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-moment statistics (functions.curation.moment_stats) per
+    returnflag/linestatus cell: mean + sample stddev of quantity and
+    covariance/correlation with extended price. The five decimal
+    moments make the result partition-independent, so the oracle
+    derives the identical doubles from the identical exact sums.
+    """
+    from ..functions.curation import moment_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return moment_stats(
+        li,
+        group_cols=("l_returnflag", "l_linestatus"),
+        x_col="l_quantity",
+        y_col="l_extendedprice",
+    )
+
+
+H4_SQL = """
+WITH m AS (
+  SELECT l_returnflag, l_linestatus,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(38,8))) AS sx,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_quantity AS DECIMAL(28,6)) AS DECIMAL(38,8))) AS sxx,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,8))) AS sy,
+         SUM(CAST(CAST(l_extendedprice AS DECIMAL(28,6))
+                * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,8))) AS syy,
+         SUM(CAST(CAST(l_quantity AS DECIMAL(28,6))
+                * CAST(l_extendedprice AS DECIMAL(28,6)) AS DECIMAL(38,8))) AS sxy
+  FROM lineitem
+  GROUP BY 1, 2
+)
+SELECT l_returnflag, l_linestatus, n,
+       CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE) AS mean_x,
+       CASE WHEN n > 1 THEN sqrt(
+           (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0)) END AS stddev_x,
+       CASE WHEN n > 1 THEN
+           (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (CAST(n AS DOUBLE) - 1.0) END AS covar_xy,
+       CASE WHEN n > 1
+             AND (CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+             AND (CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)) > 0
+            THEN
+           (CAST(CAST(sxy AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+           / (sqrt(CAST(CAST(sxx AS VARCHAR) AS DOUBLE) - CAST(CAST(sx AS VARCHAR) AS DOUBLE) * CAST(CAST(sx AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE))
+              * sqrt(CAST(CAST(syy AS VARCHAR) AS DOUBLE) - CAST(CAST(sy AS VARCHAR) AS DOUBLE) * CAST(CAST(sy AS VARCHAR) AS DOUBLE) / CAST(n AS DOUBLE)))
+       END AS corr_xy
+FROM m
+"""
+
+QUERIES["h4_moment_stats"] = h4_moment_stats
+ORACLE["h4_moment_stats"] = H4_SQL
+
+
+def z1_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write-layout audit (functions.curation.zorder_key):
+    quantize (l_partkey, l_suppkey) into 256 buckets each by their
+    actual domain maxima (two 1-row broadcast scalars — the operator's
+    documented "quantize wider domains first" step, scale-adaptive at
+    any sf), interleave into a 16-bit Morton key, split the keyspace
+    into 256 top-byte file groups (what a clustered writer would
+    emit), and report each group's row count and per-dimension min/max
+    envelope — the statistics a scan planner prunes on. Pure integer
+    arithmetic, bit-identical in any engine.
+    """
+    from ..functions.curation import zorder_key
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("long").alias("p"),
+        F.col("l_suppkey").cast("long").alias("s"),
+    )
+    scalars = li.agg(F.max("p").alias("maxp"), F.max("s").alias("maxs"))
+    quant = li.crossJoin(broadcast(scalars)).select(
+        "p",
+        "s",
+        F.expr("(p * 256) div (maxp + 1)").alias("qp"),
+        F.expr("(s * 256) div (maxs + 1)").alias("qs"),
+    )
+    z = zorder_key(["qp", "qs"], bits=8)
+    return (
+        quant.withColumn("zval", z)
+        .withColumn("file_group", F.shiftright("zval", 8).cast("long"))
+        .groupBy("file_group")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("p").alias("min_partkey"),
+            F.max("p").alias("max_partkey"),
+            F.min("s").alias("min_suppkey"),
+            F.max("s").alias("max_suppkey"),
+        )
+    )
+
+
+from ..functions.curation import zorder_sql as _zsql  # noqa: E402
+
+Z1_SQL = f"""
+WITH base AS (
+  SELECT CAST(l_partkey AS BIGINT) AS p,
+         CAST(l_suppkey AS BIGINT) AS s
+  FROM lineitem
+),
+keyed AS (
+  SELECT p, s,
+         {_zsql(["((p * 256) // (MAX(p) OVER () + 1))",
+                 "((s * 256) // (MAX(s) OVER () + 1))"], 8)} AS zval
+  FROM base
+)
+SELECT (zval >> 8) AS file_group,
+       COUNT(*) AS n_rows,
+       MIN(p) AS min_partkey, MAX(p) AS max_partkey,
+       MIN(s) AS min_suppkey, MAX(s) AS max_suppkey
+FROM keyed
+GROUP BY 1
+"""
+
+QUERIES["z1_zorder_layout"] = z1_zorder_layout
+ORACLE["z1_zorder_layout"] = Z1_SQL
+
+
+def j16_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join (operators.skew.salted_join): lineitem
+    joined to supplier on suppkey with the fact side spread over 16
+    salt sub-keys and the dim replicated per bucket. A pure physical
+    rewrite — the oracle is the PLAIN join, proving salting changes
+    the shuffle layout and nothing else.
+    """
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_orderkey",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    joined = salted_join(li, sup, on=["s_suppkey"], salt_buckets=16)
+    return joined.groupBy("s_name", "s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("sum_qty"),
+    )
+
+
+J16_SQL = """
+SELECT s.s_name, s.s_nationkey,
+       COUNT(*) AS n_lines,
+       SUM(CAST(l.l_quantity AS DOUBLE)) AS sum_qty
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+GROUP BY 1, 2
+"""
+
+QUERIES["j16_salted_join"] = j16_salted_join
+ORACLE["j16_salted_join"] = J16_SQL

@@ -135,3 +135,75 @@ def test_classifier_bias_and_threshold(spark):
     assert out["score_raw"] == 4000
     assert out["score"] == 4000 / (4 * 1000)
     assert out["label"] is True
+
+
+def test_moment_stats_matches_statistics_module(spark):
+    import statistics
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        moment_stats,
+    )
+
+    rows = [("a", 1.5, 10.0), ("a", 2.5, 20.0), ("a", 4.0, 15.0),
+            ("b", 7.0, 1.0), ("b", 7.0, 2.0), ("c", 3.0, 9.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    got = {r["g"]: r for r in moment_stats(df, ("g",), "x", "y").collect()}
+    for g in ("a", "b"):
+        xs = [x for gg, x, _ in rows if gg == g]
+        ys = [y for gg, _, y in rows if gg == g]
+        assert got[g]["n"] == len(xs)
+        assert abs(got[g]["mean_x"] - statistics.fmean(xs)) < 1e-12
+        assert abs(got[g]["stddev_x"] - statistics.stdev(xs)) < 1e-12
+        assert abs(got[g]["covar_xy"] - statistics.covariance(xs, ys)) < 1e-12
+        if g == "a":
+            assert abs(
+                got[g]["corr_xy"] - statistics.correlation(xs, ys)
+            ) < 1e-12
+        else:  # constant x: correlation undefined -> NULL
+            assert got[g]["corr_xy"] is None
+    # single-row group: stddev/covar/corr all NULL
+    assert got["c"]["stddev_x"] is None
+    assert got["c"]["covar_xy"] is None
+    assert got["c"]["corr_xy"] is None
+
+
+def test_zorder_key_bit_interleave(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        zorder_key,
+    )
+
+    df = spark.createDataFrame(
+        [(0b1010, 0b0110), (0, 0), (255, 1)], "a long, b long"
+    )
+    out = [r["z"] for r in df.select(zorder_key(["a", "b"], bits=8).alias("z")).collect()]
+
+    def interleave(a, b, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert out == [interleave(0b1010, 0b0110), 0, interleave(255, 1)]
+
+
+def test_zorder_key_locality(spark):
+    # the point of z-order: sorting by z keeps BOTH dimensions' ranges
+    # narrow within each contiguous chunk, unlike a single-column sort
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        zorder_key,
+    )
+
+    rows = [(a, b) for a in range(32) for b in range(32)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    ordered = (
+        df.select("a", "b", zorder_key(["a", "b"], bits=5).alias("z"))
+        .orderBy("z")
+        .collect()
+    )
+    chunk = ordered[: len(ordered) // 4]  # first quarter of the layout
+    spread_a = max(r["a"] for r in chunk) - min(r["a"] for r in chunk)
+    spread_b = max(r["b"] for r in chunk) - min(r["b"] for r in chunk)
+    # a lexicographic (a, b) sort would give spread_b = 31 in ANY
+    # quarter; z-order bounds both spreads to the quadrant size
+    assert spread_a <= 16 and spread_b <= 16
