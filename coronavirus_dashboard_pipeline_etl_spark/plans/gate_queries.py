@@ -8715,3 +8715,120 @@ GROUP BY 1, 2
 
 QUERIES["j16_salted_join"] = j16_salted_join
 ORACLE["j16_salted_join"] = J16_SQL
+
+
+def g7_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an explicit, non-lattice set list —
+    ((event_type), (month), ()) — the shape neither ROLLUP (g5) nor
+    CUBE (g6) expresses without computing unwanted combinations: the
+    two one-dimension slices plus the grand total, skipping the
+    (event_type, month) cells entirely. One pass, map-side partials,
+    exact integer micro-units for the same 2^53 reason as g5."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    micro = (F.col("value").cast(DEC) * 1_000_000).cast("decimal(24,0)")
+    return (
+        ev.groupingSets(
+            [["event_type"], ["month"], []], "event_type", "month"
+        )
+        .agg(
+            F.grouping("event_type").cast("long").alias("g_type"),
+            F.grouping("month").cast("long").alias("g_month"),
+            F.sum(micro).cast("long").alias("val_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select("event_type", "month", "g_type", "g_month", "val_micro", "n")
+    )
+
+
+G7_SQL = """
+SELECT event_type, month,
+       CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       CAST(GROUPING(month) AS BIGINT) AS g_month,
+       CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS DECIMAL(24,0))) AS BIGINT) AS val_micro,
+       COUNT(*) AS n
+FROM (SELECT event_type, strftime(ts, '%Y-%m') AS month, value FROM events)
+GROUP BY GROUPING SETS ((event_type), (month), ())
+"""
+
+QUERIES["g7_grouping_sets"] = g7_grouping_sets
+ORACLE["g7_grouping_sets"] = G7_SQL
+
+
+def w11_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame rolling sum: per supplier, the trailing-7-DAY
+    quantity sum ordered by ship date — a true range frame (gaps in
+    the calendar shrink the window; the rows-frame family W1-W10 can't
+    express this without densifying first, which is exactly what J4
+    exists to avoid when the metric is sparse). The frame rides one
+    partitionBy(suppkey) exchange; the order key is integer epoch-days
+    so both engines bound the frame with exact integer arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("ship_date"),
+        F.col("l_quantity").cast(DEC).alias("qty"),
+    )
+    day = F.unix_date("ship_date")
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(day)
+        .rangeBetween(-6, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        F.col("ship_date").cast("string").alias("ship_date"),
+        F.col("qty").cast("double").alias("qty"),
+        F.sum("qty").over(w).cast("decimal(30,6)").cast("double").alias("qty_7day"),
+    )
+
+
+W11_SQL = """
+SELECT l_suppkey,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+       CAST(CAST(l_quantity AS DECIMAL(18,6)) AS DOUBLE) AS qty,
+       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+       ) AS DECIMAL(30,6)) AS DOUBLE) AS qty_7day
+FROM lineitem
+"""
+
+QUERIES["w11_range_window"] = w11_range_window
+ORACLE["w11_range_window"] = W11_SQL
+
+
+def h5_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full rank-function family in one window — rank, dense_rank,
+    percent_rank, cume_dist over order value within each priority
+    class (h3 covers ntile). All four are tie-stable (equal keys get
+    equal outputs), so the result is deterministic without a unique
+    tiebreak; the two fractional functions divide the same exact
+    integers in both engines."""
+    ords = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    return ords.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.percent_rank().over(w).alias("prnk"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+H5_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w AS prnk,
+       CUME_DIST() OVER w AS cdist
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+"""
+
+QUERIES["h5_rank_functions"] = h5_rank_functions
+ORACLE["h5_rank_functions"] = H5_SQL
