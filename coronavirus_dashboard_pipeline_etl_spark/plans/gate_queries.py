@@ -8832,3 +8832,90 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
 
 QUERIES["h5_rank_functions"] = h5_rank_functions
 ORACLE["h5_rank_functions"] = H5_SQL
+
+
+def pipe15_classifier_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end model-scored curation — the composition a production
+    training-data pass runs after the heuristic gates:
+
+    1. hashing-trick classifier scores every doc (t8's 1024-bucket
+       fixed-point model; exact integer sums);
+    2. keep docs the model accepts (score >= 0, non-empty);
+    3. exact-dedup the survivors on the normalised fingerprint,
+       keeping the min-id representative of each content class;
+    4. emit the per-(lang, source) ledger: kept docs, total tokens,
+       and the mean classifier score of the kept set — the exact
+       integer mass divided once per group.
+
+    Every stage is a map or one hash aggregate; the only shuffles are
+    the fingerprint groupBy and the final ledger groupBy, both keyed
+    and partial-aggregated.
+    """
+    from ..functions.text import fingerprint, hashed_classifier_score
+
+    weights = [((b * 2654435761) % 2001) - 1000 for b in range(1024)]
+    docs = load_table(spark, sf_dir, "documents")
+    scored = hashed_classifier_score(
+        docs,
+        weights=weights,
+        threshold=0.0,
+        keep_cols=("doc_id", "lang", "source", "text"),
+    )
+    accepted = scored.filter(F.col("label"))
+    reps = (
+        accepted.withColumn("fp", fingerprint("text"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+        )
+    )
+    kept = accepted.join(reps.select("doc_id"), "doc_id", "left_semi")
+    return kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("kept_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("score_raw").alias("score_mass"),
+        (
+            F.sum("score_raw").cast("double")
+            / (F.sum("n_tokens") * 1000).cast("double")
+        ).alias("mean_score"),
+    )
+
+
+PIPE15_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, lang, source, text, len(l) AS n_tokens,
+         COALESCE(list_sum(list_transform(l, t ->
+             ((({_T8_MD5LONG} % 1024) * 2654435761) % 2001) - 1000
+         )), 0) AS score_raw
+  FROM toks
+),
+accepted AS (
+  SELECT * FROM scored
+  WHERE n_tokens > 0
+    AND CAST(score_raw AS DOUBLE) / CAST(n_tokens * 1000 AS DOUBLE) >= 0.0
+),
+reps AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM accepted)
+  GROUP BY fp
+)
+SELECT a.lang, a.source,
+       COUNT(*) AS kept_docs,
+       CAST(SUM(a.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(a.score_raw) AS BIGINT) AS score_mass,
+       CAST(SUM(a.score_raw) AS DOUBLE)
+         / CAST(SUM(a.n_tokens) * 1000 AS DOUBLE) AS mean_score
+FROM accepted a
+JOIN reps r ON a.doc_id = r.doc_id
+GROUP BY 1, 2
+"""
+
+QUERIES["pipe15_classifier_curation"] = pipe15_classifier_curation
+ORACLE["pipe15_classifier_curation"] = PIPE15_SQL
