@@ -899,3 +899,35 @@ def zorder_sql(col_names: Sequence[str], bits: int = 16) -> str:
         for j, c in enumerate(col_names)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+def table_checksum(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Order-independent content checksum: per-row 60-bit md5 of the
+    canonical row encoding, summed exactly per group — the integrity
+    primitive for verifying a copy/migration/replication of a table
+    without moving or sorting it (at 100 TB the ONLY affordable
+    verification is a one-pass commutative digest on each side).
+
+    Row encoding: each column cast to string, NULL marked with \\x00,
+    columns joined with \\x01 — injective for string-typed renderings,
+    and reproducible in any engine with md5 (callers cast floats to a
+    fixed-scale decimal first; raw float->string formatting is
+    engine-specific). The sum rides a DECIMAL(38,0) (exact,
+    commutative, constant state per group); emitted as a string so no
+    downstream double conversion can clip it.
+    """
+    if cols is None:
+        cols = [c for c in df.columns if c not in set(group_cols)]
+    encoded = F.concat_ws(
+        "\x01",
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
+    )
+    row_hash = md5_prefix_long(encoded).cast("decimal(38,0)")
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(row_hash).cast("string").alias("checksum"),
+    )

@@ -1127,3 +1127,108 @@ def shingle_containment_pairs(
         .select("id_a", "id_b", containment.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+
+
+def editdist_pairs_fastss(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = (),
+    max_block: int | None = 100_000,
+) -> DataFrame:
+    """Edit-distance <= 1 pairs via FastSS deletion neighborhoods
+    (Bocek et al. 2007) — the LINEAR-candidate alternative to
+    ``editdist_pairs``'s banded-DP join for the distance-1 case
+    (entity resolution: near-identical names/codes/ids).
+
+    Every string's neighborhood is {itself} + {each single-character
+    deletion}. Two strings within one edit ALWAYS share a neighborhood
+    member (equal -> the string itself; substitution -> deletion at
+    the differing position; insert/delete -> the longer one's deletion
+    IS the shorter), so an equi-join on neighborhood members finds
+    every qualifying pair — no length-band cell is ever enumerated
+    quadratically. Members ship as 60-bit md5 hashes (8 bytes each,
+    not len-sized strings: the shuffle is O(total_chars * 8), not
+    O(total_chars * len)); hash collisions only ADD candidates, and
+    the final ``levenshtein`` verification keeps the result exact.
+
+    Candidates per posting list are quadratic only in the number of
+    strings sharing one specific variant (bounded by alphabet size for
+    substitutions); ``max_block`` guards degenerate corpora (mass-
+    duplicated strings) loudly — exact-dedup those first.
+
+    FastSS is a SHORT-STRING algorithm (names, codes, identifiers):
+    the neighborhood is O(len) members per string, so the texts
+    themselves ride along with the posting rows (a few dozen bytes)
+    and verification runs inline on the join output — no joins back to
+    the corpus, no pre-verification distinct. Dense corpora emit
+    output proportional to the true number of qualifying pairs, which
+    for near-sequential identifier sets is itself large — that output
+    volume, not the candidate generation, is the scale bound.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        *[F.col(c) for c in block_cols],
+        F.col(text_col).alias("__txt"),
+    )
+    neighborhood = F.expr(
+        """
+        transform(
+          sequence(0, length(__txt)),
+          i -> cast(conv(substring(md5(
+                 CASE WHEN i = 0 THEN __txt
+                      ELSE concat(substring(__txt, 1, i-1),
+                                  substring(__txt, i+1, length(__txt)))
+                 END), 1, 15), 16, 10) as bigint)
+        )
+        """
+    )
+    members = base.select(
+        "__id",
+        "__txt",
+        *[F.col(c) for c in block_cols],
+        F.explode(F.array_distinct(neighborhood)).alias("__member"),
+    )
+    keys = list(block_cols) + ["__member"]
+
+    if max_block is not None:
+        oversized = (
+            members.groupBy(*keys)
+            .count()
+            .filter(F.col("count") > max_block)
+            .limit(5)
+            .collect()
+        )
+        if oversized:
+            raise RuntimeError(
+                f"editdist_pairs_fastss: posting list(s) over "
+                f"max_block={max_block}: {[r.asDict() for r in oversized]}; "
+                "exact-dedup the corpus first (mass-duplicated strings)"
+            )
+
+    left = members.select(*[F.col(c).alias(f"__l_{c}") for c in keys],
+                          F.col("__id").alias("id_a"),
+                          F.col("__txt").alias("__ta"))
+    right = members.select(*[F.col(c).alias(f"__r_{c}") for c in keys],
+                           F.col("__id").alias("id_b"),
+                           F.col("__txt").alias("__tb"))
+    cond = [F.col(f"__l_{c}") == F.col(f"__r_{c}") for c in keys]
+    # dedup candidates BEFORE the DP: a pair reachable through several
+    # shared variants (and false candidates at distance 2, one deletion
+    # each side) would otherwise be verified once per shared member —
+    # the distinct carries the short texts so verification needs no
+    # join back to the corpus
+    cand = (
+        left.join(right, cond)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "__ta", "__tb")
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
+    )

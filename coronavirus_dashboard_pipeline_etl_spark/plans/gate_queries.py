@@ -8919,3 +8919,103 @@ GROUP BY 1, 2
 
 QUERIES["pipe15_classifier_curation"] = pipe15_classifier_curation
 ORACLE["pipe15_classifier_curation"] = PIPE15_SQL
+
+
+def d13_fastss_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-identical names via FastSS deletion
+    neighborhoods (functions.dedup.editdist_pairs_fastss): every
+    customer-name pair within ONE edit, found by an equi-join on
+    8-byte deletion-variant hashes — candidates grow linearly with the
+    corpus (posting lists bounded by alphabet size), vs the
+    length-band quadratic cells of d9's banded-DP join. The oracle is
+    the brute-force all-pairs Levenshtein, so the gate also proves the
+    neighborhood construction loses no qualifying pair.
+
+    Names exact-dedup to their min-id representative FIRST — the
+    operator's documented precondition, and the real entity-resolution
+    shape: a mass-duplicated entity table (sf1 carries every name 10x)
+    would otherwise spend its time re-deriving |dup|^2 known-identical
+    pairs inside every cluster.
+    """
+    from ..functions.dedup import editdist_pairs_fastss
+
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_name")
+        .agg(F.min("c_custkey").alias("doc_id"))
+        .select("doc_id", F.col("c_name").alias("text"))
+    )
+    out = editdist_pairs_fastss(cust, id_col="doc_id", text_col="text")
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+D13_SQL = """
+WITH reps AS (
+    SELECT MIN(c_custkey) AS id, c_name
+    FROM customer
+    GROUP BY c_name
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM reps a
+JOIN reps b
+  ON a.id < b.id
+ AND abs(length(a.c_name) - length(b.c_name)) <= 1
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+"""
+
+QUERIES["d13_fastss_pairs"] = d13_fastss_pairs
+ORACLE["d13_fastss_pairs"] = D13_SQL
+
+
+def h6_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table content checksum per returnflag
+    (functions.curation.table_checksum): the one-pass commutative
+    digest that verifies a 100 TB copy without sorting or moving it.
+    Floats enter as fixed-scale decimals and the date as an ISO
+    string, so the canonical row encoding is engine-independent; the
+    60-bit row hashes sum exactly in DECIMAL(38,0).
+    """
+    from ..functions.curation import table_checksum
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_orderkey").cast("long").alias("okey"),
+        F.col("l_linenumber").cast("long").alias("lno"),
+        F.col("l_partkey").cast("long").alias("pkey"),
+        F.col("l_quantity").cast(DEC).cast("string").alias("qty"),
+        F.col("l_extendedprice").cast(DEC).cast("string").alias("price"),
+        F.to_date("l_shipdate").cast("string").alias("ship_date"),
+    )
+    return table_checksum(li, group_cols=("l_returnflag",))
+
+
+H6_SQL = """
+WITH enc AS (
+  SELECT l_returnflag,
+         concat_ws(chr(1),
+           COALESCE(CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR), chr(0)),
+           COALESCE(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR), chr(0)),
+           COALESCE(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR), chr(0)),
+           COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), chr(0)),
+           COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), chr(0)),
+           COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(0))
+         ) AS row_enc
+  FROM lineitem
+),
+hashed AS (
+  SELECT l_returnflag,
+         list_reduce(list_transform(string_split(substr(md5(row_enc),1,15), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a,b) -> a*16+b) AS row_hash
+  FROM enc
+)
+SELECT l_returnflag,
+       COUNT(*) AS n_rows,
+       CAST(SUM(row_hash) AS VARCHAR) AS checksum
+FROM hashed
+GROUP BY 1
+"""
+
+QUERIES["h6_table_checksum"] = h6_table_checksum
+ORACLE["h6_table_checksum"] = H6_SQL

@@ -207,3 +207,81 @@ def test_zorder_key_locality(spark):
     # a lexicographic (a, b) sort would give spread_b = 31 in ANY
     # quarter; z-order bounds both spreads to the quadrant size
     assert spread_a <= 16 and spread_b <= 16
+
+
+def test_fastss_finds_every_edit_kind(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        editdist_pairs_fastss,
+    )
+
+    rows = [
+        (1, "kitten"),
+        (2, "mitten"),    # substitution of 1
+        (3, "kiten"),     # deletion from 1
+        (4, "kittens"),   # insertion on 1
+        (5, "kitten"),    # equal to 1 (distance 0)
+        (6, "sitting"),   # distance 3 from 1 — must NOT pair
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in editdist_pairs_fastss(df).collect()
+    }
+    assert got[(1, 2)] == 1 and got[(1, 3)] == 1 and got[(1, 4)] == 1
+    assert got[(1, 5)] == 0
+    assert not any(6 in pair for pair in got)
+    # the whole neighborhood of "kitten" variants pairs up too
+    assert got[(2, 5)] == 1 and got[(3, 5)] == 1 and got[(4, 5)] == 1
+
+
+def test_fastss_respects_blocks_and_guard(spark):
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        editdist_pairs_fastss,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "abc", "en"), (2, "abd", "fr")], "doc_id long, text string, lang string"
+    )
+    assert (
+        editdist_pairs_fastss(df, block_cols=("lang",)).count() == 0
+    )  # cross-language pair suppressed by blocking
+    dup = spark.createDataFrame(
+        [(i, "same") for i in range(10)], "doc_id long, text string"
+    )
+    with pytest.raises(RuntimeError, match="max_block"):
+        editdist_pairs_fastss(dup, max_block=5)
+
+
+def test_table_checksum_detects_any_row_change(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        table_checksum,
+    )
+
+    a = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, None)], "k long, v string"
+    )
+    # same content, different row order and partitioning -> same digest
+    b = spark.createDataFrame(
+        [(3, None), (1, "x"), (2, "y")], "k long, v string"
+    ).repartition(7)
+    ca = table_checksum(a).collect()[0]
+    cb = table_checksum(b).collect()[0]
+    assert ca["n_rows"] == 3 and (ca["n_rows"], ca["checksum"]) == (
+        cb["n_rows"],
+        cb["checksum"],
+    )
+    # one changed cell -> different digest
+    c = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z")], "k long, v string"
+    )
+    assert table_checksum(c).collect()[0]["checksum"] != ca["checksum"]
+    # NULL and the string "\x00" marker must NOT collide with each other
+    # in different columns thanks to the fixed separator positions
+    d = spark.createDataFrame([(None, "x")], "k long, v string")
+    e = spark.createDataFrame([(1, None)], "k long, v string")
+    assert (
+        table_checksum(d).collect()[0]["checksum"]
+        != table_checksum(e).collect()[0]["checksum"]
+    )
