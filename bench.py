@@ -90,6 +90,13 @@ HEADLINE = [
     "q9_product_profit",
     "pr1_pagerank",
     "t8_hashed_classifier",
+    # round-6 fourth wave: model-scored curation end-to-end, FastSS
+    # entity matching, the one-pass table checksum, and the
+    # RANGE-frame window at volume
+    "pipe15_classifier_curation",
+    "d13_fastss_pairs",
+    "h6_table_checksum",
+    "w11_range_window",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
