@@ -26,7 +26,7 @@ from .relabel import (
     drop_weekly_metric_nulls,
     relabel_area_names,
 )
-from .skew import salted_join
+from .skew import adaptive_join, probe_hot_keys, salted_join
 from .homogenise import homogenise_dates
 from .nesting import (
     flatten_nested_metrics,
@@ -87,6 +87,8 @@ __all__ = [
     "rolling_mean_centered",
     "row_hash_blake2",
     "row_hash_sha2",
+    "adaptive_join",
+    "probe_hot_keys",
     "salted_join",
     "session_stats",
     "sessionize",

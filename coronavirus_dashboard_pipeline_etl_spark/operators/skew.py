@@ -57,3 +57,69 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
     )
     return big_salted.join(small_rep, on=on + [SALT_COL], how=how).drop(SALT_COL)
+
+
+def probe_hot_keys(
+    df: DataFrame,
+    on: Sequence[str],
+    hot_threshold: int,
+    sample_one_in: int = 1,
+    salt: str = "",
+) -> list[tuple]:
+    """One cheap aggregate probe for join-key skew: the key tuples whose
+    row count exceeds ``hot_threshold``.
+
+    ``sample_one_in > 1`` counts a deterministic md5 1-in-N row sample
+    instead of the full table (threshold scales down with it) — at
+    100 TB the probe then reads a fraction of the input and still finds
+    every key hot enough to matter, with no RNG (re-runs and retries
+    agree). The aggregate output is key-sized; only the (few) hot keys
+    are collected.
+    """
+    from ..functions.dedup import md5_prefix_long
+
+    probe = df
+    threshold = hot_threshold
+    if sample_one_in > 1:
+        coin = md5_prefix_long(
+            F.concat(
+                F.concat_ws(
+                    "\x01", *[F.col(c).cast("string") for c in df.columns]
+                ),
+                F.lit(salt),
+            )
+        )
+        probe = df.filter(coin % sample_one_in == 0)
+        threshold = max(1, hot_threshold // sample_one_in)
+    hot = (
+        probe.groupBy(*on)
+        .count()
+        .filter(F.col("count") > threshold)
+        .select(*on)
+        .limit(100)
+        .collect()
+    )
+    return [tuple(r) for r in hot]
+
+
+def adaptive_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    hot_threshold: int = 1_000_000,
+    salt_buckets: int = 16,
+    sample_one_in: int = 1,
+) -> DataFrame:
+    """Equi-join that salts ONLY when the big side is measurably skewed:
+    ``probe_hot_keys`` decides, plain join otherwise. AQE's runtime
+    skew splitting handles moderate skew already — this is the explicit
+    plan-level fallback for the single-pathological-key case, now with
+    the probe built in so callers don't hand-tune per dataset. The
+    decision is deterministic (md5 sample), so the same input always
+    produces the same plan.
+    """
+    on = list(on)
+    if probe_hot_keys(big, on, hot_threshold, sample_one_in=sample_one_in):
+        return salted_join(big, small, on=on, salt_buckets=salt_buckets, how=how)
+    return big.join(small, on=on, how=how)

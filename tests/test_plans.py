@@ -330,3 +330,44 @@ def test_read_store_prunes_partitions_and_columns(spark, tmp_path):
     assert set(r["hash"] for r in df.collect()) == {
         f"h{i}" for i in range(200) if i % 4 == 1
     }
+
+
+def test_adaptive_join_probes_and_salts(spark):
+    """adaptive_join: plain join on uniform keys, salted on a hot key;
+    rows identical either way; the probe is deterministic."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators import (
+        adaptive_join,
+        probe_hot_keys,
+    )
+
+    uniform = spark.range(200).select((F.col("id") % 20).alias("k"), "id")
+    skewed = spark.range(200).select(
+        F.when(F.col("id") < 150, F.lit(7)).otherwise(F.col("id") % 20).alias("k"),
+        "id",
+    )
+    dim = spark.range(20).select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+
+    assert probe_hot_keys(uniform, ["k"], hot_threshold=100) == []
+    assert probe_hot_keys(skewed, ["k"], hot_threshold=100) == [(7,)]
+    # sampled probe still finds the hot key, deterministically
+    assert probe_hot_keys(skewed, ["k"], hot_threshold=100, sample_one_in=4) == [(7,)]
+
+    expected = sorted(
+        (r["k"], r["id"], r["v"])
+        for r in skewed.join(dim, "k").collect()
+    )
+    got = sorted(
+        (r["k"], r["id"], r["v"])
+        for r in adaptive_join(skewed, dim, ["k"], hot_threshold=100).collect()
+    )
+    assert got == expected
+    # uniform input takes the plain path and is equally correct
+    got_u = sorted(
+        (r["k"], r["id"], r["v"])
+        for r in adaptive_join(uniform, dim, ["k"], hot_threshold=100).collect()
+    )
+    assert got_u == sorted(
+        (r["k"], r["id"], r["v"]) for r in uniform.join(dim, "k").collect()
+    )
