@@ -348,3 +348,37 @@ def test_row_hash_blake2b_private_report_slug(spark):
 
     with _pytest.raises(ValueError):
         row_hash_blake2(df, ["record_date"], algo="md5")
+
+
+def test_bucketed_store_aggregates_without_exchange(spark, tmp_path):
+    """The bucketed writer's whole point: a groupBy on the bucket keys
+    plans with NO shuffle (the 100 TB serving win bench measures as
+    serve_bucketed_latest). Asserted on the physical plan here so a
+    regression (bucket spec lost, wrong keys) fails fast, not slow."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        write_store_bucketed,
+    )
+
+    table = f"bucketed_probe_{uuid.uuid4().hex[:8]}"
+    df = spark.createDataFrame(
+        [(f"A{i % 5}", "m", f"2024-01-0{1 + i % 9}", float(i)) for i in range(40)],
+        "area_code string, metric string, date string, value double",
+    ).withColumn("payload", F.col("value").cast("string")).withColumn(
+        "partition_id", F.lit("test")
+    )
+    try:
+        write_store_bucketed(df, table, buckets=4)
+        agg = (
+            spark.table(table)
+            .groupBy("area_code", "metric")
+            .agg(F.max("date").alias("latest"))
+        )
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert agg.count() == 5
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
