@@ -209,6 +209,19 @@ def main() -> None:
     errors: dict[str, str] = {}
 
     def timed(name: str, fn) -> None:
+        # drop refs from the PREVIOUS query (its checkpoint blocks and
+        # broadcasts) before timing this one: dozens of executions in a
+        # single session otherwise accumulate pinned JVM state faster
+        # than the lazy cleaner frees it, inflating late queries
+        # (measured 5x on the sf1 sweep before tools/timing_sweep.py
+        # grew the same hygiene)
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
         t0 = time.perf_counter()
         try:
             fn()

@@ -27,6 +27,8 @@ round, bounding the plan the way ``dedup_components`` does.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, functions as F
 
 UNIT = 10**12  # one unit of rank mass, as a BIGINT fixed-point scale
@@ -39,6 +41,7 @@ def pagerank_fixed_point(
     damping_den: int = 100,
     src_col: str = "src",
     dst_col: str = "dst",
+    teleport: Sequence[int] | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list, exact fixed-point arithmetic.
 
@@ -55,11 +58,22 @@ def pagerank_fixed_point(
     edge, so total mass decays by a bounded, reproducible epsilon —
     the documented price of an exact cross-engine result.
 
+    ``teleport`` switches to PERSONALIZED PageRank: the restart mass
+    concentrates on the given seed nodes instead of spreading uniformly
+    — each seed's per-round base term is ``(n_nodes * base) div
+    len(teleport)`` (total restart mass preserved, integer-exact), all
+    other nodes get restart 0 and hold only flowed-in mass. The
+    standard proximity/recommendation primitive ("rank relative to
+    this user/doc"); seeds ride an ``isin`` literal, so the loop shape
+    and shuffle costs are identical to the uniform case.
+
     Returns (node, rank_int, rank) where ``rank = rank_int / 1e12`` —
     one double division of identical operands, hence identical doubles.
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if teleport is not None and len(teleport) == 0:
+        raise ValueError("teleport seed set must be non-empty")
     # Edges are hash-partitioned by src ONCE and cached: InMemoryTableScan
     # preserves outputPartitioning (localCheckpoint's LogicalRDD does
     # not), so every iteration's rank join reuses the layout — the
@@ -81,6 +95,20 @@ def pagerank_fixed_point(
     # frame to the edges instead of two
     ranks = deg.select("src", "outdeg", F.lit(UNIT).cast("long").alias("rank_int"))
     base = (damping_den - damping_num) * UNIT // damping_den
+    if teleport is None:
+        base_expr = F.lit(base).cast("long")
+    else:
+        # same total restart mass as the uniform case, concentrated on
+        # the seeds (one cheap count of the cached node table)
+        seed_base = deg.count() * base // len(teleport)
+        base_expr = (
+            F.when(
+                F.col("src").isin([int(t) for t in teleport]),
+                F.lit(seed_base),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
     for _ in range(n_iter):
         contrib = e.join(ranks, "src").select(
             "dst",
@@ -97,7 +125,7 @@ def pagerank_fixed_point(
                 "src",
                 "outdeg",
                 (
-                    F.lit(base).cast("long")
+                    base_expr
                     + F.expr(
                         f"({damping_num} * coalesce(incoming, 0L)) div {damping_den}"
                     )

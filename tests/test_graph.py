@@ -285,3 +285,34 @@ def test_table_checksum_detects_any_row_change(spark):
         table_checksum(d).collect()[0]["checksum"]
         != table_checksum(e).collect()[0]["checksum"]
     )
+
+
+def test_personalized_pagerank_teleports_to_seeds(spark):
+    # cycle 0->1->2->3->0: uniform PR is symmetric; personalizing on
+    # node 0 must (a) preserve total restart mass, (b) rank 0 highest
+    # and decay with distance from the seed along the cycle.
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    got = _ranks(pagerank_fixed_point(edges, n_iter=6, teleport=[0]))
+    base = 15 * UNIT // 100
+    # python reference: same fixed-point rule, restart 4*base on node 0
+    rank = {n: UNIT for n in range(4)}
+    for _ in range(6):
+        inc = {n: 0 for n in range(4)}
+        for s, d in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+            inc[d] += rank[s]  # outdeg 1
+        rank = {
+            n: (4 * base if n == 0 else 0) + 85 * inc[n] // 100
+            for n in range(4)
+        }
+    assert got == rank
+    assert got[0] > got[1] > got[2] > got[3]
+
+
+def test_personalized_pagerank_rejects_empty_seeds(spark):
+    import pytest
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    with pytest.raises(ValueError, match="non-empty"):
+        pagerank_fixed_point(edges, teleport=[])

@@ -5,13 +5,21 @@ regressions in the heavy tail are visible per round.
 
 Usage: python tools/timing_sweep.py [sf_dir] [out_json]
 
-Writes one JSON object {gate: seconds | "ERR <type>"} and prints the
-slowest 15. Compare across rounds only after dividing by the host
-calibration in BENCH_rN.json (see ROUND_NOTES.md).
+Writes one JSON object {gate: seconds | "ERR <type>"} plus a host
+calibration probe, and prints the slowest 15. Compare across rounds
+only after dividing by the calibration (hosts vary 1.2-3x per round).
+
+Between gates the sweep drops every reference to the previous plans and
+forces a GC on both sides of py4j: hundreds of executions in one
+session otherwise pin localCheckpoint blocks and broadcasts faster than
+the lazy cleaner releases them — measured at sf1 as pipe7 taking 204s
+mid-sweep vs 40s in a fresh session (and an 8 GiB-heap sweep dying of
+driver OOM outright).
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import sys
 import time
@@ -20,6 +28,18 @@ sys.path.insert(0, ".")
 
 from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import QUERIES
 from coronavirus_dashboard_pipeline_etl_spark.session import get_spark
+
+
+def calibrate() -> float:
+    """Single-threaded host-speed probe (same as bench.py's)."""
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.standard_normal(1 << 24)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        a = a * 1.000001 + 0.5
+    return round(time.perf_counter() - t0, 3)
 
 
 def main() -> None:
@@ -35,8 +55,23 @@ def main() -> None:
             out[name] = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             out[name] = f"ERR {type(e).__name__}"
+        # release the finished gate's plans, checkpoint blocks, and
+        # broadcasts before the next one is timed
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+        except Exception:  # noqa: BLE001
+            pass
     with open(out_path, "w") as f:
-        json.dump({"sf_dir": sf_dir, "steady_s": out}, f, indent=1)
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "calibration_numpy_sec": calibrate(),
+                "steady_s": out,
+            },
+            f,
+            indent=1,
+        )
     ranked = sorted(
         ((v, k) for k, v in out.items() if isinstance(v, float)),
         reverse=True,
