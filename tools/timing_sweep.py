@@ -10,11 +10,13 @@ calibration probe, and prints the slowest 15. Compare across rounds
 only after dividing by the calibration (hosts vary 1.2-3x per round).
 
 Between gates the sweep drops every reference to the previous plans and
-forces a GC on both sides of py4j: hundreds of executions in one
-session otherwise pin localCheckpoint blocks and broadcasts faster than
-the lazy cleaner releases them — measured at sf1 as pipe7 taking 204s
-mid-sweep vs 40s in a fresh session (and an 8 GiB-heap sweep dying of
-driver OOM outright).
+forces a GC on both sides of py4j, and every SESSION_GATES gates it
+restarts the SparkSession outright (untimed): hundreds of executions in
+one session otherwise pin localCheckpoint blocks, broadcasts, and
+shuffle files faster than the lazy cleaner releases them — measured at
+sf1 as pipe7 taking 204s mid-sweep vs 40s in a fresh session (and an
+8 GiB-heap sweep dying of driver OOM outright); GC alone still left the
+late heavy gates ~2x their fresh-session cost.
 """
 
 from __future__ import annotations
@@ -42,12 +44,18 @@ def calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
+SESSION_GATES = 30
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     out_path = sys.argv[2] if len(sys.argv) > 2 else "TIMING_SWEEP.json"
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     out: dict[str, object] = {}
-    for name, fn in QUERIES.items():
+    for idx, (name, fn) in enumerate(QUERIES.items()):
+        if idx and idx % SESSION_GATES == 0:
+            spark.stop()
+            spark = get_spark(master="local[32]", shuffle_partitions=32)
         try:
             fn(spark, sf_dir).count()  # warm: plan compile + codegen
             t0 = time.time()
