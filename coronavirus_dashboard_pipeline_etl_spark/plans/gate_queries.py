@@ -9019,3 +9019,49 @@ GROUP BY 1
 
 QUERIES["h6_table_checksum"] = h6_table_checksum
 ORACLE["h6_table_checksum"] = H6_SQL
+
+
+def w12_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT) over an event-time window — per
+    supplier, how many distinct parts it has ever shipped as of each
+    ship date. Spark windows reject DISTINCT aggregates, so the
+    engine expresses it as ``size(collect_set(...))`` over a RANGE
+    frame (a range frame, not rows: same-date ties must land wholly
+    inside every row's frame or tie order would make the count
+    nondeterministic). State is the distinct set per partition —
+    bounded by the dimension's cardinality, not the fact row count.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("ship_date"),
+        "l_partkey",
+    )
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy(F.unix_date("ship_date"))
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        F.col("ship_date").cast("string").alias("ship_date"),
+        "l_partkey",
+        F.size(F.collect_set("l_partkey").over(w)).cast("long").alias(
+            "distinct_parts_to_date"
+        ),
+    )
+
+
+W12_SQL = """
+SELECT l_suppkey,
+       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
+       l_partkey,
+       CAST(COUNT(DISTINCT l_partkey) OVER (
+           PARTITION BY l_suppkey
+           ORDER BY date_diff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+           RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS distinct_parts_to_date
+FROM lineitem
+"""
+
+QUERIES["w12_running_distinct"] = w12_running_distinct
+ORACLE["w12_running_distinct"] = W12_SQL
