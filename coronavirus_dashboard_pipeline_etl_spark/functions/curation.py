@@ -931,3 +931,46 @@ def table_checksum(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(row_hash).cast("string").alias("checksum"),
     )
+
+
+def priority_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    group_cols: Sequence[str] = (),
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield-Lund-Thorup): keep the k highest priorities ``w / u``
+    per group, where ``u`` is the row's deterministic md5 uniform —
+    heavier rows are proportionally likelier to survive, every row has
+    a nonzero chance, and re-runs/engines agree exactly (the
+    ``weighted_sample`` Bernoulli pass can't fix its output SIZE; this
+    can't fix its inclusion probabilities — complementary tools).
+
+    The priority is ONE double division of engine-identical operands
+    (both long->double casts are correctly rounded everywhere), so the
+    ORDERING is engine-identical; priority ties break by id, making
+    the kept set fully deterministic even at the cut boundary. One
+    window over ``group_cols``: the same single-exchange shape as
+    every other per-group ranker here. Weights must be positive.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u = md5_prefix_long(
+        F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    )
+    # md5_prefix_long is in [0, 2^60); avoid div-by-zero on the one-in-
+    # 2^60 zero draw by clamping to 1 (both engines, same clamp)
+    u = F.greatest(u, F.lit(1))
+    priority = F.col(weight_col).cast("double") / u.cast("double")
+    win = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__priority"), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__priority", priority)
+        .withColumn("__rk", F.row_number().over(win))
+        .filter(F.col("__rk") <= k)
+        .drop("__priority", "__rk")
+    )

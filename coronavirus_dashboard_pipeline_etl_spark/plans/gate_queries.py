@@ -9065,3 +9065,56 @@ FROM lineitem
 
 QUERIES["w12_running_distinct"] = w12_running_distinct
 ORACLE["w12_running_distinct"] = W12_SQL
+
+
+def x19_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement
+    (functions.curation.priority_sample): the 20 highest-priority docs
+    per language, weighted by token count — Duffield-Lund-Thorup
+    priority sampling with md5-derived uniforms, so the kept set is
+    exactly reproducible and the oracle replays the identical cut
+    (priority ties break by doc_id)."""
+    from ..functions.curation import priority_sample
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tokens",
+        F.size(F.filter(tokens("text"), lambda t: t != F.lit(""))).cast("long"),
+    )
+    kept = priority_sample(
+        docs.filter(F.col("n_tokens") > 0),
+        k=20,
+        weight_col="n_tokens",
+        group_cols=("lang",),
+    )
+    return kept.select("doc_id", "lang", "n_tokens")
+
+
+_X19_U = (
+    "GREATEST(list_reduce(list_transform(string_split(substr(md5("
+    "CAST(doc_id AS VARCHAR)),1,15), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), (a,b) -> a*16+b), 1)"
+)
+
+X19_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY CAST(n_tokens AS DOUBLE) / CAST({_X19_U} AS DOUBLE) DESC,
+                    doc_id ASC
+         ) AS rk
+  FROM sized
+  WHERE n_tokens > 0
+)
+SELECT doc_id, lang, n_tokens FROM ranked WHERE rk <= 20
+"""
+
+QUERIES["x19_priority_sample"] = x19_priority_sample
+ORACLE["x19_priority_sample"] = X19_SQL

@@ -640,3 +640,41 @@ def test_assign_shards_deterministic(spark):
         by_shard[sid].append(pos)
     for sid, ps in by_shard.items():
         assert sorted(ps) == list(range(len(ps)))
+
+
+def test_priority_sample_weighted_without_replacement(spark):
+    """priority_sample: exact output size, heavier rows likelier, fully
+    deterministic across re-runs, and the python replay agrees."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        priority_sample,
+    )
+
+    rows = [(i, "g", (i % 7) + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    kept = priority_sample(df, k=25, weight_col="w", group_cols=("lang",))
+    got = sorted(r["doc_id"] for r in kept.collect())
+    assert len(got) == 25
+    # python replay of the identical priority rule
+    def u(i):
+        return max(int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16), 1)
+
+    expect = sorted(
+        sorted(rows, key=lambda r: (-(r[2] / u(r[0])), r[0]))[:25],
+        key=lambda r: r[0],
+    )
+    assert got == [r[0] for r in expect]
+    # deterministic across runs
+    again = sorted(r["doc_id"] for r in priority_sample(
+        df, k=25, weight_col="w", group_cols=("lang",)).collect())
+    assert again == got
+    # never more rows than exist
+    small = priority_sample(df.limit(5), k=25, weight_col="w")
+    assert small.count() == 5
+    # heavier rows overrepresented: mean kept weight > corpus mean
+    kept_w = [r["w"] for r in kept.collect()]
+    all_w = [r[2] for r in rows]
+    assert sum(kept_w) / len(kept_w) > sum(all_w) / len(all_w)
