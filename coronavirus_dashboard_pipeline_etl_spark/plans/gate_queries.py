@@ -7715,8 +7715,8 @@ def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q12_SQL = """
 SELECT l.l_linestatus,
-       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
 WHERE year(l.l_shipdate) = 1998
 GROUP BY 1
@@ -8035,9 +8035,9 @@ per_doc AS (
   GROUP BY 1
 )
 SELECT t.doc_id,
-       COALESCE(p.n_bigrams, 0) AS n_bigrams,
-       COALESCE(p.n_distinct_bigrams, 0) AS n_distinct_bigrams,
-       COALESCE(p.novel_bigrams, 0) AS novel_bigrams,
+       CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       CAST(COALESCE(p.n_distinct_bigrams, 0) AS BIGINT) AS n_distinct_bigrams,
+       CAST(COALESCE(p.novel_bigrams, 0) AS BIGINT) AS novel_bigrams,
        CAST(p.novel_bigrams AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS novelty,
        CAST(p.corpus_freq_mass AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE) AS avg_corpus_freq
 FROM toks t LEFT JOIN per_doc p USING (doc_id)
@@ -8199,8 +8199,8 @@ scored AS (
 )
 SELECT lang,
        COUNT(*) AS kept_docs,
-       SUM(n_bigrams) AS total_bigrams,
-       SUM(novel_bigrams) AS total_novel,
+       CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams,
+       CAST(SUM(novel_bigrams) AS BIGINT) AS total_novel,
        CAST(SUM(novel_bigrams) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE) AS novelty_rate
 FROM scored
 GROUP BY 1

@@ -59,9 +59,13 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
         if not eq.all():
             import numpy as np
 
-            # repr mismatches re-checked with the lenient per-cell
-            # rule (1 == 1.0, NaN == NaN) — only the mismatching cells
-            # pay Python-loop cost
+            # repr mismatches re-checked per-cell with NaN == NaN
+            # allowed, and equality ONLY between same-typed values.
+            # The driver's value hash distinguishes 1 from 1.0 (r6
+            # lesson: three HUGEINT->float64 oracle columns shipped
+            # "green" through a lenient `av == bv` fallback here and
+            # failed the driver hash) — so a cross-dtype match is a
+            # FAILURE, not a pass.
             for i in np.flatnonzero(~eq):
                 av, bv = a.iloc[int(i)], b.iloc[int(i)]
                 if (
@@ -71,7 +75,7 @@ def compare(name, spark_pdf, duck_pdf) -> list[str]:
                     and math.isnan(bv)
                 ):
                     continue
-                if av == bv:
+                if type(av) is type(bv) and av == bv:
                     continue
                 problems.append(f"{col}[{int(i)}]: spark={av!r} duck={bv!r}")
                 if len(problems) > 5:
