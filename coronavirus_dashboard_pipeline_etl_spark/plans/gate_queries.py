@@ -1017,7 +1017,13 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     but linear instead of per-pair), and the left side round-robins so
     the quadratic in-block cosine work spreads over the cluster instead
     of inheriting the scan's partitioning under an auto-broadcast
-    right."""
+    right.
+
+    Threshold 0.35 on the 6-dp-rounded cosine (the d10 float-boundary
+    contract) is measured non-vacuous at EVERY test scale — pairs =
+    14 @ sf0.001, 26 @ sf0.01, 391 @ sf0.1, 42554 @ sf1 (r6 lesson:
+    the old 0.9 threshold exceeded the corpus max cosine ~0.45-0.60,
+    so the driver's 0==0 hash match verified nothing)."""
     from ..functions.similarity import _dot, _norm, _to_double
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1040,17 +1046,20 @@ def d5_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         left.join(right, on=[F.col("la") == F.col("lb"), F.col("id_a") < F.col("id_b")])
-        .withColumn("score", score)
-        .filter(F.col("score") >= 0.9)
-        .select("id_a", "id_b")
+        .withColumn("score", F.round(score, 6))
+        .filter(F.col("score") >= 0.35)
+        .select("id_a", "id_b", "score")
     )
 
 
 D5_SQL = """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS score
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.9
+WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.35
 """
 
 
@@ -7633,10 +7642,14 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window; the threshold compare is exact decimal,
     no float division at the boundary.
 
-    Selectivity is SCALE-ADAPTIVE — keep parts whose value exceeds 10x
-    the mean part value (value * n_parts > 10 * total) — because a
+    Selectivity is SCALE-ADAPTIVE — keep parts whose value exceeds 2x
+    the mean part value (value * n_parts > 2 * total) — because a
     fixed global fraction (TPC-H's literal 0.0001) selects nothing
-    once the part count outgrows it (verified empty at sf1).
+    once the part count outgrows it (verified empty at sf1). The 2x
+    multiplier is measured non-vacuous at EVERY test scale (r6 lesson:
+    the old 10x mean threshold emitted 0 rows at sf<=0.01, so the
+    driver's 0==0 hash match verified nothing): rows = 20 @ sf0.001,
+    141 @ sf0.01, 924 @ sf0.1, 9240 @ sf1.
     """
     nat = load_table(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 5)
     sup = (
@@ -7659,7 +7672,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thresholded = per_part.crossJoin(broadcast(scalars))
     return thresholded.filter(
-        F.col("value") * F.col("n_parts") > F.col("total") * 10
+        F.col("value") * F.col("n_parts") > F.col("total") * 2
     ).select(
         F.col("l_partkey").alias("p_partkey"),
         # data scale is <=4 fractional digits; rescale to 6 before the
@@ -7683,7 +7696,7 @@ SELECT l_partkey AS p_partkey,
        CAST(CAST(value AS DECIMAL(30,6)) AS DOUBLE) AS value
 FROM per_part
 WHERE value * (SELECT COUNT(*) FROM per_part)
-      > (SELECT SUM(value) FROM per_part) * 10
+      > (SELECT SUM(value) FROM per_part) * 2
 """
 
 QUERIES["q11_important_stock"] = q11_important_stock
