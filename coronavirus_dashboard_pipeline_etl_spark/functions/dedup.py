@@ -1036,6 +1036,23 @@ def shingle_containment_pairs(
     k=3) rather than unigrams: unigram containment saturates on any
     corpus with a shared vocabulary; k-shingles keep the signal
     order-sensitive and selective.
+
+    The freq/prefix/posting path carries 8-byte ``xxhash64`` shingle
+    hashes, never the shingle strings — the posting join was the
+    engine's largest non-d10 shuffle (16.05 MiB / 892k records at
+    sf0.01) and strings dominated it. A 64-bit collision can only ADD
+    a candidate pair (two distinct shingles hashing equal), never drop
+    one, and every candidate is re-verified on the full STRING arrays,
+    so the result is exact regardless.
+
+    MEMORY NOTE: the shingle arrays are persisted (MEMORY_AND_DISK)
+    because five downstream subtrees reuse them, and the ``max_block``
+    guard materialises them eagerly at call time. The persisted frame
+    is attached to the result as ``result.containment_cache`` —
+    long-lived sessions should ``result.containment_cache.unpersist()``
+    after consuming the result. Unlike the earlier
+    ``localCheckpoint(eager=True)`` form, evicted blocks recompute
+    instead of pinning JVM storage forever.
     """
     from pyspark.sql import Window
 
@@ -1061,33 +1078,39 @@ def shingle_containment_pairs(
     toks = base.select(
         F.col(id_col), *block_cols, sh.alias("toks")
     ).withColumn("__sz", F.size("toks")).filter(F.col("__sz") > 0)
-    # materialise the shingle arrays ONCE: five downstream subtrees
-    # (freq agg, rank window, postings, and both verification sides)
-    # would otherwise each re-run the transform+concat shingle build —
-    # measured 5x ~36 s at sf1 (50k docs), ~90% of the operator's wall
-    toks = toks.localCheckpoint(eager=True)
+    # cache the shingle arrays ONCE: five downstream subtrees (freq
+    # agg, rank window, postings, and both verification sides) would
+    # otherwise each re-run the transform+concat shingle build —
+    # measured 5x ~36 s at sf1 (50k docs), ~90% of the operator's wall.
+    # persist (evictable, releasable via result.containment_cache) —
+    # NOT localCheckpoint, which pins blocks for the session lifetime.
+    from pyspark.storagelevel import StorageLevel
+
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     p_len = (
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
     ).cast("int")
+    # 8-byte hash domain for everything except the final verify: the
+    # posting join shuffles longs, not shingle strings
     exploded = toks.select(
         F.col(id_col), *block_cols, "__sz", p_len.alias("__p"),
-        F.explode("toks").alias("__tok"),
+        F.explode(F.transform("toks", lambda t: F.xxhash64(t))).alias("__h"),
     )
-    freq = exploded.groupBy("__tok").agg(F.count(F.lit(1)).alias("__freq"))
-    ranked = exploded.join(freq, "__tok").withColumn(
+    freq = exploded.groupBy("__h").agg(F.count(F.lit(1)).alias("__freq"))
+    ranked = exploded.join(freq, "__h").withColumn(
         "__rank",
-        F.row_number().over(Window.partitionBy(id_col).orderBy("__freq", "__tok")),
+        F.row_number().over(Window.partitionBy(id_col).orderBy("__freq", "__h")),
     )
     prefix = ranked.filter(F.col("__rank") <= F.col("__p")).select(
-        *block_cols, "__tok", F.col(id_col), "__sz"
+        *block_cols, "__h", F.col(id_col), "__sz"
     )
-    postings = exploded.select(*block_cols, "__tok", F.col(id_col), "__sz").join(
-        prefix.select("__tok").distinct(), "__tok", "left_semi"
+    postings = exploded.select(*block_cols, "__h", F.col(id_col), "__sz").join(
+        prefix.select("__h").distinct(), "__h", "left_semi"
     )
     if max_block is not None:
         oversized = (
-            postings.groupBy(*block_cols, "__tok")
+            postings.groupBy(*block_cols, "__h")
             .count()
             .filter(F.col("count") > max_block)
             .limit(5)
@@ -1102,7 +1125,7 @@ def shingle_containment_pairs(
     a, b = prefix.alias("a"), postings.alias("b")
     cond = [F.col(f"a.{c}") == F.col(f"b.{c}") for c in block_cols]
     cond += [
-        F.col("a.__tok") == F.col("b.__tok"),
+        F.col("a.__h") == F.col("b.__h"),
         F.col(f"a.{id_col}") != F.col(f"b.{id_col}"),
         F.col("b.__sz").cast("double") >= F.col("a.__sz") * F.lit(threshold),
     ]
@@ -1121,12 +1144,14 @@ def shingle_containment_pairs(
     lb = arrays.select(F.col(id_col).alias("id_b"), F.col("toks").alias("__tb"))
     inter = F.size(F.array_intersect("__ta", "__tb"))
     containment = inter.cast("double") / F.col("__sza").cast("double")
-    return (
+    result = (
         cand.join(la, "id_a")
         .join(lb, "id_b")
         .select("id_a", "id_b", containment.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
+    result.containment_cache = toks
+    return result
 
 
 def editdist_pairs_fastss(
