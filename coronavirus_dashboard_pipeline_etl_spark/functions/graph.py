@@ -42,13 +42,11 @@ def pagerank_fixed_point(
     src_col: str = "src",
     dst_col: str = "dst",
     teleport: Sequence[int] | None = None,
+    dangling: str = "raise",
 ) -> DataFrame:
     """PageRank over a directed edge list, exact fixed-point arithmetic.
 
-    Every node must have at least one out-edge (no dangling mass —
-    callers with dangling nodes add reverse edges or self-loops first;
-    the bipartite helper below guarantees this by construction). Each
-    node starts with ``UNIT`` mass; per iteration::
+    Each node starts with ``UNIT`` mass; per iteration::
 
         contrib(u->v) = rank(u) div outdeg(u)          -- integer div
         rank'(v) = (15 * UNIT) div 100
@@ -58,6 +56,22 @@ def pagerank_fixed_point(
     edge, so total mass decays by a bounded, reproducible epsilon —
     the documented price of an exact cross-engine result.
 
+    DANGLING NODES (nodes with in-edges but no out-edges — real
+    web/citation graphs always have them) are handled per ``dangling``:
+
+    - ``"raise"`` (default): one anti-join count at call time; a loud
+      ``ValueError`` if any node lacks an out-edge. The right default
+      because silently dropping dangling mass under-counts every
+      downstream rank — the pre-r7 behavior, which also silently
+      OMITTED sink-only nodes from the result.
+    - ``"redistribute"``: classic PageRank semantics — each round, the
+      summed rank of dangling nodes is split equally (integer ``div``
+      by n_nodes; seeds only, under ``teleport``) and damped into every
+      node alongside the edge contributions. The dangling sum rides a
+      1-row aggregate crossJoin-broadcast per round (the engine's
+      scalar pattern), so the loop's shuffle shape is unchanged. The
+      node set — and the returned frame — covers sink-only nodes too.
+
     ``teleport`` switches to PERSONALIZED PageRank: the restart mass
     concentrates on the given seed nodes instead of spreading uniformly
     — each seed's per-round base term is ``(n_nodes * base) div
@@ -65,7 +79,9 @@ def pagerank_fixed_point(
     other nodes get restart 0 and hold only flowed-in mass. The
     standard proximity/recommendation primitive ("rank relative to
     this user/doc"); seeds ride an ``isin`` literal, so the loop shape
-    and shuffle costs are identical to the uniform case.
+    and shuffle costs are identical to the uniform case. Dangling mass
+    under ``redistribute`` returns to the seeds (equal integer split),
+    matching the personalized restart distribution.
 
     Returns (node, rank_int, rank) where ``rank = rank_int / 1e12`` —
     one double division of identical operands, hence identical doubles.
@@ -74,6 +90,10 @@ def pagerank_fixed_point(
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
     if teleport is not None and len(teleport) == 0:
         raise ValueError("teleport seed set must be non-empty")
+    if dangling not in ("raise", "redistribute"):
+        raise ValueError(
+            f"dangling must be 'raise' or 'redistribute', got {dangling!r}"
+        )
     # Edges are hash-partitioned by src ONCE and cached: InMemoryTableScan
     # preserves outputPartitioning (localCheckpoint's LogicalRDD does
     # not), so every iteration's rank join reuses the layout — the
@@ -88,61 +108,109 @@ def pagerank_fixed_point(
         .repartition("src")
         .persist()
     )
-    # deg rides the cached src partitioning (groupBy src needs no
-    # exchange) and is itself cached: it anchors every round's node set.
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")).persist()
-    # the rank table carries outdeg so the hot loop joins ONE small
-    # frame to the edges instead of two
-    ranks = deg.select("src", "outdeg", F.lit(UNIT).cast("long").alias("rank_int"))
-    base = (damping_den - damping_num) * UNIT // damping_den
-    if teleport is None:
-        base_expr = F.lit(base).cast("long")
-    else:
-        # same total restart mass as the uniform case, concentrated on
-        # the seeds (one cheap count of the cached node table)
-        seed_base = deg.count() * base // len(teleport)
-        base_expr = (
-            F.when(
-                F.col("src").isin([int(t) for t in teleport]),
-                F.lit(seed_base),
+    # outdeg rides the cached src partitioning (groupBy src needs no
+    # exchange); the node table is src ∪ dst so sink-only nodes exist
+    # in every round's rank frame (outdeg 0), then is itself cached:
+    # it anchors every round's node set.
+    deg = (
+        e.select("src")
+        .unionByName(e.select(F.col("dst").alias("src")))
+        .distinct()
+        .join(e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg")), "src", "left")
+        .select("src", F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"))
+        .repartition("src")
+        .persist()
+    )
+    try:
+        n_dangling = deg.filter(F.col("outdeg") == 0).count()
+        if dangling == "raise" and n_dangling:
+            raise ValueError(
+                f"pagerank_fixed_point: {n_dangling} node(s) have no "
+                "out-edge; pass dangling='redistribute' (classic PageRank "
+                "dangling-mass handling), or symmetrise/self-loop the "
+                "edge list first"
             )
-            .otherwise(F.lit(0))
-            .cast("long")
+        n_nodes = deg.count()
+        # the rank table carries outdeg so the hot loop joins ONE small
+        # frame to the edges instead of two
+        ranks = deg.select(
+            "src", "outdeg", F.lit(UNIT).cast("long").alias("rank_int")
         )
-    for _ in range(n_iter):
-        contrib = e.join(ranks, "src").select(
-            "dst",
-            F.expr("rank_int div outdeg").alias("contrib"),
-        )
-        incoming = contrib.groupBy("dst").agg(
-            F.sum("contrib").alias("incoming")
-        )
-        # deg is partitioned by src, incoming by dst (its agg key):
-        # both sides arrive partitioned on their join key — no exchange
-        ranks = (
-            deg.join(incoming, F.col("src") == F.col("dst"), "left")
-            .select(
-                "src",
-                "outdeg",
-                (
-                    base_expr
-                    + F.expr(
-                        f"({damping_num} * coalesce(incoming, 0L)) div {damping_den}"
-                    )
-                ).alias("rank_int"),
+        base = (damping_den - damping_num) * UNIT // damping_den
+        if teleport is None:
+            base_expr = F.lit(base).cast("long")
+            n_recipients = n_nodes
+            recipient = F.lit(True)
+        else:
+            # same total restart mass as the uniform case, concentrated
+            # on the seeds
+            seeds = [int(t) for t in teleport]
+            seed_base = n_nodes * base // len(seeds)
+            recipient = F.col("src").isin(seeds)
+            base_expr = (
+                F.when(recipient, F.lit(seed_base)).otherwise(F.lit(0)).cast("long")
             )
-            .localCheckpoint(eager=False)
-        )
-    # materialise the final ranks, then release the cached edge/degree
-    # frames — the operator returns a self-contained frame and leaves no
-    # cache residue in a long-lived session
-    out = ranks.select(
-        F.col("src").alias("node"),
-        "rank_int",
-        (F.col("rank_int").cast("double") / F.lit(float(UNIT))).alias("rank"),
-    ).localCheckpoint(eager=True)
-    e.unpersist()
-    deg.unpersist()
+            n_recipients = len(seeds)
+        for _ in range(n_iter):
+            contrib = e.join(ranks.filter(F.col("outdeg") > 0), "src").select(
+                "dst",
+                F.expr("rank_int div outdeg").alias("contrib"),
+            )
+            incoming = contrib.groupBy("dst").agg(
+                F.sum("contrib").alias("incoming")
+            )
+            joined = deg.join(incoming, F.col("src") == F.col("dst"), "left")
+            if n_dangling:
+                # 1-row dangling-mass scalar, crossJoin-broadcast (the
+                # same pattern as the q11 HAVING scalar) — each round's
+                # summed dangling rank splits equally (integer div)
+                # over every node (or every seed under teleport) and is
+                # damped together with the edge contributions:
+                #   rank' = base + (85 * (incoming + dm div n)) div 100
+                dang = ranks.filter(F.col("outdeg") == 0).agg(
+                    F.coalesce(F.sum("rank_int"), F.lit(0))
+                    .cast("long")
+                    .alias("__dm")
+                )
+                joined = joined.crossJoin(F.broadcast(dang))
+                share = F.when(
+                    recipient, F.expr(f"__dm div {n_recipients}")
+                ).otherwise(F.lit(0).cast("long"))
+            else:
+                share = F.lit(0).cast("long")
+            # deg is partitioned by src, incoming by dst (its agg key):
+            # both sides arrive partitioned on their join key — no
+            # exchange beyond the 1-row broadcast
+            ranks = (
+                joined.withColumn(
+                    "__inc", F.expr("coalesce(incoming, 0L)") + share
+                )
+                .select(
+                    "src",
+                    "outdeg",
+                    (
+                        base_expr
+                        + F.expr(
+                            f"({damping_num} * __inc) div {damping_den}"
+                        )
+                    ).alias("rank_int"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        # materialise the final ranks — the operator returns a
+        # self-contained frame and leaves no cache residue in a
+        # long-lived session
+        out = ranks.select(
+            F.col("src").alias("node"),
+            "rank_int",
+            (F.col("rank_int").cast("double") / F.lit(float(UNIT))).alias("rank"),
+        ).localCheckpoint(eager=True)
+    finally:
+        # release the cached edge/degree frames even when the guard or
+        # an iteration fails mid-loop (r6 advice: the success-path-only
+        # unpersist leaked both caches on error in long-lived sessions)
+        e.unpersist()
+        deg.unpersist()
     return out
 
 

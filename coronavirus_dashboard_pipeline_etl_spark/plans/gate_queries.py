@@ -8572,6 +8572,83 @@ QUERIES["pr1_pagerank"] = pr1_pagerank
 ORACLE["pr1_pagerank"] = PR1_SQL
 
 
+def pr2_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank with DANGLING nodes (functions.graph.
+    pagerank_fixed_point(dangling='redistribute')), 3 iterations over
+    the DIRECTED customer->supplier trade graph — suppliers never have
+    out-edges, so every supplier is dangling and holds ~a third of the
+    graph's mass. Each round their summed rank splits equally (integer
+    div) over all nodes and is damped in with the edge contributions —
+    classic PageRank dangling-mass semantics, integer-exact, so the
+    unrolled-CTE oracle compares bit-for-bit.
+    """
+    from ..functions.graph import pagerank_fixed_point
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    ords = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .select(
+            F.col("o_custkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1_000_000).alias("dst"),
+        )
+        .distinct()
+    )
+    return pagerank_fixed_point(edges, n_iter=3, dangling="redistribute")
+
+
+PR2_SQL = """
+WITH edges AS (
+  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+deg AS (
+  SELECT n.src, COALESCE(d.outdeg, 0) AS outdeg
+  FROM (SELECT src FROM edges UNION SELECT dst FROM edges) n
+  LEFT JOIN (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY 1) d
+    USING (src)
+),
+nn AS (SELECT COUNT(*) AS n FROM deg),
+r0 AS (SELECT src, outdeg, CAST(1000000000000 AS BIGINT) AS rank_int FROM deg),
+dm1 AS (SELECT COALESCE(SUM(rank_int), 0) AS dm FROM r0 WHERE outdeg = 0),
+i1 AS (SELECT e.dst, SUM(r.rank_int // r.outdeg) AS incoming
+       FROM edges e JOIN r0 r ON e.src = r.src WHERE r.outdeg > 0
+       GROUP BY 1),
+r1 AS (SELECT d.src, d.outdeg,
+              CAST(150000000000
+                   + (85 * (COALESCE(i.incoming, 0)
+                            + (SELECT dm FROM dm1) // (SELECT n FROM nn)))
+                     // 100 AS BIGINT) AS rank_int
+       FROM deg d LEFT JOIN i1 i ON d.src = i.dst),
+dm2 AS (SELECT COALESCE(SUM(rank_int), 0) AS dm FROM r1 WHERE outdeg = 0),
+i2 AS (SELECT e.dst, SUM(r.rank_int // r.outdeg) AS incoming
+       FROM edges e JOIN r1 r ON e.src = r.src WHERE r.outdeg > 0
+       GROUP BY 1),
+r2 AS (SELECT d.src, d.outdeg,
+              CAST(150000000000
+                   + (85 * (COALESCE(i.incoming, 0)
+                            + (SELECT dm FROM dm2) // (SELECT n FROM nn)))
+                     // 100 AS BIGINT) AS rank_int
+       FROM deg d LEFT JOIN i2 i ON d.src = i.dst),
+dm3 AS (SELECT COALESCE(SUM(rank_int), 0) AS dm FROM r2 WHERE outdeg = 0),
+i3 AS (SELECT e.dst, SUM(r.rank_int // r.outdeg) AS incoming
+       FROM edges e JOIN r2 r ON e.src = r.src WHERE r.outdeg > 0
+       GROUP BY 1),
+r3 AS (SELECT d.src, d.outdeg,
+              CAST(150000000000
+                   + (85 * (COALESCE(i.incoming, 0)
+                            + (SELECT dm FROM dm3) // (SELECT n FROM nn)))
+                     // 100 AS BIGINT) AS rank_int
+       FROM deg d LEFT JOIN i3 i ON d.src = i.dst)
+SELECT src AS node, rank_int,
+       CAST(rank_int AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS "rank"
+FROM r3
+"""
+
+QUERIES["pr2_pagerank_dangling"] = pr2_pagerank_dangling
+ORACLE["pr2_pagerank_dangling"] = PR2_SQL
+
+
 def h4_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-moment statistics (functions.curation.moment_stats) per
     returnflag/linestatus cell: mean + sample stddev of quantity and

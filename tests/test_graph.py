@@ -316,3 +316,73 @@ def test_personalized_pagerank_rejects_empty_seeds(spark):
     edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
     with pytest.raises(ValueError, match="non-empty"):
         pagerank_fixed_point(edges, teleport=[])
+
+
+def test_dangling_raises_by_default(spark):
+    # 0->1, 1 has no out-edge: pre-r7 this silently dropped node 1 and
+    # its mass; now it's a loud error naming the count
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    import pytest
+
+    with pytest.raises(ValueError, match="1 node\\(s\\) have no out-edge"):
+        pagerank_fixed_point(edges, n_iter=1)
+
+
+def test_dangling_redistribute_python_reference(spark):
+    # digraph with two dangling sinks (3, 4); compare 3 rounds against
+    # a literal pure-Python simulation of the redistribute rule:
+    #   rank'(v) = base + 85*(incoming(v) + dm div n) div 100
+    raw = [(0, 1), (0, 3), (1, 2), (1, 4), (2, 0)]
+    edges = spark.createDataFrame(raw, "src long, dst long")
+    nodes = sorted({s for s, _ in raw} | {d for _, d in raw})
+    outdeg = {n: sum(1 for s, _ in raw if s == n) for n in nodes}
+    rank = {n: UNIT for n in nodes}
+    base = 15 * UNIT // 100
+    n = len(nodes)
+    for _ in range(3):
+        dm = sum(rank[v] for v in nodes if outdeg[v] == 0)
+        inc = {v: 0 for v in nodes}
+        for s, d in raw:
+            inc[d] += rank[s] // outdeg[s]
+        rank = {
+            v: base + 85 * (inc[v] + dm // n) // 100 for v in nodes
+        }
+    got = _ranks(
+        pagerank_fixed_point(edges, n_iter=3, dangling="redistribute")
+    )
+    assert got == rank
+
+
+def test_dangling_redistribute_includes_sink_only_nodes(spark):
+    # node 1 appears only as dst: it must be IN the result (pre-r7 the
+    # node set was outdeg keys, so sinks vanished from the output)
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = _ranks(
+        pagerank_fixed_point(edges, n_iter=2, dangling="redistribute")
+    )
+    assert set(got) == {0, 1}
+
+
+def test_dangling_redistribute_teleport_returns_mass_to_seeds(spark):
+    # 0->1 (1 dangling), teleport to {0}: dangling mass returns to the
+    # seed only. Hand-unroll one round: dm = UNIT (node 1's start),
+    # seed share = dm div 1; node 0 gets seed_base + 85*(0 + dm)//100,
+    # node 1 gets 0 + 85*(contrib(0->1) + 0)//100.
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = _ranks(
+        pagerank_fixed_point(
+            edges, n_iter=1, teleport=[0], dangling="redistribute"
+        )
+    )
+    base = 15 * UNIT // 100
+    seed_base = 2 * base // 1
+    assert got[0] == seed_base + 85 * (0 + UNIT // 1) // 100
+    assert got[1] == 0 + 85 * (UNIT // 1 + 0) // 100
+
+
+def test_invalid_dangling_mode_rejected(spark):
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    import pytest
+
+    with pytest.raises(ValueError, match="dangling must be"):
+        pagerank_fixed_point(edges, dangling="ignore")
