@@ -33,6 +33,7 @@ def combine_supplements(
     main: DataFrame,
     supplements: Sequence[Optional[DataFrame]],
     keys: Sequence[str] = ("areaType", "areaCode", "date"),
+    validate: bool = False,
 ) -> DataFrame:
     """LEFT-join ``supplements`` onto ``main`` on ``keys`` in one shuffle.
 
@@ -41,6 +42,14 @@ def combine_supplements(
     metric family owns its columns.  Overlapping value columns raise
     loudly (pandas ``.join`` would likewise fail without suffixes);
     silent coalescing would be order-nondeterministic after a shuffle.
+
+    KEY UNIQUENESS IS THE CALLER'S CONTRACT: a frame with duplicate
+    keys makes ``first(ignorenulls=True)`` pick a shuffle-order-
+    dependent copy SILENTLY (the reference's iterated ``.join`` would
+    instead multiply rows). ``validate=True`` turns the contract into a
+    loud check — one count-vs-countDistinct aggregate per frame before
+    the combine (an extra pass over each input; off by default because
+    the production chunk files are unique-keyed by construction).
 
     Supplement entries may be ``None`` (a missing blob in the
     reference): they contribute nothing, matching the reference's empty
@@ -70,6 +79,26 @@ def combine_supplements(
                 )
             seen[c] = i
             value_cols.append(c)
+
+    if validate:
+        for i, frame in enumerate(frames):
+            # groupBy (not count_distinct) so null keys compare the way
+            # the combine's own groupBy will treat them; collect bounded
+            dup = (
+                frame.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(3)
+                .collect()
+            )
+            if dup:
+                raise ValueError(
+                    f"frame {i} has duplicate key row(s) on {keys}, "
+                    f"e.g. {[tuple(r)[:-1] for r in dup]}; "
+                    "first(ignorenulls=True) over duplicates is "
+                    "shuffle-order-dependent — dedup the frame or "
+                    "aggregate it before combining"
+                )
 
     tagged = [
         f.withColumn(_MARK, F.lit(1 if i == 0 else 0)) for i, f in enumerate(frames)

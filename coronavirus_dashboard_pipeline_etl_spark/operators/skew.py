@@ -72,9 +72,19 @@ def probe_hot_keys(
     ``sample_one_in > 1`` counts a deterministic md5 1-in-N row sample
     instead of the full table (threshold scales down with it) — at
     100 TB the probe then reads a fraction of the input and still finds
-    every key hot enough to matter, with no RNG (re-runs and retries
-    agree). The aggregate output is key-sized; only the (few) hot keys
-    are collected.
+    every key hot enough to matter, with no RNG. The aggregate output
+    is key-sized; only the (few) hot keys are collected.
+
+    The sampling hash mixes in ``monotonically_increasing_id()`` so
+    IDENTICAL rows sample independently — a content-only coin samples
+    duplicated rows all-or-none, and on corpora with mass-duplicated
+    rows (the degenerate skew case salting exists for) the scaled
+    threshold then wildly over- or under-estimates the key's count
+    (r6 advice). The price is a slightly weaker determinism contract:
+    the sample is reproducible for a fixed input partition layout
+    (same files, same split planning — true for re-runs and task
+    retries of the same job) rather than for any physical layout of
+    the same logical rows.
     """
     from ..functions.dedup import md5_prefix_long
 
@@ -87,6 +97,7 @@ def probe_hot_keys(
                     "\x01", *[F.col(c).cast("string") for c in df.columns]
                 ),
                 F.lit(salt),
+                F.monotonically_increasing_id().cast("string"),
             )
         )
         probe = df.filter(coin % sample_one_in == 0)
@@ -116,8 +127,9 @@ def adaptive_join(
     skew splitting handles moderate skew already — this is the explicit
     plan-level fallback for the single-pathological-key case, now with
     the probe built in so callers don't hand-tune per dataset. The
-    decision is deterministic (md5 sample), so the same input always
-    produces the same plan.
+    decision is deterministic for a fixed input layout (md5 sample, no
+    RNG — see ``probe_hot_keys`` for the exact contract), so re-runs of
+    the same job produce the same plan.
     """
     on = list(on)
     if probe_hot_keys(big, on, hot_threshold, sample_one_in=sample_one_in):

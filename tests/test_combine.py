@@ -62,3 +62,28 @@ def test_single_shuffle_regardless_of_supplement_count(spark):
     )])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_validate_rejects_duplicate_keys(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    main = spark.createDataFrame(
+        [("ltla", "A1", "2024-01-01", 1.0), ("ltla", "A1", "2024-01-01", 2.0)],
+        "areaType string, areaCode string, date string, m1 double",
+    )
+    with pytest.raises(ValueError, match="duplicate key row"):
+        combine_supplements(main, [], validate=True)
+
+
+def test_validate_passes_unique_keys(spark):
+    main = spark.createDataFrame(
+        [("ltla", "A1", "2024-01-01", 1.0), ("ltla", "A2", "2024-01-01", 2.0)],
+        "areaType string, areaCode string, date string, m1 double",
+    )
+    supp = spark.createDataFrame(
+        [("ltla", "A1", "2024-01-01", 9.0)],
+        "areaType string, areaCode string, date string, m2 double",
+    )
+    out = combine_supplements(main, [supp], validate=True)
+    assert out.count() == 2
