@@ -97,6 +97,16 @@ HEADLINE = [
     "d13_fastss_pairs",
     "h6_table_checksum",
     "w11_range_window",
+    # round-7: the heaviest dedup-family gates join the headline set so
+    # regressions in the most expensive operators show up in BENCH_r*
+    # rather than only in ad-hoc sf1 sweeps (r6 verdict item 8):
+    # quality-filter + containment-dedup composition, component
+    # resolution, per-band edit-distance verify, and dangling-mass
+    # PageRank
+    "pipe14_quality_dedup",
+    "d6_dedup_resolve",
+    "d9_editdist_pairs",
+    "pr2_pagerank_dangling",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
@@ -208,20 +218,33 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
+    # Session hygiene: dozens of executions in one session accumulate
+    # pinned JVM state (checkpoint blocks, broadcasts) faster than the
+    # lazy cleaner frees it — measured 5x inflation on late sf1-sweep
+    # queries. r6 ran gc before EVERY query, but a JVM full GC shrinks
+    # the heap and the NEXT query pays ~0.5 s re-committing it (r7
+    # measurement: q1 steady 1.26 s, 1.65-2.05 s when every run
+    # followed a System.gc — the whole "q1 regression" in BENCH_r06).
+    # So: gc every GC_EVERY queries only, and absorb the one-off
+    # post-GC penalty with an UNTIMED run of the upcoming query, so
+    # every timed number measures the steady plan.
+    GC_EVERY = 8
+    gc_counter = {"n": 0}
+
     def timed(name: str, fn) -> None:
-        # drop refs from the PREVIOUS query (its checkpoint blocks and
-        # broadcasts) before timing this one: dozens of executions in a
-        # single session otherwise accumulate pinned JVM state faster
-        # than the lazy cleaner frees it, inflating late queries
-        # (measured 5x on the sf1 sweep before tools/timing_sweep.py
-        # grew the same hygiene)
         import gc
 
-        gc.collect()
-        try:
-            spark._jvm.System.gc()
-        except Exception:  # noqa: BLE001
-            pass
+        gc_counter["n"] += 1
+        if gc_counter["n"] % GC_EVERY == 1:
+            gc.collect()
+            try:
+                spark._jvm.System.gc()
+            except Exception:  # noqa: BLE001
+                pass
+            try:
+                fn()  # untimed absorber run of this same query
+            except Exception:  # noqa: BLE001
+                pass  # the timed run below reports the error
         t0 = time.perf_counter()
         try:
             fn()
