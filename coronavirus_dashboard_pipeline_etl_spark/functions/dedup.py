@@ -578,6 +578,17 @@ def dedup_components(
     # list): a foreign endpoint could otherwise win a min-label race and
     # become the canonical_id of real docs — every doc paired with it
     # would then land on the drop list with no surviving representative.
+    #
+    # Checkpoint hygiene (r7): every localCheckpoint below is released
+    # as soon as its last consumer has materialised (rdd-id diff + best-
+    # effort unpersist, same rolling pattern as pagerank_fixed_point) —
+    # pre-r7 they stayed pinned until the session died, the accumulation
+    # that OOM'd the r6 sf1 sweep driver. Only the checkpoints the
+    # RETURNED lazy frame still references (initial labels + final
+    # fixpoint labels) stay pinned.
+    from .graph import _persistent_rdd_ids, _release_rdds
+
+    sc = pairs.sparkSession.sparkContext
     id_set = ids.select(F.col(id_col).alias("__id"))
     # Materialise the UNDIRECTED pair list once, evenly spread (the
     # repartition matters: with broadcast labels the passes inherit
@@ -587,12 +598,16 @@ def dedup_components(
     # two passes (initial label aggregate, contraction map) and the
     # iteration then runs on the CONTRACTED graph only. At 10x scale
     # the old 2x-pairs edge checkpoint was a third of the resolve.
+    __b = _persistent_rdd_ids(sc)
     kept = (
         pairs.select("id_a", "id_b")
         .join(id_set, F.col("id_a") == F.col("__id"), "left_semi")
         .join(id_set, F.col("id_b") == F.col("__id"), "left_semi")
         .repartition(pairs.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
+    )
+    kept_ids = (
+        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
     )
     fwd = kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     rev = kept.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
@@ -614,7 +629,7 @@ def dedup_components(
             F.least(F.col("src"), F.col("__mn")).alias("label"),
         )
         .localCheckpoint(eager=True)
-    )
+    )  # kept pinned: the returned frame composes through these labels
 
     # When the edge-node set is modest, broadcast the label table into
     # the per-round join: the edge list — the big side — then never
@@ -663,6 +678,7 @@ def dedup_components(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
+    __b = _persistent_rdd_ids(sc)
     edges = (
         cpair.unionByName(
             cpair.select(
@@ -672,6 +688,10 @@ def dedup_components(
         .repartition(kept.sparkSession.sparkContext.defaultParallelism)
         .localCheckpoint(eager=True)
     )
+    edge_ids = (
+        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
+    )
+    __b = _persistent_rdd_ids(sc)
     iter_labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
@@ -681,6 +701,13 @@ def dedup_components(
         )
         .localCheckpoint(eager=True)
     )
+    prev_label_ids = (
+        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
+    )
+    # the undirected pair list has now fed its last consumers (the
+    # contracted edges and the initial labels): release it before the
+    # loop instead of pinning |pairs| rows for the session lifetime
+    _release_rdds(sc, kept_ids)
     full_labels, labels = labels, iter_labels
     bcast = labels.count() <= 2_000_000
 
@@ -729,6 +756,7 @@ def dedup_components(
             )
         )
         final = F.least(F.col("__p"), F.coalesce("__jl", "__p"))
+        __b = _persistent_rdd_ids(sc)
         new = (
             prop.join(jmp, prop["__p"] == F.col("__jn"), "left")
             .select(
@@ -741,6 +769,13 @@ def dedup_components(
             .localCheckpoint(eager=True)
         )
         changed = new.filter("moved").count()
+        # the previous round's label blocks fed this round's propagate
+        # and are now dead — rolling release keeps ONE label table
+        # pinned, not max_iter of them
+        if __b is not None:
+            __a = _persistent_rdd_ids(sc) or set()
+            _release_rdds(sc, prev_label_ids)
+            prev_label_ids = __a - __b
         labels = new.drop("moved")
         if changed == 0:
             break
@@ -752,6 +787,9 @@ def dedup_components(
             f"({changed} labels still moving); raise max_iter for "
             "long-chain components"
         )
+    # the contracted edge list has no consumer past the loop — the
+    # returned frame composes full_labels with the fixpoint labels only
+    _release_rdds(sc, edge_ids)
 
     # compose node -> initial label -> contracted-graph fixpoint (a
     # super-node with no contracted edge keeps its own id via the

@@ -34,6 +34,29 @@ from pyspark.sql import DataFrame, functions as F
 UNIT = 10**12  # one unit of rank mass, as a BIGINT fixed-point scale
 
 
+def _persistent_rdd_ids(sc) -> set[int] | None:
+    """RDD ids currently pinned in the JVM block manager, or None when
+    the backend doesn't expose them (e.g. Spark Connect — callers then
+    skip rolling release and keep the pre-r7 pin-until-session-end
+    behavior rather than failing)."""
+    try:
+        return set(sc._jsc.getPersistentRDDs().keySet().toArray())
+    except Exception:  # noqa: BLE001
+        return None
+
+
+def _release_rdds(sc, ids) -> None:
+    """Best-effort unpersist of checkpoint RDDs by id (non-blocking)."""
+    try:
+        jm = sc._jsc.getPersistentRDDs()
+        for rid in ids:
+            rdd = jm.get(rid)
+            if rdd is not None:
+                rdd.unpersist(False)
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     n_iter: int = 3,
@@ -151,6 +174,16 @@ def pagerank_fixed_point(
                 F.when(recipient, F.lit(seed_base)).otherwise(F.lit(0)).cast("long")
             )
             n_recipients = len(seeds)
+        # Rolling checkpoint release: each round's localCheckpoint is
+        # EAGER (one job per iteration — the standard iterative-Spark
+        # shape) and the PREVIOUS round's checkpoint blocks are
+        # unpersisted as soon as the new round has materialised, so the
+        # pinned footprint is one rank table, not n_iter of them. Pre-r7
+        # the lazy per-round checkpoints all materialised inside the
+        # final job and stayed pinned until the session died — the
+        # accumulation that OOM'd the r6 sf1 sweep driver.
+        sc = edges.sparkSession.sparkContext
+        prev_round_ids: set[int] = set()
         for _ in range(n_iter):
             contrib = e.join(ranks.filter(F.col("outdeg") > 0), "src").select(
                 "dst",
@@ -181,6 +214,7 @@ def pagerank_fixed_point(
             # deg is partitioned by src, incoming by dst (its agg key):
             # both sides arrive partitioned on their join key — no
             # exchange beyond the 1-row broadcast
+            before = _persistent_rdd_ids(sc)
             ranks = (
                 joined.withColumn(
                     "__inc", F.expr("coalesce(incoming, 0L)") + share
@@ -195,16 +229,21 @@ def pagerank_fixed_point(
                         )
                     ).alias("rank_int"),
                 )
-                .localCheckpoint(eager=False)
+                .localCheckpoint(eager=True)
             )
+            if before is not None:
+                after = _persistent_rdd_ids(sc) or set()
+                _release_rdds(sc, prev_round_ids)
+                prev_round_ids = after - before
         # materialise the final ranks — the operator returns a
         # self-contained frame and leaves no cache residue in a
-        # long-lived session
+        # long-lived session beyond the returned checkpoint itself
         out = ranks.select(
             F.col("src").alias("node"),
             "rank_int",
             (F.col("rank_int").cast("double") / F.lit(float(UNIT))).alias("rank"),
         ).localCheckpoint(eager=True)
+        _release_rdds(sc, prev_round_ids)
     finally:
         # release the cached edge/degree frames even when the guard or
         # an iteration fails mid-loop (r6 advice: the success-path-only
