@@ -1122,9 +1122,16 @@ def shingle_containment_pairs(
     # measured 5x ~36 s at sf1 (50k docs), ~90% of the operator's wall.
     # persist (evictable, releasable via result.containment_cache) —
     # NOT localCheckpoint, which pins blocks for the session lifetime.
+    # The repartition matters as much as the cache: the downstream plan
+    # is broadcast-join-heavy (no exchange anywhere), so every stage
+    # inherits THIS frame's layout — without it, a 2-file parquet scan
+    # runs the whole operator on 2 cores (r7 measurement: d12 at sf1
+    # spent ~50 s of its 61 s wall in 2-task stages).
     from pyspark.storagelevel import StorageLevel
 
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    toks = toks.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     p_len = (
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1

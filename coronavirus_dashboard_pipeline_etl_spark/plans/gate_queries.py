@@ -8138,7 +8138,20 @@ def pipe14_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id_a").alias("doc_id"))
         .distinct()
+        # `kept` feeds FOUR downstream subtrees (doc-bigram counts, the
+        # corpus model, the id spine, and the lang join); without this
+        # checkpoint each one re-executes the whole containment-pairs
+        # plan — measured 98.6 MiB shuffled at sf0.01 vs 13 MiB for the
+        # containment alone. The drop list is doc-ids only (tiny), so
+        # materialising it once turns every `kept` use into a scan +
+        # broadcast anti-join.
+        .localCheckpoint(eager=True)
     )
+    # the shingle arrays cached inside shingle_containment_pairs have
+    # served their purpose once the drop list is materialised
+    cache = getattr(pairs, "containment_cache", None)
+    if cache is not None:
+        cache.unpersist()
     kept = docs.join(drops, "doc_id", "left_anti")
     scored = bigram_lm_score(kept, mode="rational").filter(
         (F.col("n_bigrams") >= 8) & (F.col("novelty") <= 0.5)
