@@ -105,8 +105,13 @@ def minhash_signatures(
     xxhash64 (~the dominant cost of signature computation at corpus
     scale); keep the md5 default where a SQL oracle must replay the
     exact signatures."""
+    from ..operators.util import spread
+
     hashes = _token_hashes(text_col, base_hash)
-    df = df.withColumn("__th", hashes)
+    # map-only plan: signature work inherits the SCAN layout, so a
+    # low-partition local scan would hash on a handful of cores;
+    # spread() is a no-op at real file counts
+    df = spread(df).withColumn("__th", hashes)
     cols = {}
     for i, (a, b) in enumerate(hash_params(k)):
         cols[f"mh{i}"] = F.array_min(
@@ -237,7 +242,11 @@ def simhash(
     empty set is undefined; a 0 signature would make every empty doc a
     hamming-0 'near-dup' of every other) — ``simhash_candidate_pairs``
     drops those rows."""
-    df = df.withColumn("__th", _token_hashes(text_col))
+    from ..operators.util import spread
+
+    # bits x |shingles| vote folds per row on a map-only plan — spread
+    # off the scan layout (no-op when the scan is already wide)
+    df = spread(df).withColumn("__th", _token_hashes(text_col))
     acc = F.lit(0).cast("long")
     for j in range(bits):
         vote = F.aggregate(
@@ -488,10 +497,17 @@ def ngram_jaccard_pairs(
 
     if strategy not in ("prefix", "band"):
         raise ValueError(f"strategy must be prefix|band, got {strategy!r}")
-    toks = df.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        F.array_distinct(tokens(text_col)).alias("toks"),
+    from ..operators.util import spread
+
+    # tokenise + array_distinct off the scan layout; the token arrays
+    # also feed the exact-verify sides downstream (no-op at real file
+    # counts)
+    toks = spread(
+        df.select(
+            F.col(id_col),
+            *[F.col(c) for c in block_cols],
+            F.array_distinct(tokens(text_col)).alias("toks"),
+        )
     )
     if strategy == "prefix":
         return _jaccard_pairs_prefix(
@@ -1018,8 +1034,12 @@ def duplicated_spans(
     """
     if span_tokens < 1:
         raise ValueError(f"span_tokens must be >= 1, got {span_tokens}")
+    from ..operators.util import spread
+
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    base = df.select(F.col(id_col), toks.alias("__toks"))
+    # ~|tokens| md5 calls per row on the map side of the single
+    # groupBy — spread off the scan layout (no-op at real file counts)
+    base = spread(df.select(F.col(id_col), toks.alias("__toks")))
     n = F.size(F.col("__toks"))
     fps = F.when(
         n >= span_tokens,
@@ -1236,10 +1256,16 @@ def editdist_pairs_fastss(
     for near-sequential identifier sets is itself large — that output
     volume, not the candidate generation, is the scale bound.
     """
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        *[F.col(c) for c in block_cols],
-        F.col(text_col).alias("__txt"),
+    from ..operators.util import spread
+
+    # O(len) md5 calls per row before the first exchange — spread off
+    # the scan layout (no-op at real file counts)
+    base = spread(
+        df.select(
+            F.col(id_col).alias("__id"),
+            *[F.col(c) for c in block_cols],
+            F.col(text_col).alias("__txt"),
+        )
     )
     neighborhood = F.expr(
         """

@@ -91,8 +91,14 @@ def cosine_topk(
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((q_ids, q_mat, q_norm))
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    from ..operators.util import spread
+
+    # the matmul stage is map-only and inherits the corpus scan layout
+    # — spread off a narrow local scan (no-op at real file counts)
+    c = spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
     )
 
     def score_batches(batches):
@@ -293,10 +299,16 @@ def assign_centroids(
 
     Returns the input plus ``centroid_id`` and ``centroid_score``.
     """
+    from ..operators.util import spread
+
     rows = _collect_centroids(
         centroids, centroid_id_col, centroid_vec_col, max_centroids,
         "assign_centroids",
     )
+    # k cosines per row with no exchange anywhere: the scoring stage
+    # inherits the scan layout, so spread off a narrow local scan
+    # (no-op at real file counts)
+    df = spread(df)
     # single ARRAY literals (python lists), NOT F.array(*[F.lit(x)...]):
     # per-element literals build a k*dim-node CreateArray tree that
     # Catalyst re-analyses on every plan compile — at k=8, dim=64
@@ -506,10 +518,15 @@ def probe_assign(
     """
     if nprobe < 1:
         raise ValueError(f"nprobe must be >= 1, got {nprobe}")
+    from ..operators.util import spread
+
     rows = _collect_centroids(
         centroids, centroid_id_col, centroid_vec_col, max_centroids,
         "probe_assign",
     )
+    # k cosines per row, exchange-free — spread off a narrow local
+    # scan layout (no-op at real file counts)
+    df = spread(df)
     v = _to_double(F.col(vec_col))
     vnorm_raw = _norm(v)
     vnorm = F.when(vnorm_raw > 0, vnorm_raw).otherwise(

@@ -238,7 +238,11 @@ def tfidf_topk(
     """
     from pyspark.sql import Window
 
-    toks = df.select(
+    from ..operators.util import spread
+
+    # tokenise + explode off a narrow local scan layout (no-op at real
+    # file counts)
+    toks = spread(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(tokens(text_col)).alias("term")
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -310,7 +314,11 @@ def bm25_topk(
     def tf_col(t: str) -> Column:
         return F.size(F.filter(toks, lambda x: x == F.lit(t))).cast("double")
 
-    base = df.select(
+    from ..operators.util import spread
+
+    # per-term tf over the whole token array per row, map-only —
+    # spread off a narrow local scan layout (no-op at real file counts)
+    base = spread(df).select(
         F.col(id_col),
         dl.alias("__dl"),
         *[tf_col(t).alias(f"__tf_{i}") for i, t in enumerate(terms)],
@@ -382,9 +390,13 @@ def bigram_lm_score(
     """
     if mode not in ("log", "rational"):
         raise ValueError(f"mode must be 'log' or 'rational', got {mode!r}")
+    from ..operators.util import spread
 
     arr = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    base = df.select(F.col(id_col), arr.alias("__toks"))
+    # tokenisation + bigram explode feed the model shuffles from the
+    # scan layout — spread a narrow local scan first (no-op at real
+    # file counts)
+    base = spread(df.select(F.col(id_col), arr.alias("__toks")))
     n_tok = F.size("__toks")
     bigrams = F.transform(
         F.slice("__toks", 1, F.greatest(n_tok - 1, F.lit(0))),
@@ -473,11 +485,15 @@ def hashed_classifier_score(
     double — one division of identical operands), and the thresholded
     ``label``. Empty documents score NULL / label false.
     """
+    from ..operators.util import spread
     from .dedup import md5_prefix_long
 
     n_buckets = len(weights)
     if n_buckets < 1:
         raise ValueError("weights must be non-empty")
+    # one md5 per token per row, map-only — spread off a narrow local
+    # scan layout (no-op at real file counts)
+    df = spread(df)
     warr = F.lit([int(w) for w in weights])
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     per_tok = F.transform(

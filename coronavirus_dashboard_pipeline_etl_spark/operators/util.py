@@ -49,3 +49,34 @@ def with_scalar(df: DataFrame, name: str, agg: Column) -> DataFrame:
 
 def drop_helper(df: DataFrame, *cols: str) -> DataFrame:
     return df.drop(*[c for c in cols if c in df.columns])
+
+
+def spread(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the plan's current layout has
+    fewer partitions than the cluster has cores.
+
+    Why conditional: heavy per-row operators (shingle/bigram builds,
+    tokenisation, signature hashing) directly downstream of a scan
+    inherit the SCAN's layout whenever the plan between them is
+    exchange-free (broadcast joins, maps) — and a small file count
+    (or single-row-group files, which byte-range splitting cannot
+    parallelise) then runs the whole operator on a handful of cores
+    while the rest idle (measured: d12 at sf1 spent ~50 of 61 s in
+    2-task stages). At 100 TB the scan already has orders of magnitude
+    more partitions than cores, the condition is false, and NO corpus
+    shuffle is paid — an unconditional repartition here would be a
+    full-corpus exchange for nothing.
+
+    The partition-count probe converts the plan to an RDD (cheap, no
+    job); round-robin is used rather than a key so skew cannot follow
+    the data.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        current = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect: skip the probe
+        return df
+    if current < target:
+        return df.repartition(target)
+    return df
