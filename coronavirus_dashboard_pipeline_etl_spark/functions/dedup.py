@@ -499,15 +499,18 @@ def ngram_jaccard_pairs(
         raise ValueError(f"strategy must be prefix|band, got {strategy!r}")
     from ..operators.util import spread
 
-    # tokenise + array_distinct off the scan layout; the token arrays
-    # also feed the exact-verify sides downstream (no-op at real file
-    # counts)
+    # spread the RAW rows first so tokenise + array_distinct run on
+    # the wide layout (a spread placed after the projection would run
+    # the tokenise on the scan's map side); the token arrays also feed
+    # the exact-verify sides downstream. No-op at real file counts.
     toks = spread(
         df.select(
-            F.col(id_col),
-            *[F.col(c) for c in block_cols],
-            F.array_distinct(tokens(text_col)).alias("toks"),
+            F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col)
         )
+    ).select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        F.array_distinct(tokens(text_col)).alias("toks"),
     )
     if strategy == "prefix":
         return _jaccard_pairs_prefix(
@@ -1038,8 +1041,11 @@ def duplicated_spans(
 
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     # ~|tokens| md5 calls per row on the map side of the single
-    # groupBy — spread off the scan layout (no-op at real file counts)
-    base = spread(df.select(F.col(id_col), toks.alias("__toks")))
+    # groupBy — spread the RAW rows, then tokenise on the wide layout
+    # (no-op at real file counts)
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), toks.alias("__toks")
+    )
     n = F.size(F.col("__toks"))
     fps = F.when(
         n >= span_tokens,
@@ -1118,8 +1124,17 @@ def shingle_containment_pairs(
 
     if shingle_k < 1:
         raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    from ..operators.util import spread
+
+    # spread the RAW rows (cheap: id + blocks + text) BEFORE the
+    # shingle build: a repartition placed after the build runs the
+    # build itself on the scan's map side — measured 38 of d12's 58 s
+    # at sf1 on 2 of 32 cores (r7). No-op at real file counts.
+    src = spread(
+        df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
+    )
     w = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    base = df.select(F.col(id_col), *[F.col(c) for c in block_cols], w.alias("__w"))
+    base = src.select(F.col(id_col), *[F.col(c) for c in block_cols], w.alias("__w"))
     n = F.size("__w")
 
     def shingle(x: Column, i: Column) -> Column:
@@ -1142,16 +1157,11 @@ def shingle_containment_pairs(
     # measured 5x ~36 s at sf1 (50k docs), ~90% of the operator's wall.
     # persist (evictable, releasable via result.containment_cache) —
     # NOT localCheckpoint, which pins blocks for the session lifetime.
-    # The repartition matters as much as the cache: the downstream plan
-    # is broadcast-join-heavy (no exchange anywhere), so every stage
-    # inherits THIS frame's layout — without it, a 2-file parquet scan
-    # runs the whole operator on 2 cores (r7 measurement: d12 at sf1
-    # spent ~50 s of its 61 s wall in 2-task stages).
+    # (The spread above already gave this frame a wide layout, which
+    # the downstream broadcast-join-heavy plan inherits end-to-end.)
     from pyspark.storagelevel import StorageLevel
 
-    toks = toks.repartition(
-        df.sparkSession.sparkContext.defaultParallelism
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     p_len = (
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1

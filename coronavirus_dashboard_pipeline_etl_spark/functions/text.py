@@ -394,9 +394,11 @@ def bigram_lm_score(
 
     arr = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     # tokenisation + bigram explode feed the model shuffles from the
-    # scan layout — spread a narrow local scan first (no-op at real
-    # file counts)
-    base = spread(df.select(F.col(id_col), arr.alias("__toks")))
+    # scan layout — spread the RAW rows, then tokenise on the wide
+    # layout (no-op at real file counts)
+    base = spread(df.select(F.col(id_col), F.col(text_col))).select(
+        F.col(id_col), arr.alias("__toks")
+    )
     n_tok = F.size("__toks")
     bigrams = F.transform(
         F.slice("__toks", 1, F.greatest(n_tok - 1, F.lit(0))),
