@@ -111,6 +111,16 @@ HEADLINE = [
 
 BUCKET_TABLE = "bench_serving_store"
 
+# Reference host-speed probe for cross-round calibration: the numpy
+# elementwise probe measured in BENCH_r06 (1.052 s) — the EARLIEST round
+# that recorded one (r1-r5 predate the probe; the r1 baseline was taken
+# on a host of the same class, and r6 measured byte-identical plans at
+# ~r1 times, so this is the best available anchor). queries_calibrated =
+# raw_sec * (REF_PROBE / this_run_probe): a round on a 1.6x-slower host
+# (r7 measured exactly that) then compares to BASELINE.md mechanically
+# instead of via hand math in the verdict.
+REF_PROBE_NUMPY_SEC = 1.052
+
 
 def _calibrate() -> dict[str, float]:
     """Spark-independent host-speed probes, reported alongside the query
@@ -226,10 +236,21 @@ def main() -> None:
     # measurement: q1 steady 1.26 s, 1.65-2.05 s when every run
     # followed a System.gc — the whole "q1 regression" in BENCH_r06).
     # So: gc every GC_EVERY queries only, and absorb the one-off
-    # post-GC penalty with an UNTIMED run of the upcoming query, so
-    # every timed number measures the steady plan.
+    # post-GC penalty with an UNTIMED run of a NEUTRAL heap-recommit job
+    # — NOT the upcoming query (r7 did that, which timed 1-in-8 queries
+    # warm-codegen while the other 7 timed first-execution; every timed
+    # number now measures the same protocol: first execution of the
+    # plan on a committed heap, matching how r1's baseline was taken).
     GC_EVERY = 8
     gc_counter = {"n": 0}
+
+    def _neutral_absorber() -> None:
+        # memory-heavy enough to force the JVM to re-commit the heap the
+        # full GC just shrank (~0.5 s effect measured in r7), touching
+        # no headline plan's codegen cache
+        spark.range(0, 50_000_000, 1, 32).selectExpr(
+            "sum(id * 3 + 1) AS s"
+        ).write.format("noop").mode("overwrite").save()
 
     def timed(name: str, fn) -> None:
         import gc
@@ -242,9 +263,9 @@ def main() -> None:
             except Exception:  # noqa: BLE001
                 pass
             try:
-                fn()  # untimed absorber run of this same query
+                _neutral_absorber()
             except Exception:  # noqa: BLE001
-                pass  # the timed run below reports the error
+                pass
         t0 = time.perf_counter()
         try:
             fn()
@@ -283,13 +304,23 @@ def main() -> None:
     # reports value=null (per-query timings still carried for debugging)
     # plus an explicit complete flag.
     total = round(sum(timings.values()), 3)
+    calibration = _calibrate()
+    # host-speed normalisation vs the pinned reference probe (see
+    # REF_PROBE_NUMPY_SEC): <1 host factor = this host is faster than
+    # the reference, so calibrated numbers scale UP, and vice versa
+    host_factor = REF_PROBE_NUMPY_SEC / calibration["numpy_elementwise_sec"]
+    calibrated = {k: round(v * host_factor, 3) for k, v in timings.items()}
     out = {
         "metric": "headline_queries_total_wall",
         "value": None if errors else total,
         "unit": "sec",
         "complete": not errors,
         "queries": timings,
-        "calibration": _calibrate(),
+        "queries_calibrated": calibrated,
+        "calibrated_total": None if errors else round(sum(calibrated.values()), 3),
+        "host_factor": round(host_factor, 4),
+        "calibration": calibration,
+        "ref_probe_numpy_sec": REF_PROBE_NUMPY_SEC,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

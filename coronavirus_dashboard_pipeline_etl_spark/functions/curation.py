@@ -107,14 +107,29 @@ def stratified_sample(
     re-runs; training-data pipelines need the same doc kept every time,
     so the keep decision is ``md5(id + salt) % 10000 < fraction *
     10000``. Changing ``salt`` draws an independent sample.
+
+    Scale note: few strata (languages/sources) compile to a when-chain;
+    past 256 the thresholds ship as a map literal instead — a balanced
+    lookup rather than a 10k-deep CaseWhen tree that would stall
+    Catalyst. Both are map-side; the corpus never shuffles.
     """
-    threshold = F.lit(int(default_fraction * SAMPLE_BUCKETS))
-    expr = None
-    for stratum, frac in sorted(fractions.items()):
-        cond = F.col(stratum_col) == stratum
-        val = F.lit(int(frac * SAMPLE_BUCKETS))
-        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
-    threshold = expr.otherwise(threshold) if expr is not None else threshold
+    default = F.lit(int(default_fraction * SAMPLE_BUCKETS))
+    if len(fractions) > 256:
+        entries: list[Column] = []
+        for stratum, frac in sorted(fractions.items()):
+            entries.append(F.lit(stratum))
+            entries.append(F.lit(int(frac * SAMPLE_BUCKETS)))
+        lookup = F.create_map(*entries)
+        threshold = F.coalesce(
+            F.element_at(lookup, F.col(stratum_col)), default
+        )
+    else:
+        expr = None
+        for stratum, frac in sorted(fractions.items()):
+            cond = F.col(stratum_col) == stratum
+            val = F.lit(int(frac * SAMPLE_BUCKETS))
+            expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+        threshold = expr.otherwise(default) if expr is not None else default
     return df.filter(sample_bucket(id_col, salt) < threshold)
 
 
@@ -686,6 +701,7 @@ def mixture_rebalance(
     stratum_col: str = "lang",
     id_col: str = "doc_id",
     salt: str = "",
+    max_strata: int = 10_000,
 ) -> DataFrame:
     """Resample a corpus to a TARGET mixture (the data-mixture tuning
     step): given desired output fractions per stratum, compute the
@@ -714,12 +730,29 @@ def mixture_rebalance(
         raise ValueError(
             f"mixture_rebalance: target fractions must sum to 1, got {total_p}"
         )
-    counts = {
-        r[0]: r[1]
-        for r in df.groupBy(stratum_col)
+    if len(targets) > max_strata:
+        raise ValueError(
+            f"mixture_rebalance: {len(targets)} target strata exceeds "
+            f"max_strata={max_strata}"
+        )
+    # LOUD driver-side bound (mirrors probe_hot_keys / the similarity
+    # max_* guards): the per-stratum count dict is collected to the
+    # driver, so a high-cardinality stratum column (a doc id passed by
+    # mistake) must fail with a message, not OOM the driver.
+    count_rows = (
+        df.groupBy(stratum_col)
         .agg(F.count(F.lit(1)).alias("n"))
+        .limit(max_strata + 1)
         .collect()
-    }
+    )
+    if len(count_rows) > max_strata:
+        raise ValueError(
+            f"mixture_rebalance: stratum column {stratum_col!r} has more "
+            f"than max_strata={max_strata} distinct values — pass a "
+            "coarser stratum (language/source), or raise max_strata if "
+            "the cardinality is genuinely intended"
+        )
+    counts = {r[0]: r[1] for r in count_rows}
     missing = [s for s in targets if s not in counts]
     if missing:
         raise ValueError(

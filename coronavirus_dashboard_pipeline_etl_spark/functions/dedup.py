@@ -640,6 +640,7 @@ def dedup_components(
     # Initial label = min(node, min direct neighbour): this IS the
     # first propagation round, fused into initialisation for free (one
     # aggregation replaces a full round's join + checkpoint + count).
+    __b = _persistent_rdd_ids(sc)
     labels = (
         edges.groupBy("src")
         .agg(F.min("dst").alias("__mn"))
@@ -648,7 +649,11 @@ def dedup_components(
             F.least(F.col("src"), F.col("__mn")).alias("label"),
         )
         .localCheckpoint(eager=True)
-    )  # kept pinned: the returned frame composes through these labels
+    )  # kept pinned on success: the returned frame composes through
+    # these labels; tracked so the ERROR path can release them
+    init_label_ids = (
+        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
+    )
 
     # When the edge-node set is modest, broadcast the label table into
     # the per-round join: the edge list — the big side — then never
@@ -731,81 +736,97 @@ def dedup_components(
     bcast = labels.count() <= 2_000_000
 
     changed = -1
-    for _ in range(max_iter):
-        lbl = F.broadcast(labels) if bcast else labels
-        nbr = (
-            edges.join(lbl, edges.dst == lbl["node"])
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        # One propagate + a SQUARED pointer-jump per round: the jump
-        # table is the previous round's labels composed with themselves
-        # (node -> label-of-label, a label-sized self-join — tiny, no
-        # broadcast needed for its build), so ONE lookup resolves two
-        # hops and only one label-table broadcast ships per round.
-        # Labels are monotone (label <= node, updates only decrease),
-        # so min(p, jump_sq[p]) equals the sequential two-hop chain.
-        # Chain compression makes convergence ~log(diameter) rounds
-        # instead of diameter; round cost is dominated by fixed per-job
-        # overhead (checkpoint + count), so fewer rounds is the lever
-        # that matters.
-        j_a = labels.select(
-            F.col("node").alias("__jn"), F.col("label").alias("__l1")
-        )
-        j_b = labels.select(
-            F.col("node").alias("__kn"), F.col("label").alias("__l2")
-        )
-        jump_sq = j_a.join(
-            j_b, j_a["__l1"] == F.col("__kn"), "left"
-        ).select(
-            "__jn",
-            F.least(
-                F.col("__l1"), F.coalesce("__l2", "__l1")
-            ).alias("__jl"),
-        )
-        jmp = F.broadcast(jump_sq) if bcast else jump_sq
-        prop = (
-            labels.join(nbr, labels.node == nbr.src, "left")
-            .select(
-                "node",
-                F.col("label").alias("__orig"),
+    # error path (non-convergence, interrupt, executor loss) must not
+    # leave the contracted-edge / label checkpoint blocks pinned for the
+    # session — same try/release discipline as pagerank_fixed_point.
+    # The success path keeps prev_label_ids pinned: the returned lazy
+    # frame composes through the fixpoint label table.
+    try:
+        for _ in range(max_iter):
+            lbl = F.broadcast(labels) if bcast else labels
+            nbr = (
+                edges.join(lbl, edges.dst == lbl["node"])
+                .groupBy("src")
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            # One propagate + a SQUARED pointer-jump per round: the jump
+            # table is the previous round's labels composed with themselves
+            # (node -> label-of-label, a label-sized self-join — tiny, no
+            # broadcast needed for its build), so ONE lookup resolves two
+            # hops and only one label-table broadcast ships per round.
+            # Labels are monotone (label <= node, updates only decrease),
+            # so min(p, jump_sq[p]) equals the sequential two-hop chain.
+            # Chain compression makes convergence ~log(diameter) rounds
+            # instead of diameter; round cost is dominated by fixed per-job
+            # overhead (checkpoint + count), so fewer rounds is the lever
+            # that matters.
+            j_a = labels.select(
+                F.col("node").alias("__jn"), F.col("label").alias("__l1")
+            )
+            j_b = labels.select(
+                F.col("node").alias("__kn"), F.col("label").alias("__l2")
+            )
+            jump_sq = j_a.join(
+                j_b, j_a["__l1"] == F.col("__kn"), "left"
+            ).select(
+                "__jn",
                 F.least(
-                    F.col("label"), F.coalesce("nbr_label", "label")
-                ).alias("__p"),
+                    F.col("__l1"), F.coalesce("__l2", "__l1")
+                ).alias("__jl"),
             )
-        )
-        final = F.least(F.col("__p"), F.coalesce("__jl", "__p"))
-        __b = _persistent_rdd_ids(sc)
-        new = (
-            prop.join(jmp, prop["__p"] == F.col("__jn"), "left")
-            .select(
-                "node",
-                final.alias("label"),
-                # convergence flag computed inside the same projection —
-                # no extra join per round just to count moved labels
-                (final < F.col("__orig")).alias("moved"),
+            jmp = F.broadcast(jump_sq) if bcast else jump_sq
+            prop = (
+                labels.join(nbr, labels.node == nbr.src, "left")
+                .select(
+                    "node",
+                    F.col("label").alias("__orig"),
+                    F.least(
+                        F.col("label"), F.coalesce("nbr_label", "label")
+                    ).alias("__p"),
+                )
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = new.filter("moved").count()
-        # the previous round's label blocks fed this round's propagate
-        # and are now dead — rolling release keeps ONE label table
-        # pinned, not max_iter of them
-        if __b is not None:
-            __a = _persistent_rdd_ids(sc) or set()
-            _release_rdds(sc, prev_label_ids)
-            prev_label_ids = __a - __b
-        labels = new.drop("moved")
-        if changed == 0:
-            break
-    if changed != 0:
-        # returning intermediate labels would silently split components;
-        # fail loudly instead (diameter > max_iter is a data signal)
-        raise RuntimeError(
-            f"dedup_components did not converge in {max_iter} iterations "
-            f"({changed} labels still moving); raise max_iter for "
-            "long-chain components"
-        )
+            final = F.least(F.col("__p"), F.coalesce("__jl", "__p"))
+            __b = _persistent_rdd_ids(sc)
+            new = (
+                prop.join(jmp, prop["__p"] == F.col("__jn"), "left")
+                .select(
+                    "node",
+                    final.alias("label"),
+                    # convergence flag computed inside the same projection —
+                    # no extra join per round just to count moved labels
+                    (final < F.col("__orig")).alias("moved"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = new.filter("moved").count()
+            # the previous round's label blocks fed this round's propagate
+            # and are now dead — rolling release keeps ONE label table
+            # pinned, not max_iter of them
+            if __b is not None:
+                __a = _persistent_rdd_ids(sc) or set()
+                _release_rdds(sc, prev_label_ids)
+                prev_label_ids = __a - __b
+            labels = new.drop("moved")
+            if changed == 0:
+                break
+        if changed != 0:
+            # returning intermediate labels would silently split
+            # components; fail loudly instead (diameter > max_iter is a
+            # data signal)
+            raise RuntimeError(
+                f"dedup_components did not converge in {max_iter} "
+                f"iterations ({changed} labels still moving); raise "
+                "max_iter for long-chain components"
+            )
+    except BaseException:
+        # nothing is returned on the error path, so nothing may stay
+        # pinned: release the contracted edges, the current label
+        # checkpoint, and the initial full-graph labels before
+        # propagating
+        _release_rdds(sc, edge_ids)
+        _release_rdds(sc, prev_label_ids)
+        _release_rdds(sc, init_label_ids)
+        raise
     # the contracted edge list has no consumer past the loop — the
     # returned frame composes full_labels with the fixpoint labels only
     _release_rdds(sc, edge_ids)
@@ -1068,6 +1089,67 @@ def duplicated_spans(
     )
 
 
+def build_shingle_arrays(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: tuple[str, ...] = ("lang",),
+    shingle_k: int = 3,
+    persist: bool = True,
+) -> DataFrame:
+    """Distinct word k-shingle arrays per doc: ``(id, *block_cols,
+    toks array<string>, __sz int)``, empty-shingle docs dropped.
+
+    This is the REUSABLE input of ``shingle_containment_pairs`` — at
+    corpus scale the shingle build (tokenise + slide + concat + distinct
+    per doc) is the operator's dominant linear cost (measured ~36 s of
+    d12's ~46 s at sf1), so a release pipeline should build it ONCE and
+    feed every consumer (containment dedup, novelty gates, Jaccard
+    verification) the same persisted frame, then ``unpersist()`` when
+    the release's curation stages are done. The caller owns the
+    lifecycle; ``persist=True`` (default) uses evictable
+    MEMORY_AND_DISK, never a session-pinned localCheckpoint.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..operators.util import spread
+    from .text import tokens
+
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    # spread the RAW rows (cheap: id + blocks + text) BEFORE the
+    # shingle build: a repartition placed after the build runs the
+    # build itself on the scan's map side — measured 38 of d12's 58 s
+    # at sf1 on 2 of 32 cores (r7). No-op at real file counts.
+    src = spread(
+        df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
+    )
+    w = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = src.select(F.col(id_col), *[F.col(c) for c in block_cols], w.alias("__w"))
+    n = F.size("__w")
+
+    def shingle(x: Column, i: Column) -> Column:
+        parts = [x] + [
+            F.element_at(F.col("__w"), i + 1 + j) for j in range(1, shingle_k)
+        ]
+        return F.concat_ws(" ", *parts)
+
+    sh = F.array_distinct(
+        F.transform(
+            F.slice("__w", 1, F.greatest(n - (shingle_k - 1), F.lit(0))), shingle
+        )
+    )
+    toks = base.select(
+        F.col(id_col), *block_cols, sh.alias("toks")
+    ).withColumn("__sz", F.size("toks")).filter(F.col("__sz") > 0)
+    if persist:
+        # cache the shingle arrays ONCE: five downstream subtrees (freq
+        # agg, rank window, postings, and both verification sides) would
+        # otherwise each re-run the build — measured 5x ~36 s at sf1.
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    return toks
+
+
 def shingle_containment_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -1076,6 +1158,7 @@ def shingle_containment_pairs(
     threshold: float = 0.8,
     shingle_k: int = 3,
     max_block: int | None = 100_000,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Asymmetric set containment C(a->b) = |a ∩ b| / |a| over word
     k-shingles: emits ordered pairs where b nearly CONTAINS a — the
@@ -1111,57 +1194,38 @@ def shingle_containment_pairs(
 
     MEMORY NOTE: the shingle arrays are persisted (MEMORY_AND_DISK)
     because five downstream subtrees reuse them, and the ``max_block``
-    guard materialises them eagerly at call time. The persisted frame
-    is attached to the result as ``result.containment_cache`` —
-    long-lived sessions should ``result.containment_cache.unpersist()``
-    after consuming the result. Unlike the earlier
-    ``localCheckpoint(eager=True)`` form, evicted blocks recompute
-    instead of pinning JVM storage forever.
+    guard materialises them eagerly at call time. The RELIABLE way to
+    manage that memory is to build the arrays yourself with
+    ``build_shingle_arrays`` and pass them via ``shingles=`` — the
+    caller then owns the handle and can ``unpersist()`` at the end of
+    the curation stage (and reuse the same frame for every other
+    shingle consumer in the release). When built internally, the frame
+    is attached as ``result.containment_cache`` for convenience, but
+    that is a plain Python attribute on the RETURNED OBJECT ONLY — any
+    subsequent transformation (.filter/.select) returns a new DataFrame
+    without it, so long-lived sessions that transform the result should
+    use the ``shingles=`` form. Evicted blocks recompute instead of
+    pinning JVM storage forever.
     """
     from pyspark.sql import Window
 
-    from .text import tokens
-
-    if shingle_k < 1:
-        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
-    from ..operators.util import spread
-
-    # spread the RAW rows (cheap: id + blocks + text) BEFORE the
-    # shingle build: a repartition placed after the build runs the
-    # build itself on the scan's map side — measured 38 of d12's 58 s
-    # at sf1 on 2 of 32 cores (r7). No-op at real file counts.
-    src = spread(
-        df.select(F.col(id_col), *[F.col(c) for c in block_cols], F.col(text_col))
-    )
-    w = F.filter(tokens(text_col), lambda t: t != F.lit(""))
-    base = src.select(F.col(id_col), *[F.col(c) for c in block_cols], w.alias("__w"))
-    n = F.size("__w")
-
-    def shingle(x: Column, i: Column) -> Column:
-        parts = [x] + [
-            F.element_at(F.col("__w"), i + 1 + j) for j in range(1, shingle_k)
-        ]
-        return F.concat_ws(" ", *parts)
-
-    sh = F.array_distinct(
-        F.transform(
-            F.slice("__w", 1, F.greatest(n - (shingle_k - 1), F.lit(0))), shingle
+    if shingles is not None:
+        missing = {id_col, "toks", "__sz"} - set(shingles.columns)
+        if missing:
+            raise ValueError(
+                "pre-built shingles frame is missing columns "
+                f"{sorted(missing)}; build it with build_shingle_arrays("
+                f"..., shingle_k={shingle_k})"
+            )
+        toks = shingles
+    else:
+        toks = build_shingle_arrays(
+            df,
+            id_col=id_col,
+            text_col=text_col,
+            block_cols=block_cols,
+            shingle_k=shingle_k,
         )
-    )
-    toks = base.select(
-        F.col(id_col), *block_cols, sh.alias("toks")
-    ).withColumn("__sz", F.size("toks")).filter(F.col("__sz") > 0)
-    # cache the shingle arrays ONCE: five downstream subtrees (freq
-    # agg, rank window, postings, and both verification sides) would
-    # otherwise each re-run the transform+concat shingle build —
-    # measured 5x ~36 s at sf1 (50k docs), ~90% of the operator's wall.
-    # persist (evictable, releasable via result.containment_cache) —
-    # NOT localCheckpoint, which pins blocks for the session lifetime.
-    # (The spread above already gave this frame a wide layout, which
-    # the downstream broadcast-join-heavy plan inherits end-to-end.)
-    from pyspark.storagelevel import StorageLevel
-
-    toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
 
     p_len = (
         F.col("__sz") - F.ceil(F.col("__sz") * F.lit(threshold)) + 1
@@ -1225,7 +1289,10 @@ def shingle_containment_pairs(
         .select("id_a", "id_b", containment.alias("containment"))
         .filter(F.col("containment") >= threshold)
     )
-    result.containment_cache = toks
+    if shingles is None:
+        # convenience handle for untransformed-result callers; see
+        # MEMORY NOTE — prefer the shingles= form for reliable release
+        result.containment_cache = toks
     return result
 
 

@@ -38,7 +38,18 @@ def _persistent_rdd_ids(sc) -> set[int] | None:
     """RDD ids currently pinned in the JVM block manager, or None when
     the backend doesn't expose them (e.g. Spark Connect — callers then
     skip rolling release and keep the pre-r7 pin-until-session-end
-    behavior rather than failing)."""
+    behavior rather than failing).
+
+    CONCURRENCY CONTRACT: the before/after set-diff protocol both
+    iterative operators use (snapshot ids, checkpoint, diff) assumes no
+    OTHER thread creates persistent RDDs on this SparkContext inside
+    the window — a concurrent job's localCheckpoint landing in the diff
+    would later be unpersisted by us, and localCheckpoint blocks are
+    unrecoverable (lineage truncated), so that job would fail with
+    missing-block errors. Run iterative ops (pagerank_fixed_point,
+    dedup_components) from one driver thread at a time, or on separate
+    SparkContexts. Single-threaded drivers (this engine's batch plans,
+    the gate harness, spark-submit jobs) are unaffected."""
     try:
         return set(sc._jsc.getPersistentRDDs().keySet().toArray())
     except Exception:  # noqa: BLE001

@@ -3,11 +3,26 @@ metadata, with decode/feature-extract as Arrow-batched Pandas transforms.
 
 Design (BASELINE.json north star): media rides as a ``binary`` column
 next to a metadata struct; all Spark-side plumbing (schema, partitioning,
-mapInPandas batch shape) is real and tested. The codec step itself is
-STUBBED — this container has no image/audio libraries — behind
-``_decode_image_bytes``: a deterministic fake "decoder" that parses our
-synthetic header format. A real deployment swaps in PIL/ffmpeg inside
-the same batch function; nothing else changes.
+mapInPandas batch shape) is real and tested.
+
+The codec layer does REAL byte-level decoding for the uncompressed
+formats a library-free container can handle:
+
+* **PPM (P6 binary)** — header parse (whitespace + ``#`` comments),
+  maxval check, RGB24 raster. The m2 driver gate flows real P6 files
+  through this path and its DuckDB oracle replays the same bytes.
+* **BMP (24-bit BI_RGB)** — BITMAPFILEHEADER + BITMAPINFOHEADER,
+  4-byte row stride padding, bottom-up and top-down rasters, BGR→RGB.
+* **IMG: synthetic** — the original deterministic grayscale test
+  format, kept so the feature/resize fixtures stay byte-stable.
+
+Luma for RGB rasters is the ITU-R BT.601 integer form
+``(299·R + 587·G + 114·B) / 1000`` averaged over pixels — integer
+numerator, single final division, so Spark (numpy int64) and any SQL
+oracle (BIGINT sum) agree bit-for-bit. Compressed formats (PNG/JPEG/
+GIF/WebP) need a codec library and raise ``NotImplementedError`` with
+the magic they matched — in a real deployment PIL slots into
+``_decode_image_bytes`` and nothing else changes.
 
 Why mapInPandas: codecs are Python-only, so the exchange must cross into
 Python — Arrow batches amortise that to one transfer per ~10k rows, and
@@ -43,23 +58,151 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
     )
 
 
-def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
-    """STUB decoder (deterministic fake).
+#: magic -> name, for the formats that genuinely need a codec library.
+_CODEC_GATED = {
+    b"\x89PNG": "PNG (zlib inflate)",
+    b"\xff\xd8\xff": "JPEG (DCT entropy decode)",
+    b"GIF8": "GIF (LZW)",
+    b"RIFF": "WebP/RIFF (VP8)",
+}
 
-    Real deployments replace this with e.g. PIL.Image.open(BytesIO(buf)).
-    The fake format is ``b"IMG:<width>x<height>:"`` followed by payload
-    bytes; "luma" is the mean payload byte value. Unknown formats raise,
-    like a real codec would.
-    """
-    if not buf.startswith(b"IMG:"):
+
+def _parse_ppm(buf: bytes) -> tuple[int, int, "object"]:
+    """Real byte-level decode of binary PPM (P6): whitespace- and
+    ``#``-comment-tolerant header, maxval<=255 check, RGB24 raster.
+    Returns ``(w, h, rgb)`` where ``rgb`` is a flat ``uint8`` ndarray of
+    length ``3*w*h`` in RGB pixel order."""
+    import numpy as np
+
+    if not buf.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(buf) and buf[pos : pos + 1].isspace():
+            pos += 1
+        if buf[pos : pos + 1] == b"#":  # comment to end-of-line
+            eol = buf.find(b"\n", pos)
+            pos = len(buf) if eol < 0 else eol + 1
+            continue
+        start = pos
+        while pos < len(buf) and not buf[pos : pos + 1].isspace():
+            pos += 1
+        if pos == start:
+            raise ValueError("truncated PPM header")
+        fields.append(int(buf[start:pos]))
+    pos += 1  # single whitespace byte after maxval, then raster
+    w, h, maxval = fields
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PPM dimensions {w}x{h}")
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    n = 3 * w * h
+    raster = buf[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(f"PPM raster truncated: {len(raster)} < {n}")
+    return w, h, np.frombuffer(raster, dtype=np.uint8)
+
+
+def _parse_bmp(buf: bytes) -> tuple[int, int, "object"]:
+    """Real byte-level decode of uncompressed 24-bit BMP (BI_RGB):
+    BITMAPFILEHEADER + BITMAPINFOHEADER, 4-byte-aligned row stride,
+    bottom-up (positive height) or top-down (negative) rasters, BGR→RGB.
+    Returns ``(w, h, rgb)`` flat uint8 in top-down RGB order."""
+    import struct
+
+    import numpy as np
+
+    if not buf.startswith(b"BM") or len(buf) < 54:
+        raise ValueError("not a BMP")
+    data_offset = struct.unpack_from("<I", buf, 10)[0]
+    hdr_size, w, h_raw = struct.unpack_from("<Iii", buf, 14)
+    planes, bpp, compression = struct.unpack_from("<HHI", buf, 26)
+    if hdr_size < 40 or planes != 1:
+        raise ValueError("unsupported BMP header")
+    if bpp != 24 or compression != 0:
         raise NotImplementedError(
-            "real image decoding requires an image library (PIL); "
-            "this container ships the plumbing with a stub codec"
+            f"only 24-bit BI_RGB BMP decoded here (got bpp={bpp}, "
+            f"compression={compression}); other variants need a codec lib"
         )
-    header, _, payload = buf[4:].partition(b":")
-    w, h = (int(x) for x in header.split(b"x"))
-    luma = (sum(payload) / len(payload)) if payload else 0.0
-    return w, h, luma
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w < 1 or h < 1:
+        raise ValueError(f"bad BMP dimensions {w}x{h_raw}")
+    stride = (3 * w + 3) & ~3  # rows padded to 4-byte boundary
+    need = stride * h
+    raster = buf[data_offset : data_offset + need]
+    if len(raster) != need:
+        raise ValueError(f"BMP raster truncated: {len(raster)} < {need}")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    bgr = rows[:, : 3 * w].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]  # stored bottom-up
+    return w, h, np.ascontiguousarray(bgr[..., ::-1]).reshape(-1)
+
+
+_LUMA_WEIGHTS = (299, 587, 114)  # ITU-R BT.601, x1000 integer form
+
+
+def _rgb_mean_luma(w: int, h: int, rgb: "object") -> float:
+    """Integer-exact mean luma: BIGINT-safe weighted sum, one final
+    division — bit-reproducible against a SQL oracle doing the same."""
+    import numpy as np
+
+    px = rgb.astype(np.int64).reshape(-1, 3)
+    total = int(px[:, 0].sum()) * _LUMA_WEIGHTS[0]
+    total += int(px[:, 1].sum()) * _LUMA_WEIGHTS[1]
+    total += int(px[:, 2].sum()) * _LUMA_WEIGHTS[2]
+    return total / (1000 * w * h)
+
+
+def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
+    """Dispatch on magic bytes and decode.
+
+    PPM (P6) and 24-bit BMP are decoded for real (pure Python + numpy,
+    no image library); luma is the BT.601 integer mean. The legacy
+    ``b"IMG:<w>x<h>:"`` synthetic grayscale format keeps its original
+    semantics (mean payload byte) so existing fixtures stay stable.
+    Compressed formats raise, naming the codec they'd need.
+    """
+    if buf.startswith(b"P6"):
+        w, h, rgb = _parse_ppm(buf)
+        return w, h, _rgb_mean_luma(w, h, rgb)
+    if buf.startswith(b"BM"):
+        w, h, rgb = _parse_bmp(buf)
+        return w, h, _rgb_mean_luma(w, h, rgb)
+    if buf.startswith(b"IMG:"):
+        header, _, payload = buf[4:].partition(b":")
+        w, h = (int(x) for x in header.split(b"x"))
+        luma = (sum(payload) / len(payload)) if payload else 0.0
+        return w, h, luma
+    for magic, name in _CODEC_GATED.items():
+        if buf.startswith(magic):
+            raise NotImplementedError(
+                f"{name} decoding requires an image library (PIL); "
+                "uncompressed PPM/BMP are decoded natively"
+            )
+    raise NotImplementedError(
+        "unrecognised image format; PPM (P6), 24-bit BMP and the IMG: "
+        "synthetic format are decoded natively, compressed formats "
+        "require an image library (PIL)"
+    )
+
+
+def _image_pixels(buf: bytes) -> tuple[int, int, "object"]:
+    """Decode to a flat uint8 pixel-byte array for transform stages
+    (RGB triplets for PPM/BMP; raw grayscale payload for IMG:)."""
+    import numpy as np
+
+    if buf.startswith(b"P6"):
+        return _parse_ppm(buf)
+    if buf.startswith(b"BM"):
+        return _parse_bmp(buf)
+    if buf.startswith(b"IMG:"):
+        header, _, payload = buf[4:].partition(b":")
+        w, h = (int(x) for x in header.split(b"x"))
+        return w, h, np.frombuffer(payload, dtype=np.uint8)
+    _decode_image_bytes(buf)  # raises the right NotImplementedError
+    raise AssertionError("unreachable")
 
 
 def decode_images(df: DataFrame, content_col: str = "content") -> DataFrame:
@@ -117,18 +260,37 @@ def resize_images(
     re-encode inside one Python batch, binary columns crossing Arrow in
     both directions, metadata recomputed from the new bytes).
 
-    The codec is the same documented stub as ``decode_images`` (no image
-    libs in this container): payload bytes are truncated/repeated to the
-    target pixel count and the fake header rewritten. A real deployment
-    swaps PIL's ``resize`` into the same batch function; schema,
-    batching, and downstream metadata stay identical.
+    PPM/BMP inputs get a REAL nearest-neighbour resample on the decoded
+    RGB raster (numpy index grid, no per-pixel Python loop), re-encoded
+    as binary PPM (P6). Legacy ``IMG:`` inputs keep the original
+    truncate/repeat semantics so existing fixtures stay byte-stable.
+    A real deployment swaps PIL's ``resize`` into the same batch
+    function; schema, batching, and downstream metadata stay identical.
     """
     if target_w < 1 or target_h < 1:
         raise ValueError(f"target dims must be >= 1, got {target_w}x{target_h}")
+    import numpy as np
     import pandas as pd
 
     cols = df.select("media_id", "kind", content_col)
     n_target = target_w * target_h
+
+    def _resize_one(buf: bytes) -> bytes:
+        if buf.startswith(b"IMG:"):
+            payload = buf.partition(b":")[2].partition(b":")[2]
+            reps = -(-n_target // max(len(payload), 1))
+            resized = (payload * reps)[:n_target] if payload else b"\x00" * n_target
+            return b"IMG:%dx%d:" % (target_w, target_h) + resized
+        w, h, rgb = _image_pixels(buf)
+        img = rgb.reshape(h, w, 3)
+        # nearest-neighbour: centre-of-cell source index per target cell
+        ys = np.minimum((np.arange(target_h) * h) // target_h, h - 1)
+        xs = np.minimum((np.arange(target_w) * w) // target_w, w - 1)
+        resized = img[ys][:, xs]
+        return (
+            b"P6\n%d %d\n255\n" % (target_w, target_h)
+            + np.ascontiguousarray(resized).tobytes()
+        )
 
     def run(batches):
         for pdf in batches:
@@ -139,11 +301,7 @@ def resize_images(
             for mid, kind, buf in zip(
                 pdf["media_id"], pdf["kind"], pdf[content_col]
             ):
-                _w, _h, _ = _decode_image_bytes(bytes(buf))
-                payload = bytes(buf).partition(b":")[2].partition(b":")[2]
-                reps = -(-n_target // max(len(payload), 1))
-                resized = (payload * reps)[:n_target] if payload else b"\x00" * n_target
-                content = b"IMG:%dx%d:" % (target_w, target_h) + resized
+                content = _resize_one(bytes(buf))
                 out["media_id"].append(mid)
                 out["kind"].append(kind)
                 out["content"].append(content)
@@ -170,8 +328,9 @@ def extract_features(
     vectorised per batch with numpy (``frombuffer`` + ``bincount`` —
     no per-byte Python loop).
 
-    The stub feature is a ``dim``-bin normalised byte histogram of the
-    payload (deterministic, library-free); a real deployment swaps a
+    The feature is a ``dim``-bin normalised histogram of the DECODED
+    pixel bytes (real PPM/BMP rasters or the IMG: grayscale payload —
+    deterministic, library-free); a real deployment swaps a
     vision encoder into the same batch function and nothing else
     changes. The output ``embedding`` column feeds directly into
     ``similarity.cosine_topk`` / ``cosine_topk_ivf`` — multimodal
@@ -191,13 +350,11 @@ def extract_features(
             for mid, kind, buf in zip(
                 pdf["media_id"], pdf["kind"], pdf[content_col]
             ):
-                _w, _h, _ = _decode_image_bytes(bytes(buf))
-                payload = bytes(buf).partition(b":")[2].partition(b":")[2]
-                if payload:
-                    b = np.frombuffer(payload, dtype=np.uint8)
-                    hist = np.bincount(b % dim, minlength=dim).astype(
+                _w, _h, px = _image_pixels(bytes(buf))
+                if px.size:
+                    hist = np.bincount(px % dim, minlength=dim).astype(
                         np.float64
-                    ) / len(b)
+                    ) / px.size
                 else:
                     hist = np.zeros(dim, dtype=np.float64)
                 ids.append(mid)

@@ -4501,29 +4501,40 @@ from ..functions.multimodal import decode_images  # noqa: E402
 
 
 def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal DECODE stage with a correctness row: synthetic
-    IMG:<w>x<h>: binaries built from doc text flow through the real
-    Arrow-batched mapInPandas decoder; the oracle replays the documented
-    stub codec (dims from the header, mean payload byte as luma) in
-    SQL. Swapping PIL into the batch function changes none of this
-    plumbing."""
+    """The multimodal DECODE stage with a REAL codec in the loop:
+    binary PPM (P6) files are assembled from doc text (header + RGB
+    raster bytes) and flow through the Arrow-batched mapInPandas
+    decoder, which parses the actual PPM byte format (multimodal._parse_ppm)
+    and computes BT.601 integer luma. The oracle replays the same raster
+    construction and luma arithmetic in SQL — integer numerator, one
+    final division, so the comparison is bit-exact.
+
+    ASCII-sanitised payload: the Python side operates on UTF-8 BYTES
+    while the SQL oracle operates on code points — identical only for
+    ASCII."""
     docs = load_table(spark, sf_dir, "documents")
-    # ASCII-sanitise the payload: the Python side operates on UTF-8
-    # BYTES while the SQL oracle operates on code points — identical
-    # only for ASCII, and the driver may regenerate testdata with
-    # non-ASCII text at any round
     ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
+        ascii_text.alias("t"),
+        (1 + F.col("doc_id") % 7).cast("int").alias("w"),
+        (1 + F.col("doc_id") % 5).cast("int").alias("h"),
+    ).select(
+        "media_id",
         F.lit("image").alias("kind"),
         F.encode(
             F.concat(
-                F.lit("IMG:"),
-                (1 + F.col("doc_id") % 7).cast("string"),
-                F.lit("x"),
-                (1 + F.col("doc_id") % 5).cast("string"),
-                F.lit(":"),
-                ascii_text,
+                F.lit("P6\n"),
+                F.col("w").cast("string"),
+                F.lit(" "),
+                F.col("h").cast("string"),
+                F.lit("\n255\n"),
+                # raster: text bytes repeated then cut/padded to 3*w*h
+                F.expr(
+                    "rpad(substring(repeat(t, cast(ceil(cast(3*w*h as double)"
+                    " / greatest(length(t), 1)) as int)), 1, 3*w*h),"
+                    " 3*w*h, ' ')"
+                ),
             ),
             "UTF-8",
         ).alias("content"),
@@ -4533,21 +4544,34 @@ def m2_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 M2_SQL = r"""
 WITH a AS (
-    SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+    SELECT doc_id,
+           regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t,
+           CAST(1 + doc_id % 7 AS INT) AS w,
+           CAST(1 + doc_id % 5 AS INT) AS h
     FROM documents
+),
+raster AS (
+    SELECT doc_id, w, h,
+           list_transform(
+               string_split(
+                   rpad(substring(repeat(t,
+                            CAST(ceil(CAST(3*w*h AS DOUBLE)
+                                      / greatest(length(t), 1)) AS INT)),
+                        1, 3*w*h), 3*w*h, ' '),
+                   ''),
+               c -> ord(c)) AS cs
+    FROM a
 )
 SELECT doc_id AS media_id,
        'image' AS kind,
-       CAST(1 + doc_id % 7 AS INT) AS width,
-       CAST(1 + doc_id % 5 AS INT) AS height,
-       CAST((1 + doc_id % 7) * (1 + doc_id % 5) AS BIGINT) AS n_pixels,
-       CASE WHEN len(t) = 0 THEN 0.0
-            ELSE CAST(list_reduce(
-                     list_prepend(0, list_transform(string_split(t, ''),
-                                                    c -> ord(c))),
-                     (a, b) -> a + b) AS DOUBLE) / len(t)
-       END AS mean_luma
-FROM a
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(299 * CAST(list_sum(list_filter(cs, (x, i) -> i % 3 = 1)) AS BIGINT)
+          + 587 * CAST(list_sum(list_filter(cs, (x, i) -> i % 3 = 2)) AS BIGINT)
+          + 114 * CAST(list_sum(list_filter(cs, (x, i) -> i % 3 = 0)) AS BIGINT)
+          AS DOUBLE) / (1000 * w * h) AS mean_luma
+FROM raster
 """
 
 QUERIES["m2_image_decode"] = m2_image_decode
@@ -8115,11 +8139,19 @@ def pipe14_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
        novelty, mean corpus frequency — exact integers + one double
        division each, so the whole pipeline value-hashes vs DuckDB.
     """
-    from ..functions.dedup import shingle_containment_pairs
+    from ..functions.dedup import build_shingle_arrays, shingle_containment_pairs
     from ..functions.text import bigram_lm_score
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = shingle_containment_pairs(docs, threshold=0.8, shingle_k=3)
+    # the corpus-scale pattern: build the shingle arrays ONCE per
+    # release and hand the same persisted frame to every shingle
+    # consumer (here just containment; a full curation run would also
+    # feed Jaccard verification / novelty gates), then release the
+    # handle explicitly once the drop list is materialised
+    shingles = build_shingle_arrays(docs, shingle_k=3)
+    pairs = shingle_containment_pairs(
+        docs, threshold=0.8, shingle_k=3, shingles=shingles
+    )
     sizes = docs.select(
         "doc_id", F.size(F.split("text", " ")).alias("__n_toks")
     )
@@ -8147,11 +8179,9 @@ def pipe14_quality_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # broadcast anti-join.
         .localCheckpoint(eager=True)
     )
-    # the shingle arrays cached inside shingle_containment_pairs have
-    # served their purpose once the drop list is materialised
-    cache = getattr(pairs, "containment_cache", None)
-    if cache is not None:
-        cache.unpersist()
+    # the shingle arrays have served their purpose once the drop list
+    # is materialised — explicit handle, explicit release
+    shingles.unpersist()
     kept = docs.join(drops, "doc_id", "left_anti")
     scored = bigram_lm_score(kept, mode="rational").filter(
         (F.col("n_bigrams") >= 8) & (F.col("novelty") <= 0.5)

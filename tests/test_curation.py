@@ -678,3 +678,55 @@ def test_priority_sample_weighted_without_replacement(spark):
     kept_w = [r["w"] for r in kept.collect()]
     all_w = [r[2] for r in rows]
     assert sum(kept_w) / len(kept_w) > sum(all_w) / len(all_w)
+
+
+def test_mixture_rebalance_max_strata_guard(spark):
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        mixture_rebalance,
+    )
+
+    # stratum column with 50 distinct values against max_strata=10:
+    # must fail LOUDLY before collecting the full count dict
+    df = spark.createDataFrame(
+        [(i, f"s{i % 50}") for i in range(200)], "doc_id long, lang string"
+    )
+    with _pytest.raises(ValueError, match="max_strata"):
+        mixture_rebalance(df, {"s0": 0.5, "s1": 0.5}, max_strata=10)
+    # too many TARGETS also refuses up front
+    targets = {f"s{i}": 1 / 50 for i in range(50)}
+    with _pytest.raises(ValueError, match="target strata exceeds"):
+        mixture_rebalance(df, targets, max_strata=10)
+    # at/below the bound, unchanged behavior
+    out = mixture_rebalance(
+        df, {"s0": 0.5, "s1": 0.5}, max_strata=50
+    )
+    assert out.count() > 0
+
+
+def test_stratified_sample_map_literal_path_matches_when_chain(spark):
+    """>256 strata switches to the map-literal threshold lookup; the
+    kept set must be identical to the when-chain form (same md5 coin,
+    same thresholds, same default)."""
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=f"l{i % 300}") for i in range(1200)]
+    )
+    big = {f"l{j}": (0.8 if j % 2 else 0.2) for j in range(300)}
+    out_map = stratified_sample(docs, big, default_fraction=0.1)
+    kept_map = sorted(r.doc_id for r in out_map.collect())
+    # when-chain result reconstructed stratum-by-stratum (each call
+    # stays under the 256 cutoff)
+    kept_chain = []
+    for j in range(300):
+        sub = docs.filter(F.col("lang") == f"l{j}")
+        kept_chain.extend(
+            r.doc_id
+            for r in stratified_sample(sub, {f"l{j}": big[f"l{j}"]}).collect()
+        )
+    assert kept_map == sorted(kept_chain)
+    # default_fraction applies to unlisted strata in the map path too
+    out_def = stratified_sample(
+        docs, {f"l{j}": 1.0 for j in range(299)} | {"zz": 1.0}, default_fraction=0.0
+    )
+    assert out_def.filter(F.col("lang") == "l299").count() == 0

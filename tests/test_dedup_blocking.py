@@ -393,3 +393,32 @@ def test_editdist_pairs_blocking_exact(spark):
 
     with pytest.raises(RuntimeError, match="max_block"):
         editdist_pairs(df, max_distance=3, max_block=1)
+
+
+def test_dedup_components_nonconvergence_releases_checkpoints(spark):
+    """The error path (max_iter exhausted) must not leave contracted-
+    edge / label checkpoint blocks pinned — same try/release discipline
+    as pagerank_fixed_point (r8, ADVICE)."""
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_components,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.graph import (
+        _persistent_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    # long chain (diameter 40) cannot converge in 1 iteration even with
+    # the squared pointer-jump
+    n = 40
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(n)]
+    )
+    ids = spark.createDataFrame([Row(doc_id=i) for i in range(n + 1)])
+    before = _persistent_rdd_ids(sc)
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, ids, max_iter=1)
+    if before is not None:  # backend exposes the block registry
+        leaked = (_persistent_rdd_ids(sc) or set()) - before
+        assert leaked == set(), f"error path left RDDs pinned: {leaked}"
