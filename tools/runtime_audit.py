@@ -44,6 +44,13 @@ def _parse_count(s: str) -> int:
 
 
 def measure(spark, fn, sf_dir: str) -> dict[str, float]:
+    # cache hygiene: a cached relation left by an earlier query would
+    # let this one skip the very shuffles being measured (plan-keyed
+    # CacheManager matches across gate invocations)
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
     store = spark._jsparkSession.sharedState().statusStore()
     before = store.executionsCount()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -111,6 +118,14 @@ def main() -> None:
                 "the engine's target is shuffles carrying keys + partial aggregates,\n"
                 "NOT raw input. Spill > 0 at this scale would flag an operator that\n"
                 "cannot hold its partition working set.\n\n"
+                "Protocol (r8+): `spark.catalog.clearCache()` before every query —\n"
+                "the CacheManager matches persisted plans structurally, so without\n"
+                "it a query re-deriving an earlier query's subplan (pipe14 vs d12's\n"
+                "shingle arrays) skips the very shuffles being measured. Numbers\n"
+                "here price each query as if it ran alone. The d12/pipe14 rows also\n"
+                "include the `spread()` round-robin repartition of the raw docs —\n"
+                "a small-file-layout artifact of the local test parquet (one scan\n"
+                "partition at sf0.01) that is a no-op at real corpus file counts.\n\n"
                 "| query | shuffle MiB | shuffle records | spill MiB | max node rows |\n"
                 "|---|---|---|---|---|\n"
             )

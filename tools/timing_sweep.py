@@ -58,13 +58,24 @@ def main() -> None:
             spark = get_spark(master="local[32]", shuffle_partitions=32)
         try:
             fn(spark, sf_dir).count()  # warm: plan compile + codegen
+            # drop the warm run's persisted relations: the CacheManager
+            # matches plans structurally, so the timed run would ride
+            # the warm run's persist (measured: d12 9.5 s cache-warm vs
+            # ~40 s honest at sf1). Steady state = warm codegen, COLD
+            # data — any persist a gate legitimately builds is rebuilt
+            # inside the timed window, like a fresh production run.
+            spark.catalog.clearCache()
             t0 = time.time()
             fn(spark, sf_dir).count()
             out[name] = round(time.time() - t0, 2)
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
             out[name] = f"ERR {type(e).__name__}"
-        # release the finished gate's plans, checkpoint blocks, and
-        # broadcasts before the next one is timed
+        # release the finished gate's plans, cached relations,
+        # checkpoint blocks, and broadcasts before the next one is timed
+        try:
+            spark.catalog.clearCache()
+        except Exception:  # noqa: BLE001
+            pass
         gc.collect()
         try:
             spark._jvm.System.gc()
