@@ -44,7 +44,12 @@ def calibrate() -> float:
     return round(time.perf_counter() - t0, 3)
 
 
-SESSION_GATES = 30
+import os
+
+# gates between session restarts; 0 = NEVER restart (the single-session
+# endurance mode — r7's rolling checkpoint release is supposed to make
+# restarts unnecessary, and SPARK_GRAFT_SESSION_GATES=0 proves it)
+SESSION_GATES = int(os.environ.get("SPARK_GRAFT_SESSION_GATES", "30"))
 
 
 def main() -> None:
@@ -53,7 +58,7 @@ def main() -> None:
     spark = get_spark(master="local[32]", shuffle_partitions=32)
     out: dict[str, object] = {}
     for idx, (name, fn) in enumerate(QUERIES.items()):
-        if idx and idx % SESSION_GATES == 0:
+        if SESSION_GATES and idx and idx % SESSION_GATES == 0:
             spark.stop()
             spark = get_spark(master="local[32]", shuffle_partitions=32)
         try:
@@ -86,6 +91,7 @@ def main() -> None:
             {
                 "sf_dir": sf_dir,
                 "calibration_numpy_sec": calibrate(),
+                "session_gates": SESSION_GATES,  # 0 = one session, no restarts
                 "steady_s": out,
             },
             f,
