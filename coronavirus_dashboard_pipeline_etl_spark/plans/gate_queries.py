@@ -5665,20 +5665,30 @@ from ..functions.multimodal import extract_features  # noqa: E402
 
 
 def m3_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The multimodal FEATURE-EXTRACT stage: synthetic IMG binaries ->
-    16-bin normalised byte histogram (numpy-vectorised mapInPandas).
-    The oracle replays the histogram over the same payload in SQL; the
-    output embedding column is ANN-ready (cosine_topk input shape)."""
+    """The multimodal FEATURE-EXTRACT stage over REAL binary PPM (P6)
+    files: w = max(len//3, 1) single-row raster carrying the doc text
+    as pixel bytes (truncated to a multiple of 3, space-padded short
+    docs), decoded by the real codec, then the 16-bin normalised
+    pixel-byte histogram (numpy-vectorised mapInPandas). The oracle
+    replays the raster construction and histogram over the same
+    payload in SQL; the output embedding column is ANN-ready
+    (cosine_topk input shape)."""
     docs = load_table(spark, sf_dir, "documents")
     # ASCII-sanitise: Python histograms UTF-8 BYTES, the oracle code
     # points — identical only for ASCII (see m2)
-    ascii_text = F.regexp_replace(F.col("text"), r"[^\x00-\x7F]", "")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("image").alias("kind"),
-        F.encode(
-            F.concat(F.lit("IMG:1x1:"), ascii_text), "UTF-8"
-        ).alias("content"),
+    media = docs.selectExpr(
+        "doc_id AS media_id",
+        r"regexp_replace(text, '[^\\x00-\\x7F]', '') AS t",
+    ).selectExpr(
+        "media_id",
+        "'image' AS kind",
+        "t",
+        "greatest(length(t) div 3, 1) AS w",
+    ).selectExpr(
+        "media_id",
+        "kind",
+        "encode(concat('P6\n', cast(w as string), ' 1\n255\n',"
+        " rpad(substring(t, 1, 3*w), 3*w, ' ')), 'UTF-8') AS content",
     )
     out = extract_features(media, dim=16)
     return out.select(
@@ -5693,11 +5703,16 @@ WITH a AS (
     SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
     FROM documents
 ),
+raster AS (
+    SELECT doc_id, t, CAST(greatest(len(t) // 3, 1) AS INT) AS w FROM a
+),
 chars AS (
     SELECT doc_id AS media_id, 'image' AS kind,
-           list_transform(string_split(t, ''), c -> ord(c) % 16) AS mods,
-           len(t) AS n
-    FROM a
+           list_transform(
+               string_split(rpad(substring(t, 1, 3*w), 3*w, ' '), ''),
+               c -> ord(c) % 16) AS mods,
+           3*w AS n
+    FROM raster
 ),
 hist AS (
     SELECT media_id, kind,
