@@ -940,6 +940,108 @@ def dedup_incremental(
     )
 
 
+def minhash_probe_pairs(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    base_hash: str = "md5",
+    corpus_sigs: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental NEAR-dup: probe a new batch against an indexed
+    corpus — the daily-crawl-vs-corpus pass of ``dedup_incremental``,
+    at MinHash granularity instead of exact fingerprints. Emits
+    ``(new_id, old_id, jaccard)`` for every batch doc whose verified
+    token-set Jaccard with some corpus doc is >= ``threshold``.
+
+    PROBE-shaped for 100 TB: the corpus side is INDEX STATE — its
+    signature table (and in production its exploded band-bucket table)
+    is computed once per release, persisted, and only ever equi-joined
+    on the band key; pass it via ``corpus_sigs`` to skip recompute.
+    Per-probe cost is then:
+
+    * signature build over the BATCH only (map-side expressions);
+    * one equi-join of batch band rows against the corpus band table —
+      shuffle carries the batch bands plus matching corpus buckets,
+      never the corpus (AQE's skew-join splits a degenerate bucket);
+    * exact verification: token arrays are built for the CANDIDATE
+      doc ids only (semi-join fetch), so the expensive tokenise +
+      array_intersect work is candidate-sized, not corpus-sized.
+
+    Within-batch duplicates are deliberately out of scope — run the
+    standard ``lsh_candidate_pairs``/``dedup_components`` over the
+    batch for those; keep-set policy (drop matched docs, or link them
+    into the corpus component) stays with the caller, like the other
+    pair generators here.
+
+    Empty-token docs carry NULL signatures and never probe (minhash
+    similarity is undefined for an empty set — same contract as
+    ``lsh_candidate_pairs``); exact empty-text dups are
+    ``dedup_incremental``'s job.
+    """
+    rows_per_band = k // bands
+    sig_b = minhash_signatures(batch, id_col, text_col, k, base_hash)
+    sig_c = (
+        corpus_sigs
+        if corpus_sigs is not None
+        else minhash_signatures(corpus, id_col, text_col, k, base_hash)
+    )
+
+    def band_rows(sigs: DataFrame, out_id: str) -> DataFrame:
+        cols = []
+        for bidx in range(bands):
+            members = [
+                F.col(f"mh{i}")
+                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+            ]
+            cols.append(
+                F.struct(
+                    F.lit(bidx).alias("band"),
+                    F.concat_ws("_", *members).alias("sig"),
+                )
+            )
+        return (
+            sigs.filter(F.col("mh0").isNotNull())
+            .select(F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("b"))
+            .select(out_id, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+        )
+
+    cand = (
+        band_rows(sig_b, "new_id")
+        .join(band_rows(sig_c, "old_id"), ["band", "sig"])
+        .select("new_id", "old_id")
+        .distinct()
+    )
+
+    def tok_arrays(df: DataFrame, out_id: str, out_toks: str) -> DataFrame:
+        toks = F.filter(
+            F.array_distinct(tokens(text_col)), lambda t: t != F.lit("")
+        )
+        return df.select(F.col(id_col).alias(out_id), toks.alias(out_toks))
+
+    # candidate-sized fetch: only docs that appear in a candidate pair
+    # are tokenised for verification
+    tb = tok_arrays(batch, "new_id", "__ta").join(
+        cand.select("new_id").distinct(), "new_id", "left_semi"
+    )
+    tc = tok_arrays(corpus, "old_id", "__tb").join(
+        cand.select("old_id").distinct(), "old_id", "left_semi"
+    )
+    inter = F.size(F.array_intersect("__ta", "__tb")).cast("double")
+    union = (
+        F.size("__ta") + F.size("__tb") - F.size(F.array_intersect("__ta", "__tb"))
+    ).cast("double")
+    return (
+        cand.join(tb, "new_id")
+        .join(tc, "old_id")
+        .select("new_id", "old_id", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def editdist_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

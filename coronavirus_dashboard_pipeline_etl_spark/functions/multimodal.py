@@ -365,3 +365,129 @@ def extract_features(
             )
 
     return cols.mapInPandas(run, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Audio: WAV (RIFF/PCM) — the uncompressed audio format a library-free
+# container can decode for real, the way PPM/BMP are for images.
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "media_id long, kind string, sample_rate int, n_channels int, "
+    "bits int, n_samples long, duration_s double, rms double"
+)
+
+
+def _parse_wav(buf: bytes) -> tuple[int, int, int, "object"]:
+    """Real byte-level decode of RIFF/WAVE PCM: chunk walk (fmt / data,
+    skipping LIST/fact/etc. with odd-size padding), format must be
+    PCM(1), 8-bit unsigned or 16-bit signed little-endian. Returns
+    ``(sample_rate, n_channels, bits, samples)`` where ``samples`` is
+    an int32 ndarray of interleaved channel samples (8-bit values
+    re-centred to signed by -128, mirroring common DSP convention).
+    """
+    import struct
+
+    import numpy as np
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(buf):
+        cid = buf[pos : pos + 4]
+        size = struct.unpack_from("<I", buf, pos + 4)[0]
+        body = buf[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"WAV chunk {cid!r} truncated: {len(body)} < {size}")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, n_channels, sample_rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if audio_fmt != 1:
+        raise NotImplementedError(
+            f"only PCM WAV decoded here (audio format {audio_fmt}; "
+            "compressed audio needs a codec library)"
+        )
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError(f"bad WAV header: channels={n_channels} rate={sample_rate}")
+    if bits == 16:
+        if len(data) % (2 * n_channels):
+            raise ValueError("WAV data not frame-aligned")
+        samples = np.frombuffer(data, dtype="<i2").astype(np.int32)
+    elif bits == 8:
+        if len(data) % n_channels:
+            raise ValueError("WAV data not frame-aligned")
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.int32) - 128
+    else:
+        raise NotImplementedError(f"{bits}-bit PCM unsupported (8/16 only)")
+    return sample_rate, n_channels, bits, samples
+
+
+def decode_audio(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Binary WAV column -> per-clip features via Arrow-batched
+    mapInPandas: sample rate / channels / bit depth from the real
+    header, frame count, duration, and RMS amplitude.
+
+    RMS is integer-exact up to one final sqrt(sum/(n)): the sum of
+    squares is accumulated in int64 (16-bit samples bound each term by
+    2^30, so ~2^33 samples fit — far beyond any single clip), and both
+    the division and sqrt are single IEEE-double ops a SQL oracle
+    reproduces bit-for-bit. Map-side only; no shuffle.
+    """
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cols = df.select("media_id", "kind", content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "sample_rate": [],
+                "n_channels": [], "bits": [], "n_samples": [],
+                "duration_s": [], "rms": [],
+            }
+            for mid, kind, buf in zip(
+                pdf["media_id"], pdf["kind"], pdf[content_col]
+            ):
+                rate, ch, bits, samples = _parse_wav(bytes(buf))
+                frames = samples.size // ch
+                sq = int(np.sum(samples.astype(np.int64) ** 2))
+                rms = math.sqrt(sq / samples.size) if samples.size else 0.0
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["bits"].append(bits)
+                out["n_samples"].append(frames)
+                out["duration_s"].append(frames / rate)
+                out["rms"].append(rms)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, AUDIO_SCHEMA)
+
+
+def build_wav_pcm16(
+    rate: int, samples: "object", n_channels: int = 1
+) -> bytes:
+    """Assemble a minimal PCM-16 WAV (RIFF + fmt + data) from an int
+    sequence — the builder half of the decode round-trip, used by gates
+    and tests to synthesise real WAV bytes deterministically."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, rate,
+        rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(pcm)) + pcm + (b"\x00" if len(pcm) & 1 else b"")
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks

@@ -9116,6 +9116,141 @@ QUERIES["d13_fastss_pairs"] = d13_fastss_pairs
 ORACLE["d13_fastss_pairs"] = D13_SQL
 
 
+from ..functions.dedup import minhash_probe_pairs  # noqa: E402
+
+
+def d14_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup probe: the 20% of docs with doc_id % 5 = 0
+    play the 'new batch', the other 80% the indexed corpus. The batch's
+    band rows equi-join the corpus band table (index state in
+    production), and only candidate docs are tokenised for the exact
+    Jaccard verify — the daily-crawl-vs-corpus shape at MinHash
+    granularity (functions/dedup.py minhash_probe_pairs; ref parallel:
+    the reference's releases are full re-loads keyed by row hash,
+    db_etl_upload/uploader.py:320-325 — this is the incremental
+    alternative a corpus-scale pipeline needs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    return minhash_probe_pairs(batch, corpus, k=16, bands=2, threshold=0.5)
+
+
+def _d14_sql() -> str:
+    sig_exprs = ",".join(
+        f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(hash_params(16))
+    )
+    band_sel = []
+    for bidx in range(2):
+        members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
+        band_sel.append(
+            f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig "
+            "FROM SIDE WHERE mh0 IS NOT NULL"
+        )
+    bands = " UNION ALL ".join(band_sel)
+    return f"""
+WITH th_b AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE doc_id % 5 = 0),
+th_c AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE doc_id % 5 <> 0),
+sig_b AS (SELECT doc_id, {sig_exprs} FROM th_b),
+sig_c AS (SELECT doc_id, {sig_exprs} FROM th_c),
+bands_b AS ({bands.replace('SIDE', 'sig_b')}),
+bands_c AS ({bands.replace('SIDE', 'sig_c')}),
+cand AS (
+    SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
+    FROM bands_b b JOIN bands_c c ON b.band = c.band AND b.sig = c.sig
+),
+toks AS (
+    SELECT doc_id,
+           list_filter(list_distinct(string_split(text, ' ')), t -> t <> '') AS toks
+    FROM documents
+)
+SELECT cand.new_id, cand.old_id,
+       CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+       / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+         AS jaccard
+FROM cand
+JOIN toks a ON a.doc_id = cand.new_id
+JOIN toks b ON b.doc_id = cand.old_id
+WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      >= 0.5
+"""
+
+
+D14_SQL = _d14_sql()
+
+QUERIES["d14_probe_pairs"] = d14_probe_pairs
+ORACLE["d14_probe_pairs"] = D14_SQL
+
+
+def m4_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal AUDIO stage with a real codec in the loop:
+    deterministic PCM-16 WAV clips (RIFF + fmt + data assembled by
+    multimodal.build_wav_pcm16 from doc_id-derived samples) flow
+    through the real byte-level WAV parser (chunk walk, little-endian
+    frames) in decode_audio; the oracle recomputes every feature from
+    the same sample formula — a wrong stride/endianness/offset in the
+    parser shows up as a value mismatch. RMS is an integer
+    sum-of-squares with one double division + sqrt, bit-reproducible.
+    """
+    import pandas as pd
+
+    from ..functions.multimodal import build_wav_pcm16, decode_audio
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"), F.lit("audio").alias("kind")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                rate = 8000 + (d % 3) * 4000
+                n = 8 + d % 50
+                xs = [((d * 7919 + i * 104729) % 65536) - 32768 for i in range(n)]
+                contents.append(build_wav_pcm16(rate, xs))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": contents,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    return decode_audio(media)
+
+
+M4_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 3) * 4000 AS INT) AS rate,
+           CAST(8 + doc_id % 50 AS BIGINT) AS n
+    FROM documents
+),
+s AS (
+    SELECT doc_id, rate, n,
+           list_transform(range(0, CAST(n AS INT)),
+                          i -> (doc_id * 7919 + i * 104729) % 65536 - 32768) AS xs
+    FROM p
+)
+SELECT doc_id AS media_id,
+       'audio' AS kind,
+       rate AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits,
+       n AS n_samples,
+       CAST(n AS DOUBLE) / rate AS duration_s,
+       sqrt(CAST(list_sum(list_transform(xs, x -> x * x)) AS BIGINT)
+            / CAST(n AS DOUBLE)) AS rms
+FROM s
+"""
+
+QUERIES["m4_audio_decode"] = m4_audio_decode
+ORACLE["m4_audio_decode"] = M4_SQL
+
+
 def h6_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table content checksum per returnflag
     (functions.curation.table_checksum): the one-pass commutative

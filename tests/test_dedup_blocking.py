@@ -422,3 +422,43 @@ def test_dedup_components_nonconvergence_releases_checkpoints(spark):
     if before is not None:  # backend exposes the block registry
         leaked = (_persistent_rdd_ids(sc) or set()) - before
         assert leaked == set(), f"error path left RDDs pinned: {leaked}"
+
+
+def test_minhash_probe_pairs_batch_vs_corpus(spark):
+    """Probe-shaped incremental near-dup: batch docs match corpus docs
+    only (never batch-batch or corpus-corpus), verified Jaccard is
+    exact, and a precomputed corpus signature table (the persisted
+    index state) gives identical results."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        minhash_probe_pairs,
+        minhash_signatures,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=2, text="an entirely different document about spark plans"),
+            Row(doc_id=3, text="the quick brown fox leaps over the lazy dog"),
+        ]
+    )
+    batch = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="the quick brown fox jumps over the lazy dog"),
+            Row(doc_id=11, text="nothing like anything in the corpus whatsoever"),
+            Row(doc_id=12, text=""),  # empty -> null signature, never probes
+        ]
+    )
+    got = minhash_probe_pairs(batch, corpus, k=16, bands=4, threshold=0.5)
+    rows = {(r.new_id, r.old_id): r.jaccard for r in got.collect()}
+    assert (10, 1) in rows and rows[(10, 1)] == 1.0   # exact duplicate
+    assert all(nid in (10,) for nid, _ in rows)       # 11/12 match nothing
+    assert all(oid in (1, 3) for _, oid in rows)      # doc 2 never matches
+
+    # the persisted-index path: precomputed corpus signatures, same result
+    sig_c = minhash_signatures(corpus, k=16)
+    got2 = minhash_probe_pairs(
+        batch, corpus, k=16, bands=4, threshold=0.5, corpus_sigs=sig_c
+    )
+    assert {(r.new_id, r.old_id, r.jaccard) for r in got2.collect()} == {
+        (n, o, j) for (n, o), j in rows.items()
+    }

@@ -811,3 +811,54 @@ def test_ppm_through_spark_decode_and_resize(spark):
     assert bytes(resized[2].content) == b"P6\n1 1\n255\n" + bytes([255, 0, 0])
     re2 = {r.media_id: r for r in decode_images(resize_images(media, 1, 1)).collect()}
     assert re2[1].n_pixels == 1
+
+
+def test_wav_decode_goldens_and_chunk_walk(spark):
+    """Real RIFF/PCM parsing: stereo 16-bit, 8-bit recentring, unknown
+    chunks skipped with word alignment, loud errors for non-PCM and
+    truncated data."""
+    import math
+    import struct
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_wav,
+        build_wav_pcm16,
+        decode_audio,
+    )
+
+    # stereo: interleaved L/R frames, n_samples counts FRAMES
+    stereo = build_wav_pcm16(16000, [100, -100, 200, -200], n_channels=2)
+    rate, ch, bits, s = _parse_wav(stereo)
+    assert (rate, ch, bits) == (16000, 2, 16)
+    assert s.tolist() == [100, -100, 200, -200]
+
+    # 8-bit unsigned recentres to signed around 0
+    pcm8 = bytes([128, 228, 28])  # -> 0, +100, -100
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    # an unknown odd-sized chunk that must be skipped with padding
+    body += b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"
+    body += b"data" + struct.pack("<I", len(pcm8)) + pcm8 + b"\x00"
+    wav8 = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    rate, ch, bits, s = _parse_wav(wav8)
+    assert (rate, ch, bits) == (8000, 1, 8)
+    assert s.tolist() == [0, 100, -100]
+
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="PCM"):
+        bad = bytearray(stereo)
+        bad[20] = 3  # IEEE float format tag
+        _parse_wav(bytes(bad))
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_wav(stereo[:-1])
+
+    # Spark path: duration counts frames, rms is integer-exact
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(stereo)), (2, "audio", bytearray(wav8))],
+        "media_id long, kind string, content binary",
+    )
+    rows = {r.media_id: r for r in decode_audio(media).collect()}
+    assert rows[1].n_samples == 2 and rows[1].duration_s == 2 / 16000
+    assert rows[1].rms == math.sqrt((100**2 + 100**2 + 200**2 + 200**2) / 4)
+    assert rows[2].n_samples == 3 and rows[2].rms == math.sqrt(20000 / 3)
