@@ -491,3 +491,217 @@ def build_wav_pcm16(
     chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(pcm)) + pcm + (b"\x00" if len(pcm) & 1 else b"")
     return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+# ---------------------------------------------------------------------------
+# Video: Y4M (YUV4MPEG2) — the uncompressed video container a
+# library-free environment can decode for real, completing the
+# image (PPM/BMP) / audio (WAV) / video triplet. Compressed codecs
+# (H.264/VP9/AV1 inside MP4/MKV/WebM) need a decoder library and are
+# rejected loudly by magic, the same contract as _CODEC_GATED images.
+# ---------------------------------------------------------------------------
+
+VIDEO_SCHEMA = (
+    "media_id long, kind string, width int, height int, fps_num int, "
+    "fps_den int, colorspace string, n_frames int, duration_s double"
+)
+
+FRAME_SCHEMA = (
+    "media_id long, frame_index int, width int, height int, mean_luma double"
+)
+
+#: container magics that demand a real video codec library.
+_VIDEO_CODEC_GATED = {
+    b"\x1aE\xdf\xa3": "Matroska/WebM (VP9/AV1)",
+}
+
+
+def _parse_y4m(buf: bytes) -> tuple[int, int, int, int, str, list]:
+    """Real byte-level decode of a YUV4MPEG2 stream: the stream header
+    (``YUV4MPEG2 W.. H.. F<num>:<den> .. C..\\n`` — space-separated
+    tagged parameters, unknown tags skipped per spec) followed by
+    ``FRAME[ params]\\n`` + raw planar data per frame. Supported
+    colorspaces: ``C420*`` (Y then half-resolution U and V planes) and
+    ``Cmono`` (Y plane only). Returns ``(w, h, fps_num, fps_den,
+    colorspace, y_planes)`` where each Y plane is a uint8 ndarray of
+    ``w*h`` luma samples — chroma is walked over (its size must be
+    right or every later frame's Y offset is wrong) but not retained.
+    """
+    import numpy as np
+
+    for magic, codec in _VIDEO_CODEC_GATED.items():
+        if buf.startswith(magic):
+            raise NotImplementedError(
+                f"compressed video container ({codec}) needs a codec library"
+            )
+    if len(buf) >= 8 and buf[4:8] == b"ftyp":  # ISO-BMFF: size + 'ftyp'
+        raise NotImplementedError(
+            "compressed video container (ISO-BMFF/MP4, H.264/HEVC) "
+            "needs a codec library"
+        )
+    if not buf.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a YUV4MPEG2 stream")
+    nl = buf.find(b"\n")
+    if nl < 0:
+        raise ValueError("Y4M header unterminated")
+    w = h = None
+    fps_num, fps_den = 30, 1
+    colorspace = "420jpeg"  # the Y4M default when no C tag is present
+    for tok in buf[9:nl].split(b" "):
+        if not tok:
+            continue
+        tag, val = tok[:1], tok[1:]
+        try:
+            if tag == b"W":
+                w = int(val)
+            elif tag == b"H":
+                h = int(val)
+            elif tag == b"F":
+                num, den = val.split(b":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == b"C":
+                colorspace = val.decode("ascii")
+            # I (interlace), A (aspect), X (extension) tags are skipped
+        except (ValueError, UnicodeDecodeError) as exc:
+            raise ValueError(f"bad Y4M header token {tok!r}") from exc
+    if not w or not h or fps_num < 1 or fps_den < 1:
+        raise ValueError(f"bad Y4M geometry: W={w} H={h} F={fps_num}:{fps_den}")
+    if colorspace.startswith("420"):
+        if (w % 2) or (h % 2):
+            raise ValueError(f"C420 needs even dimensions, got {w}x{h}")
+        frame_size = w * h + 2 * (w // 2) * (h // 2)
+    elif colorspace == "mono":
+        frame_size = w * h
+    else:
+        raise NotImplementedError(
+            f"Y4M colorspace {colorspace!r} unsupported (420*/mono only)"
+        )
+    pos, y_planes = nl + 1, []
+    while pos < len(buf):
+        if buf[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"bad FRAME marker at byte {pos}")
+        fnl = buf.find(b"\n", pos)
+        if fnl < 0:
+            raise ValueError("FRAME header unterminated")
+        start = fnl + 1  # per-frame params between FRAME and \n are legal
+        if start + frame_size > len(buf):
+            raise ValueError(
+                f"frame {len(y_planes)} truncated: "
+                f"{len(buf) - start} < {frame_size} bytes"
+            )
+        y_planes.append(np.frombuffer(buf, dtype=np.uint8, count=w * h, offset=start))
+        pos = start + frame_size
+    return w, h, fps_num, fps_den, colorspace, y_planes
+
+
+def decode_video(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Binary Y4M column -> per-media stream summary via Arrow-batched
+    mapInPandas: geometry and frame rate from the real header, frame
+    count from walking the FRAME markers (so a wrong plane-size
+    calculation shows up as a truncation error, not a silent miscount),
+    duration as ``n_frames * fps_den / fps_num``. Map-side only, no
+    shuffle — scales with input splits."""
+    import pandas as pd
+
+    cols = df.select("media_id", "kind", content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "kind": [], "width": [], "height": [],
+                "fps_num": [], "fps_den": [], "colorspace": [],
+                "n_frames": [], "duration_s": [],
+            }
+            for mid, kind, buf in zip(pdf["media_id"], pdf["kind"], pdf[content_col]):
+                w, h, num, den, cs, planes = _parse_y4m(bytes(buf))
+                out["media_id"].append(mid)
+                out["kind"].append(kind)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["fps_num"].append(num)
+                out["fps_den"].append(den)
+                out["colorspace"].append(cs)
+                out["n_frames"].append(len(planes))
+                out["duration_s"].append(len(planes) * den / num)
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, VIDEO_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 1,
+    content_col: str = "content",
+) -> DataFrame:
+    """Explode binary Y4M into one row per sampled frame (every n-th,
+    0-indexed) with the frame's mean luma. Y4M stores the luma plane
+    directly, so ``mean_luma`` is an int64 sum of the frame's ``w*h``
+    Y samples with ONE final double division — bit-reproducible by a
+    SQL oracle (BIGINT sum / DOUBLE).
+
+    The whole stream must still be walked to find frame offsets (Y4M
+    has no index), so the cost is a linear scan per media — but only
+    sampled frames cross back over Arrow, which is the point of
+    sampling: every_n=30 on 30fps video ships 1/30th of the decode.
+    Map-side only; no shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    cols = df.select("media_id", content_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_index": [], "width": [],
+                "height": [], "mean_luma": [],
+            }
+            for mid, buf in zip(pdf["media_id"], pdf[content_col]):
+                w, h, _num, _den, _cs, planes = _parse_y4m(bytes(buf))
+                for fi in range(0, len(planes), every_n):
+                    luma_sum = int(planes[fi].astype(np.int64).sum())
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["mean_luma"].append(luma_sum / (w * h))
+            yield pd.DataFrame(out)
+
+    return cols.mapInPandas(run, FRAME_SCHEMA)
+
+
+def build_y4m(
+    w: int,
+    h: int,
+    y_planes: "object",
+    fps_num: int = 30,
+    fps_den: int = 1,
+    colorspace: str = "420jpeg",
+) -> bytes:
+    """Assemble a real Y4M stream from per-frame luma planes — the
+    builder half of the decode round-trip for gates and tests. For
+    420 colorspaces the chroma planes are neutral (0x80): a decoder
+    that mis-sizes them reads 0x80 runs into the next frame's luma
+    and fails the value gate."""
+    import numpy as np
+
+    if colorspace.startswith("420"):
+        if (w % 2) or (h % 2):
+            raise ValueError(f"C420 needs even dimensions, got {w}x{h}")
+        chroma = b"\x80" * (2 * (w // 2) * (h // 2))
+    elif colorspace == "mono":
+        chroma = b""
+    else:
+        raise ValueError(f"build_y4m supports 420*/mono, got {colorspace!r}")
+    head = (
+        f"YUV4MPEG2 W{w} H{h} F{fps_num}:{fps_den} Ip A1:1 C{colorspace}\n"
+    ).encode("ascii")
+    parts = [head]
+    for plane in y_planes:
+        y = np.asarray(plane, dtype=np.uint8)
+        if y.size != w * h:
+            raise ValueError(f"luma plane has {y.size} samples, needs {w * h}")
+        parts.append(b"FRAME\n" + y.tobytes() + chroma)
+    return b"".join(parts)

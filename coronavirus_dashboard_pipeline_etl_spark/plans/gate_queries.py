@@ -9401,3 +9401,76 @@ SELECT doc_id, lang, n_tokens FROM ranked WHERE rk <= 20
 
 QUERIES["x19_priority_sample"] = x19_priority_sample
 ORACLE["x19_priority_sample"] = X19_SQL
+
+
+def m5_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal VIDEO stage with a real container decode in the
+    loop: deterministic Y4M (YUV4MPEG2) streams — real header + FRAME
+    markers + planar rasters assembled by multimodal.build_y4m from
+    doc_id-derived luma planes, alternating Cmono and C420jpeg so both
+    plane-size paths are exercised — flow through the byte-level Y4M
+    walker in sample_video_frames (every 2nd frame). The oracle replays
+    the same frame/pixel formula in SQL: a wrong chroma-plane size,
+    frame offset, or header parse shifts every later frame's luma and
+    fails the value hash. mean_luma is a BIGINT pixel sum with one
+    double division, bit-reproducible. (functions/multimodal.py
+    _parse_y4m / sample_video_frames; ref parallel: the reference
+    treats media as opaque blobs at best — this is the frame-sampling
+    stage a multimodal training pipeline needs.)"""
+    import pandas as pd
+
+    from ..functions.multimodal import build_y4m, sample_video_frames
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                w = 4 + 2 * (d % 3)
+                h = 4 + 2 * (d % 2)
+                nf = 2 + d % 5
+                planes = [
+                    [(d * 31 + fi * 17 + i * 7) % 256 for i in range(w * h)]
+                    for fi in range(nf)
+                ]
+                cs = "mono" if d % 4 == 0 else "420jpeg"
+                contents.append(
+                    build_y4m(w, h, planes, fps_num=10 + 5 * (d % 2), colorspace=cs)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "content": contents}
+            )
+
+    media = docs.mapInPandas(build, "media_id long, content binary")
+    return sample_video_frames(media, every_n=2)
+
+
+M5_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(4 + 2 * (doc_id % 3) AS INT) AS w,
+           CAST(4 + 2 * (doc_id % 2) AS INT) AS h,
+           CAST(2 + doc_id % 5 AS INT) AS nf
+    FROM documents
+),
+f AS (
+    SELECT doc_id, w, h, CAST(unnest(range(0, nf)) AS INT) AS frame_index
+    FROM p
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       frame_index,
+       w AS width,
+       h AS height,
+       CAST(list_sum(list_transform(range(0, w * h),
+            i -> (doc_id * 31 + frame_index * 17 + i * 7) % 256)) AS BIGINT)
+       / CAST(w * h AS DOUBLE) AS mean_luma
+FROM f
+WHERE frame_index % 2 = 0
+"""
+
+QUERIES["m5_video_frames"] = m5_video_frames
+ORACLE["m5_video_frames"] = M5_SQL

@@ -862,3 +862,68 @@ def test_wav_decode_goldens_and_chunk_walk(spark):
     assert rows[1].n_samples == 2 and rows[1].duration_s == 2 / 16000
     assert rows[1].rms == math.sqrt((100**2 + 100**2 + 200**2 + 200**2) / 4)
     assert rows[2].n_samples == 3 and rows[2].rms == math.sqrt(20000 / 3)
+
+
+def test_y4m_decode_goldens_and_frame_walk(spark):
+    """Real YUV4MPEG2 parsing: mono and 420 plane sizes, per-frame
+    params skipped, unknown header tags skipped, loud errors for
+    truncation / odd-420 / unsupported colorspaces / compressed
+    containers."""
+    import numpy as np
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_y4m,
+        build_y4m,
+        decode_video,
+        sample_video_frames,
+    )
+
+    # hand-built mono stream, 2x2, 3 frames, with an X extension tag
+    # and per-frame params — both must be skipped per spec
+    head = b"YUV4MPEG2 W2 H2 F25:1 Ip A1:1 Cmono XYSCSS=mono\n"
+    f0, f1, f2 = bytes([0, 50, 100, 150]), bytes([10, 60, 110, 160]), bytes(
+        [20, 70, 120, 170]
+    )
+    mono = head + b"FRAME\n" + f0 + b"FRAMEI\n" + f1 + b"FRAME\n" + f2
+    w, h, num, den, cs, planes = _parse_y4m(mono)
+    assert (w, h, num, den, cs) == (2, 2, 25, 1, "mono")
+    assert [p.tolist() for p in planes] == [list(f0), list(f1), list(f2)]
+
+    # 420: chroma planes must be walked exactly or frame 1's luma shifts
+    y0, y1 = list(range(16)), list(range(100, 116))
+    v420 = build_y4m(4, 4, [y0, y1], fps_num=30, colorspace="420jpeg")
+    w, h, num, den, cs, planes = _parse_y4m(v420)
+    assert (w, h, cs) == (4, 4, "420jpeg")
+    assert planes[0].tolist() == y0 and planes[1].tolist() == y1
+
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_y4m(v420[:-1])
+    with _pytest.raises(ValueError, match="even"):
+        build_y4m(3, 4, [list(range(12))], colorspace="420jpeg")
+    with _pytest.raises(ValueError, match="even"):
+        _parse_y4m(b"YUV4MPEG2 W3 H4 F25:1 C420\nFRAME\n" + bytes(18))
+    with _pytest.raises(NotImplementedError, match="colorspace"):
+        _parse_y4m(b"YUV4MPEG2 W2 H2 F25:1 C444\nFRAME\n" + bytes(12))
+    with _pytest.raises(NotImplementedError, match="Matroska"):
+        _parse_y4m(b"\x1aE\xdf\xa3" + bytes(20))
+    with _pytest.raises(NotImplementedError, match="MP4"):
+        _parse_y4m(b"\x00\x00\x00\x18ftypisom" + bytes(20))
+    with _pytest.raises(ValueError, match="YUV4MPEG2"):
+        _parse_y4m(b"not a video")
+
+    # Spark paths: summary decode + every-2nd-frame sampling
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(mono)), (2, "video", bytearray(v420))],
+        "media_id long, kind string, content binary",
+    )
+    summ = {r.media_id: r for r in decode_video(media).collect()}
+    assert summ[1].n_frames == 3 and summ[1].duration_s == 3 / 25
+    assert summ[2].width == 4 and summ[2].fps_num == 30 and summ[2].n_frames == 2
+
+    frames = sample_video_frames(media, every_n=2).collect()
+    got = {(r.media_id, r.frame_index): r.mean_luma for r in frames}
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 0)] == sum(f0) / 4
+    assert got[(1, 2)] == sum(f2) / 4
+    assert got[(2, 0)] == float(np.mean(y0))
