@@ -13,13 +13,18 @@ formats a library-free container can handle:
   through this path and its DuckDB oracle replays the same bytes.
 * **BMP (24-bit BI_RGB)** — BITMAPFILEHEADER + BITMAPINFOHEADER,
   4-byte row stride padding, bottom-up and top-down rasters, BGR→RGB.
+* **PNG (8-bit, non-interlaced)** — full chunk walk with CRC checks,
+  stdlib-zlib IDAT inflate, all five scanline filters reconstructed
+  (Sub/Up/Average/Paeth), gray/RGB/palette/gray-alpha/RGBA color
+  types normalised to RGB24. PNG's only compression is DEFLATE, so no
+  image library is needed.
 * **IMG: synthetic** — the original deterministic grayscale test
   format, kept so the feature/resize fixtures stay byte-stable.
 
 Luma for RGB rasters is the ITU-R BT.601 integer form
 ``(299·R + 587·G + 114·B) / 1000`` averaged over pixels — integer
 numerator, single final division, so Spark (numpy int64) and any SQL
-oracle (BIGINT sum) agree bit-for-bit. Compressed formats (PNG/JPEG/
+oracle (BIGINT sum) agree bit-for-bit. Entropy-coded formats (JPEG/
 GIF/WebP) need a codec library and raise ``NotImplementedError`` with
 the magic they matched — in a real deployment PIL slots into
 ``_decode_image_bytes`` and nothing else changes.
@@ -59,8 +64,9 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 
 
 #: magic -> name, for the formats that genuinely need a codec library.
+#: PNG is NOT here: its only compression is DEFLATE, which the stdlib
+#: zlib module provides, so _parse_png decodes it for real.
 _CODEC_GATED = {
-    b"\x89PNG": "PNG (zlib inflate)",
     b"\xff\xd8\xff": "JPEG (DCT entropy decode)",
     b"GIF8": "GIF (LZW)",
     b"RIFF": "WebP/RIFF (VP8)",
@@ -140,6 +146,224 @@ def _parse_bmp(buf: bytes) -> tuple[int, int, "object"]:
     return w, h, np.ascontiguousarray(bgr[..., ::-1]).reshape(-1)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> samples per pixel at bit depth 8.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_unfilter(raw: "object", h: int, stride: int, bpp: int) -> "object":
+    """Invert PNG scanline filtering (spec §6: None/Sub/Up/Average/
+    Paeth). ``raw`` is the inflated byte stream — ``h`` scanlines of
+    ``1 + stride`` bytes, the first byte of each naming its filter.
+    Returns the reconstructed ``(h, stride)`` uint8 raster.
+
+    Sub is a per-pixel prefix sum along the row (int64 cumsum mod 256,
+    vectorised per byte lane); Up is a vector add of the prior row;
+    Average and Paeth are inherently sequential in x, so they loop over
+    pixels with ``bpp``-wide lane vectors — fine for the raster sizes a
+    per-row Python loop sees inside an Arrow batch.
+    """
+    import numpy as np
+
+    if raw.size != h * (1 + stride):
+        raise ValueError(
+            f"PNG inflated size {raw.size} != {h} scanlines of {1 + stride}"
+        )
+    lines = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prior = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, filt = int(lines[y, 0]), lines[y, 1:]
+        if ftype == 0:  # None
+            recon = filt.copy()
+        elif ftype == 1:  # Sub
+            px = filt.reshape(-1, bpp).astype(np.int64)
+            recon = (np.cumsum(px, axis=0) % 256).astype(np.uint8).reshape(-1)
+        elif ftype == 2:  # Up
+            recon = filt + prior  # uint8 wraps == mod 256
+        elif ftype == 3:  # Average
+            recon = np.empty(stride, dtype=np.uint8)
+            up = prior.astype(np.int64)
+            left = np.zeros(bpp, dtype=np.int64)
+            for x in range(0, stride, bpp):
+                seg = (filt[x : x + bpp] + (left + up[x : x + bpp]) // 2) % 256
+                recon[x : x + bpp] = seg
+                left = seg.astype(np.int64)
+        elif ftype == 4:  # Paeth
+            recon = np.empty(stride, dtype=np.uint8)
+            up = prior.astype(np.int64)
+            a = np.zeros(bpp, dtype=np.int64)  # left
+            c = np.zeros(bpp, dtype=np.int64)  # upper-left
+            for x in range(0, stride, bpp):
+                b = up[x : x + bpp]
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                seg = (filt[x : x + bpp] + pred) % 256
+                recon[x : x + bpp] = seg
+                a, c = seg.astype(np.int64), b
+        else:
+            raise ValueError(f"bad PNG filter type {ftype} on scanline {y}")
+        out[y] = recon
+        prior = out[y]
+    return out
+
+
+def _parse_png(buf: bytes) -> tuple[int, int, "object"]:
+    """Real byte-level PNG decode, no image library: signature + chunk
+    walk with CRC verification, IHDR geometry, IDAT concatenation +
+    stdlib-zlib inflate, scanline unfiltering (all five filter types),
+    and color-type normalisation to flat RGB24. Supported: bit depth 8,
+    color types 0 (gray), 2 (RGB), 3 (palette via PLTE), 4 (gray+alpha)
+    and 6 (RGBA) — alpha is dropped, gray replicates into RGB (exact
+    under integer BT.601: weights sum to 1000, so luma(g,g,g) == g).
+    Interlaced (Adam7) and 16-bit images raise NotImplementedError.
+    Returns ``(w, h, rgb)`` flat uint8, same shape as _parse_ppm."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, plte, idat = len(_PNG_SIG), None, None, []
+    while pos + 8 <= len(buf):
+        length = struct.unpack_from(">I", buf, pos)[0]
+        ctype = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(buf):
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        crc = struct.unpack_from(">I", buf, pos + 8 + length)[0]
+        if zlib.crc32(ctype + data) != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            plte = data
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        # ancillary chunks (tEXt, pHYs, ...) are skipped per spec
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+    if w < 1 or h < 1:
+        raise ValueError(f"bad PNG dimensions {w}x{h}")
+    if comp != 0 or filt != 0:
+        raise ValueError(f"bad PNG compression/filter method {comp}/{filt}")
+    if interlace != 0:
+        raise NotImplementedError("Adam7-interlaced PNG unsupported")
+    if depth != 8 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color} unsupported "
+            "(8-bit gray/RGB/palette/gray-alpha/RGBA only)"
+        )
+    bpp = _PNG_CHANNELS[color]
+    stride = bpp * w
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    px = _png_unfilter(raw, h, stride, bpp).reshape(h, w, bpp)
+    if color == 2:  # RGB
+        rgb = px
+    elif color == 6:  # RGBA -> drop alpha
+        rgb = px[..., :3]
+    elif color == 0:  # gray -> replicate (BT.601-exact)
+        rgb = np.repeat(px, 3, axis=2)
+    elif color == 4:  # gray+alpha
+        rgb = np.repeat(px[..., :1], 3, axis=2)
+    else:  # palette
+        if plte is None or len(plte) % 3:
+            raise ValueError("paletted PNG missing/odd PLTE")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px[..., 0]
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        rgb = table[idx]
+    return w, h, np.ascontiguousarray(rgb).reshape(-1)
+
+
+def build_png(
+    w: int,
+    h: int,
+    pixels: "object",
+    color: int = 2,
+    filters: "object" = None,
+    palette: "object" = None,
+) -> bytes:
+    """Assemble a real PNG (signature, IHDR, optional PLTE, one IDAT,
+    IEND, correct CRCs) applying REAL forward scanline filtering — the
+    builder half of the decode round-trip. ``filters`` gives the filter
+    type per row (default: row index mod 5, so every filter family is
+    exercised); the decoder must invert each one exactly or the value
+    gate fails. ``pixels`` is flat uint8, ``_PNG_CHANNELS[color]``
+    samples per pixel."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    bpp = _PNG_CHANNELS[color]
+    stride = bpp * w
+    px = np.asarray(pixels, dtype=np.uint8).reshape(h, stride)
+    ftypes = (
+        [y % 5 for y in range(h)]
+        if filters is None
+        else [int(f) for f in filters]
+    )
+    if len(ftypes) != h:
+        raise ValueError(f"{len(ftypes)} filters for {h} rows")
+    lines = []
+    prior = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        row = px[y].astype(np.int64)
+        left = np.concatenate([np.zeros(bpp, dtype=np.int64), row[:-bpp]]) if stride > bpp else np.zeros(stride, dtype=np.int64)
+        ul = np.concatenate([np.zeros(bpp, dtype=np.int64), prior[:-bpp]]) if stride > bpp else np.zeros(stride, dtype=np.int64)
+        ft = ftypes[y]
+        if ft == 0:
+            filt = row
+        elif ft == 1:
+            filt = row - left
+        elif ft == 2:
+            filt = row - prior
+        elif ft == 3:
+            filt = row - (left + prior) // 2
+        elif ft == 4:
+            p = left + prior - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prior, ul)
+            )
+            filt = row - pred
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        lines.append(bytes([ft]) + (filt % 256).astype(np.uint8).tobytes())
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    parts = [_PNG_SIG, chunk(b"IHDR", ihdr)]
+    if color == 3:
+        if palette is None:
+            raise ValueError("paletted PNG needs a palette")
+        parts.append(
+            chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes())
+        )
+    parts.append(chunk(b"IDAT", zlib.compress(b"".join(lines), 6)))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
+
+
 _LUMA_WEIGHTS = (299, 587, 114)  # ITU-R BT.601, x1000 integer form
 
 
@@ -170,6 +394,9 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
     if buf.startswith(b"BM"):
         w, h, rgb = _parse_bmp(buf)
         return w, h, _rgb_mean_luma(w, h, rgb)
+    if buf.startswith(_PNG_SIG):
+        w, h, rgb = _parse_png(buf)
+        return w, h, _rgb_mean_luma(w, h, rgb)
     if buf.startswith(b"IMG:"):
         header, _, payload = buf[4:].partition(b":")
         w, h = (int(x) for x in header.split(b"x"))
@@ -179,12 +406,12 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
         if buf.startswith(magic):
             raise NotImplementedError(
                 f"{name} decoding requires an image library (PIL); "
-                "uncompressed PPM/BMP are decoded natively"
+                "PPM/BMP/PNG are decoded natively"
             )
     raise NotImplementedError(
-        "unrecognised image format; PPM (P6), 24-bit BMP and the IMG: "
-        "synthetic format are decoded natively, compressed formats "
-        "require an image library (PIL)"
+        "unrecognised image format; PPM (P6), 24-bit BMP, 8-bit PNG and "
+        "the IMG: synthetic format are decoded natively, entropy-coded "
+        "formats require an image library (PIL)"
     )
 
 
@@ -197,6 +424,8 @@ def _image_pixels(buf: bytes) -> tuple[int, int, "object"]:
         return _parse_ppm(buf)
     if buf.startswith(b"BM"):
         return _parse_bmp(buf)
+    if buf.startswith(_PNG_SIG):
+        return _parse_png(buf)
     if buf.startswith(b"IMG:"):
         header, _, payload = buf[4:].partition(b":")
         w, h = (int(x) for x in header.split(b"x"))

@@ -9474,3 +9474,80 @@ WHERE frame_index % 2 = 0
 
 QUERIES["m5_video_frames"] = m5_video_frames
 ORACLE["m5_video_frames"] = M5_SQL
+
+
+def m6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal image stage with a real COMPRESSED-format decode
+    in the loop: deterministic 8-bit PNGs (stdlib-zlib DEFLATE, real
+    forward scanline filtering with filter type row%5 so every
+    None/Sub/Up/Average/Paeth reconstruction path runs, alternating
+    grayscale and RGB color types) assembled by multimodal.build_png
+    from doc_id-derived pixels, then decoded byte-for-byte by
+    _parse_png inside decode_images — chunk walk, CRC verify, inflate,
+    unfilter. The oracle replays only the PIXEL formula in SQL: any
+    bug in filter reconstruction, chunk parsing, or color-type
+    normalisation perturbs decoded pixels and fails the value hash
+    (PNG is lossless, so decode must recover the formula exactly).
+    Luma is the integer BT.601 sum with one double division; gray
+    replication is BT.601-exact since the weights sum to 1000.
+    (functions/multimodal.py _parse_png / build_png / decode_images.)"""
+    import pandas as pd
+
+    from ..functions.multimodal import build_png, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                w, h = 3 + d % 4, 2 + d % 3
+                if d % 2 == 0:
+                    px = [(d * 13 + i * 5) % 256 for i in range(w * h)]
+                    contents.append(build_png(w, h, px, color=0))
+                else:
+                    px = [(d * 13 + i * 5) % 256 for i in range(3 * w * h)]
+                    contents.append(build_png(w, h, px, color=2))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": contents,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    return decode_images(media)
+
+
+M6_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(3 + doc_id % 4 AS INT) AS w,
+           CAST(2 + doc_id % 3 AS INT) AS h
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS kind,
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CASE WHEN doc_id % 2 = 0 THEN
+           CAST(list_sum(list_transform(range(0, w * h),
+                i -> (doc_id * 13 + i * 5) % 256)) AS BIGINT)
+           / CAST(w * h AS DOUBLE)
+       ELSE
+           CAST(list_sum(list_transform(range(0, w * h), px ->
+                  299 * ((doc_id * 13 + (3 * px) * 5) % 256)
+                + 587 * ((doc_id * 13 + (3 * px + 1) * 5) % 256)
+                + 114 * ((doc_id * 13 + (3 * px + 2) * 5) % 256))) AS BIGINT)
+           / CAST(1000 * w * h AS DOUBLE)
+       END AS mean_luma
+FROM p
+"""
+
+QUERIES["m6_png_decode"] = m6_png_decode
+ORACLE["m6_png_decode"] = M6_SQL

@@ -781,10 +781,14 @@ def test_codec_gated_formats_raise_named():
         _decode_image_bytes,
     )
 
-    with pytest.raises(NotImplementedError, match="PNG"):
+    # PNG is decoded for real now — a signature with garbage chunks is
+    # a loud ValueError from the chunk walk, not a codec gate
+    with pytest.raises(ValueError, match="IHDR"):
         _decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(NotImplementedError, match="JPEG"):
         _decode_image_bytes(b"\xff\xd8\xff\xe0....")
+    with pytest.raises(NotImplementedError, match="GIF"):
+        _decode_image_bytes(b"GIF89a....")
 
 
 def test_ppm_through_spark_decode_and_resize(spark):
@@ -927,3 +931,108 @@ def test_y4m_decode_goldens_and_frame_walk(spark):
     assert got[(1, 0)] == sum(f0) / 4
     assert got[(1, 2)] == sum(f2) / 4
     assert got[(2, 0)] == float(np.mean(y0))
+
+
+def test_png_decode_roundtrip_all_filters_and_colortypes(spark):
+    """Real PNG decoding: forward-filter in build_png, reconstruct in
+    _parse_png — every filter type and color type round-trips exactly;
+    hand-computed Sub/Paeth bytes pin the filter arithmetic; CRC,
+    truncation, interlace, depth, and palette errors are loud."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_png,
+        _rgb_mean_luma,
+        build_png,
+        decode_images,
+    )
+
+    rng = np.random.RandomState(42)
+
+    # every filter type x every color type round-trips bit-exactly
+    for color, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        for ft in range(5):
+            w, h = 7, 5  # odd width exercises non-multiple strides
+            px = rng.randint(0, 256, size=h * w * ch).astype(np.uint8)
+            png = build_png(w, h, px, color=color, filters=[ft] * h)
+            gw, gh, rgb = _parse_png(png)
+            assert (gw, gh) == (w, h)
+            full = px.reshape(h, w, ch)
+            if color == 2:
+                want = full
+            elif color == 6:
+                want = full[..., :3]
+            else:  # gray / gray+alpha replicate into RGB
+                want = np.repeat(full[..., :1], 3, axis=2)
+            assert rgb.tolist() == want.reshape(-1).tolist(), (color, ft)
+
+    # mixed filters (default row%5) + palette color type
+    pal = [(i % 256, (3 * i) % 256, (7 * i) % 256) for i in range(16)]
+    idx = rng.randint(0, 16, size=6 * 4).astype(np.uint8)
+    png3 = build_png(6, 4, idx, color=3, palette=np.array(pal, dtype=np.uint8))
+    w, h, rgb = _parse_png(png3)
+    want = np.array(pal, dtype=np.uint8)[idx.reshape(4, 6)]
+    assert rgb.tolist() == want.reshape(-1).tolist()
+
+    # hand-computed filter bytes: 2x1 RGB row, Sub filter.
+    # pixels (10,20,30),(15,25,35) -> filtered second pixel = diff (5,5,5)
+    png_sub = build_png(2, 1, [10, 20, 30, 15, 25, 35], color=2, filters=[1])
+    idat = png_sub.split(b"IDAT")[1][: -8]
+    raw = zlib.decompress(idat[: struct.unpack(">I", png_sub[png_sub.find(b"IDAT") - 4 : png_sub.find(b"IDAT")])[0]])
+    assert list(raw) == [1, 10, 20, 30, 5, 5, 5]
+
+    # hand-computed Paeth: second row of a 1x2 gray image, pixels 100 / 103.
+    # For the second row's single pixel: a=0 (no left), b=100, c=0 ->
+    # p=100, pb=0 minimal -> pred=b -> filtered = 103-100 = 3
+    png_p = build_png(1, 2, [100, 103], color=0, filters=[0, 4])
+    n = struct.unpack(">I", png_p[png_p.find(b"IDAT") - 4 : png_p.find(b"IDAT")])[0]
+    raw = zlib.decompress(png_p[png_p.find(b"IDAT") + 4 :][:n])
+    assert list(raw) == [0, 100, 4, 3]
+    assert _parse_png(png_p)[2].tolist() == [100] * 3 + [103] * 3
+
+    # gray replication keeps integer luma exact: luma(g,g,g) == g
+    g = np.arange(16, dtype=np.uint8)
+    _, _, rgb = _parse_png(build_png(4, 4, g, color=0))
+    assert _rgb_mean_luma(4, 4, rgb) == float(np.mean(g))
+
+    # loud failure paths
+    good = build_png(2, 2, list(range(12)), color=2)
+    with _pytest.raises(ValueError, match="CRC"):
+        corrupt = bytearray(good)
+        corrupt[good.find(b"IDAT") + 6] ^= 0xFF
+        _parse_png(bytes(corrupt))
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_png(good[:-20])  # chops IEND and the tail of IDAT
+    with _pytest.raises(ValueError, match="signature"):
+        _parse_png(b"\x89PNX" + good[4:])
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import _PNG_SIG
+
+    def mkchunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    empty_idat = mkchunk(b"IDAT", b"")
+    ihdr16 = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    with _pytest.raises(NotImplementedError, match="bit depth 16"):
+        _parse_png(_PNG_SIG + mkchunk(b"IHDR", ihdr16) + empty_idat)
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    with _pytest.raises(NotImplementedError, match="interlaced"):
+        _parse_png(_PNG_SIG + mkchunk(b"IHDR", ihdr_i) + empty_idat)
+    with _pytest.raises(ValueError, match="palette"):
+        build_png(2, 2, [0, 1, 2, 3], color=3)  # no palette supplied
+
+    # Spark path: binary PNG flows through the decode stage
+    rgbpx = rng.randint(0, 256, size=4 * 4 * 3).astype(np.uint8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(build_png(4, 4, rgbpx, color=2)))],
+        "media_id long, kind string, content binary",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (4, 4, 16)
+    assert row.mean_luma == _rgb_mean_luma(4, 4, rgbpx)
