@@ -522,3 +522,200 @@ def hashed_classifier_score(
         )
         .select(*keep_cols, "n_tokens", "score_raw", "score", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge learning + encoding (Sennrich et al. 2016, ACL — public
+# algorithm). The distributed shape real trainers use at corpus scale:
+# the CORPUS-SIZED work is one groupBy(word).count() — 100 TB of text
+# reduces to a vocabulary histogram (Heaps' law: ~millions of rows) —
+# and the merge loop then runs on that histogram alone, bounded by a
+# loud max_vocab guard, its cost independent of corpus size.
+# ---------------------------------------------------------------------------
+
+BPE_WORD_PATTERN = "[a-z]+"
+
+
+def _bpe_merge_loop(
+    word_freqs: "Sequence[tuple[str, int]]", n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Exact greedy BPE over a word-frequency histogram: per round, the
+    most frequent adjacent symbol pair (ties broken by (left, right)
+    ascending, fully deterministic) is fused left-to-right and
+    non-overlapping in every word. Pair counts update incrementally —
+    only words containing the merged pair are re-scanned — so each
+    round costs O(occurrences), not O(vocabulary).
+
+    Returns ``[(merge_rank, left, right, pair_count), ...]``; stops
+    early when no adjacent pair remains.
+    """
+    from collections import defaultdict
+
+    words = [list(w) for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    counts: dict[tuple[str, str], int] = defaultdict(int)
+    where: dict[tuple[str, str], set] = defaultdict(set)
+    for wi, (syms, f) in enumerate(zip(words, freqs)):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] += f
+            where[p].add(wi)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        best, best_c = None, 0
+        for p, c in counts.items():
+            if c > best_c or (c == best_c and best is not None and p < best):
+                best, best_c = p, c
+        if best is None or best_c < 1:
+            break
+        left, right = best
+        merges.append((rank, left, right, best_c))
+        fused = left + right
+        # stale `where` entries are harmless: subtract-then-add of an
+        # unchanged word is a net no-op on counts
+        for wi in sorted(where.pop(best)):
+            syms, f = words[wi], freqs[wi]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] -= f
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [fused]
+                i += 1
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] += f
+                where[p].add(wi)
+        counts.pop(best, None)
+    return merges
+
+
+def learn_bpe_merges(
+    df: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    pattern: str = BPE_WORD_PATTERN,
+    lowercase: bool = True,
+    max_vocab: int = 2_000_000,
+) -> DataFrame:
+    """Learn a BPE merge table over a corpus, Spark-first:
+
+    1. **Distributed** (the only corpus-sized stage): pretokenise with
+       a JVM-side ``regexp_extract_all`` + explode and reduce to a
+       word-frequency histogram — one shuffle, map-side partial
+       aggregation, output rows = vocabulary size, not corpus size.
+    2. **Driver merge loop** over the histogram (``_bpe_merge_loop``),
+       exactly how production BPE trainers work at scale: the loop's
+       cost depends on vocabulary and n_merges only. The collect is
+       guarded by a loud ``max_vocab`` (the engine-wide bounded-collect
+       contract, cf. similarity.cosine_topk's max_rows).
+
+    Returns a DataFrame ``(merge_rank int, left string, right string,
+    pair_count long)`` ordered by rank — feed it to ``bpe_encode``.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    c = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    hist = (
+        df.select(
+            F.explode(F.regexp_extract_all(c, F.lit(pattern), 0)).alias("word")
+        )
+        .groupBy("word")
+        .count()
+    )
+    rows = hist.limit(max_vocab + 1).collect()
+    if len(rows) > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; raise the guard "
+            "or tighten the pretoken pattern — the merge loop is "
+            "driver-side by design and must stay bounded"
+        )
+    # deterministic loop input order (collect order is partition-luck)
+    word_freqs = sorted((r["word"], r["count"]) for r in rows)
+    merges = _bpe_merge_loop(word_freqs, n_merges)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, pair_count long"
+    )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: "Sequence[tuple[str, str]] | DataFrame",
+    text_col: str = "text",
+    pattern: str = BPE_WORD_PATTERN,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Apply a learned merge table: per pretoken, fuse pairs in merge-
+    rank order (each rank applied greedily left-to-right, the exact
+    inverse-of-training order every BPE encoder uses). Adds
+    ``n_bpe_tokens`` (long) and ``bpe_tokens`` (array<string>).
+
+    The merge table is tiny (n_merges rows) and rides into the Arrow-
+    batched mapInPandas closure; per-batch memoisation means each
+    distinct word is encoded once per batch, so the Python cost tracks
+    the vocabulary of the batch, not its token count. Map-side only —
+    no shuffle.
+    """
+    import re
+
+    import pandas as pd
+
+    if isinstance(merges, DataFrame):
+        merge_rows = merges.orderBy("merge_rank").collect()
+        table = [(r["left"], r["right"]) for r in merge_rows]
+    else:
+        table = [(left, right) for left, right in merges]
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    rx = re.compile(pattern)
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("n_bpe_tokens", LongType()),
+            StructField("bpe_tokens", ArrayType(StringType())),
+        ]
+    )
+
+    def encode_word(word: str, cache: dict) -> list:
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word)
+        for left, right in table:
+            if len(syms) < 2:
+                break
+            fused, i = left + right, 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [fused]
+                i += 1
+        cache[word] = syms
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict = {}
+            toks_col, n_col = [], []
+            for text in pdf[text_col]:
+                text = text if text is not None else ""
+                if lowercase:
+                    text = text.lower()
+                toks: list = []
+                for word in rx.findall(text):
+                    toks.extend(encode_word(word, cache))
+                toks_col.append(toks)
+                n_col.append(len(toks))
+            out = pdf.copy()
+            out["n_bpe_tokens"] = n_col
+            out["bpe_tokens"] = toks_col
+            yield out
+
+    return df.mapInPandas(run, out_schema)

@@ -9551,3 +9551,136 @@ FROM p
 
 QUERIES["m6_png_decode"] = m6_png_decode
 ORACLE["m6_png_decode"] = M6_SQL
+
+
+def bpe1_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (Sennrich et al. 2016), the real
+    trainer shape: ONE corpus-sized shuffle (word histogram with
+    map-side partial agg), then the merge loop over the vocabulary
+    only, collect bounded by a loud max_vocab. The oracle replays 3
+    exact merge rounds in SQL via the sentinel isomorphism: after each
+    round the fused pair is replaced by an unused control character,
+    so every symbol is exactly one character and string replace ==
+    greedy left-to-right symbol merging; ties break on (count DESC,
+    decoded left, decoded right) on both sides.
+    (functions/text.py learn_bpe_merges / _bpe_merge_loop.)"""
+    from ..functions.text import learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=3)
+
+
+def _bpe_oracle_ctes() -> str:
+    """Shared CTE block: words histogram + 3 sentinel-encoded merge
+    rounds (m1/m2/m3 in their round's symbol space, w1/w2 rewritten
+    corpora). SUMs are BIGINT-cast (DuckDB HUGEINT would fail the
+    driver's same-type compare)."""
+    m1s = "(SELECT l || r FROM m1)"
+    dec1 = lambda x: f"replace({x}, chr(1), {m1s})"  # noqa: E731
+    m2dec = f"(SELECT {dec1('l')} || {dec1('r')} FROM m2)"
+    dec2 = lambda x: f"replace({dec1(x)}, chr(2), {m2dec})"  # noqa: E731
+    return f"""
+words AS (
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+),
+p1 AS (
+    SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+           CAST(SUM(f) AS BIGINT) AS c
+    FROM words, unnest(range(1, length(word))) AS t(i)
+    GROUP BY 1, 2
+),
+m1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+w1 AS (
+    SELECT replace(word, {m1s}, chr(1)) AS word, f FROM words
+),
+p2 AS (
+    SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+           CAST(SUM(f) AS BIGINT) AS c
+    FROM w1, unnest(range(1, length(word))) AS t(i)
+    GROUP BY 1, 2
+),
+m2 AS (
+    SELECT l, r, c FROM p2
+    ORDER BY c DESC, {dec1('l')}, {dec1('r')}
+    LIMIT 1
+),
+w2 AS (
+    SELECT replace(word, (SELECT l || r FROM m2), chr(2)) AS word, f FROM w1
+),
+p3 AS (
+    SELECT substr(word, i, 1) AS l, substr(word, i + 1, 1) AS r,
+           CAST(SUM(f) AS BIGINT) AS c
+    FROM w2, unnest(range(1, length(word))) AS t(i)
+    GROUP BY 1, 2
+),
+m3 AS (
+    SELECT l, r, c FROM p3
+    ORDER BY c DESC, {dec2('l')}, {dec2('r')}
+    LIMIT 1
+)"""
+
+
+def _bpe1_sql() -> str:
+    m1s = "(SELECT l || r FROM m1)"
+    dec1 = lambda x: f"replace({x}, chr(1), {m1s})"  # noqa: E731
+    m2dec = f"(SELECT {dec1('l')} || {dec1('r')} FROM m2)"
+    dec2 = lambda x: f"replace({dec1(x)}, chr(2), {m2dec})"  # noqa: E731
+    return f"""
+WITH {_bpe_oracle_ctes()}
+SELECT CAST(1 AS INT) AS merge_rank, l AS "left", r AS "right",
+       c AS pair_count FROM m1
+UNION ALL
+SELECT CAST(2 AS INT), {dec1('l')}, {dec1('r')}, c FROM m2
+UNION ALL
+SELECT CAST(3 AS INT), {dec2('l')}, {dec2('r')}, c FROM m3
+"""
+
+
+BPE1_SQL = _bpe1_sql()
+
+QUERIES["bpe1_learn_merges"] = bpe1_learn_merges
+ORACLE["bpe1_learn_merges"] = BPE1_SQL
+
+
+def bpe2_encode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODE with the merge table learned in-plan: per-doc token
+    count after applying 3 learned merges (rank order, greedy
+    left-to-right per pretoken). The encoder is Arrow-batched
+    mapInPandas with per-batch word memoisation — map-side only, the
+    merge table broadcast by closure. Oracle: in sentinel space every
+    symbol is one character, so the token count per word is just
+    length() after the three replaces. (functions/text.py bpe_encode.)"""
+    from ..functions.text import bpe_encode, learn_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, n_merges=3)
+    return bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
+
+
+BPE2_SQL = f"""
+WITH {_bpe_oracle_ctes()},
+enc AS (
+    SELECT doc_id, CAST(SUM(length(
+        replace(replace(replace(word,
+            (SELECT l || r FROM m1), chr(1)),
+            (SELECT l || r FROM m2), chr(2)),
+            (SELECT l || r FROM m3), chr(3))
+    )) AS BIGINT) AS n
+    FROM (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    )
+    GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(e.n, 0) AS n_bpe_tokens
+FROM documents d LEFT JOIN enc e USING (doc_id)
+"""
+
+QUERIES["bpe2_encode_counts"] = bpe2_encode_counts
+ORACLE["bpe2_encode_counts"] = BPE2_SQL

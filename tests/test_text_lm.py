@@ -74,3 +74,108 @@ def test_bad_mode_raises(spark):
     df = spark.createDataFrame(CORPUS, "doc_id long, text string")
     with pytest.raises(ValueError, match="mode"):
         bigram_lm_score(df, mode="ppl")
+
+
+def _bpe_reference(word_freqs, n_merges):
+    """Naive O(rounds * corpus) reference: recompute all pair counts
+    from scratch every round — the obviously-correct spec the
+    incremental _bpe_merge_loop must match exactly."""
+    words = [list(w) for w, _ in word_freqs]
+    freqs = [f for _, f in word_freqs]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = {}
+        for syms, f in zip(words, freqs):
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pc[p] = pc.get(p, 0) + f
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (left, right), c = best
+        merges.append((rank, left, right, c))
+        fused = left + right
+        for syms in words:
+            i = 0
+            while i < len(syms) - 1:
+                if syms[i] == left and syms[i + 1] == right:
+                    syms[i : i + 2] = [fused]
+                i += 1
+    return merges
+
+
+def test_bpe_merge_loop_matches_reference_and_sennrich():
+    import random
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        _bpe_merge_loop,
+    )
+
+    # the canonical Sennrich et al. example corpus
+    wf = sorted({"low": 5, "lower": 2, "newest": 6, "widest": 3}.items())
+    got = _bpe_merge_loop(wf, 4)
+    assert got == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+    # incremental == from-scratch on random corpora, incl. self-
+    # overlapping runs (aaa...) where greedy non-overlap matters
+    rng = random.Random(9)
+    for trial in range(25):
+        vocab = [
+            "".join(rng.choice("aab bc") for _ in range(rng.randint(1, 9))).replace(" ", "a")
+            for _ in range(rng.randint(1, 30))
+        ]
+        wf = sorted({w: rng.randint(1, 9) for w in vocab if w}.items())
+        n = rng.randint(1, 12)
+        assert _bpe_merge_loop(list(wf), n) == _bpe_reference(list(wf), n), (
+            trial,
+            wf,
+            n,
+        )
+
+    # exhausting all pairs stops early
+    assert _bpe_merge_loop([("ab", 3)], 10) == [(1, "a", "b", 3)]
+    assert _bpe_merge_loop([("a", 3)], 10) == []
+
+
+def test_learn_bpe_merges_and_encode_spark(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        bpe_encode,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower"),
+            (2, "newest newest newest newest newest newest"),
+            (3, "widest widest widest"),
+        ],
+        "doc_id long, text string",
+    )
+    merges = learn_bpe_merges(docs, n_merges=4)
+    assert [tuple(r) for r in merges.collect()] == [
+        (1, "e", "s", 9),
+        (2, "es", "t", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+    enc = {
+        r.doc_id: (r.n_bpe_tokens, r.bpe_tokens)
+        for r in bpe_encode(docs, merges).collect()
+    }
+    # 'low' -> [low]; 'lower' -> [low, e, r]; 'newest' -> [n, e, w, est]
+    assert enc[1] == (5 * 1 + 2 * 3, ["low"] * 5 + ["low", "e", "r"] * 2)
+    assert enc[2] == (6 * 4, ["n", "e", "w", "est"] * 6)
+    # widest -> [w,i,d,est], three times = 12 tokens
+    assert enc[3] == (3 * 4, ["w", "i", "d", "est"] * 3)
+
+    # max_vocab guard is loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_vocab"):
+        learn_bpe_merges(docs, n_merges=2, max_vocab=2)
