@@ -107,6 +107,14 @@ HEADLINE = [
     "d6_dedup_resolve",
     "d9_editdist_pairs",
     "pr2_pagerank_dangling",
+    # round-8: the real-codec Arrow crossings (PNG decode is the
+    # heaviest: inflate + unfilter per image) and the distributed BPE
+    # trainer (histogram shuffle + driver merge loop) + encoder
+    "m6_png_decode",
+    "m5_video_frames",
+    "bpe1_learn_merges",
+    "bpe2_encode_counts",
+    "d14_probe_pairs",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
