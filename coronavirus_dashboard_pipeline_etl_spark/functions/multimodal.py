@@ -18,6 +18,11 @@ formats a library-free container can handle:
   (Sub/Up/Average/Paeth), gray/RGB/palette/gray-alpha/RGBA color
   types normalised to RGB24. PNG's only compression is DEFLATE, so no
   image library is needed.
+* **GIF (87a/89a)** — header + logical screen descriptor, global and
+  local color tables, extension skipping, 4-pass interlace, and a
+  from-scratch LZW decompressor (variable-width LSB-first codes,
+  clear/EOI, KwKwK, deferred clear at the 4096-entry ceiling). LZW is
+  dictionary coding, not entropy coding — no library needed.
 * **IMG: synthetic** — the original deterministic grayscale test
   format, kept so the feature/resize fixtures stay byte-stable.
 
@@ -25,7 +30,7 @@ Luma for RGB rasters is the ITU-R BT.601 integer form
 ``(299·R + 587·G + 114·B) / 1000`` averaged over pixels — integer
 numerator, single final division, so Spark (numpy int64) and any SQL
 oracle (BIGINT sum) agree bit-for-bit. Entropy-coded formats (JPEG/
-GIF/WebP) need a codec library and raise ``NotImplementedError`` with
+WebP) need a codec library and raise ``NotImplementedError`` with
 the magic they matched — in a real deployment PIL slots into
 ``_decode_image_bytes`` and nothing else changes.
 
@@ -68,7 +73,6 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 #: zlib module provides, so _parse_png decodes it for real.
 _CODEC_GATED = {
     b"\xff\xd8\xff": "JPEG (DCT entropy decode)",
-    b"GIF8": "GIF (LZW)",
     b"RIFF": "WebP/RIFF (VP8)",
 }
 
@@ -364,6 +368,256 @@ def build_png(
     return b"".join(parts)
 
 
+#: GIF interlace passes: (first row, row step) in output order.
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+_GIF_MAX_CODE = 4096  # LZW dictionary ceiling (12-bit codes)
+
+
+def _lzw_decode(data: bytes, mcs: int, expect: int) -> "object":
+    """Real GIF-flavour LZW decompression: LSB-first variable-width
+    codes starting at ``mcs + 1`` bits, clear/EOI codes, dictionary
+    growth to 4095 with the standard lagged ``prev + entry[:1]``
+    insertion, width bump when the next free code crosses the current
+    width, and deferred-clear (dictionary stays static at 4096 until an
+    explicit clear arrives). ``expect`` bounds output so a corrupt
+    stream can't balloon memory. Returns a uint8 index array."""
+    import numpy as np
+
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << mcs)] + [b"", b""]
+    width = mcs + 1
+    out = bytearray()
+    prev: bytes | None = None
+    acc = nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream ended without EOI")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = table[: (1 << mcs) + 2]
+            width, prev = mcs + 1, None
+            continue
+        if code == eoi:
+            break
+        if code < len(table) and (code < clear or code >= clear + 2):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"GIF LZW code {code} out of range")
+        out += entry
+        if len(out) > expect:
+            raise ValueError(
+                f"GIF LZW output exceeds raster size {expect}"
+            )
+        if prev is not None and len(table) < _GIF_MAX_CODE:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) != expect:
+        raise ValueError(f"GIF raster {len(out)} != expected {expect}")
+    return np.frombuffer(bytes(out), dtype=np.uint8)
+
+
+def _lzw_encode(indices: bytes, mcs: int) -> bytes:
+    """Real GIF-flavour LZW compression — the forward half the decoder
+    must invert exactly: greedy longest-match dictionary build, clear
+    emitted up front and again whenever the table fills (so the decode
+    path through clear-reset is exercised on larger rasters), width
+    bumps mirroring the decoder's lagged insertion rule."""
+    clear, eoi = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(1 << mcs)}
+    nxt, width = clear + 2, mcs + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wk = w + bytes([b])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], width)
+        # decoder inserts the mirror entry AFTER decoding this code, so
+        # its table size at that point equals ours before this insert —
+        # bump width on the same boundary it will.
+        if nxt < _GIF_MAX_CODE:
+            table[wk] = nxt
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: reset both sides explicitly
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(1 << mcs)}
+            nxt, width = clear + 2, mcs + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+        if nxt < _GIF_MAX_CODE:
+            nxt += 1
+            if nxt == (1 << width) + 1 and width < 12:
+                width += 1
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _parse_gif(buf: bytes) -> tuple[int, int, "object"]:
+    """Real byte-level GIF decode, no image library: header + logical
+    screen descriptor, global/local color tables, extension-block
+    skipping (GCE/comment/application), the first image descriptor,
+    full LZW decompression of the index stream (variable-width codes,
+    clear/EOI, KwKwK, deferred clear), and Adam-style 4-pass interlace
+    reordering. Animated GIFs decode as their first frame, matching
+    common thumbnail semantics. Returns ``(w, h, rgb)`` flat uint8."""
+    import struct
+
+    import numpy as np
+
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF (bad signature)")
+    if len(buf) < 13:
+        raise ValueError("GIF truncated before screen descriptor")
+    sw, sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", buf, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8)
+        if gct.size != 3 * n:
+            raise ValueError("GIF global color table truncated")
+        gct = gct.reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("GIF contains no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while pos < len(buf) and buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1  # block terminator
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        # image descriptor
+        if pos + 9 > len(buf):
+            raise ValueError("GIF image descriptor truncated")
+        _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", buf, pos)
+        pos += 9
+        if w < 1 or h < 1:
+            raise ValueError(f"bad GIF dimensions {w}x{h}")
+        table = gct
+        if ipacked & 0x80:  # local color table wins
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8)
+            if table.size != 3 * n:
+                raise ValueError("GIF local color table truncated")
+            table = table.reshape(n, 3)
+            pos += 3 * n
+        if table is None:
+            raise ValueError("GIF image has no color table")
+        mcs = buf[pos]
+        pos += 1
+        if not 2 <= mcs <= 11:
+            raise ValueError(f"bad GIF LZW minimum code size {mcs}")
+        chunks = []
+        while pos < len(buf) and buf[pos]:
+            size = buf[pos]
+            chunk = buf[pos + 1 : pos + 1 + size]
+            if len(chunk) != size:
+                raise ValueError("GIF data sub-block truncated")
+            chunks.append(chunk)
+            pos += 1 + size
+        idx = _lzw_decode(b"".join(chunks), mcs, w * h)
+        if int(idx.max(initial=0)) >= table.shape[0]:
+            raise ValueError("GIF palette index out of range")
+        if ipacked & 0x40:  # interlaced: reorder rows into place
+            rows = idx.reshape(h, w)
+            ordered = np.empty_like(rows)
+            src = 0
+            for first, step in _GIF_PASSES:
+                for y in range(first, h, step):
+                    ordered[y] = rows[src]
+                    src += 1
+            idx = ordered.reshape(-1)
+        return w, h, np.ascontiguousarray(table[idx]).reshape(-1)
+    raise ValueError("GIF truncated before image data")
+
+
+def build_gif(
+    w: int,
+    h: int,
+    indices: "object",
+    palette: "object",
+    interlace: bool = False,
+    animated_hint: bool = False,
+) -> bytes:
+    """Assemble a real GIF89a (logical screen descriptor, global color
+    table padded to a power of two, optional graphic-control extension
+    to exercise the skip path, image descriptor, REAL LZW-compressed
+    index stream in 255-byte sub-blocks, trailer) — the builder half of
+    the decode round-trip. ``interlace=True`` stores rows in 4-pass
+    order so the decoder's reordering is load-bearing."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8).reshape(h, w)
+    pal = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    if int(idx.max(initial=0)) >= pal.shape[0]:
+        raise ValueError("index exceeds palette")
+    # GCT size field: entries padded up to 2^(field+1), field in 0..7
+    field = max(1, (int(pal.shape[0]) - 1).bit_length()) - 1
+    n_entries = 2 << field
+    padded = np.zeros((n_entries, 3), dtype=np.uint8)
+    padded[: pal.shape[0]] = pal
+    mcs = max(2, field + 1)
+    parts = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0x80 | (field << 4) | field, 0, 0),
+        padded.tobytes(),
+    ]
+    if animated_hint:  # a GCE the decoder must skip cleanly
+        parts.append(b"\x21\xf9\x04\x00\x00\x00\x00\x00")
+    if interlace:
+        rows = [idx[y] for first, step in _GIF_PASSES for y in range(first, h, step)]
+        stream = np.concatenate(rows).tobytes()
+    else:
+        stream = idx.tobytes()
+    parts.append(
+        struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0x40 if interlace else 0)
+    )
+    parts.append(bytes([mcs]))
+    lzw = _lzw_encode(stream, mcs)
+    for off in range(0, len(lzw), 255):
+        chunk = lzw[off : off + 255]
+        parts.append(bytes([len(chunk)]) + chunk)
+    parts.append(b"\x00\x3b")
+    return b"".join(parts)
+
+
 _LUMA_WEIGHTS = (299, 587, 114)  # ITU-R BT.601, x1000 integer form
 
 
@@ -397,6 +651,9 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
     if buf.startswith(_PNG_SIG):
         w, h, rgb = _parse_png(buf)
         return w, h, _rgb_mean_luma(w, h, rgb)
+    if buf.startswith(b"GIF8"):
+        w, h, rgb = _parse_gif(buf)
+        return w, h, _rgb_mean_luma(w, h, rgb)
     if buf.startswith(b"IMG:"):
         header, _, payload = buf[4:].partition(b":")
         w, h = (int(x) for x in header.split(b"x"))
@@ -406,11 +663,11 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
         if buf.startswith(magic):
             raise NotImplementedError(
                 f"{name} decoding requires an image library (PIL); "
-                "PPM/BMP/PNG are decoded natively"
+                "PPM/BMP/PNG/GIF are decoded natively"
             )
     raise NotImplementedError(
-        "unrecognised image format; PPM (P6), 24-bit BMP, 8-bit PNG and "
-        "the IMG: synthetic format are decoded natively, entropy-coded "
+        "unrecognised image format; PPM (P6), 24-bit BMP, 8-bit PNG, GIF "
+        "and the IMG: synthetic format are decoded natively, entropy-coded "
         "formats require an image library (PIL)"
     )
 
@@ -426,6 +683,8 @@ def _image_pixels(buf: bytes) -> tuple[int, int, "object"]:
         return _parse_bmp(buf)
     if buf.startswith(_PNG_SIG):
         return _parse_png(buf)
+    if buf.startswith(b"GIF8"):
+        return _parse_gif(buf)
     if buf.startswith(b"IMG:"):
         header, _, payload = buf[4:].partition(b":")
         w, h = (int(x) for x in header.split(b"x"))

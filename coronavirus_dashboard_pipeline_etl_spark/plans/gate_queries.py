@@ -9684,3 +9684,82 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
 
 QUERIES["bpe2_encode_counts"] = bpe2_encode_counts
 ORACLE["bpe2_encode_counts"] = BPE2_SQL
+
+
+def m7_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal image stage with a real DICTIONARY-CODED format
+    decode in the loop: deterministic GIF89a files — 8-entry palette
+    and index raster both derived from doc_id, REAL LZW compression in
+    multimodal.build_gif (variable-width codes, clear/EOI), odd doc_ids
+    stored interlaced behind a graphic-control extension so the 4-pass
+    row reordering and extension skipping are load-bearing — decoded
+    byte-for-byte by _parse_gif inside decode_images. The oracle
+    replays only the palette/index FORMULA in SQL: LZW is lossless, so
+    any bug in code-width bumps, dictionary growth, interlace order, or
+    table parsing perturbs decoded pixels and fails the value hash.
+    Luma is the integer BT.601 sum with one double division.
+    (functions/multimodal.py _parse_gif / _lzw_decode / build_gif.)"""
+    import pandas as pd
+
+    from ..functions.multimodal import build_gif, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for d in pdf["media_id"]:
+                d = int(d)
+                w, h = 3 + d % 4, 2 + d % 3
+                pal = [
+                    (
+                        (d * 7 + j * 11) % 256,
+                        (d * 5 + j * 13) % 256,
+                        (d * 3 + j * 17) % 256,
+                    )
+                    for j in range(8)
+                ]
+                idx = [(d + i * 3) % 8 for i in range(w * h)]
+                contents.append(
+                    build_gif(
+                        w, h, idx, pal,
+                        interlace=bool(d % 2),
+                        animated_hint=bool(d % 2),
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": contents,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    return decode_images(media)
+
+
+M7_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(3 + doc_id % 4 AS INT) AS w,
+           CAST(2 + doc_id % 3 AS INT) AS h
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS kind,
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(list_sum(list_transform(range(0, w * h), i ->
+              299 * ((doc_id * 7 + ((doc_id + i * 3) % 8) * 11) % 256)
+            + 587 * ((doc_id * 5 + ((doc_id + i * 3) % 8) * 13) % 256)
+            + 114 * ((doc_id * 3 + ((doc_id + i * 3) % 8) * 17) % 256)))
+        AS BIGINT) / CAST(1000 * w * h AS DOUBLE) AS mean_luma
+FROM p
+"""
+
+QUERIES["m7_gif_decode"] = m7_gif_decode
+ORACLE["m7_gif_decode"] = M7_SQL

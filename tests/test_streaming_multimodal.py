@@ -1036,3 +1036,96 @@ def test_png_decode_roundtrip_all_filters_and_colortypes(spark):
     row = decode_images(media).collect()[0]
     assert (row.width, row.height, row.n_pixels) == (4, 4, 16)
     assert row.mean_luma == _rgb_mean_luma(4, 4, rgbpx)
+
+
+def test_gif_decode_lzw_roundtrip_interlace_and_errors(spark):
+    """Real GIF decoding: from-scratch LZW both directions — hand-pinned
+    code stream for a tiny image, round-trips over palette sizes and
+    interlace, dictionary-overflow reset, GIF87a + local-color-table
+    path, extension skipping, loud error paths, and the Spark decode
+    stage."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+        _parse_gif,
+        _rgb_mean_luma,
+        build_gif,
+        decode_images,
+    )
+
+    # hand-derived LZW bytes: mcs=2, indices [1,1,2] ->
+    # codes [clear=4@3b, 1@3b, 1@3b, 2@3b, eoi=5@4b] packed LSB-first
+    assert _lzw_encode(b"\x01\x01\x02", 2) == b"\x4c\x54"
+    assert _lzw_decode(b"\x4c\x54", 2, 3).tolist() == [1, 1, 2]
+
+    rng = np.random.RandomState(7)
+
+    # round-trips: palette sizes that pad to different GCT fields,
+    # interlaced and sequential, with a GCE block in the way
+    for npal in (2, 3, 5, 16, 200, 256):
+        pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+        for interlace in (False, True):
+            w, h = 9, 7
+            idx = rng.randint(0, npal, size=w * h).astype(np.uint8)
+            gif = build_gif(w, h, idx, pal, interlace=interlace,
+                            animated_hint=True)
+            gw, gh, rgb = _parse_gif(gif)
+            assert (gw, gh) == (w, h)
+            assert rgb.tolist() == pal[idx].reshape(-1).tolist(), (
+                npal, interlace)
+
+    # dictionary overflow: 300x300 noise needs >4096 LZW entries, so the
+    # encoder emits a mid-stream clear and the decoder must reset with it
+    pal = rng.randint(0, 256, size=(256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, size=300 * 300).astype(np.uint8)
+    w, h, rgb = _parse_gif(build_gif(300, 300, idx, pal))
+    assert rgb.tolist() == pal[idx].reshape(-1).tolist()
+
+    # GIF87a + LOCAL color table, hand-assembled (build_gif only emits
+    # GCT): screen descriptor with no GCT, descriptor with LCT flag
+    lct = np.array([[9, 8, 7], [1, 2, 3], [4, 5, 6], [250, 251, 252]],
+                   dtype=np.uint8)
+    lzw = _lzw_encode(b"\x03\x00\x02\x01", 2)
+    gif87 = (b"GIF87a" + struct.pack("<HHBBB", 2, 2, 0, 0, 0)
+             + struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0x81)
+             + lct.tobytes() + b"\x02"
+             + bytes([len(lzw)]) + lzw + b"\x00\x3b")
+    w, h, rgb = _parse_gif(gif87)
+    assert (w, h) == (2, 2)
+    assert rgb.tolist() == lct[[3, 0, 2, 1]].reshape(-1).tolist()
+
+    # loud failure paths
+    good = build_gif(3, 2, [0, 1, 2, 1, 0, 1], lct)
+    with _pytest.raises(ValueError, match="signature"):
+        _parse_gif(b"GIF00a" + good[6:])
+    with _pytest.raises(ValueError, match="truncated"):
+        _parse_gif(good[:10])
+    with _pytest.raises(ValueError, match="sub-block truncated"):
+        _parse_gif(good[:-4])
+    with _pytest.raises(ValueError, match="no image"):
+        _parse_gif(good[:13] + good[13:13 + 4 * 3] + b"\x3b")
+    with _pytest.raises(ValueError, match="no color table"):
+        _parse_gif(b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0)
+                   + struct.pack("<BHHHHB", 0x2C, 0, 0, 1, 1, 0)
+                   + b"\x02\x01\x44\x00\x3b")
+    with _pytest.raises(ValueError, match="EOI"):
+        _lzw_decode(b"\x4c", 2, 3)  # stream cut before the EOI code
+    with _pytest.raises(ValueError, match="out of range"):
+        _lzw_decode(bytes([0b10111100]), 2, 3)  # clear then code 7 (empty slot)
+    with _pytest.raises(ValueError, match="index exceeds"):
+        build_gif(1, 1, [4], lct)
+
+    # Spark path: GIF flows through the decode stage with exact luma
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(good))],
+        "media_id long, kind string, content binary",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height, row.n_pixels) == (3, 2, 6)
+    want = lct[np.array([0, 1, 2, 1, 0, 1])].reshape(-1)
+    assert row.mean_luma == _rgb_mean_luma(3, 2, want)
