@@ -1007,3 +1007,163 @@ def priority_sample(
         .filter(F.col("__rk") <= k)
         .drop("__priority", "__rk")
     )
+
+
+def _dsir_grams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hashed-n-gram feature stream for DSIR: unigrams plus
+    ``\\x01``-joined bigrams, one row per occurrence. Explode is
+    narrow — the stream never shuffles until it is aggregated."""
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__tk"))
+    n = F.size("__tk")
+    bigrams = F.transform(
+        F.slice("__tk", 1, F.greatest(n - 1, F.lit(0))),
+        lambda x, i: F.concat_ws("\x01", x, F.element_at(F.col("__tk"), i + 2)),
+    )
+    return base.select(
+        F.col(id_col),
+        F.explode(F.concat(F.col("__tk"), bigrams)).alias("__g"),
+    )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 1024,
+    mode: str = "rational",
+    scale: int = 1_000_000,
+    clip_cap: int = 10**12,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023,
+    NeurIPS — public algorithm): score every raw document by how much
+    more likely its hashed n-gram features are under a TARGET domain's
+    bag-of-ngrams model than under the raw corpus's own model. The
+    selection primitive behind domain-matched pretraining mixes.
+
+    Distributed shape (the 100 TB story): unigram+bigram explode is
+    narrow; the only corpus-sized shuffles are the two bucket count
+    aggregations (map-side combine onto at most ``n_buckets`` rows)
+    and the final per-doc rollup keyed on ``id_col``. The bucket model
+    is FIXED-SIZE — ``n_buckets`` rows, loud-guarded ≤ 2^20 — so it
+    collects to the driver (Python big-int ratio arithmetic, no
+    overflow at any corpus size) and broadcasts back; the scoring join
+    is a broadcast hash join, never a shuffle.
+
+    ``mode="rational"`` (oracle-gated): per-bucket importance ratio in
+    integer fixed point —
+
+        ratio_b = clip(((t_b+1)·(R+m)·scale) // ((r_b+1)·(T+m)), 1, cap)
+
+    with t/r the target/raw bucket counts, T/R their totals, m the
+    bucket count (add-one smoothing on both models; DSIR's weight
+    clipping keeps never-seen-in-raw buckets from dominating). The
+    per-doc ``importance_mass`` is an exact BIGINT sum of ratios over
+    gram occurrences; ``importance`` is ONE double division
+    ``mass / (n_grams · scale)`` so DuckDB hashes match bit-for-bit.
+
+    ``mode="log"`` (production): the paper's actual log importance
+    weight ``Σ_g [ln p_target(b(g)) − ln p_raw(b(g))]`` with add-alpha
+    smoothing — libm ``ln`` is last-ulp engine-dependent, so this mode
+    is pytest-verified against a pure-Python reference (same contract
+    as bigram_lm_score's log mode).
+
+    Resample with ``priority_sample(scored, k,
+    weight_col="importance_mass")`` — weighted-without-replacement on
+    the exact integer weights (clip keeps them positive).
+    """
+    if mode not in ("rational", "log"):
+        raise ValueError(f"mode must be 'rational' or 'log', got {mode!r}")
+    if not 1 <= n_buckets <= 1 << 20:
+        raise ValueError(
+            f"n_buckets must be in [1, 2^20] (the model collects to the "
+            f"driver), got {n_buckets}"
+        )
+    bucket = md5_prefix_long(F.col("__g")) % n_buckets
+
+    raw_grams = _dsir_grams(df, id_col, text_col)
+    tgt_grams = _dsir_grams(target, id_col, text_col)
+    raw_cnt = raw_grams.groupBy(bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__r")
+    )
+    tgt_cnt = tgt_grams.groupBy(bucket.alias("__b")).agg(
+        F.count(F.lit(1)).alias("__t")
+    )
+    model = {
+        int(row["__b"]): (int(row["__r"]), int(row["__t"] or 0))
+        for row in raw_cnt.join(tgt_cnt, "__b", "left").collect()
+    }
+    R = sum(r for r, _ in model.values())
+    T = sum(t for _, t in model.values())
+    m = n_buckets
+
+    spark = df.sparkSession
+    if mode == "rational":
+        rows = [
+            (
+                b,
+                max(
+                    1,
+                    min(
+                        int(clip_cap),
+                        ((t + 1) * (R + m) * scale) // ((r + 1) * (T + m)),
+                    ),
+                ),
+            )
+            for b, (r, t) in model.items()
+        ]
+        lut = spark.createDataFrame(rows, "__b long, __ratio long")
+        scored = (
+            raw_grams.withColumn("__b", bucket)
+            .join(F.broadcast(lut), "__b")
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_grams"),
+                F.sum("__ratio").alias("importance_mass"),
+            )
+        )
+        return df.select(id_col).join(scored, id_col, "left").select(
+            id_col,
+            F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+            F.coalesce("importance_mass", F.lit(0)).alias("importance_mass"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.col("importance_mass").cast("double")
+                / (F.col("n_grams") * scale).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("importance"),
+        )
+
+    import math
+
+    rows = [
+        (
+            b,
+            math.log((t + alpha) / (T + alpha * m))
+            - math.log((r + alpha) / (R + alpha * m)),
+        )
+        for b, (r, t) in model.items()
+    ]
+    lut = spark.createDataFrame(rows, "__b long, __lw double")
+    scored = (
+        raw_grams.withColumn("__b", bucket)
+        .join(F.broadcast(lut), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("__lw").alias("log_weight"),
+        )
+    )
+    return df.select(id_col).join(scored, id_col, "left").select(
+        id_col,
+        F.coalesce("n_grams", F.lit(0)).alias("n_grams"),
+        F.coalesce("log_weight", F.lit(0.0)).alias("log_weight"),
+        F.when(
+            F.col("n_grams") > 0, F.col("log_weight") / F.col("n_grams")
+        )
+        .otherwise(F.lit(0.0))
+        .alias("avg_log_weight"),
+    )

@@ -9763,3 +9763,76 @@ FROM p
 
 QUERIES["m7_gif_decode"] = m7_gif_decode
 ORACLE["m7_gif_decode"] = M7_SQL
+
+
+def x20_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023): score every
+    document by the integer fixed-point hashed-ngram importance ratio
+    of the English subset (the target domain) against the whole corpus
+    (the raw distribution). The bucket model is 256 rows — driver
+    big-int ratio arithmetic, broadcast-joined back — and the oracle
+    replays the full pipeline in SQL: unigram+bigram explode, md5
+    bucketing, add-one smoothed clipped ratio with HUGEINT
+    intermediates, exact BIGINT mass, ONE double division.
+    (functions/curation.py dsir_importance.)"""
+    from ..functions.curation import dsir_importance
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance(
+        docs, docs.filter(F.col("lang") == "en"), n_buckets=256
+    )
+
+
+X20_SQL = (
+    """
+WITH toks AS (
+    SELECT doc_id, lang,
+           list_filter(string_split(text, ' '), t -> t <> '') AS tk
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, lang, unnest(tk) AS g FROM toks
+    UNION ALL
+    SELECT doc_id, lang,
+           unnest(list_transform(range(1, len(tk)),
+                  i -> tk[i] || chr(1) || tk[i + 1])) AS g
+    FROM toks
+),
+bg AS (
+    SELECT doc_id, lang, """
+    + _md5int_sql("g")
+    + """ % 256 AS b FROM grams
+),
+raw_cnt AS (SELECT b, count(*) AS r FROM bg GROUP BY b),
+tgt_cnt AS (SELECT b, count(*) AS t FROM bg WHERE lang = 'en' GROUP BY b),
+tot AS (
+    SELECT (SELECT count(*) FROM bg) AS big_r,
+           (SELECT count(*) FROM bg WHERE lang = 'en') AS big_t
+),
+lut AS (
+    SELECT rc.b,
+           GREATEST(1, LEAST(1000000000000, CAST(
+               (CAST(COALESCE(tc.t, 0) + 1 AS HUGEINT)
+                   * (tot.big_r + 256) * 1000000)
+               // (CAST(rc.r + 1 AS HUGEINT) * (tot.big_t + 256))
+           AS BIGINT))) AS ratio
+    FROM raw_cnt rc LEFT JOIN tgt_cnt tc USING (b), tot
+),
+scored AS (
+    SELECT bg.doc_id, count(*) AS n_grams,
+           CAST(SUM(lut.ratio) AS BIGINT) AS mass
+    FROM bg JOIN lut USING (b) GROUP BY bg.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_grams, 0) AS n_grams,
+       COALESCE(s.mass, 0) AS importance_mass,
+       CASE WHEN COALESCE(s.n_grams, 0) > 0
+            THEN CAST(s.mass AS DOUBLE)
+                 / CAST(s.n_grams * 1000000 AS DOUBLE)
+            ELSE 0.0 END AS importance
+FROM documents d LEFT JOIN scored s USING (doc_id)
+"""
+)
+
+QUERIES["x20_dsir_importance"] = x20_dsir_importance
+ORACLE["x20_dsir_importance"] = X20_SQL

@@ -730,3 +730,109 @@ def test_stratified_sample_map_literal_path_matches_when_chain(spark):
         docs, {f"l{j}": 1.0 for j in range(299)} | {"zz": 1.0}, default_fraction=0.0
     )
     assert out_def.filter(F.col("lang") == "l299").count() == 0
+
+
+def test_dsir_importance_log_matches_pure_python_and_guards(spark):
+    """DSIR: rational mode's exact integers drive selection; log mode
+    reproduces the paper's importance weight against a pure-Python
+    reference on the same hashed buckets; bucket guard is loud; the
+    priority_sample composition returns exactly k rows biased toward
+    high-mass docs."""
+    import hashlib
+    import math
+
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        dsir_importance,
+        priority_sample,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat", "en"),
+        (2, "the dog sat on the log", "en"),
+        (3, "el gato se sento", "es"),
+        (4, "der hund sitzt auf dem baum", "de"),
+        (5, "the the the the the the", "en"),
+        (6, "", "en"),
+        (7, "cat", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    target = df.filter("lang = 'en'")
+    m = 64
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text: str) -> list[str]:
+        tk = [t for t in text.split(" ") if t]
+        return tk + [a + "\x01" + b for a, b in zip(tk, tk[1:])]
+
+    # pure-Python model over the same buckets
+    raw_cnt: dict[int, int] = {}
+    tgt_cnt: dict[int, int] = {}
+    for did, text, lang in rows:
+        for g in grams(text):
+            b = md5int(g) % m
+            raw_cnt[b] = raw_cnt.get(b, 0) + 1
+            if lang == "en":
+                tgt_cnt[b] = tgt_cnt.get(b, 0) + 1
+    big_r, big_t = sum(raw_cnt.values()), sum(tgt_cnt.values())
+
+    # --- log mode vs reference ---
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(df, target, n_buckets=m, mode="log").collect()
+    }
+    for did, text, lang in rows:
+        gs = grams(text)
+        want = sum(
+            math.log((tgt_cnt.get(md5int(g) % m, 0) + 1.0) / (big_t + m))
+            - math.log((raw_cnt[md5int(g) % m] + 1.0) / (big_r + m))
+            for g in gs
+        )
+        assert got[did].n_grams == len(gs)
+        assert got[did].log_weight == _pytest.approx(want, abs=1e-9)
+        if gs:
+            assert got[did].avg_log_weight == _pytest.approx(
+                want / len(gs), abs=1e-9
+            )
+        else:
+            assert got[did].log_weight == 0.0 and got[did].avg_log_weight == 0.0
+
+    # --- rational mode vs the same model in big-int arithmetic ---
+    got_r = {
+        r.doc_id: r
+        for r in dsir_importance(df, target, n_buckets=m).collect()
+    }
+    for did, text, lang in rows:
+        gs = grams(text)
+        mass = sum(
+            max(
+                1,
+                min(
+                    10**12,
+                    ((tgt_cnt.get(md5int(g) % m, 0) + 1) * (big_r + m) * 10**6)
+                    // ((raw_cnt[md5int(g) % m] + 1) * (big_t + m)),
+                ),
+            )
+            for g in gs
+        )
+        assert got_r[did].importance_mass == mass
+        # English docs should out-weigh non-English ones per gram
+        if gs:
+            assert got_r[did].importance == mass / (len(gs) * 10**6)
+    en_avg = sum(got_r[d].importance for d in (1, 2, 5)) / 3
+    non_en_avg = sum(got_r[d].importance for d in (3, 4, 7)) / 3
+    assert en_avg > non_en_avg
+
+    # --- guards ---
+    with _pytest.raises(ValueError, match="n_buckets"):
+        dsir_importance(df, target, n_buckets=(1 << 20) + 1)
+    with _pytest.raises(ValueError, match="mode"):
+        dsir_importance(df, target, mode="geometric")
+
+    # --- resample composition: exactly k survivors, weighted w/o repl ---
+    scored = dsir_importance(df, target, n_buckets=m)
+    kept = priority_sample(scored, k=3, weight_col="importance_mass")
+    assert kept.count() == 3
