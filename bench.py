@@ -115,6 +115,10 @@ HEADLINE = [
     "bpe1_learn_merges",
     "bpe2_encode_counts",
     "d14_probe_pairs",
+    # round-8 late additions: the GIF LZW Arrow crossing and the DSIR
+    # model-collect + broadcast-scoring shape
+    "m7_gif_decode",
+    "x20_dsir_importance",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
