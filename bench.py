@@ -115,10 +115,12 @@ HEADLINE = [
     "bpe1_learn_merges",
     "bpe2_encode_counts",
     "d14_probe_pairs",
-    # round-8 late additions: the GIF LZW Arrow crossing and the DSIR
-    # model-collect + broadcast-scoring shape
+    # round-8 late additions: the GIF LZW Arrow crossing, the DSIR
+    # model-collect + broadcast-scoring shape, and the PQ train/encode/
+    # ADC chain
     "m7_gif_decode",
     "x20_dsir_importance",
+    "s5_pq_adc_topk",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

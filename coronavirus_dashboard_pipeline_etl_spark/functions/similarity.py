@@ -358,8 +358,14 @@ def kmeans_lloyd(
     form used by the pipe11 gate: per-(cluster, dim) SUM over
     ``decimal(30,15)`` (exact, order/partitioning-independent) cast to
     double, divided by the count. Centroids are then identical across
-    engines, partition layouts, and AQE decisions — the
-    driver-verifiable mode. Assignment decisions on top of them compare
+    partition layouts and AQE decisions — the driver-verifiable mode.
+    Across ENGINES they can still drift by one final-bit ulp: Spark's
+    double→decimal cast rounds HALF_UP where DuckDB's truncates, so
+    the decimal SUMS differ in the last decimal digit (measured in
+    pq_train's development — see its ordered-fold exact mode). The c2
+    gate stays green because its output is ASSIGNMENTS, which a
+    last-ulp centroid flip essentially never changes; don't oracle-hash
+    raw centroid values from this mode. Assignment decisions on top of them compare
     double cosines computed with the same sequential fold order in both
     engines, exact ties broken by smallest centroid id; an
     epsilon-near-tie between two centroids could in principle resolve
@@ -769,4 +775,289 @@ def kmeans_seeds_farthest(
         seed_ids.add(nxt[0][id_col])
     return spark.createDataFrame(
         seed_rows, "centroid_id long, centroid array<double>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, TPAMI — public algorithm).
+# The memory-compression scale path for embedding search: a 64-dim
+# float32 vector (256 bytes) compresses to m_sub code bytes, so a
+# 100 TB embedding corpus's searchable index fits in a fraction of the
+# footprint, and asymmetric-distance (ADC) scoring costs O(m_sub) table
+# lookups per candidate instead of O(dim) multiplies.
+# ---------------------------------------------------------------------------
+
+
+def _sq_l2(a: Column, b: Column) -> Column:
+    """Squared L2 as a sequential left-fold — bit-identical to the
+    oracle's ordered ``list_reduce`` (``0.0 + t1`` is exact, squares
+    are non-negative)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+
+
+def _pq_collect_codebooks(
+    codebooks: DataFrame, max_model: int, caller: str
+) -> list:
+    """Collect a (sub, code, codeword) table into ``cb[s][j] -> list``
+    under a loud size guard; validates the grid is dense."""
+    rows = codebooks.select("sub", "code", "codeword").limit(
+        max_model + 1
+    ).collect()
+    if len(rows) > max_model:
+        raise ValueError(
+            f"{caller}: codebook exceeds max_model={max_model} rows"
+        )
+    if not rows:
+        raise ValueError(f"{caller}: empty codebook")
+    m = max(int(r["sub"]) for r in rows) + 1
+    k = max(int(r["code"]) for r in rows) + 1
+    cb: list = [[None] * k for _ in range(m)]
+    for r in rows:
+        cb[int(r["sub"])][int(r["code"])] = [float(x) for x in r["codeword"]]
+    if any(cw is None for sub in cb for cw in sub):
+        raise ValueError(f"{caller}: codebook grid has holes")
+    return cb
+
+
+def pq_train(
+    df: DataFrame,
+    m_sub: int = 4,
+    k: int = 16,
+    n_iter: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = False,
+    max_model: int = 1 << 16,
+) -> DataFrame:
+    """Train product-quantization codebooks: split each vector into
+    ``m_sub`` subvectors and run Lloyd k-means with squared-L2
+    assignment independently per subspace.
+
+    Distributed shape: seeding collects the ``k`` smallest-id vectors
+    (deterministic, no RNG); each round is ONE map-side assignment over
+    the subvector explode (codebooks inlined as a literal — zero
+    shuffle, the ``assign_centroids`` pattern) plus ONE shuffle keyed
+    on (subspace, code, dim) whose output is the fixed-size model
+    (``m_sub*k*sub_dim`` rows, loud-guarded), re-collected per round.
+    Corpus size never appears in shuffle keys or collect sizes.
+
+    ``exact=True`` uses an ORDERED-FOLD centroid update: per
+    (subspace, code, dim) the member values are sorted by ``id_col``
+    and summed as a sequential double left-fold, so codebooks are
+    bit-identical across engines AND partition layouts by
+    construction. (A decimal(30,15) sum — ``kmeans_lloyd``'s exact
+    mode — is partition-order-independent but NOT cross-engine exact:
+    Spark's double→decimal cast rounds HALF_UP while DuckDB's
+    truncates, so last-decimal-digit drift flips the final double's
+    low bit; k-means assignment output absorbs that, PQ's distance
+    output does not.) The fold buffers one group's members via
+    collect_list — fine for verification runs; production keeps the
+    default ``avg``. Empty clusters keep their previous codeword (the
+    oracle mirrors with COALESCE).
+
+    Returns a codebook DataFrame ``(sub, code, codeword)``.
+    """
+    if m_sub < 1 or k < 1 or n_iter < 0:
+        raise ValueError(f"bad PQ shape m_sub={m_sub} k={k} n_iter={n_iter}")
+    probe = df.select(
+        F.size(_to_double(F.col(vec_col))).alias("d")
+    ).limit(1).collect()
+    if not probe:
+        raise ValueError("pq_train: empty input")
+    dim = int(probe[0]["d"])
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    d = dim // m_sub
+    if m_sub * k * d > max_model:
+        raise ValueError(
+            f"pq_train: model size {m_sub * k * d} exceeds "
+            f"max_model={max_model}"
+        )
+
+    seed_rows = (
+        df.orderBy(id_col)
+        .limit(k)
+        .select(_to_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    if len(seed_rows) < k:
+        raise ValueError(f"pq_train: need >= k={k} rows, got {len(seed_rows)}")
+    cb = [
+        [[float(x) for x in r["v"][s * d : (s + 1) * d]] for r in seed_rows]
+        for s in range(m_sub)
+    ]
+
+    v = _to_double(F.col(vec_col))
+    subrows = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(m_sub - 1))).alias("__s"),
+        v.alias("__v"),
+    ).select(
+        id_col,
+        "__s",
+        F.slice("__v", F.col("__s") * d + 1, F.lit(d)).alias("__x"),
+    )
+    for _ in range(n_iter):
+        cb_lit = F.lit(cb)
+        scores = F.transform(
+            F.element_at(cb_lit, F.col("__s") + 1),
+            lambda cw: _sq_l2(F.col("__x"), cw),
+        )
+        code = (F.array_position(scores, F.array_min(scores)) - 1).cast("long")
+        assigned = subrows.select(
+            F.col(id_col), "__s", code.alias("__code"), "__x"
+        )
+        dims = assigned.select(
+            F.col(id_col),
+            "__s",
+            "__code",
+            F.posexplode("__x").alias("__dim", "__val"),
+        )
+        if exact:
+            mean_expr = (
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col(id_col).alias("i"),
+                                    F.col("__val").alias("x"),
+                                )
+                            )
+                        ),
+                        lambda st: st.x,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                / F.count(F.lit(1))
+            ).alias("__m")
+        else:
+            mean_expr = F.avg("__val").alias("__m")
+        model_rows = (
+            dims.groupBy("__s", "__code", "__dim").agg(mean_expr).collect()
+        )
+        nxt = [[list(cw) for cw in sub] for sub in cb]
+        for r in model_rows:
+            nxt[int(r["__s"])][int(r["__code"])][int(r["__dim"])] = float(
+                r["__m"]
+            )
+        cb = nxt
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(s, j, cb[s][j]) for s in range(m_sub) for j in range(k)],
+        "sub long, code long, codeword array<double>",
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_model: int = 1 << 16,
+) -> DataFrame:
+    """Encode vectors to PQ codes: per subspace, the squared-L2-nearest
+    codeword index (first index on exact ties — total and
+    deterministic). Codebooks inline as one nested literal, so the
+    whole operator is a zero-shuffle map-side expression that fuses
+    into the scan. Adds ``pq_codes array<int>`` (m_sub entries)."""
+    cb = _pq_collect_codebooks(codebooks, max_model, "pq_encode")
+    m, d = len(cb), len(cb[0][0])
+    cb_lit = F.lit(cb)
+    v = _to_double(F.col(vec_col))
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s: (
+            F.array_position(
+                F.transform(
+                    F.element_at(cb_lit, s + 1),
+                    lambda cw: _sq_l2(F.slice(v, s * d + 1, F.lit(d)), cw),
+                ),
+                F.array_min(
+                    F.transform(
+                        F.element_at(cb_lit, s + 1),
+                        lambda cw: _sq_l2(F.slice(v, s * d + 1, F.lit(d)), cw),
+                    )
+                ),
+            )
+            - 1
+        ).cast("int"),
+    )
+    return df.select("*", codes.alias("pq_codes"))
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    encoded: DataFrame,
+    codebooks: DataFrame,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    query_id_col: str | None = None,
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    max_queries: int = 10_000,
+    max_model: int = 1 << 16,
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: each query precomputes
+    its (m_sub × k) lookup table of squared-L2 distances to every
+    codeword ONCE — the LUT projection sits under the
+    BroadcastExchange, so it is evaluated per query at broadcast build,
+    not per candidate pair — then every candidate scores in O(m_sub)
+    array lookups (a sequential fold over subspaces, so distances are
+    bit-identical to the oracle's ordered reduce). Ranking is the same
+    per-query window every ANN gate here uses; ties break by id.
+
+    The corpus side touches only ``(id, pq_codes)`` — the compressed
+    index, ~m_sub bytes per vector instead of the raw embedding — which
+    is the whole point of PQ at 100 TB."""
+    if topk < 1:
+        raise ValueError(f"topk must be >= 1, got {topk}")
+    qid = query_id_col or id_col
+    if queries.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"pq_adc_topk: query side exceeds max_queries={max_queries}; "
+            "it must be the small (broadcast) side"
+        )
+    cb = _pq_collect_codebooks(codebooks, max_model, "pq_adc_topk")
+    m, d = len(cb), len(cb[0][0])
+    cb_lit = F.lit(cb)
+    qv = _to_double(F.col(vec_col))
+    lut = F.transform(
+        cb_lit,
+        lambda sub_cb, s: F.transform(
+            sub_cb, lambda cw: _sq_l2(F.slice(qv, s * d + 1, F.lit(d)), cw)
+        ),
+    )
+    qdf = queries.select(F.col(qid).alias("query_id"), lut.alias("__lut"))
+    pairs = encoded.select(F.col(id_col), F.col(codes_col)).crossJoin(
+        broadcast(qdf)
+    )
+    dist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + F.element_at(
+            F.element_at("__lut", (s + 1).cast("int")),
+            F.element_at(F.col(codes_col), (s + 1).cast("int")) + 1,
+        ),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.asc("__adc"), F.asc(id_col)
+    )
+    return (
+        pairs.withColumn("__adc", dist)
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= topk)
+        .select(
+            "query_id",
+            id_col,
+            F.col("__adc").alias("adc_dist"),
+            "rank",
+        )
     )

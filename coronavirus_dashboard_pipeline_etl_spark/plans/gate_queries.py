@@ -9836,3 +9836,121 @@ FROM documents d LEFT JOIN scored s USING (doc_id)
 
 QUERIES["x20_dsir_importance"] = x20_dsir_importance
 ORACLE["x20_dsir_importance"] = X20_SQL
+
+
+def s5_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization end-to-end (Jégou et al. 2011): train
+    per-subspace codebooks (m_sub=4, k=4, ONE exact-decimal Lloyd
+    round, smallest-id seeding), encode the corpus to 4-byte codes
+    (zero-shuffle literal-codebook argmin), then asymmetric-distance
+    top-5 for the %97 query set — each query's (4×4) LUT evaluated
+    once under the BroadcastExchange, candidates scored in O(m_sub)
+    lookups with a sequential fold. The oracle replays the whole
+    chain: seeding, the unrolled Lloyd round with its ORDERED-FOLD
+    centroid sum (decimal sums are NOT cross-engine exact — Spark
+    rounds the double→decimal cast HALF_UP, DuckDB truncates — and
+    unlike c2's assignment output, ADC distances expose the last
+    bit) with COALESCE empty-cluster fallback, argmin encoding, and
+    the ordered list_reduce ADC sum — any drift in codebooks, codes,
+    or fold order perturbs distances/ranks and fails the value hash.
+    (functions/similarity.py pq_train / pq_encode / pq_adc_topk.)"""
+    from ..functions.similarity import pq_adc_topk, pq_encode, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m_sub=4, k=4, n_iter=1, exact=True)
+    enc = pq_encode(emb, cb)
+    queries = emb.filter(F.col("vec_id") % 97 == 0)
+    return pq_adc_topk(queries, enc, cb, topk=5)
+
+
+def _s5_sq_sql(x: str, c: str) -> str:
+    """Ordered squared-L2 over 16-dim sublists — the same left fold
+    pq's _sq_l2 evaluates (0.0 + t1 is exact, so the brackets agree)."""
+    return (
+        f"list_reduce(list_transform(range(1, 17), "
+        f"i -> ({x}[i]-{c}[i])*({x}[i]-{c}[i])), (a,b) -> a+b)"
+    )
+
+
+S5_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+subs AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS s),
+seeds AS (
+    SELECT subs.s, CAST(r.rn - 1 AS BIGINT) AS code,
+           list_slice(r.v, subs.s * 16 + 1, subs.s * 16 + 16) AS cw
+    FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM e) r,
+         subs
+    WHERE r.rn <= 4
+),
+sv AS (
+    SELECT vec_id, subs.s,
+           list_slice(v, subs.s * 16 + 1, subs.s * 16 + 16) AS x
+    FROM e, subs
+),
+a0 AS (
+    SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, sd.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sv.vec_id, sv.s
+                   ORDER BY {_s5_sq_sql('sv.x', 'sd.cw')} ASC, sd.code ASC
+               ) AS rn
+        FROM sv JOIN seeds sd ON sv.s = sd.s
+    ) WHERE rn = 1
+),
+x0 AS (
+    SELECT sv.vec_id, a0.s, a0.code, t.dim, sv.x[t.dim] AS val
+    FROM a0 JOIN sv ON a0.vec_id = sv.vec_id AND a0.s = sv.s,
+         LATERAL (SELECT UNNEST(generate_series(1, 16)) AS dim) t
+),
+cbm AS (
+    SELECT s, code, list(sx / n ORDER BY dim) AS cw
+    FROM (
+        SELECT s, code, dim,
+               list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+                   AS sx,
+               COUNT(*) AS n
+        FROM x0 GROUP BY s, code, dim
+    ) GROUP BY s, code
+),
+cb AS (
+    SELECT sd.s, sd.code, COALESCE(cbm.cw, sd.cw) AS cw
+    FROM seeds sd LEFT JOIN cbm ON sd.s = cbm.s AND sd.code = cbm.code
+),
+enc AS (
+    SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sv.vec_id, sv.s
+                   ORDER BY {_s5_sq_sql('sv.x', 'cb.cw')} ASC, cb.code ASC
+               ) AS rn
+        FROM sv JOIN cb ON sv.s = cb.s
+    ) WHERE rn = 1
+),
+qsub AS (
+    SELECT vec_id AS query_id, s, x AS qx FROM sv WHERE vec_id % 97 = 0
+),
+pd AS (
+    SELECT qsub.query_id, enc.vec_id, qsub.s,
+           {_s5_sq_sql('qsub.qx', 'cb.cw')} AS pd
+    FROM qsub
+    JOIN enc ON qsub.s = enc.s
+    JOIN cb ON enc.s = cb.s AND enc.code = cb.code
+),
+dist AS (
+    SELECT query_id, vec_id,
+           list_reduce(list(pd ORDER BY s), (a, b) -> a + b) AS adc_dist
+    FROM pd GROUP BY query_id, vec_id
+)
+SELECT query_id, vec_id, adc_dist, rank FROM (
+    SELECT query_id, vec_id, adc_dist,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY adc_dist ASC, vec_id ASC
+           ) AS INT) AS rank
+    FROM dist
+) WHERE rank <= 5
+"""
+
+QUERIES["s5_pq_adc_topk"] = s5_pq_adc_topk
+ORACLE["s5_pq_adc_topk"] = S5_SQL

@@ -462,3 +462,108 @@ def test_minhash_probe_pairs_batch_vs_corpus(spark):
     assert {(r.new_id, r.old_id, r.jaccard) for r in got2.collect()} == {
         (n, o, j) for (n, o), j in rows.items()
     }
+
+
+def test_pq_train_encode_adc_vs_pure_python(spark):
+    """Product quantization: exact-mode codebooks, codes, and ADC
+    distances all match a pure-Python PQ on the same data; encode is
+    zero-shuffle; guards are loud; k=N codebooks quantize losslessly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = np.random.RandomState(3)
+    n, dim, m_sub, k = 40, 8, 2, 4
+    d = dim // m_sub
+    vecs = rng.randn(n, dim).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+
+    # pure-Python PQ: min-id seeding, one L2 Lloyd round (double math,
+    # same fold order guarantees since numpy ops here are per-element)
+    xs = vecs.astype(np.float64)
+    cb = [
+        [list(xs[j][s * d : (s + 1) * d]) for j in range(k)]
+        for s in range(m_sub)
+    ]
+
+    def assign(x_sub, sub_cb):
+        dists = [sum((a - b) * (a - b) for a, b in zip(x_sub, cw)) for cw in sub_cb]
+        return dists.index(min(dists))
+
+    nxt = [[list(cw) for cw in sub] for sub in cb]
+    for s in range(m_sub):
+        members: dict[int, list[int]] = {}
+        for i in range(n):
+            c = assign(xs[i][s * d : (s + 1) * d], cb[s])
+            members.setdefault(c, []).append(i)
+        for c, ids in members.items():
+            for t in range(d):
+                acc = 0.0
+                for i in sorted(ids):  # ordered fold, as exact mode does
+                    acc += xs[i][s * d + t]
+                nxt[s][c][t] = acc / len(ids)
+    cb = nxt
+
+    got_cb = {
+        (r.sub, r.code): [float(x) for x in r.codeword]
+        for r in pq_train(df, m_sub=m_sub, k=k, n_iter=1, exact=True).collect()
+    }
+    for s in range(m_sub):
+        for j in range(k):
+            assert got_cb[(s, j)] == cb[s][j], (s, j)
+
+    cb_df = pq_train(df, m_sub=m_sub, k=k, n_iter=1, exact=True)
+    enc = pq_encode(df, cb_df)
+    # encode is a pure map-side expression: no exchange anywhere
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    got_codes = {r.vec_id: list(r.pq_codes) for r in enc.collect()}
+    want_codes = {
+        i: [assign(xs[i][s * d : (s + 1) * d], cb[s]) for s in range(m_sub)]
+        for i in range(n)
+    }
+    assert got_codes == want_codes
+
+    # ADC: distances equal the LUT-sum reference; ranking respects ties
+    queries = df.filter("vec_id < 3")
+    got = pq_adc_topk(queries, enc, cb_df, topk=4).collect()
+    for r in got:
+        q = xs[r.query_id]
+        want = sum(
+            sum(
+                (a - b) * (a - b)
+                for a, b in zip(
+                    q[s * d : (s + 1) * d], cb[s][want_codes[r.vec_id][s]]
+                )
+            )
+            for s in range(m_sub)
+        )
+        assert r.adc_dist == _pytest.approx(want, rel=1e-12)
+    by_q: dict[int, list] = {}
+    for r in got:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == 4
+        assert all(
+            (a.adc_dist, a.vec_id) <= (b.adc_dist, b.vec_id)
+            for a, b in zip(rows, rows[1:])
+        )
+
+    # guards
+    with _pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m_sub=3, k=2)
+    with _pytest.raises(ValueError, match="max_model"):
+        pq_train(df, m_sub=2, k=4, max_model=8)
+    with _pytest.raises(ValueError, match="max_queries"):
+        pq_adc_topk(df, enc, cb_df, topk=1, max_queries=5)
+    with _pytest.raises(ValueError, match="need >= k"):
+        pq_train(df.filter("vec_id < 2"), m_sub=2, k=4)
