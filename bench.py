@@ -121,6 +121,7 @@ HEADLINE = [
     "m7_gif_decode",
     "x20_dsir_importance",
     "s5_pq_adc_topk",
+    "pipe16_ivfpq_index",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -9954,3 +9954,131 @@ SELECT query_id, vec_id, adc_dist, rank FROM (
 
 QUERIES["s5_pq_adc_topk"] = s5_pq_adc_topk
 ORACLE["s5_pq_adc_topk"] = S5_SQL
+
+
+def pipe16_ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ index build (the Faiss-style composition: coarse
+    quantiser + product-quantised RESIDUALS): cosine-assign every
+    vector to one of 8 coarse centroids (zero-shuffle literal
+    assignment), subtract the assigned centroid to get the residual,
+    then train/encode a 4-subspace k=4 PQ on the residuals (ordered-
+    fold exact mode). Output is the index itself — (vec_id,
+    centroid_id, sub, code) — the corpus-scale artifact; at 100 TB
+    this is the whole write path: one broadcast join for residuals,
+    one fixed-size model shuffle, map-side encode. The oracle replays
+    coarse assignment, residual arithmetic (double subtraction is
+    exact), and the full s5 PQ chain on residuals.
+    (functions/similarity.py assign_centroids / pq_train / pq_encode.)"""
+    from ..functions.similarity import (
+        _to_double,
+        assign_centroids,
+        pq_encode,
+        pq_train,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_centroids(emb, coarse)
+    res = assigned.join(F.broadcast(coarse), "centroid_id").select(
+        "vec_id",
+        "centroid_id",
+        F.zip_with(
+            _to_double(F.col("embedding")),
+            _to_double(F.col("centroid")),
+            lambda x, c: x - c,
+        ).alias("residual"),
+    )
+    cb = pq_train(res, m_sub=4, k=4, n_iter=1, vec_col="residual", exact=True)
+    enc = pq_encode(res, cb, vec_col="residual")
+    return enc.select(
+        "vec_id",
+        "centroid_id",
+        F.posexplode("pq_codes").alias("sub", "code"),
+    )
+
+
+PIPE16_SQL = f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c8 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC,
+                            c.cid ASC
+               ) AS rn
+        FROM e, c8 c
+    ) WHERE rn = 1
+),
+res AS (
+    SELECT a.vec_id, a.cid,
+           list_transform(range(1, 65), i -> a.v[i] - c.cv[i]) AS v
+    FROM assigned a JOIN c8 c ON a.cid = c.cid
+),
+subs AS (SELECT CAST(unnest(range(0, 4)) AS BIGINT) AS s),
+seeds AS (
+    SELECT subs.s, CAST(r.rn - 1 AS BIGINT) AS code,
+           list_slice(r.v, subs.s * 16 + 1, subs.s * 16 + 16) AS cw
+    FROM (SELECT v, ROW_NUMBER() OVER (ORDER BY vec_id) AS rn FROM res) r,
+         subs
+    WHERE r.rn <= 4
+),
+sv AS (
+    SELECT vec_id, subs.s,
+           list_slice(v, subs.s * 16 + 1, subs.s * 16 + 16) AS x
+    FROM res, subs
+),
+a0 AS (
+    SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, sd.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sv.vec_id, sv.s
+                   ORDER BY {_s5_sq_sql('sv.x', 'sd.cw')} ASC, sd.code ASC
+               ) AS rn
+        FROM sv JOIN seeds sd ON sv.s = sd.s
+    ) WHERE rn = 1
+),
+x0 AS (
+    SELECT sv.vec_id, a0.s, a0.code, t.dim, sv.x[t.dim] AS val
+    FROM a0 JOIN sv ON a0.vec_id = sv.vec_id AND a0.s = sv.s,
+         LATERAL (SELECT UNNEST(generate_series(1, 16)) AS dim) t
+),
+cbm AS (
+    SELECT s, code, list(sx / n ORDER BY dim) AS cw
+    FROM (
+        SELECT s, code, dim,
+               list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+                   AS sx,
+               COUNT(*) AS n
+        FROM x0 GROUP BY s, code, dim
+    ) GROUP BY s, code
+),
+cb AS (
+    SELECT sd.s, sd.code, COALESCE(cbm.cw, sd.cw) AS cw
+    FROM seeds sd LEFT JOIN cbm ON sd.s = cbm.s AND sd.code = cbm.code
+),
+enc AS (
+    SELECT vec_id, s, code FROM (
+        SELECT sv.vec_id, sv.s, cb.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY sv.vec_id, sv.s
+                   ORDER BY {_s5_sq_sql('sv.x', 'cb.cw')} ASC, cb.code ASC
+               ) AS rn
+        FROM sv JOIN cb ON sv.s = cb.s
+    ) WHERE rn = 1
+)
+SELECT enc.vec_id,
+       res.cid AS centroid_id,
+       CAST(enc.s AS INT) AS sub,
+       CAST(enc.code AS INT) AS code
+FROM enc JOIN res ON enc.vec_id = res.vec_id
+"""
+
+QUERIES["pipe16_ivfpq_index"] = pipe16_ivfpq_index
+ORACLE["pipe16_ivfpq_index"] = PIPE16_SQL

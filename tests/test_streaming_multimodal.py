@@ -781,14 +781,17 @@ def test_codec_gated_formats_raise_named():
         _decode_image_bytes,
     )
 
-    # PNG is decoded for real now — a signature with garbage chunks is
-    # a loud ValueError from the chunk walk, not a codec gate
+    # PNG and GIF are decoded for real now — a signature with garbage
+    # after it is a loud ValueError from the real parser, not a codec
+    # gate; only entropy-coded JPEG/WebP still gate
     with pytest.raises(ValueError, match="IHDR"):
         _decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_image_bytes(b"GIF89a....")
     with pytest.raises(NotImplementedError, match="JPEG"):
         _decode_image_bytes(b"\xff\xd8\xff\xe0....")
-    with pytest.raises(NotImplementedError, match="GIF"):
-        _decode_image_bytes(b"GIF89a....")
+    with pytest.raises(NotImplementedError, match="WebP"):
+        _decode_image_bytes(b"RIFF....WEBPVP8 ")
 
 
 def test_ppm_through_spark_decode_and_resize(spark):
