@@ -119,6 +119,7 @@ HEADLINE = [
     # model-collect + broadcast-scoring shape, and the PQ train/encode/
     # ADC chain
     "m7_gif_decode",
+    "m8_jpeg_decode",
     "x20_dsir_importance",
     "s5_pq_adc_topk",
     "pipe16_ivfpq_index",

@@ -23,16 +23,22 @@ formats a library-free container can handle:
   from-scratch LZW decompressor (variable-width LSB-first codes,
   clear/EOI, KwKwK, deferred clear at the 4096-entry ceiling). LZW is
   dictionary coding, not entropy coding — no library needed.
+* **JPEG (baseline, ITU-T T.81)** — a real entropy decoder: marker
+  walk, DQT/SOF0/DHT/DRI/SOS, canonical Huffman decode with byte
+  unstuffing and restart markers, DC prediction, dequantise, dezigzag,
+  8x8 IDCT, 4:4:4 / 4:2:0 upsampling, JFIF YCbCr→RGB. Files carry
+  their own Huffman tables, so the decoder is table-driven.
+  Progressive (SOF2) and arithmetic-coded files raise.
 * **IMG: synthetic** — the original deterministic grayscale test
   format, kept so the feature/resize fixtures stay byte-stable.
 
 Luma for RGB rasters is the ITU-R BT.601 integer form
 ``(299·R + 587·G + 114·B) / 1000`` averaged over pixels — integer
 numerator, single final division, so Spark (numpy int64) and any SQL
-oracle (BIGINT sum) agree bit-for-bit. Entropy-coded formats (JPEG/
-WebP) need a codec library and raise ``NotImplementedError`` with
-the magic they matched — in a real deployment PIL slots into
-``_decode_image_bytes`` and nothing else changes.
+oracle (BIGINT sum) agree bit-for-bit. Of the common image formats
+only WebP (VP8 entropy coding) still needs a codec library and raises
+``NotImplementedError`` naming it — in a real deployment PIL slots
+into ``_decode_image_bytes`` and nothing else changes.
 
 Why mapInPandas: codecs are Python-only, so the exchange must cross into
 Python — Arrow batches amortise that to one transfer per ~10k rows, and
@@ -72,7 +78,6 @@ def attach_media_meta(df: DataFrame, content_col: str = "content") -> DataFrame:
 #: PNG is NOT here: its only compression is DEFLATE, which the stdlib
 #: zlib module provides, so _parse_png decodes it for real.
 _CODEC_GATED = {
-    b"\xff\xd8\xff": "JPEG (DCT entropy decode)",
     b"RIFF": "WebP/RIFF (VP8)",
 }
 
@@ -618,6 +623,500 @@ def build_gif(
     return b"".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec): a REAL entropy decoder —
+# marker walk, DQT/SOF0/DHT/SOS parse, canonical Huffman decode with
+# byte unstuffing and restart markers, DC prediction, dequantisation,
+# dezigzag, 8x8 IDCT, 4:4:4 and 4:2:0 chroma upsampling. JPEG files
+# carry their own Huffman tables in DHT, so the decoder is fully
+# table-driven — no Annex-K transcription to get wrong. build_jpeg is
+# the forward half (FDCT, quantise, zigzag, category coding, Huffman,
+# stuffing) so the decoder's entropy path is load-bearing. JPEG is
+# LOSSY in general, but with all-ones quantisation a per-8x8-CONSTANT
+# image is DC-only and round-trips BIT-EXACTLY (FDCT noise ~1e-13 is
+# killed by coefficient rounding) — which is what lets the m8 gate's
+# SQL oracle replay decoded pixels without a JPEG implementation.
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_order() -> list:
+    """The 64-entry JPEG zigzag scan, generated (not transcribed):
+    anti-diagonals, even sums walked up-right, odd sums down-left."""
+    order = []
+    for s in range(15):
+        rows = range(max(0, s - 7), min(s, 7) + 1)
+        for r in (rows if s % 2 else reversed(list(rows))):
+            order.append((r, s - r))
+    return order
+
+
+_ZZ = _zigzag_order()
+
+
+def _dct_matrix() -> "object":
+    import numpy as np
+
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    d = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def _jpeg_category(v: int) -> tuple[int, int]:
+    """JPEG magnitude category coding: (size, appended bits)."""
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << size) - 1
+    return size, bits
+
+
+#: canonical Huffman tables the ENCODER uses (decoder reads whatever
+#: the file's DHT says): 12 DC categories at 4 bits; all 162 AC
+#: symbols (EOB, ZRL, (run 0-15, size 1-10)) at 8 bits. Valid prefix
+#: codes (Kraft 12/16 and 162/256), no all-ones code. Poor compression,
+#: real coding.
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_DC_VALS = list(range(12))
+_ENC_AC_BITS = [0] * 7 + [162] + [0] * 8
+_ENC_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list, vals: list) -> dict:
+    """symbol -> (code, length) from a DHT BITS/VALS pair."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:  # stuffed
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise ValueError("JPEG: hit restart marker inside segment")
+            else:
+                raise ValueError(
+                    f"JPEG: unexpected marker 0xff{nxt:02x} in scan"
+                )
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bit()
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code in scan")
+
+    def restart(self, idx: int) -> None:
+        """Consume an RSTn marker at a restart boundary (byte-aligned)."""
+        self.acc = self.n = 0
+        if self.data[self.pos : self.pos + 1] != b"\xff" or (
+            self.data[self.pos + 1] != 0xD0 + (idx % 8)
+        ):
+            raise ValueError("JPEG: missing/mis-numbered restart marker")
+        self.pos += 2
+
+
+def _extend(v: int, size: int) -> int:
+    """Inverse of the magnitude-category appended-bits encoding."""
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _rgb_to_ycbcr(rgb: "object") -> "object":
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.331264 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(ycc: "object") -> "object":
+    import numpy as np
+
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+
+
+def _fdct_quant_block(block: "object", d: "object", quant: "object") -> "object":
+    import numpy as np
+
+    f = d @ (block.astype(np.float64) - 128.0) @ d.T
+    return np.rint(f / quant).astype(np.int32)
+
+
+def _encode_block(
+    wr: "_BitWriter", coef: "object", pred: int, dc_codes: dict, ac_codes: dict
+) -> int:
+    """Huffman-encode one quantised 8x8 block; returns the new DC pred."""
+    dc = int(coef[0, 0])
+    size, bits = _jpeg_category(dc - pred)
+    c, ln = dc_codes[size]
+    wr.put(c, ln)
+    if size:
+        wr.put(bits, size)
+    zz = [int(coef[r, cidx]) for r, cidx in _ZZ[1:]]
+    run = 0
+    last_nz = -1
+    for i, v in enumerate(zz):
+        if v:
+            last_nz = i
+    for i, v in enumerate(zz):
+        if i > last_nz:
+            break
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, ln = ac_codes[0xF0]  # ZRL
+            wr.put(c, ln)
+            run -= 16
+        size, bits = _jpeg_category(v)
+        c, ln = ac_codes[(run << 4) | size]
+        wr.put(c, ln)
+        wr.put(bits, size)
+        run = 0
+    if last_nz < 63 - 1:
+        c, ln = ac_codes[0x00]  # EOB
+        wr.put(c, ln)
+    return dc
+
+
+def build_jpeg(
+    w: int,
+    h: int,
+    pixels: "object",
+    color: bool = False,
+    subsample: bool = False,
+    restart_interval: int = 0,
+) -> bytes:
+    """Assemble a real baseline JPEG (SOI, DQT with an ALL-ONES quant
+    table, SOF0, DHT carrying the encoder's canonical tables, optional
+    DRI, SOS, Huffman-coded entropy data with byte stuffing and RSTn
+    markers, EOI) — the forward half of the decode round-trip. Real
+    FDCT + zigzag + magnitude-category Huffman coding throughout; with
+    quant=1 a per-block-constant image is DC-only and decodes
+    bit-exactly. ``color=True`` takes RGB (3*w*h flat) via the JFIF
+    YCbCr transform; ``subsample=True`` writes 4:2:0. w and h must be
+    multiples of the MCU size (8, or 16 when subsampled)."""
+    import struct
+
+    import numpy as np
+
+    mcu = 16 if (color and subsample) else 8
+    if w % mcu or h % mcu:
+        raise ValueError(f"dimensions {w}x{h} not multiples of MCU {mcu}")
+    d = _dct_matrix()
+    quant = np.ones((8, 8))
+    dc_codes = _canonical_codes(_ENC_DC_BITS, _ENC_DC_VALS)
+    ac_codes = _canonical_codes(_ENC_AC_BITS, _ENC_AC_VALS)
+
+    if color:
+        px = np.asarray(pixels, dtype=np.uint8).reshape(h, w, 3)
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        if subsample:
+            # 2x2 mean, rounded — the standard 4:2:0 reduction
+            for i in (1, 2):
+                p = planes[i].astype(np.float64).reshape(h // 2, 2, w // 2, 2)
+                planes[i] = np.clip(
+                    np.rint(p.mean(axis=(1, 3))), 0, 255
+                ).astype(np.uint8)
+            samp = [(2, 2), (1, 1), (1, 1)]
+        else:
+            samp = [(1, 1), (1, 1), (1, 1)]
+    else:
+        planes = [np.asarray(pixels, dtype=np.uint8).reshape(h, w)]
+        samp = [(1, 1)]
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    parts = [b"\xff\xd8"]  # SOI
+    parts.append(
+        seg(0xFFDB, b"\x00" + bytes(int(quant[r, c]) for r, c in _ZZ))
+    )
+    sof = struct.pack(">BHHB", 8, h, w, len(planes))
+    for i, (hs, vs) in enumerate(samp):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    parts.append(seg(0xFFC0, sof))
+    dht = (
+        b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALS)
+        + b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALS)
+    )
+    parts.append(seg(0xFFC4, dht))
+    if restart_interval:
+        parts.append(seg(0xFFDD, struct.pack(">H", restart_interval)))
+    sos = bytes([len(planes)])
+    for i in range(len(planes)):
+        sos += bytes([i + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    parts.append(seg(0xFFDA, sos))
+
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x, mcus_y = w // (8 * hmax), h // (8 * vmax)
+    preds = [0] * len(planes)
+    wr = _BitWriter()
+    out = bytearray(b"".join(parts))
+    mcu_count = 0
+    rst = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                out += wr.flush()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                preds = [0] * len(planes)
+                wr = _BitWriter()
+            for ci, (hs, vs) in enumerate(samp):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        coef = _fdct_quant_block(block, d, quant)
+                        preds[ci] = _encode_block(
+                            wr, coef, preds[ci], dc_codes, ac_codes
+                        )
+            mcu_count += 1
+    out += wr.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
+    """Real baseline JPEG decode, no image library: marker walk,
+    DQT/SOF0/DHT/DRI/SOS parse, canonical Huffman entropy decode with
+    byte unstuffing + restart handling, DC prediction, dequantisation,
+    dezigzag, 8x8 IDCT, level shift + clamp, 4:2:0 upsampling, JFIF
+    YCbCr→RGB. Grayscale replicates into RGB. Progressive (SOF2),
+    arithmetic-coded, and 12-bit files raise NotImplementedError.
+    Returns ``(w, h, rgb)`` flat uint8 like every decoder here."""
+    import struct
+
+    import numpy as np
+
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qtables: dict[int, "object"] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"JPEG: bad marker byte at {pos}")
+        marker = buf[pos + 1]
+        if marker in (0xC2,):
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) needs a codec library; "
+                "baseline (SOF0) decodes natively"
+            )
+        if marker in (0xC9, 0xCA, 0xCB):
+            raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        length = struct.unpack_from(">H", buf, pos + 2)[0]
+        payload = buf[pos + 4 : pos + 2 + length]
+        if marker == 0xDB:  # DQT, possibly several tables
+            p = 0
+            while p < len(payload):
+                pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit DQT unsupported")
+                tbl = np.zeros((8, 8))
+                for i, (r, c) in enumerate(_ZZ):
+                    tbl[r, c] = payload[p + 1 + i]
+                qtables[tq] = tbl
+                p += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG supported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = payload[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            sof = (fw, fh, comps)
+        elif marker == 0xC4:  # DHT, possibly several tables
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                n = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + n])
+                codes = _canonical_codes(bits, vals)
+                htables[(tc, th)] = {
+                    (code, ln): sym for sym, (code, ln) in codes.items()
+                }
+                p += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", payload, 0)[0]
+        elif marker == 0xDA:  # SOS: entropy data follows
+            ns = payload[0]
+            scomp = []
+            for i in range(ns):
+                cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
+                scomp.append((cs, tdta >> 4, tdta & 0x0F))
+            pos = pos + 2 + length
+            break
+        pos += 2 + length
+    else:
+        raise ValueError("JPEG: no SOS before end of data")
+    if sof is None:
+        raise ValueError("JPEG: SOS before SOF0")
+    fw, fh, comps = sof
+    if fw < 1 or fh < 1:
+        raise ValueError(f"bad JPEG dimensions {fw}x{fh}")
+    d = _dct_matrix()
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * c[2] * 8, mcus_x * c[1] * 8), dtype=np.uint8)
+        for c in comps
+    ]
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    order = []  # (comp_index, dc_table, ac_table) in scan order
+    for cs, td, ta in scomp:
+        if cs not in by_id:
+            raise ValueError(f"JPEG: scan references unknown component {cs}")
+        order.append((by_id[cs], td, ta))
+    rd = _BitReader(buf, pos)
+    preds = [0] * len(comps)
+    rst = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                rd.restart(rst)
+                rst += 1
+                preds = [0] * len(comps)
+            for ci, td, ta in order:
+                _, hs, vs, tq = comps[ci]
+                if tq not in qtables:
+                    raise ValueError(f"JPEG: missing quant table {tq}")
+                dc_tbl = htables.get((0, td))
+                ac_tbl = htables.get((1, ta))
+                if dc_tbl is None or ac_tbl is None:
+                    raise ValueError("JPEG: missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        size = rd.huff(dc_tbl)
+                        diff = _extend(rd.receive(size), size) if size else 0
+                        preds[ci] += diff
+                        coef = np.zeros((8, 8))
+                        coef[0, 0] = preds[ci]
+                        i = 1
+                        while i < 64:
+                            rs = rd.huff(ac_tbl)
+                            if rs == 0x00:  # EOB
+                                break
+                            if rs == 0xF0:  # ZRL
+                                i += 16
+                                continue
+                            i += rs >> 4
+                            size = rs & 0x0F
+                            if i > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            r, c = _ZZ[i]
+                            coef[r, c] = _extend(rd.receive(size), size)
+                            i += 1
+                        block = d.T @ (coef * qtables[tq]) @ d + 128.0
+                        block = np.clip(np.rint(block), 0, 255).astype(
+                            np.uint8
+                        )
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    if len(comps) == 1:
+        gray = planes[0][:fh, :fw]
+        return fw, fh, np.repeat(gray.reshape(fh, fw, 1), 3, axis=2).reshape(-1)
+    if len(comps) != 3:
+        raise NotImplementedError("only 1- or 3-component JPEG supported")
+    full = []
+    for i, (_, hs, vs, _) in enumerate(comps):
+        p = planes[i]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[: mcus_y * vmax * 8, : mcus_x * hmax * 8])
+    ycc = np.stack(full, axis=-1)[:fh, :fw]
+    return fw, fh, _ycbcr_to_rgb(ycc).reshape(-1)
+
+
 _LUMA_WEIGHTS = (299, 587, 114)  # ITU-R BT.601, x1000 integer form
 
 
@@ -654,6 +1153,9 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
     if buf.startswith(b"GIF8"):
         w, h, rgb = _parse_gif(buf)
         return w, h, _rgb_mean_luma(w, h, rgb)
+    if buf.startswith(b"\xff\xd8"):
+        w, h, rgb = _parse_jpeg(buf)
+        return w, h, _rgb_mean_luma(w, h, rgb)
     if buf.startswith(b"IMG:"):
         header, _, payload = buf[4:].partition(b":")
         w, h = (int(x) for x in header.split(b"x"))
@@ -663,12 +1165,12 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
         if buf.startswith(magic):
             raise NotImplementedError(
                 f"{name} decoding requires an image library (PIL); "
-                "PPM/BMP/PNG/GIF are decoded natively"
+                "PPM/BMP/PNG/GIF/baseline-JPEG are decoded natively"
             )
     raise NotImplementedError(
-        "unrecognised image format; PPM (P6), 24-bit BMP, 8-bit PNG, GIF "
-        "and the IMG: synthetic format are decoded natively, entropy-coded "
-        "formats require an image library (PIL)"
+        "unrecognised image format; PPM (P6), 24-bit BMP, 8-bit PNG, GIF, "
+        "baseline JPEG and the IMG: synthetic format are decoded natively; "
+        "WebP requires an image library (PIL)"
     )
 
 
@@ -685,6 +1187,8 @@ def _image_pixels(buf: bytes) -> tuple[int, int, "object"]:
         return _parse_png(buf)
     if buf.startswith(b"GIF8"):
         return _parse_gif(buf)
+    if buf.startswith(b"\xff\xd8"):
+        return _parse_jpeg(buf)
     if buf.startswith(b"IMG:"):
         header, _, payload = buf[4:].partition(b":")
         w, h = (int(x) for x in header.split(b"x"))

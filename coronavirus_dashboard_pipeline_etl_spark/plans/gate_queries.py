@@ -10082,3 +10082,83 @@ FROM enc JOIN res ON enc.vec_id = res.vec_id
 
 QUERIES["pipe16_ivfpq_index"] = pipe16_ivfpq_index
 ORACLE["pipe16_ivfpq_index"] = PIPE16_SQL
+
+
+def m8_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal image stage with a real ENTROPY-CODED format
+    decode in the loop: deterministic baseline JPEGs — per-8x8-block
+    constant grayscale rasters derived from doc_id, all-ones
+    quantisation, real FDCT + zigzag + magnitude-category Huffman
+    coding in multimodal.build_jpeg, odd doc_ids written with
+    restart_interval=1 so RST handling and DC-predictor resets are
+    load-bearing — decoded byte-for-byte by _parse_jpeg inside
+    decode_images (marker walk, DHT-driven canonical Huffman decode
+    with unstuffing, dequantise, IDCT). JPEG is lossy in general, but
+    a per-block-constant image is DC-only under quant=1 and decodes
+    BIT-EXACTLY (FDCT noise ~1e-13 dies in coefficient rounding), so
+    the oracle can replay the block formula in SQL: any bug in
+    Huffman decode, DC prediction, dezigzag, or the IDCT's DC path
+    perturbs decoded pixels and fails the value hash.
+    (functions/multimodal.py _parse_jpeg / build_jpeg / decode_images.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import build_jpeg, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for dd in pdf["media_id"]:
+                dd = int(dd)
+                w, h = 8 * (1 + dd % 2), 8 * (1 + dd % 3)
+                bw = w // 8
+                vals = np.array(
+                    [
+                        (dd * 13 + b * 7) % 256
+                        for b in range(bw * (h // 8))
+                    ],
+                    dtype=np.uint8,
+                ).reshape(h // 8, bw)
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                contents.append(
+                    build_jpeg(
+                        w, h, px.reshape(-1),
+                        restart_interval=1 if dd % 2 else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": contents,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    return decode_images(media)
+
+
+M8_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS w,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS h
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS kind,
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * list_sum(list_transform(range(0, (w // 8) * (h // 8)),
+            b -> (doc_id * 13 + b * 7) % 256)) AS DOUBLE)
+       / CAST(w * h AS DOUBLE) AS mean_luma
+FROM p
+"""
+
+QUERIES["m8_jpeg_decode"] = m8_jpeg_decode
+ORACLE["m8_jpeg_decode"] = M8_SQL

@@ -781,14 +781,14 @@ def test_codec_gated_formats_raise_named():
         _decode_image_bytes,
     )
 
-    # PNG and GIF are decoded for real now — a signature with garbage
-    # after it is a loud ValueError from the real parser, not a codec
-    # gate; only entropy-coded JPEG/WebP still gate
+    # PNG, GIF and baseline JPEG are decoded for real now — a signature
+    # with garbage after it is a loud ValueError from the real parser,
+    # not a codec gate; only WebP (VP8 entropy coding) still gates
     with pytest.raises(ValueError, match="IHDR"):
         _decode_image_bytes(b"\x89PNG\r\n\x1a\n....")
     with pytest.raises(ValueError, match="truncated"):
         _decode_image_bytes(b"GIF89a....")
-    with pytest.raises(NotImplementedError, match="JPEG"):
+    with pytest.raises((ValueError, IndexError)):
         _decode_image_bytes(b"\xff\xd8\xff\xe0....")
     with pytest.raises(NotImplementedError, match="WebP"):
         _decode_image_bytes(b"RIFF....WEBPVP8 ")
@@ -1132,3 +1132,98 @@ def test_gif_decode_lzw_roundtrip_interlace_and_errors(spark):
     assert (row.width, row.height, row.n_pixels) == (3, 2, 6)
     want = lct[np.array([0, 1, 2, 1, 0, 1])].reshape(-1)
     assert row.mean_luma == _rgb_mean_luma(3, 2, want)
+
+
+def test_jpeg_baseline_decode_roundtrips_and_errors(spark):
+    """Real baseline JPEG: constant-block images round-trip BIT-EXACTLY
+    (DC-only under all-ones quant); arbitrary content decodes to
+    exactly round(IDCT(round(FDCT))) — pinning Huffman coding, DC
+    prediction, zigzag, stuffing and restart handling against an
+    independent DCT-only reference; color 4:4:4 and 4:2:0 paths agree
+    with the JFIF transform pair; progressive/arithmetic/truncated
+    inputs fail loudly; the Spark decode stage sees exact luma."""
+    import numpy as np
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _dct_matrix,
+        _parse_jpeg,
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+        build_jpeg,
+        decode_images,
+    )
+
+    rng = np.random.RandomState(11)
+
+    # constant-block grayscale: exact recovery
+    for (w, h) in ((8, 8), (16, 8), (24, 16)):
+        vals = rng.randint(0, 256, size=(h // 8, w // 8)).astype(np.uint8)
+        px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+        gw, gh, rgb = _parse_jpeg(build_jpeg(w, h, px.reshape(-1)))
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(rgb.reshape(h, w, 3)[..., 0], px)
+
+    # arbitrary grayscale: decode == round(IDCT(round(FDCT))) computed
+    # independently of the parser — Huffman/markers must be lossless
+    d = _dct_matrix()
+    px = rng.randint(0, 256, size=(16, 16)).astype(np.uint8)
+    _, _, rgb = _parse_jpeg(build_jpeg(16, 16, px.reshape(-1)))
+    got = rgb.reshape(16, 16, 3)[..., 0]
+    want = np.zeros((16, 16), dtype=np.uint8)
+    for by in range(2):
+        for bx in range(2):
+            b = px[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(
+                np.float64
+            ) - 128.0
+            coef = np.rint(d @ b @ d.T)
+            rec = np.clip(np.rint(d.T @ coef @ d + 128.0), 0, 255)
+            want[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = rec
+    assert np.array_equal(got, want)
+
+    # restart markers: present when asked for, and value-neutral
+    px = rng.randint(0, 256, size=(16, 24)).astype(np.uint8)
+    with_rst = build_jpeg(24, 16, px.reshape(-1), restart_interval=2)
+    assert b"\xff\xd0" in with_rst
+    assert np.array_equal(
+        _parse_jpeg(with_rst)[2],
+        _parse_jpeg(build_jpeg(24, 16, px.reshape(-1)))[2],
+    )
+
+    # color: exact through the encoder/decoder JFIF transform pair
+    rgbv = rng.randint(0, 256, size=(2, 3, 3)).astype(np.uint8)
+    px3 = np.repeat(np.repeat(rgbv, 8, axis=0), 8, axis=1)
+    _, _, rgb = _parse_jpeg(build_jpeg(24, 16, px3.reshape(-1), color=True))
+    assert np.array_equal(
+        rgb.reshape(16, 24, 3), _ycbcr_to_rgb(_rgb_to_ycbcr(px3))
+    )
+    rgbv = rng.randint(0, 256, size=(1, 2, 3)).astype(np.uint8)
+    px3 = np.repeat(np.repeat(rgbv, 16, axis=0), 16, axis=1)
+    _, _, rgb = _parse_jpeg(
+        build_jpeg(32, 16, px3.reshape(-1), color=True, subsample=True)
+    )
+    assert np.array_equal(
+        rgb.reshape(16, 32, 3), _ycbcr_to_rgb(_rgb_to_ycbcr(px3))
+    )
+
+    # loud failure paths
+    good = build_jpeg(8, 8, np.full(64, 77, dtype=np.uint8))
+    with _pytest.raises(ValueError, match="SOI"):
+        _parse_jpeg(b"\x00" + good)
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        sof2 = bytearray(good)
+        sof2[sof2.find(b"\xff\xc0") + 1] = 0xC2
+        _parse_jpeg(bytes(sof2))
+    with _pytest.raises((ValueError, IndexError)):
+        _parse_jpeg(good[:-12])  # truncated inside entropy data
+    with _pytest.raises(ValueError, match="MCU"):
+        build_jpeg(7, 8, np.zeros(56, dtype=np.uint8))
+
+    # Spark path: exact luma through decode_images (gray replication
+    # keeps integer BT.601 luma equal to the pixel value)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(good))],
+        "media_id long, kind string, content binary",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height, row.mean_luma) == (8, 8, 77.0)
