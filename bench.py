@@ -123,6 +123,7 @@ HEADLINE = [
     "x20_dsir_importance",
     "s5_pq_adc_topk",
     "pipe16_ivfpq_index",
+    "pipe17_ccnet_buckets",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -10162,3 +10162,82 @@ FROM p
 
 QUERIES["m8_jpeg_decode"] = m8_jpeg_decode
 ORACLE["m8_jpeg_decode"] = M8_SQL
+
+
+def pipe17_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020): score every
+    document with the in-corpus bigram LM (rational mode — exact
+    integers, one double division) and NTILE each language's documents
+    into head/middle/tail thirds by descending model fluency
+    (avg_corpus_freq, the perplexity proxy: common transitions = low
+    perplexity = head). The canonical pretraining-corpus triage: train
+    on head, sample middle, drop tail. Null scores (docs with no
+    bigrams) sort last EXPLICITLY — Spark and DuckDB default null
+    ordering under DESC differ, so both sides pin NULLS LAST; ties
+    break by doc_id. One LM model shuffle + one per-lang window
+    exchange. (functions/text.py bigram_lm_score; curation composition.)"""
+    from ..functions.text import bigram_lm_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = bigram_lm_score(docs, mode="rational")
+    j = docs.select("doc_id", "lang").join(scored, "doc_id")
+    win = Window.partitionBy("lang").orderBy(
+        F.desc_nulls_last("avg_corpus_freq"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_bigrams",
+        "avg_corpus_freq",
+        F.ntile(3).over(win).alias("bucket"),
+    ).withColumn(
+        "label",
+        F.when(F.col("bucket") == 1, "head")
+        .when(F.col("bucket") == 2, "middle")
+        .otherwise("tail"),
+    )
+
+
+PIPE17_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l
+  FROM documents
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(l)),
+                i -> l[i] || chr(1) || l[i+1])) AS bg
+  FROM toks
+),
+doc_bg AS (SELECT doc_id, bg, COUNT(*) AS doc_cnt FROM bg GROUP BY 1, 2),
+model  AS (SELECT bg, COUNT(*) AS corpus_cnt FROM bg GROUP BY 1),
+per_doc AS (
+  SELECT d.doc_id,
+         SUM(d.doc_cnt) AS n_bigrams,
+         SUM(d.doc_cnt * m.corpus_cnt) AS corpus_freq_mass
+  FROM doc_bg d JOIN model m USING (bg)
+  GROUP BY 1
+),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         CAST(p.corpus_freq_mass AS DOUBLE) / CAST(p.n_bigrams AS DOUBLE)
+             AS avg_corpus_freq
+  FROM documents d LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT doc_id, lang, n_bigrams, avg_corpus_freq, bucket,
+       CASE WHEN bucket = 1 THEN 'head'
+            WHEN bucket = 2 THEN 'middle'
+            ELSE 'tail' END AS label
+FROM (
+    SELECT doc_id, lang, n_bigrams, avg_corpus_freq,
+           CAST(NTILE(3) OVER (
+               PARTITION BY lang
+               ORDER BY avg_corpus_freq DESC NULLS LAST, doc_id ASC
+           ) AS INT) AS bucket
+    FROM scored
+)
+"""
+
+QUERIES["pipe17_ccnet_buckets"] = pipe17_ccnet_buckets
+ORACLE["pipe17_ccnet_buckets"] = PIPE17_SQL
