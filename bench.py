@@ -124,6 +124,7 @@ HEADLINE = [
     "s5_pq_adc_topk",
     "pipe16_ivfpq_index",
     "pipe17_ccnet_buckets",
+    "st6_stream_neardup_probe",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -9135,26 +9135,35 @@ def d14_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_probe_pairs(batch, corpus, k=16, bands=2, threshold=0.5)
 
 
-def _d14_sql() -> str:
+def _probe_sql(
+    batch_pred: str, corpus_pred: str, k: int, bands: int, threshold: float
+) -> str:
+    """MinHash-probe oracle builder, shared by d14 (batch operator) and
+    st6 (streaming operator, batch semantics): signatures, band rows,
+    distinct band-join candidates, exact-Jaccard verify."""
+    rows_per_band = k // bands
     sig_exprs = ",".join(
         f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
-        for i, (a, b) in enumerate(hash_params(16))
+        for i, (a, b) in enumerate(hash_params(k))
     )
     band_sel = []
-    for bidx in range(2):
-        members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
+    for bidx in range(bands):
+        members = ", ".join(
+            f"mh{i}"
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        )
         band_sel.append(
             f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig "
             "FROM SIDE WHERE mh0 IS NOT NULL"
         )
-    bands = " UNION ALL ".join(band_sel)
+    bands_sql = " UNION ALL ".join(band_sel)
     return f"""
-WITH th_b AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE doc_id % 5 = 0),
-th_c AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE doc_id % 5 <> 0),
+WITH th_b AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE {batch_pred}),
+th_c AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE {corpus_pred}),
 sig_b AS (SELECT doc_id, {sig_exprs} FROM th_b),
 sig_c AS (SELECT doc_id, {sig_exprs} FROM th_c),
-bands_b AS ({bands.replace('SIDE', 'sig_b')}),
-bands_c AS ({bands.replace('SIDE', 'sig_c')}),
+bands_b AS ({bands_sql.replace('SIDE', 'sig_b')}),
+bands_c AS ({bands_sql.replace('SIDE', 'sig_c')}),
 cand AS (
     SELECT DISTINCT b.doc_id AS new_id, c.doc_id AS old_id
     FROM bands_b b JOIN bands_c c ON b.band = c.band AND b.sig = c.sig
@@ -9173,11 +9182,11 @@ JOIN toks a ON a.doc_id = cand.new_id
 JOIN toks b ON b.doc_id = cand.old_id
 WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
       / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-      >= 0.5
+      >= {threshold}
 """
 
 
-D14_SQL = _d14_sql()
+D14_SQL = _probe_sql("doc_id % 5 = 0", "doc_id % 5 <> 0", 16, 2, 0.5)
 
 QUERIES["d14_probe_pairs"] = d14_probe_pairs
 ORACLE["d14_probe_pairs"] = D14_SQL
@@ -10241,3 +10250,30 @@ FROM (
 
 QUERIES["pipe17_ccnet_buckets"] = pipe17_ccnet_buckets
 ORACLE["pipe17_ccnet_buckets"] = PIPE17_SQL
+
+
+def st6_stream_neardup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING near-dup probe in its batch-semantics form (the
+    st2 contract: identical logic on a batch frame, the live
+    stream-static execution covered by pytest): every 3rd document
+    plays the arriving stream, the rest the static indexed corpus.
+    Stream-side signatures and band rows are map-side; the candidate
+    join is stream-static on the band key; pair dedup is the one
+    stateful op (keyed on MATCHES, not corpus); the verify join
+    fetches only candidate corpus tokens. k=16/bands=4/threshold=0.6
+    deliberately differ from d14 so the two gates cannot shadow each
+    other. (streaming/neardup.py probe_neardup_stream.)"""
+    from ..streaming.neardup import probe_neardup_stream
+
+    docs = load_table(spark, sf_dir, "documents")
+    stream = docs.filter(F.col("doc_id") % 3 == 0)
+    corpus = docs.filter(F.col("doc_id") % 3 != 0)
+    return probe_neardup_stream(
+        stream, corpus, k=16, bands=4, threshold=0.6
+    )
+
+
+ST6_SQL = _probe_sql("doc_id % 3 = 0", "doc_id % 3 <> 0", 16, 4, 0.6)
+
+QUERIES["st6_stream_neardup_probe"] = st6_stream_neardup_probe
+ORACLE["st6_stream_neardup_probe"] = ST6_SQL

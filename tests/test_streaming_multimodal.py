@@ -1227,3 +1227,76 @@ def test_jpeg_baseline_decode_roundtrips_and_errors(spark):
     )
     row = decode_images(media).collect()[0]
     assert (row.width, row.height, row.mean_luma) == (8, 8, 77.0)
+
+
+def test_stream_neardup_probe_live_matches_batch(spark, tmp_path):
+    """probe_neardup_stream on a REAL stream (two micro-batches via
+    maxFilesPerTrigger) emits exactly the pairs the batch operator
+    finds for the same documents: stream-static band join + stateful
+    pair dedup + verify all run under the streaming engine."""
+    import json as _json
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        minhash_probe_pairs,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.neardup import (
+        probe_neardup_stream,
+    )
+
+    corpus_rows = [
+        (100, "the quick brown fox jumps over the lazy dog"),
+        (101, "pack my box with five dozen liquor jugs"),
+        (102, "sphinx of black quartz judge my vow"),
+    ]
+    batch1 = [
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy cat"},
+        {"doc_id": 2, "text": "completely unrelated sentence about nothing"},
+    ]
+    batch2 = [
+        {"doc_id": 3, "text": "pack my box with five dozen liquor jugs"},
+        {"doc_id": 4, "text": "sphinx of black quartz judge my vow today"},
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "b1.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch1)
+    )
+    (in_dir / "b2.json").write_text(
+        "\n".join(_json.dumps(r) for r in batch2)
+    )
+
+    stream = (
+        spark.readStream.format("json")
+        .schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .load(str(in_dir))
+    )
+    out = probe_neardup_stream(stream, corpus, k=16, bands=4, threshold=0.3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_probe")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.new_id, r.old_id, round(r.jaccard, 12))
+        for r in spark.table("neardup_probe").collect()
+    }
+
+    all_new = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in batch1 + batch2],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.new_id, r.old_id, round(r.jaccard, 12))
+        for r in minhash_probe_pairs(
+            all_new, corpus, k=16, bands=4, threshold=0.3
+        ).collect()
+    }
+    assert got == want
+    assert got  # the exact-copy and near-copy pairs must be present
+    assert any(n == 3 and o == 101 for n, o, _ in got)
