@@ -894,3 +894,79 @@ def test_duplicated_spans_matches_python_reference(spark, docs, span):
     assert got == {
         fp: (len(d), n, first) for fp, (d, n, first) in expect.items()
     }
+
+
+@given(
+    data=st.binary(min_size=0, max_size=400),
+    mcs=st.integers(min_value=2, max_value=8),
+)
+@settings(max_examples=60, deadline=None)
+def test_lzw_roundtrip_property(data, mcs):
+    """GIF LZW is lossless for ANY symbol stream whose values fit the
+    code size — including streams that overflow the dictionary or end
+    mid-pattern (pure function: no Spark fixture needed)."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    clipped = bytes(b % (1 << mcs) for b in data)
+    if not clipped:
+        return  # decode contract requires expect >= 1 raster byte
+    out = _lzw_decode(_lzw_encode(clipped, mcs), mcs, len(clipped))
+    assert out.tobytes() == clipped
+
+
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    rst=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_constant_blocks_exact_property(bw, bh, seed, rst):
+    """Per-8x8-constant grayscale JPEGs round-trip BIT-EXACTLY for any
+    block grid, block values, and restart interval — the invariant the
+    m8 oracle relies on."""
+    import numpy as np
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_jpeg,
+        build_jpeg,
+    )
+
+    rng = np.random.RandomState(seed)
+    vals = rng.randint(0, 256, size=(bh, bw)).astype(np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    w, h = bw * 8, bh * 8
+    gw, gh, rgb = _parse_jpeg(
+        build_jpeg(w, h, px.reshape(-1), restart_interval=rst)
+    )
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(rgb.reshape(h, w, 3)[..., 0], px)
+
+
+@given(
+    w=st.integers(min_value=1, max_value=12),
+    h=st.integers(min_value=1, max_value=10),
+    npal=st.integers(min_value=2, max_value=256),
+    interlace=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_gif_roundtrip_property(w, h, npal, interlace, seed):
+    """GIF encode/decode recovers every index raster exactly for any
+    geometry, palette size, and interlace flag."""
+    import numpy as np
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_gif,
+        build_gif,
+    )
+
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, size=(npal, 3)).astype(np.uint8)
+    idx = rng.randint(0, npal, size=w * h).astype(np.uint8)
+    gw, gh, rgb = _parse_gif(build_gif(w, h, idx, pal, interlace=interlace))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(rgb, pal[idx].reshape(-1))
