@@ -125,6 +125,7 @@ HEADLINE = [
     "pipe16_ivfpq_index",
     "pipe17_ccnet_buckets",
     "st6_stream_neardup_probe",
+    "m9_mixed_format_decode",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

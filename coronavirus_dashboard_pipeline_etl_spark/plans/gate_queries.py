@@ -10277,3 +10277,99 @@ ST6_SQL = _probe_sql("doc_id % 3 = 0", "doc_id % 3 <> 0", 16, 4, 0.6)
 
 QUERIES["st6_stream_neardup_probe"] = st6_stream_neardup_probe
 ORACLE["st6_stream_neardup_probe"] = ST6_SQL
+
+
+def m9_mixed_format_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realistic multimodal ingest: ONE binary column carrying FOUR
+    image formats (doc_id % 4 → PPM / PNG-gray / GIF / constant-block
+    JPEG), decoded by magic-byte dispatch inside a single Arrow batch —
+    the shape a crawled corpus actually has. Every format uses its
+    round-8 real codec; the oracle replays each format's pixel formula
+    behind a CASE on the same modulus, so a dispatch bug (wrong parser
+    for a magic) or any per-codec regression fails the value hash.
+    (functions/multimodal.py _decode_image_bytes dispatch.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import (
+        build_gif,
+        build_jpeg,
+        build_png,
+        decode_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for dd in pdf["media_id"]:
+                dd = int(dd)
+                kind = dd % 4
+                if kind == 0:  # PPM P6: 2x2 RGB from the doc formula
+                    px = bytes((dd * 11 + i * 3) % 256 for i in range(12))
+                    contents.append(b"P6\n2 2\n255\n" + px)
+                elif kind == 1:  # grayscale PNG, 3x2
+                    px = [(dd * 11 + i * 3) % 256 for i in range(6)]
+                    contents.append(build_png(3, 2, px, color=0))
+                elif kind == 2:  # GIF, 4-entry palette, 3x2
+                    pal = [
+                        ((dd + j * 5) % 256, (dd + j * 7) % 256,
+                         (dd + j * 11) % 256)
+                        for j in range(4)
+                    ]
+                    idx = [(dd + i) % 4 for i in range(6)]
+                    contents.append(build_gif(3, 2, idx, pal))
+                else:  # constant-block JPEG, 8x8
+                    val = (dd * 11) % 256
+                    contents.append(
+                        build_jpeg(8, 8, np.full(64, val, dtype=np.uint8))
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": contents,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    return decode_images(media)
+
+
+M9_SQL = """
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS kind,
+       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 3
+            WHEN 2 THEN 3 ELSE 8 END AS width,
+       CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 2 WHEN 1 THEN 2
+            WHEN 2 THEN 2 ELSE 8 END AS height,
+       CAST(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 4 WHEN 1 THEN 6
+            WHEN 2 THEN 6 ELSE 64 END AS BIGINT) AS n_pixels,
+       CASE CAST(doc_id % 4 AS INT)
+       WHEN 0 THEN
+           CAST(list_sum(list_transform(range(0, 4), px ->
+                  299 * ((doc_id * 11 + (3 * px) * 3) % 256)
+                + 587 * ((doc_id * 11 + (3 * px + 1) * 3) % 256)
+                + 114 * ((doc_id * 11 + (3 * px + 2) * 3) % 256)))
+            AS BIGINT) / CAST(4000 AS DOUBLE)
+       WHEN 1 THEN
+           CAST(list_sum(list_transform(range(0, 6),
+                i -> (doc_id * 11 + i * 3) % 256)) AS BIGINT)
+           / CAST(6 AS DOUBLE)
+       WHEN 2 THEN
+           CAST(list_sum(list_transform(range(0, 6), i ->
+                  299 * ((doc_id + ((doc_id + i) % 4) * 5) % 256)
+                + 587 * ((doc_id + ((doc_id + i) % 4) * 7) % 256)
+                + 114 * ((doc_id + ((doc_id + i) % 4) * 11) % 256)))
+            AS BIGINT) / CAST(6000 AS DOUBLE)
+       ELSE
+           CAST((doc_id * 11) % 256 AS DOUBLE)
+       END AS mean_luma
+FROM documents
+"""
+
+QUERIES["m9_mixed_format_decode"] = m9_mixed_format_decode
+ORACLE["m9_mixed_format_decode"] = M9_SQL
