@@ -126,6 +126,7 @@ HEADLINE = [
     "pipe17_ccnet_buckets",
     "st6_stream_neardup_probe",
     "m9_mixed_format_decode",
+    "s17_warc_source",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

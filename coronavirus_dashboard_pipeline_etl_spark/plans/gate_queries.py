@@ -10373,3 +10373,63 @@ FROM documents
 
 QUERIES["m9_mixed_format_decode"] = m9_mixed_format_decode
 ORACLE["m9_mixed_format_decode"] = M9_SQL
+
+
+def s17_warc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17 (beyond-reference source) — WARC crawl-archive round-trip:
+    documents become spec-framed WARC response records (one gzip-
+    member archive per 100-doc shard, the Common Crawl framing, via
+    build_warc), land on disk, and come back through the binaryFile +
+    Arrow record walk in read_warc. The oracle recomputes every field
+    from the documents table — URI formula, UTF-8 byte length, payload
+    text — so any framing, Content-Length, gzip-member, or charset bug
+    in the parser surfaces as a value mismatch.
+    (sources/warc.py build_warc / parse_warc_bytes / read_warc.)"""
+    import os
+    import shutil
+    import tempfile
+
+    from ..sources.warc import build_warc, read_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()  # gate scale: the builder half is driver-side
+    d = tempfile.mkdtemp(prefix="s17_warc_")
+    try:
+        shards: dict[int, list] = {}
+        for r in rows:
+            shards.setdefault(int(r.doc_id) // 100, []).append(r)
+        for shard, members in sorted(shards.items()):
+            recs = [
+                (
+                    "response",
+                    f"https://corpus.example/{int(r.doc_id)}",
+                    "2024-01-01T00:00:00Z",
+                    (r.text or "").encode("utf-8"),
+                )
+                for r in sorted(members, key=lambda r: int(r.doc_id))
+            ]
+            with open(os.path.join(d, f"shard{shard:05d}.warc.gz"), "wb") as fh:
+                fh.write(build_warc(recs, gzip_members=True))
+        out = read_warc(spark, d).select(
+            F.regexp_extract("target_uri", r"/(\d+)$", 1)
+            .cast("long")
+            .alias("doc_id"),
+            "record_type",
+            "content_length",
+            F.decode(F.col("content"), "UTF-8").alias("text"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+S17_SQL = """
+SELECT doc_id,
+       'response' AS record_type,
+       CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
+       COALESCE(text, '') AS text
+FROM documents
+"""
+
+QUERIES["s17_warc_source"] = s17_warc_source
+ORACLE["s17_warc_source"] = S17_SQL

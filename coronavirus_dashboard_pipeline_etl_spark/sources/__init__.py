@@ -13,10 +13,14 @@ from .reports import (
     write_og_images,
 )
 from .tables import TABLES, load_table, register_views
+from .warc import build_warc, parse_warc_bytes, read_warc
 
 __all__ = [
     "TABLES",
     "archive_releases",
+    "build_warc",
+    "parse_warc_bytes",
+    "read_warc",
     "load_metric_registry",
     "load_table",
     "og_image_frame",

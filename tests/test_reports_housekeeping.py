@@ -129,3 +129,48 @@ def test_archive_releases_lifecycle(tmp_path):
     assert sorted(os.listdir(src3)) == ["2020-01-01_x", "2020-01-02_x"]
     with pytest.raises(ValueError, match="compression"):
         archive_releases(str(src3), str(tmp_path / "a4"), compression="zip")
+
+
+def test_warc_source_parse_and_errors(spark, tmp_path):
+    """WARC: spec framing round-trips plain and gzip-member archives
+    through the distributed binaryFile reader; malformed framing is
+    loud; warcinfo/request records ride along with their types."""
+    from coronavirus_dashboard_pipeline_etl_spark.sources.warc import (
+        build_warc,
+        parse_warc_bytes,
+        read_warc,
+    )
+
+    recs = [
+        ("warcinfo", None, "2024-01-01T00:00:00Z", b"software: engine"),
+        ("request", "https://x.org/a", "2024-01-01T00:00:01Z", b"GET /a"),
+        ("response", "https://x.org/a", "2024-01-01T00:00:02Z",
+         "héllo wörld".encode()),
+    ]
+    plain = build_warc(recs)
+    gz = build_warc(recs, gzip_members=True)
+    (tmp_path / "a.warc").write_bytes(plain)
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+
+    out = read_warc(spark, str(tmp_path)).collect()
+    assert len(out) == 6  # both files carry all three records
+    by_file = {}
+    for r in out:
+        by_file.setdefault(r.source_file.rsplit("/", 1)[-1], []).append(r)
+    for rows in by_file.values():
+        types = sorted(r.record_type for r in rows)
+        assert types == ["request", "response", "warcinfo"]
+        resp = next(r for r in rows if r.record_type == "response")
+        assert bytes(resp.content).decode() == "héllo wörld"
+        assert resp.content_length == len("héllo wörld".encode())
+        assert resp.target_uri == "https://x.org/a"
+        info = next(r for r in rows if r.record_type == "warcinfo")
+        assert info.target_uri is None
+
+    # loud failure paths
+    with pytest.raises(ValueError, match="bad record header"):
+        parse_warc_bytes(b"HTTP/1.1 200 OK\r\n\r\n")
+    with pytest.raises(ValueError, match="truncated"):
+        parse_warc_bytes(plain[:-10])
+    with pytest.raises(ValueError, match="Content-Length"):
+        parse_warc_bytes(b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody\r\n\r\n")
