@@ -127,6 +127,7 @@ HEADLINE = [
     "st6_stream_neardup_probe",
     "m9_mixed_format_decode",
     "s17_warc_source",
+    "x21_constraint_audit",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -26,6 +26,7 @@ from __future__ import annotations
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import broadcast
 
 from .dedup import md5_prefix_long
 from .text import tokens
@@ -1167,3 +1168,126 @@ def dsir_importance(
         .otherwise(F.lit(0.0))
         .alias("avg_log_weight"),
     )
+
+
+def validate_constraints(
+    df: DataFrame,
+    rules: Sequence[tuple],
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Declarative data-quality audit — the constraint firewall an ETL
+    runs before publishing a release (the reference's QA outputs are
+    the ad-hoc version; this is the systematic one). Each rule is a
+    tuple; all checks evaluate in ONE pass over the table (a single
+    aggregation of conditional counters — no per-rule scans, no
+    shuffle beyond the one partial-agg reduce), except referential
+    rules which each add one broadcast-able anti-join count.
+
+    Rules:
+      ``("not_null", col)``                  — NULL values
+      ``("unique", col)``                    — duplicated values
+      ``("range", col, lo, hi)``             — values outside [lo, hi]
+      ``("regex", col, pattern)``            — non-NULL values NOT matching
+      ``("accepted", col, (v1, v2, ...))``   — values outside the set
+      ``("referential", col, dim_df, dim_col)`` — values absent from dim
+
+    Returns one row per rule: ``(rule, col_name, violations BIGINT,
+    sample_key)`` where sample_key is the MINIMUM ``id_col`` among
+    violating rows (deterministic, engine-agnostic) or NULL when the
+    rule holds. A release gate is then ``violations == 0`` over the
+    frame.
+    """
+    single_pass: list = []  # (rule, column, violation predicate)
+    extra_frames: list = []
+    for rule in rules:
+        kind, col = rule[0], rule[1]
+        if kind == "not_null":
+            pred = F.col(col).isNull()
+        elif kind == "range":
+            lo, hi = rule[2], rule[3]
+            pred = F.col(col).isNotNull() & (
+                (F.col(col) < lo) | (F.col(col) > hi)
+            )
+        elif kind == "regex":
+            pred = F.col(col).isNotNull() & ~F.col(col).rlike(rule[2])
+        elif kind == "accepted":
+            pred = F.col(col).isNotNull() & ~F.col(col).isin(
+                *[F.lit(v) for v in rule[2]]
+            )
+        elif kind == "unique":
+            # needs a per-value count — one extra aggregation, keyed on
+            # the column (map-side combine; output is distinct values)
+            dups = (
+                df.groupBy(F.col(col).alias("__v"))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.min(id_col).alias("__k"),
+                )
+                .filter(F.col("__n") > 1)
+                .agg(
+                    F.lit("unique").alias("rule"),
+                    F.lit(col).alias("col_name"),
+                    F.coalesce(
+                        F.sum(F.col("__n") - 1), F.lit(0)
+                    ).cast("long").alias("violations"),
+                    F.min("__k").cast("string").alias("sample_key"),
+                )
+            )
+            extra_frames.append(dups)
+            continue
+        elif kind == "referential":
+            dim_df, dim_col = rule[2], rule[3]
+            missing = (
+                df.filter(F.col(col).isNotNull())
+                .join(
+                    broadcast(
+                        dim_df.select(F.col(dim_col).alias("__dim"))
+                        .distinct()
+                    ),
+                    F.col(col) == F.col("__dim"),
+                    "left_anti",
+                )
+                .agg(
+                    F.lit("referential").alias("rule"),
+                    F.lit(col).alias("col_name"),
+                    F.count(F.lit(1)).cast("long").alias("violations"),
+                    F.min(id_col).cast("string").alias("sample_key"),
+                )
+            )
+            extra_frames.append(missing)
+            continue
+        else:
+            raise ValueError(f"unknown constraint kind {kind!r}")
+        single_pass.append((kind, col, pred))
+
+    frames = list(extra_frames)
+    if single_pass:
+        aggs = []
+        for kind, col, pred in single_pass:
+            tag = f"{kind}__{col}"
+            aggs.append(
+                F.sum(F.when(pred, 1).otherwise(0))
+                .cast("long")
+                .alias(f"__v_{tag}")
+            )
+            aggs.append(
+                F.min(F.when(pred, F.col(id_col)))
+                .cast("string")
+                .alias(f"__k_{tag}")
+            )
+        wide = df.agg(*aggs)
+        rows = None
+        for kind, col, _ in single_pass:
+            tag = f"{kind}__{col}"
+            one = wide.select(
+                F.lit(kind).alias("rule"),
+                F.lit(col).alias("col_name"),
+                F.col(f"__v_{tag}").alias("violations"),
+                F.col(f"__k_{tag}").alias("sample_key"),
+            )
+            rows = one if rows is None else rows.unionByName(one)
+        frames.insert(0, rows)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

@@ -10433,3 +10433,79 @@ FROM documents
 
 QUERIES["s17_warc_source"] = s17_warc_source
 ORACLE["s17_warc_source"] = S17_SQL
+
+
+def x21_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality firewall over the documents table: six
+    constraint kinds audited in one pass (a single conditional-counter
+    aggregation) plus one keyed aggregation for uniqueness and one
+    broadcast anti-join for referential integrity — the release gate a
+    pipeline runs before publishing. Deterministic sample keys (min
+    id among violators) make the whole report value-hashable; the
+    oracle recomputes every rule as plain SQL.
+    (functions/curation.py validate_constraints; ref parallel: the
+    QA-output sinks db_etl/etl.py:752-757 are the ad-hoc form.)"""
+    from ..functions.curation import validate_constraints
+
+    docs = load_table(spark, sf_dir, "documents")
+    dim = docs.filter(F.col("doc_id") < 100).select("lang")
+    return validate_constraints(
+        docs,
+        [
+            ("not_null", "text"),
+            ("range", "n_chars", 1, 2000),
+            ("regex", "lang", "^[a-z]{2}$"),
+            ("accepted", "source", ("web", "books", "wiki", "code", "news")),
+            ("unique", "text"),
+            ("referential", "lang", dim, "lang"),
+        ],
+    )
+
+
+X21_SQL = """
+SELECT 'not_null' AS rule, 'text' AS col_name,
+       CAST(COUNT(CASE WHEN text IS NULL THEN 1 END) AS BIGINT) AS violations,
+       CAST(MIN(CASE WHEN text IS NULL THEN doc_id END) AS VARCHAR) AS sample_key
+FROM documents
+UNION ALL
+SELECT 'range', 'n_chars',
+       CAST(COUNT(CASE WHEN n_chars IS NOT NULL
+                        AND (n_chars < 1 OR n_chars > 2000) THEN 1 END) AS BIGINT),
+       CAST(MIN(CASE WHEN n_chars IS NOT NULL
+                      AND (n_chars < 1 OR n_chars > 2000) THEN doc_id END) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'regex', 'lang',
+       CAST(COUNT(CASE WHEN lang IS NOT NULL
+                        AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN 1 END) AS BIGINT),
+       CAST(MIN(CASE WHEN lang IS NOT NULL
+                      AND NOT regexp_matches(lang, '^[a-z]{2}$') THEN doc_id END) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'accepted', 'source',
+       CAST(COUNT(CASE WHEN source IS NOT NULL
+                        AND source NOT IN ('web','books','wiki','code','news')
+                   THEN 1 END) AS BIGINT),
+       CAST(MIN(CASE WHEN source IS NOT NULL
+                      AND source NOT IN ('web','books','wiki','code','news')
+                 THEN doc_id END) AS VARCHAR)
+FROM documents
+UNION ALL
+SELECT 'unique', 'text',
+       CAST(COALESCE(SUM(n - 1), 0) AS BIGINT),
+       CAST(MIN(k) AS VARCHAR)
+FROM (
+    SELECT text AS v, COUNT(*) AS n, MIN(doc_id) AS k
+    FROM documents GROUP BY text
+) WHERE n > 1
+UNION ALL
+SELECT 'referential', 'lang',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(MIN(doc_id) AS VARCHAR)
+FROM documents d
+WHERE d.lang IS NOT NULL
+  AND d.lang NOT IN (SELECT DISTINCT lang FROM documents WHERE doc_id < 100)
+"""
+
+QUERIES["x21_constraint_audit"] = x21_constraint_audit
+ORACLE["x21_constraint_audit"] = X21_SQL

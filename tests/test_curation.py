@@ -836,3 +836,55 @@ def test_dsir_importance_log_matches_pure_python_and_guards(spark):
     scored = dsir_importance(df, target, n_buckets=m)
     kept = priority_sample(scored, k=3, weight_col="importance_mass")
     assert kept.count() == 3
+
+
+def test_validate_constraints_all_rule_kinds(spark):
+    """Every constraint kind reports the exact violation count and the
+    deterministic min-id sample; clean rules report 0 with NULL sample;
+    unknown kinds fail loudly."""
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        validate_constraints,
+    )
+
+    rows = [
+        (1, "alpha", "en", 5),
+        (2, None, "en", 50),        # null text
+        (3, "alpha", "EN", -1),     # dup text, bad lang case, range low
+        (4, "beta", "xx", 99999),   # lang not in dim, range high
+        (5, "alpha", "de", 10),     # dup text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, n long")
+    dim = spark.createDataFrame([("en",), ("de",)], "lang string")
+
+    out = {
+        (r.rule, r.col_name): r
+        for r in validate_constraints(
+            df,
+            [
+                ("not_null", "text"),
+                ("not_null", "doc_id"),
+                ("range", "n", 0, 100),
+                ("regex", "lang", "^[a-z]{2}$"),
+                ("accepted", "lang", ("en", "de", "xx", "EN")),
+                ("unique", "text"),
+                ("referential", "lang", dim, "lang"),
+            ],
+        ).collect()
+    }
+    assert out[("not_null", "text")].violations == 1
+    assert out[("not_null", "text")].sample_key == "2"
+    assert out[("not_null", "doc_id")].violations == 0
+    assert out[("not_null", "doc_id")].sample_key is None
+    assert out[("range", "n")].violations == 2          # -1 and 99999
+    assert out[("range", "n")].sample_key == "3"
+    assert out[("regex", "lang")].violations == 1       # "EN"
+    assert out[("accepted", "lang")].violations == 0    # EN accepted here
+    assert out[("unique", "text")].violations == 2      # 3 alphas -> 2 extra
+    assert out[("unique", "text")].sample_key == "1"
+    assert out[("referential", "lang")].violations == 2  # EN, xx
+    assert out[("referential", "lang")].sample_key == "3"
+
+    with _pytest.raises(ValueError, match="unknown constraint"):
+        validate_constraints(df, [("fancy", "text")]).collect()
