@@ -337,8 +337,10 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     calibration = _calibrate()
     # host-speed normalisation vs the pinned reference probe (see
-    # REF_PROBE_NUMPY_SEC): <1 host factor = this host is faster than
-    # the reference, so calibrated numbers scale UP, and vice versa
+    # REF_PROBE_NUMPY_SEC): a FASTER host has a SMALLER probe time, so
+    # host_factor = ref/this comes out >1 and calibrated numbers scale
+    # UP toward what the reference host would have measured; a slower
+    # host gives a factor <1 and calibrated numbers scale DOWN
     host_factor = REF_PROBE_NUMPY_SEC / calibration["numpy_elementwise_sec"]
     calibrated = {k: round(v * host_factor, 3) for k, v in timings.items()}
     out = {

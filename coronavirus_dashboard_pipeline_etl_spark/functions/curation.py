@@ -1092,12 +1092,19 @@ def dsir_importance(
     tgt_cnt = tgt_grams.groupBy(bucket.alias("__b")).agg(
         F.count(F.lit(1)).alias("__t")
     )
+    # FULL outer: a target-only bucket (the normal case for an external
+    # target domain) contributes no LUT row — raw grams can never hash
+    # to it — but its count MUST enter the target total T, or every
+    # ratio's (T + m) normaliser undercounts and the scores diverge
+    # from the documented formula (a left join silently dropped these)
+    model_rows = raw_cnt.join(tgt_cnt, "__b", "full_outer").collect()
     model = {
         int(row["__b"]): (int(row["__r"]), int(row["__t"] or 0))
-        for row in raw_cnt.join(tgt_cnt, "__b", "left").collect()
+        for row in model_rows
+        if row["__r"] is not None
     }
     R = sum(r for r, _ in model.values())
-    T = sum(t for _, t in model.values())
+    T = sum(int(row["__t"] or 0) for row in model_rows)
     m = n_buckets
 
     spark = df.sparkSession
@@ -1197,6 +1204,11 @@ def validate_constraints(
     rule holds. A release gate is then ``violations == 0`` over the
     frame.
     """
+    if not rules:
+        raise ValueError(
+            "validate_constraints: rules must be non-empty (an audit "
+            "with zero rules is a config bug, not a clean release)"
+        )
     single_pass: list = []  # (rule, column, violation predicate)
     extra_frames: list = []
     for rule in rules:

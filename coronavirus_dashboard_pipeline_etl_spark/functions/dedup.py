@@ -628,112 +628,128 @@ def dedup_components(
     kept_ids = (
         ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
     )
-    fwd = kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    rev = kept.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
-    edges = fwd.unionByName(rev)
+    # The SETUP section (bidirectional edges, contraction, initial
+    # labels, the bcast-sizing count) runs eager checkpoints and jobs
+    # of its own — a failure here (executor loss during the count is
+    # the canonical case) must release whatever it pinned so far,
+    # else the |pairs|-sized kept blocks outlive the error for the
+    # session. Ids default to empty so the handler is total.
+    edge_ids: set = set()
+    prev_label_ids: set = set()
+    init_label_ids: set = set()
+    try:
+        fwd = kept.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        rev = kept.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+        edges = fwd.unionByName(rev)
 
-    # Iterate ONLY over nodes that appear in an edge: a doc with no
-    # candidate pair is its own canonical id by definition and must not
-    # pay per-round join cost. At corpus scale the edge-node set is a
-    # small fraction of |ids| (near-dup candidates are rare), so this
-    # shrinks every round's working set from |corpus| to |candidates|.
-    # Initial label = min(node, min direct neighbour): this IS the
-    # first propagation round, fused into initialisation for free (one
-    # aggregation replaces a full round's join + checkpoint + count).
-    __b = _persistent_rdd_ids(sc)
-    labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__mn"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("__mn")).alias("label"),
-        )
-        .localCheckpoint(eager=True)
-    )  # kept pinned on success: the returned frame composes through
-    # these labels; tracked so the ERROR path can release them
-    init_label_ids = (
-        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
-    )
-
-    # When the edge-node set is modest, broadcast the label table into
-    # the per-round join: the edge list — the big side — then never
-    # shuffles (the checkpointed LogicalRDD has no stats, so the
-    # optimizer would otherwise plan three full-edge exchanges EVERY
-    # round). The count is already materialised by the eager
-    # checkpoint. Above the cap (label row ~16 bytes; 2M nodes ~ 32 MB
-    # broadcast) fall back to shuffle joins, which are the right plan
-    # when candidates are that dense.
-    n_nodes = labels.count()
-    bcast = n_nodes <= 2_000_000
-
-    # CONTRACT the graph through the initial labels before iterating:
-    # the fused first round (min of node and direct neighbours) already
-    # collapses every LSH bucket-clique onto its minimum, so mapping
-    # each edge endpoint to its label and dropping self-loops +
-    # duplicates shrinks the edge list from |candidate pairs| to
-    # |cross-clique links|. Near-dup graphs are unions of bucket
-    # cliques by construction, so this is typically a 10-1000x edge
-    # reduction — every subsequent round then joins/aggregates the
-    # CONTRACTED edges, not the full pair list (measured at 10x scale:
-    # the per-round agg over 41M edge rows was the whole cost of the
-    # resolve). Components are preserved: l(v) is a node of v's own
-    # component, and the final per-node answer composes through l
-    # (node -> l(node) -> fixpoint label of l(node)).
-    node_to_init = labels.select(
-        F.col("node").alias("__n"), F.col("label").alias("__l")
-    )
-    lm_a = F.broadcast(node_to_init) if bcast else node_to_init
-    # map the UNDIRECTED pairs (half the rows of the edge view),
-    # normalise each contracted pair to (min, max) so distinct halves
-    # its input again, then symmetrise the (tiny) result for the loop
-    cpair = (
-        kept.join(lm_a, F.col("id_a") == F.col("__n"))
-        .select(F.col("__l").alias("la"), "id_b")
-        .join(
-            lm_a.select(
-                F.col("__n").alias("__n2"), F.col("__l").alias("__l2")
-            ),
-            F.col("id_b") == F.col("__n2"),
-        )
-        .select(
-            F.least(F.col("la"), F.col("__l2")).alias("src"),
-            F.greatest(F.col("la"), F.col("__l2")).alias("dst"),
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    __b = _persistent_rdd_ids(sc)
-    edges = (
-        cpair.unionByName(
-            cpair.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst")
+        # Iterate ONLY over nodes that appear in an edge: a doc with no
+        # candidate pair is its own canonical id by definition and must not
+        # pay per-round join cost. At corpus scale the edge-node set is a
+        # small fraction of |ids| (near-dup candidates are rare), so this
+        # shrinks every round's working set from |corpus| to |candidates|.
+        # Initial label = min(node, min direct neighbour): this IS the
+        # first propagation round, fused into initialisation for free (one
+        # aggregation replaces a full round's join + checkpoint + count).
+        __b = _persistent_rdd_ids(sc)
+        labels = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select(
+                F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("__mn")).alias("label"),
             )
+            .localCheckpoint(eager=True)
+        )  # kept pinned on success: the returned frame composes through
+        # these labels; tracked so the ERROR path can release them
+        init_label_ids = (
+            ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
         )
-        .repartition(kept.sparkSession.sparkContext.defaultParallelism)
-        .localCheckpoint(eager=True)
-    )
-    edge_ids = (
-        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
-    )
-    __b = _persistent_rdd_ids(sc)
-    iter_labels = (
-        edges.groupBy("src")
-        .agg(F.min("dst").alias("__mn"))
-        .select(
-            F.col("src").alias("node"),
-            F.least(F.col("src"), F.col("__mn")).alias("label"),
+
+        # When the edge-node set is modest, broadcast the label table into
+        # the per-round join: the edge list — the big side — then never
+        # shuffles (the checkpointed LogicalRDD has no stats, so the
+        # optimizer would otherwise plan three full-edge exchanges EVERY
+        # round). The count is already materialised by the eager
+        # checkpoint. Above the cap (label row ~16 bytes; 2M nodes ~ 32 MB
+        # broadcast) fall back to shuffle joins, which are the right plan
+        # when candidates are that dense.
+        n_nodes = labels.count()
+        bcast = n_nodes <= 2_000_000
+
+        # CONTRACT the graph through the initial labels before iterating:
+        # the fused first round (min of node and direct neighbours) already
+        # collapses every LSH bucket-clique onto its minimum, so mapping
+        # each edge endpoint to its label and dropping self-loops +
+        # duplicates shrinks the edge list from |candidate pairs| to
+        # |cross-clique links|. Near-dup graphs are unions of bucket
+        # cliques by construction, so this is typically a 10-1000x edge
+        # reduction — every subsequent round then joins/aggregates the
+        # CONTRACTED edges, not the full pair list (measured at 10x scale:
+        # the per-round agg over 41M edge rows was the whole cost of the
+        # resolve). Components are preserved: l(v) is a node of v's own
+        # component, and the final per-node answer composes through l
+        # (node -> l(node) -> fixpoint label of l(node)).
+        node_to_init = labels.select(
+            F.col("node").alias("__n"), F.col("label").alias("__l")
         )
-        .localCheckpoint(eager=True)
-    )
-    prev_label_ids = (
-        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
-    )
-    # the undirected pair list has now fed its last consumers (the
-    # contracted edges and the initial labels): release it before the
-    # loop instead of pinning |pairs| rows for the session lifetime
-    _release_rdds(sc, kept_ids)
-    full_labels, labels = labels, iter_labels
-    bcast = labels.count() <= 2_000_000
+        lm_a = F.broadcast(node_to_init) if bcast else node_to_init
+        # map the UNDIRECTED pairs (half the rows of the edge view),
+        # normalise each contracted pair to (min, max) so distinct halves
+        # its input again, then symmetrise the (tiny) result for the loop
+        cpair = (
+            kept.join(lm_a, F.col("id_a") == F.col("__n"))
+            .select(F.col("__l").alias("la"), "id_b")
+            .join(
+                lm_a.select(
+                    F.col("__n").alias("__n2"), F.col("__l").alias("__l2")
+                ),
+                F.col("id_b") == F.col("__n2"),
+            )
+            .select(
+                F.least(F.col("la"), F.col("__l2")).alias("src"),
+                F.greatest(F.col("la"), F.col("__l2")).alias("dst"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        __b = _persistent_rdd_ids(sc)
+        edges = (
+            cpair.unionByName(
+                cpair.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst")
+                )
+            )
+            .repartition(kept.sparkSession.sparkContext.defaultParallelism)
+            .localCheckpoint(eager=True)
+        )
+        edge_ids = (
+            ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
+        )
+        __b = _persistent_rdd_ids(sc)
+        iter_labels = (
+            edges.groupBy("src")
+            .agg(F.min("dst").alias("__mn"))
+            .select(
+                F.col("src").alias("node"),
+                F.least(F.col("src"), F.col("__mn")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        prev_label_ids = (
+            ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
+        )
+        # the undirected pair list has now fed its last consumers (the
+        # contracted edges and the initial labels): release it before the
+        # loop instead of pinning |pairs| rows for the session lifetime
+        _release_rdds(sc, kept_ids)
+        full_labels, labels = labels, iter_labels
+        bcast = labels.count() <= 2_000_000
+    except BaseException:
+        _release_rdds(sc, kept_ids)
+        _release_rdds(sc, edge_ids)
+        _release_rdds(sc, prev_label_ids)
+        _release_rdds(sc, init_label_ids)
+        raise
 
     changed = -1
     # error path (non-convergence, interrupt, executor loss) must not
@@ -950,6 +966,7 @@ def minhash_probe_pairs(
     threshold: float = 0.5,
     base_hash: str = "md5",
     corpus_sigs: DataFrame | None = None,
+    cache_out: list | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: probe a new batch against an indexed
     corpus — the daily-crawl-vs-corpus pass of ``dedup_incremental``,
@@ -981,7 +998,23 @@ def minhash_probe_pairs(
     similarity is undefined for an empty set — same contract as
     ``lsh_candidate_pairs``); exact empty-text dups are
     ``dedup_incremental``'s job.
+
+    The candidate-pair frame is materialised with a lazy
+    ``localCheckpoint`` (three consumers would otherwise re-execute
+    the corpus signature build). Checkpoint blocks are SESSION-PINNED
+    — in a long-lived driver running one probe per batch, snapshot
+    ``graph._persistent_rdd_ids`` before the call and
+    ``graph._release_rdds`` the difference after consuming the result
+    (the rolling-release protocol every iterative operator here uses;
+    single-threaded-session assumption documented on those helpers),
+    or pass ``cache_out=[]`` to receive the checkpointed frame itself.
     """
+    if bands < 1 or k % bands:
+        raise ValueError(
+            f"k={k} must be a positive multiple of bands={bands} "
+            "(bands > k would make every band signature empty and the "
+            "candidate join a full cross product)"
+        )
     rows_per_band = k // bands
     sig_b = minhash_signatures(batch, id_col, text_col, k, base_hash)
     sig_c = (
@@ -1022,6 +1055,8 @@ def minhash_probe_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if cache_out is not None:
+        cache_out.append(cand)
 
     def tok_arrays(df: DataFrame, out_id: str, out_toks: str) -> DataFrame:
         toks = F.filter(

@@ -1280,7 +1280,13 @@ def resize_images(
 
     def _resize_one(buf: bytes) -> bytes:
         if buf.startswith(b"IMG:"):
-            payload = buf.partition(b":")[2].partition(b":")[2]
+            # validate the header (a corrupt "IMG:AxB:" must raise
+            # here like every other malformed input, not silently
+            # launder through the resize)
+            header, _, payload = buf[4:].partition(b":")
+            dims = header.split(b"x")
+            if len(dims) != 2 or not dims[0].isdigit() or not dims[1].isdigit():
+                raise ValueError(f"bad IMG: header {header!r}")
             reps = -(-n_target // max(len(payload), 1))
             resized = (payload * reps)[:n_target] if payload else b"\x00" * n_target
             return b"IMG:%dx%d:" % (target_w, target_h) + resized
@@ -1567,7 +1573,11 @@ def _parse_y4m(buf: bytes) -> tuple[int, int, int, int, str, list]:
             # I (interlace), A (aspect), X (extension) tags are skipped
         except (ValueError, UnicodeDecodeError) as exc:
             raise ValueError(f"bad Y4M header token {tok!r}") from exc
-    if not w or not h or fps_num < 1 or fps_den < 1:
+    # w/h must be strictly positive: `not w` only catches 0/None, and a
+    # NEGATIVE width makes frame_size negative, which would walk `pos`
+    # BACKWARDS over the same FRAME marker forever (unbounded plane
+    # accumulation instead of a loud error)
+    if w is None or h is None or w < 1 or h < 1 or fps_num < 1 or fps_den < 1:
         raise ValueError(f"bad Y4M geometry: W={w} H={h} F={fps_num}:{fps_den}")
     if colorspace.startswith("420"):
         if (w % 2) or (h % 2):

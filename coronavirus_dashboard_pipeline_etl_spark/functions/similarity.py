@@ -971,22 +971,23 @@ def pq_encode(
     m, d = len(cb), len(cb[0][0])
     cb_lit = F.lit(cb)
     v = _to_double(F.col(vec_col))
-    codes = F.transform(
+    # two nested transforms: the inner builds each subspace's k-score
+    # array ONCE, the outer argmins over it as a BOUND lambda variable
+    # — referencing `scores` twice inside array_position/array_min is
+    # free because lambda variables are evaluated once, whereas
+    # repeating the transform expression would double the O(k*d)
+    # squared-L2 work per row (Catalyst does not CSE HOF trees)
+    all_scores = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: (
-            F.array_position(
-                F.transform(
-                    F.element_at(cb_lit, s + 1),
-                    lambda cw: _sq_l2(F.slice(v, s * d + 1, F.lit(d)), cw),
-                ),
-                F.array_min(
-                    F.transform(
-                        F.element_at(cb_lit, s + 1),
-                        lambda cw: _sq_l2(F.slice(v, s * d + 1, F.lit(d)), cw),
-                    )
-                ),
-            )
-            - 1
+        lambda s: F.transform(
+            F.element_at(cb_lit, s + 1),
+            lambda cw: _sq_l2(F.slice(v, s * d + 1, F.lit(d)), cw),
+        ),
+    )
+    codes = F.transform(
+        all_scores,
+        lambda scores: (
+            F.array_position(scores, F.array_min(scores)) - 1
         ).cast("int"),
     )
     return df.select("*", codes.alias("pq_codes"))

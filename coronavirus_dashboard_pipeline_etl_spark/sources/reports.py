@@ -144,14 +144,17 @@ def sitemap_xml(paths: list, base_url: str, lastmod: str) -> str:
     """Sitemap XML for the rendered report pages — the reference's
     despatch_ops_workers/sitemap/generate.py surface as a pure
     function (deterministic, sorted)."""
+    from xml.sax.saxutils import escape
+
     lines = [
         '<?xml version="1.0" encoding="UTF-8"?>',
         '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">',
     ]
     for p in sorted(paths):
+        loc = escape(f"{base_url.rstrip('/')}/{p.lstrip('/')}")
         lines.append(
-            f"  <url><loc>{base_url.rstrip('/')}/{p.lstrip('/')}</loc>"
-            f"<lastmod>{lastmod}</lastmod></url>"
+            f"  <url><loc>{loc}</loc>"
+            f"<lastmod>{escape(lastmod)}</lastmod></url>"
         )
     lines.append("</urlset>")
     return "\n".join(lines)

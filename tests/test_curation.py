@@ -888,3 +888,60 @@ def test_validate_constraints_all_rule_kinds(spark):
 
     with _pytest.raises(ValueError, match="unknown constraint"):
         validate_constraints(df, [("fancy", "text")]).collect()
+
+
+def test_dsir_external_target_counts_full_target_total(spark):
+    """DSIR with an EXTERNAL target domain (not a subset of raw — the
+    paper's actual setting): target-only buckets must still enter the
+    target total T, or every ratio's (T+m) normaliser undercounts.
+    Regression for the left-join bug that silently dropped them."""
+    import hashlib
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        dsir_importance,
+    )
+
+    raw_rows = [(1, "alpha beta"), (2, "gamma delta")]
+    # target shares one gram with raw ("alpha") and adds grams raw has
+    # never seen — those occupy target-only buckets
+    tgt_rows = [(10, "alpha zzzuniquegram qqqothergram wwwthirdgram")]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+    m = 4096  # large enough that the unique grams don't collide
+
+    def md5int(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    def grams(text: str) -> list[str]:
+        tk = [t for t in text.split(" ") if t]
+        return tk + [a + "\x01" + b for a, b in zip(tk, tk[1:])]
+
+    raw_cnt: dict[int, int] = {}
+    tgt_cnt: dict[int, int] = {}
+    for _, text in raw_rows:
+        for g in grams(text):
+            raw_cnt[md5int(g) % m] = raw_cnt.get(md5int(g) % m, 0) + 1
+    for _, text in tgt_rows:
+        for g in grams(text):
+            tgt_cnt[md5int(g) % m] = tgt_cnt.get(md5int(g) % m, 0) + 1
+    big_r = sum(raw_cnt.values())
+    big_t = sum(tgt_cnt.values())  # ALL target grams, incl. target-only
+    assert any(b not in raw_cnt for b in tgt_cnt)  # the setting matters
+
+    got = {
+        r.doc_id: r
+        for r in dsir_importance(raw, tgt, n_buckets=m).collect()
+    }
+    for did, text in raw_rows:
+        mass = sum(
+            max(
+                1,
+                min(
+                    10**12,
+                    ((tgt_cnt.get(md5int(g) % m, 0) + 1) * (big_r + m) * 10**6)
+                    // ((raw_cnt[md5int(g) % m] + 1) * (big_t + m)),
+                ),
+            )
+            for g in grams(text)
+        )
+        assert got[did].importance_mass == mass, did

@@ -567,3 +567,42 @@ def test_pq_train_encode_adc_vs_pure_python(spark):
         pq_adc_topk(df, enc, cb_df, topk=1, max_queries=5)
     with _pytest.raises(ValueError, match="need >= k"):
         pq_train(df.filter("vec_id < 2"), m_sub=2, k=4)
+
+
+def test_review_fix_guards(spark):
+    """Round-8 review fixes: probe k/bands validation, empty-rules
+    audit, corrupt IMG: resize header, negative Y4M geometry."""
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        validate_constraints,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        minhash_probe_pairs,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_y4m,
+        resize_images,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="positive multiple"):
+        minhash_probe_pairs(df, df, k=16, bands=20)
+    with _pytest.raises(ValueError, match="positive multiple"):
+        minhash_probe_pairs(df, df, k=16, bands=3)
+    with _pytest.raises(ValueError, match="non-empty"):
+        validate_constraints(df, [])
+    with _pytest.raises(ValueError, match="geometry"):
+        _parse_y4m(b"YUV4MPEG2 W-2 H3 Cmono\nFRAME\n" + bytes(60))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(b"IMG:AxB:junk"))],
+        "media_id long, kind string, content binary",
+    )
+    with _pytest.raises(Exception, match="bad IMG"):
+        resize_images(media, 2, 2).collect()
+
+    # cache_out returns the checkpointed candidate frame for release
+    handles: list = []
+    out = minhash_probe_pairs(df, df, k=16, bands=4, cache_out=handles)
+    out.count()
+    assert len(handles) == 1
