@@ -76,6 +76,7 @@ def calculate_pair_tested(
     rate_field: str = "rate",
     rate_factor: float = RATE_PER,
     precision: int | None = RATE_PRECISION,
+    population_attached: bool = False,
 ) -> DataFrame:
     """Element-wise pair sum of two nested age arrays with rate per 100k.
 
@@ -85,20 +86,26 @@ def calculate_pair_tested(
     NULL for the whole row when either input cell is missing (the
     reference's ``dropna`` guard). ``precision=None`` skips rounding
     (used by the oracle gates — engines round doubles differently).
+
+    ``population_attached=True`` says the population MAP column is
+    already joined (and stays for the caller to drop) — multi-pair
+    callers attach it once instead of paying one groupBy + broadcast
+    join per pair.
     """
     a_col, b_col = pair
     cmp = _age_comparator(age_field)
     a_sorted = F.array_sort(F.col(a_col), cmp)
     b_sorted = F.array_sort(F.col(b_col), cmp)
 
-    if population is not None:
+    use_pop = population is not None or population_attached
+    if population is not None and not population_attached:
         df = _with_population_map(df, population, area_key, age_field)
     pop_map = F.col(_POP_MAP)
 
     def pair_entry(x: Column, y: Column) -> Column:
         new_val = x[value_field] + y[value_field]
         entry = x.withField(value_field, new_val)
-        if population is not None:
+        if use_pop:
             rate = new_val.cast("double") / pop_map[x[age_field]] * F.lit(
                 float(rate_factor)
             )
@@ -112,7 +119,7 @@ def calculate_pair_tested(
         F.zip_with(a_sorted, b_sorted, pair_entry),
     )
     result = df.withColumn(out, paired)
-    if population is not None:
+    if population is not None and not population_attached:
         result = result.drop(_POP_MAP)
     return result
 
@@ -121,13 +128,32 @@ def calculate_sex_people_tested(
     df: DataFrame,
     population: DataFrame | None = None,
     pairs: Mapping[str, Sequence[str]] | None = None,
+    area_key: str = "areaCode",
+    age_field: str = "age",
     **kwargs,
 ) -> DataFrame:
     """Apply ``calculate_pair_tested`` for several named pairs
     (reference ``calculate_sex_people_tested``, ``db_etl/etl.py:784-799``,
-    e.g. ``peopleTested=(maleTested, femaleTested)``)."""
+    e.g. ``peopleTested=(maleTested, femaleTested)``).
+
+    The population map joins ONCE for all pairs (previously each pair
+    re-ran the map's groupBy + broadcast join and dropped the column —
+    n identical dimension aggregations where one suffices)."""
+    if population is not None and pairs:
+        df = _with_population_map(df, population, area_key, age_field)
     for out, pair in (pairs or {}).items():
-        df = calculate_pair_tested(df, pair, out, population=population, **kwargs)
+        df = calculate_pair_tested(
+            df,
+            pair,
+            out,
+            population=population,
+            area_key=area_key,
+            age_field=age_field,
+            population_attached=population is not None,
+            **kwargs,
+        )
+    if population is not None and pairs:
+        df = df.drop(_POP_MAP)
     return df
 
 

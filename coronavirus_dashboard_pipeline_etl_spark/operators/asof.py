@@ -28,10 +28,25 @@ def release_delta(
     value_col: str,
     out: str = "delta",
     clamp_negative: bool = True,
+    zero_baseline: bool = False,
 ) -> DataFrame:
-    """value - lag(value) per group ordered by release, clamped at 0."""
+    """value - lag(value) per group ordered by release, clamped at 0.
+
+    A group's FIRST release has no lag: the default (strict lag)
+    yields NULL → clamped to 0, the contract the streaming twin
+    ``release_delta_stream`` mirrors row-for-row. The reference's
+    publish-delta query instead baselines against COALESCE(prev, 0) —
+    a brand-new metric publishes its whole first value as the delta —
+    which is what ``latest_two_releases_delta`` (the J9 surface)
+    implements; pass ``zero_baseline=True`` to get that semantics from
+    the generic lag form too. Don't use the default for publish
+    deltas: it silently zeroes every new series' first count.
+    """
     w = Window.partitionBy(*group_keys).orderBy(release_col)
-    delta = F.col(value_col) - F.lag(value_col).over(w)
+    prev = F.lag(value_col).over(w)
+    if zero_baseline:
+        prev = F.coalesce(prev, F.lit(0))
+    delta = F.col(value_col) - prev
     if clamp_negative:
         delta = F.greatest(delta, F.lit(0))
     return df.withColumn(out, delta)
@@ -393,18 +408,30 @@ def interval_overlap_join(
     bus = bucket_seconds * 1_000_000
 
     def cells(df: DataFrame, id_col: str, tag: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(f"{tag}_id"),
-            F.col(start_us_col).alias(f"{tag}_s"),
-            F.col(end_us_col).alias(f"{tag}_e"),
-        ).select(
-            "*",
-            F.explode(
-                F.sequence(
-                    F.expr(f"{tag}_s div {bus}"),
-                    F.expr(f"({tag}_e - 1) div {bus}"),
-                )
-            ).alias("__cell"),
+        # EMPTY half-open intervals ([s, s), or malformed e < s) cover
+        # no cells and overlap nothing — without this filter the bare
+        # predicate l_s < r_e AND r_s < l_e matches a degenerate point
+        # lying inside the other interval, and sequence(s div bus,
+        # (s-1) div bus) even explodes DESCENDING cells the interval
+        # does not cover. Under how="left", filtered-out empty left
+        # intervals still surface via the anti-join miss set (with
+        # NULL right side), which is the correct "overlaps nothing".
+        return (
+            df.select(
+                F.col(id_col).alias(f"{tag}_id"),
+                F.col(start_us_col).alias(f"{tag}_s"),
+                F.col(end_us_col).alias(f"{tag}_e"),
+            )
+            .filter(F.col(f"{tag}_s") < F.col(f"{tag}_e"))
+            .select(
+                "*",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{tag}_s div {bus}"),
+                        F.expr(f"({tag}_e - 1) div {bus}"),
+                    )
+                ).alias("__cell"),
+            )
         )
 
     l = cells(left, left_id_col, "l")

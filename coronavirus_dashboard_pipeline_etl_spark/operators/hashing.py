@@ -27,8 +27,20 @@ from pyspark.sql.types import StringType
 
 def _concat_cols(cols: Sequence[str]) -> Column:
     """Reference concat: ``astype(str).sum(axis=1)`` (hash.py:49-52) — plain
-    concatenation of the stringified columns, no separator."""
-    return F.concat(*[F.col(c).cast("string") for c in cols])
+    concatenation of the PER-COLUMN stringified values, no separator.
+
+    Nulls stringify per column (``str(None) == 'None'``, the pandas
+    object-dtype behaviour) — a bare ``F.concat`` would instead NULL
+    the whole concatenation when ANY column is null, collapsing every
+    such row onto one digest (blake2 of the UDF-side ``str(None)``) or
+    a NULL id (sha2): distinct rows sharing a store key means the
+    hash-keyed upsert silently overwrites unrelated rows."""
+    return F.concat(
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit("None"))
+            for c in cols
+        ]
+    )
 
 
 def row_hash_blake2(

@@ -30,6 +30,7 @@ from ..config import (
     SUFFIX_ROLLING_SUM,
     TAIL_TRIM_DAYS,
 )
+from .rolling import rolling_sum_col
 
 
 def calculate_rates(
@@ -138,10 +139,7 @@ def calculate_rates(
     stage1: dict[str, F.Column] = {}
     for m in rolling_rate:
         rsum = f"{m}{SUFFIX_ROLLING_SUM}"
-        guarded = F.when(
-            F.count(raw(m)).over(w_roll) == ROLLING_WINDOW,
-            F.sum(raw(m)).over(w_roll),
-        )
+        guarded = rolling_sum_col(raw(m), w_roll)
         # min_count=0 coercion: NaN windows publish as typed zero
         keep_exact = dtypes.get(m, "").startswith("decimal")
         zero = F.lit(0).cast(dtypes[m]) if keep_exact else F.lit(0.0)

@@ -48,11 +48,16 @@ from ..config import (
 )
 
 
-def _rolling_sum_col(col: str, w_rows) -> Column:
-    """pandas ``rolling(n).sum()`` with default min_periods=n."""
+def rolling_sum_col(col, w_rows) -> Column:
+    """pandas ``rolling(n).sum()`` with default min_periods=n — the
+    count-guarded windowed sum. THE single definition of the guard:
+    ``change_by_sum`` and ``rates.calculate_rates`` both build on it,
+    so a future change to the min_periods semantics lands everywhere
+    at once instead of drifting across inline copies."""
+    c = F.col(col) if isinstance(col, str) else col
     return F.when(
-        F.count(F.col(col)).over(w_rows) == ROLLING_WINDOW,
-        F.sum(F.col(col)).over(w_rows),
+        F.count(c).over(w_rows) == ROLLING_WINDOW,
+        F.sum(c).over(w_rows),
     )
 
 
@@ -149,10 +154,7 @@ def change_by_sum(
     for m in metrics:
         if names(m)[0] in df.columns:
             continue
-        rsum_expr = F.when(
-            F.count(raw(m)).over(w_roll) == ROLLING_WINDOW,
-            F.sum(raw(m)).over(w_roll),
-        )
+        rsum_expr = rolling_sum_col(raw(m), w_roll)
         if min_sum_allowed is not None:
             rsum_expr = F.when(
                 rsum_expr < F.lit(min_sum_allowed), F.lit(float(min_sum_sub))

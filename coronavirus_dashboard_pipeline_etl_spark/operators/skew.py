@@ -33,9 +33,17 @@ def salted_join(
     """Equi-join with the big side's rows spread across ``salt_buckets``
     sub-keys and the small side replicated once per bucket.
 
-    Deterministic: the salt is a hash of the big side's whole row (task
-    retries re-derive the same salt). The small side grows by the bucket
-    factor — keep it the genuinely-small side.
+    The salt mixes the row-content hash with a per-row physical
+    counter: a content-only hash would send byte-identical duplicated
+    rows — the degenerate mass-duplication case salting exists for,
+    the one ``probe_hot_keys`` is explicitly hardened against — all to
+    ONE salt bucket, leaving the straggler unsalted. The counter makes
+    the salt non-deterministic across task retries, which is safe
+    here: the salt never reaches the output (dropped after the join)
+    and join correctness is salt-independent — every (key, salt)
+    pairing matches the same replicated small-side rows. The small
+    side grows by the bucket factor — keep it the genuinely-small
+    side.
 
     Only join types where every output row is anchored to a big-side row
     are valid: right/full joins would emit each unmatched small-side row
@@ -50,7 +58,11 @@ def salted_join(
         )
     on = list(on)
     big_salted = big.withColumn(
-        SALT_COL, F.pmod(F.xxhash64(*big.columns), F.lit(salt_buckets))
+        SALT_COL,
+        F.pmod(
+            F.xxhash64(*big.columns) + F.monotonically_increasing_id(),
+            F.lit(salt_buckets),
+        ),
     )
     small_rep = small.withColumn(
         SALT_COL,

@@ -108,8 +108,16 @@ def trim_sides(
     first_valid = F.min(
         F.when(F.col(payload_col).isNotNull(), F.col("__rn"))
     ).over(w_all)
+    # the exemption keys off the LAST series key (the metric-like one
+    # by the reference's layout), not a hardcoded "metric" column — a
+    # caller with series_keys=("areaType", "areaCode", "metric_name")
+    # would otherwise hit UNRESOLVED_COLUMN, or silently exempt via an
+    # unrelated column that happens to be named "metric"
+    metric_key = keys[-1]
     exempt = (
-        F.col("metric").isin(*exempt_metrics) if exempt_metrics else F.lit(False)
+        F.col(metric_key).isin(*exempt_metrics)
+        if exempt_metrics
+        else F.lit(False)
     )
     lead_cut = F.coalesce(first_nonzero, first_valid) + 1
     lead_masked = F.col("__rn") <= lead_cut
@@ -119,7 +127,13 @@ def trim_sides(
     last_valid = F.max(
         F.when(F.col(payload_col).isNotNull() & ~lead_masked, F.col("__rn"))
     ).over(w_all)
-    trail_masked = F.col("__rn") >= last_valid - 1
+    # EXACTLY the last surviving non-null row and its predecessor — an
+    # unbounded `>= last_valid - 1` would also drop every row AFTER the
+    # last valid payload, i.e. the pre-existing trailing nulls point 3
+    # guarantees survive into the store
+    trail_masked = (F.col("__rn") >= last_valid - 1) & (
+        F.col("__rn") <= last_valid
+    )
 
     # both guards must hold or the series passes through untouched:
     # some payload exists (uploader.py:63) AND the leading strip leaves

@@ -1294,10 +1294,15 @@ r4 AS (
            MAX(CASE WHEN payload IS NOT NULL THEN rn END) OVER (PARTITION BY area_code, metric) AS last_valid
     FROM r3
 )
-SELECT area_code, metric, date,
-       CASE WHEN rn >= last_valid - 1 THEN NULL ELSE payload END AS payload
+-- drop exactly the MASKED rows (lead strip handled by r3's NULLing at
+-- a cut that only ever covers leading rows in this all-non-null gate
+-- data, trailing strip = the last valid row and its predecessor);
+-- rows after last_valid — pre-existing trailing nulls in general data
+-- — survive, matching the reference's dropna(how='all') semantics
+SELECT area_code, metric, date, payload
 FROM r4
-WHERE (CASE WHEN rn >= last_valid - 1 THEN NULL ELSE payload END) IS NOT NULL
+WHERE payload IS NOT NULL
+  AND NOT (rn >= last_valid - 1 AND rn <= last_valid)
 """
 
 QUERIES.update({
@@ -1658,7 +1663,10 @@ def h1_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 H1_SQL = """
 SELECT l_orderkey, l_linenumber, l_returnflag,
-       substr(sha256(CAST(l_orderkey AS VARCHAR) || CAST(l_linenumber AS VARCHAR) || l_returnflag), 1, 24) AS hash
+       substr(sha256(
+           COALESCE(CAST(l_orderkey AS VARCHAR), 'None')
+           || COALESCE(CAST(l_linenumber AS VARCHAR), 'None')
+           || COALESCE(l_returnflag, 'None')), 1, 24) AS hash
 FROM lineitem
 """
 

@@ -30,10 +30,20 @@ REGISTRY_SCHEMA = StructType(
 
 
 def load_metric_registry(spark: SparkSession, path: str) -> DataFrame:
-    """Registry rows, or an empty typed frame if none exist yet."""
+    """Registry rows, or an empty typed frame if none exist yet.
+
+    Only a genuinely ABSENT path means "fresh registry" — any other
+    read failure must propagate: returning an empty frame on a
+    transient error would make ``register_metrics`` re-number every
+    metric from 1 and append conflicting duplicate (metric, id) rows,
+    breaking the append-only id contract for the whole store."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(REGISTRY_SCHEMA).parquet(path)
-    except Exception:  # path does not exist yet — fresh registry
+    except AnalysisException as exc:
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         return spark.createDataFrame([], REGISTRY_SCHEMA)
 
 

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -49,7 +50,14 @@ def upsert_batch(
             batch.select(*key_cols).distinct(), on=list(key_cols), how="left_anti"
         )
         merged = keep.unionByName(batch, allowMissingColumns=True)
-    except Exception:  # first write: store does not exist yet
+    except AnalysisException as exc:
+        # ONLY a genuinely absent store means "first write" — any other
+        # read failure (transient FS error, corrupt footer, permission
+        # blip) must propagate: falling through to merged = batch would
+        # dynamically OVERWRITE the touched partitions with just the
+        # batch's rows, silently deleting every pre-existing row there
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(exc):
+            raise
         merged = batch
     (
         merged.write.mode("overwrite")

@@ -382,3 +382,40 @@ def test_bucketed_store_aggregates_without_exchange(spark, tmp_path):
         assert agg.count() == 5
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_trim_sides_trailing_nulls_survive(spark):
+    """Docstring point 3 regression: the trailing strip masks EXACTLY
+    the last valid payload row and its predecessor — rows after the
+    last valid payload are pre-existing nulls that must reach the
+    store (the reference NaNs whole masked rows then dropna(how='all'),
+    which never removes a row that only ever had a null payload)."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.trim import trim_sides
+
+    rows = [
+        ("ltla", "E1", "cases", f"2021-01-0{i+1}", v)
+        for i, v in enumerate([0.0, 0.0, 5.0, 3.0, 2.0, 1.0, None, None])
+    ]
+    df = spark.createDataFrame(
+        rows, "area_type string, area_code string, metric string, date string, payload double"
+    )
+    got = sorted(
+        (r.date, r.payload) for r in trim_sides(df).collect()
+    )
+    # leading strip: rows 1-4 (first nonzero cumsum at row 3, +1 more);
+    # trailing strip: rows 5-6 (last valid = row 6 and predecessor);
+    # rows 7-8 are pre-existing nulls and SURVIVE
+    assert got == [("2021-01-07", None), ("2021-01-08", None)]
+
+    # interior nulls OUTSIDE the strips also survive: they are never
+    # masked (null at row 4 — past the lead cut of rows 1-3, before the
+    # trailing pair rows 6-7)
+    rows2 = [
+        ("ltla", "E2", "cases", f"2021-01-0{i+1}", v)
+        for i, v in enumerate([0.0, 1.0, 3.0, None, 5.0, 6.0, 7.0])
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "area_type string, area_code string, metric string, date string, payload double"
+    )
+    got2 = sorted((r.date, r.payload) for r in trim_sides(df2).collect())
+    assert got2 == [("2021-01-04", None), ("2021-01-05", 5.0)]

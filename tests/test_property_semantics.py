@@ -589,7 +589,7 @@ def test_split_corpus_partition_property(spark, ids):
     st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=500),
-            st.integers(min_value=1, max_value=400),
+            st.integers(min_value=0, max_value=400),
         ),
         min_size=1,
         max_size=12,
@@ -597,7 +597,7 @@ def test_split_corpus_partition_property(spark, ids):
     st.lists(
         st.tuples(
             st.integers(min_value=0, max_value=500),
-            st.integers(min_value=1, max_value=400),
+            st.integers(min_value=0, max_value=400),
         ),
         min_size=1,
         max_size=12,
@@ -629,11 +629,14 @@ def test_interval_overlap_join_matches_bruteforce(spark, lspec, rspec, bucket_s)
             ldf, rdf, bucket_seconds=bucket_s
         ).collect()
     )
+    # half-open semantics: EMPTY intervals ([s, s)) overlap nothing —
+    # the bare predicate alone would match a degenerate point inside
+    # the other interval (the bug this property now pins)
     want = sorted(
         (li, ri)
         for li, ls, le in lrows
         for ri, rs, re in rrows
-        if ls < re and rs < le
+        if ls < le and rs < re and ls < re and rs < le
     )
     assert got == want
 
