@@ -946,20 +946,34 @@ def table_checksum(
     without moving or sorting it (at 100 TB the ONLY affordable
     verification is a one-pass commutative digest on each side).
 
-    Row encoding: each column cast to string, NULL marked with \\x00,
-    columns joined with \\x01 — injective for string-typed renderings,
-    and reproducible in any engine with md5 (callers cast floats to a
-    fixed-scale decimal first; raw float->string formatting is
-    engine-specific). The sum rides a DECIMAL(38,0) (exact,
-    commutative, constant state per group); emitted as a string so no
-    downstream double conversion can clip it.
+    Row encoding: LENGTH-PREFIXED tokens — NULL encodes as ``N``, a
+    value as ``V<byte-length>:<value>`` — concatenated in column
+    order. Each token self-delimits, so the encoding is injective for
+    ANY string content: a sentinel-based scheme (NULL -> \\x00, \\x01
+    separators) would collide a literal sentinel string with NULL and
+    make values containing the separator ambiguous across columns —
+    for an integrity primitive, a silent false-pass is the worst
+    failure mode. Reproducible in any engine with md5 + a byte-length
+    function (callers cast floats to a fixed-scale decimal first; raw
+    float->string formatting is engine-specific). The sum rides a
+    DECIMAL(38,0) (exact, commutative, constant state per group);
+    emitted as a string so no downstream double conversion can clip it.
     """
     if cols is None:
         cols = [c for c in df.columns if c not in set(group_cols)]
-    encoded = F.concat_ws(
-        "\x01",
-        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols],
-    )
+
+    def token(c: str) -> Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(
+                F.lit("V"),
+                F.octet_length(s).cast("string"),
+                F.lit(":"),
+                s,
+            )
+        )
+
+    encoded = F.concat(*[token(c) for c in cols])
     row_hash = md5_prefix_long(encoded).cast("decimal(38,0)")
     return df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_rows"),
@@ -998,7 +1012,21 @@ def priority_sample(
     # md5_prefix_long is in [0, 2^60); avoid div-by-zero on the one-in-
     # 2^60 zero draw by clamping to 1 (both engines, same clamp)
     u = F.greatest(u, F.lit(1))
-    priority = F.col(weight_col).cast("double") / u.cast("double")
+    wv = F.col(weight_col).cast("double")
+    # the documented positivity contract, ENFORCED (the weighted_sample
+    # pattern): NULL/zero/negative weights would otherwise rank with
+    # meaningless priorities, silently breaking the inclusion-
+    # probability guarantee
+    wv = F.when(
+        wv.isNull() | (wv <= 0),
+        F.raise_error(
+            F.concat(
+                F.lit(f"priority_sample: {weight_col} must be > 0, got "),
+                F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
+            )
+        ).cast("double"),
+    ).otherwise(wv)
+    priority = wv / u.cast("double")
     win = Window.partitionBy(*group_cols).orderBy(
         F.desc("__priority"), F.asc(id_col)
     )

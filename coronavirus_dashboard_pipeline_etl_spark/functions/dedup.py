@@ -146,6 +146,13 @@ def lsh_candidate_pairs(
     degenerate '' bucket in every band, and minhash similarity is
     undefined for an empty set anyway.
     """
+    if bands < 1 or k % bands:
+        raise ValueError(
+            f"k={k} must be a positive multiple of bands={bands} "
+            "(bands > k would make every band signature empty — the "
+            "whole corpus in ONE bucket, an all-pairs join; k % bands "
+            "would silently ignore the trailing minhash columns)"
+        )
     rows_per_band = k // bands
     band_cols = []
     for bidx in range(bands):
@@ -898,7 +905,13 @@ def dedup_paragraphs(
     paras = df.select(
         F.col(id_col),
         F.posexplode(
-            F.split(F.col(text_col), "\\Q" + para_sep + "\\E")
+            # NULL text would split to NULL and posexplode ZERO rows,
+            # silently dropping the doc — coalesce to "" so the
+            # totality contract ("docs come back, never vanish") holds
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")),
+                "\\Q" + para_sep + "\\E",
+            )
         ).alias("pos", "para"),
     ).withColumn("fp", F.md5(F.trim(F.lower(F.col("para")))))
 

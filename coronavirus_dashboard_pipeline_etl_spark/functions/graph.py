@@ -179,6 +179,18 @@ def pagerank_fixed_point(
             # same total restart mass as the uniform case, concentrated
             # on the seeds
             seeds = [int(t) for t in teleport]
+            # a seed absent from the graph would silently ZERO its
+            # share of the restart mass (isin matches nothing) and
+            # ranks would decay with no error — loud-guard it like
+            # the dangling-node check (one extra count, teleport path
+            # only)
+            present = deg.filter(F.col("src").isin(seeds)).count()
+            if present < len(set(seeds)):
+                raise ValueError(
+                    f"pagerank_fixed_point: {len(set(seeds)) - present} "
+                    f"teleport seed(s) not present in the graph's node "
+                    "set — restart mass would silently vanish"
+                )
             seed_base = n_nodes * base // len(seeds)
             recipient = F.col("src").isin(seeds)
             base_expr = (

@@ -317,8 +317,17 @@ def assign_centroids(
     cid_arr = F.lit([int(r["cid"]) for r in rows])
     cent_arr = F.lit([[float(x) for x in r["cvec"]] for r in rows])
     v = _to_double(F.col(vec_col))
+    # zero-norm vectors make every cosine NULL and centroid_id NULL —
+    # which crashes kmeans_lloyd's NEXT round in _collect_centroids
+    # (int(None)); fail loudly here instead, like probe_assign
+    vnorm_raw = _norm(v)
+    vnorm = F.when(vnorm_raw > 0, vnorm_raw).otherwise(
+        F.assert_true(
+            F.lit(False), F.lit("assign_centroids: zero-norm vector")
+        ).cast("double")
+    )
     scores = F.transform(
-        cent_arr, lambda c: _dot(v, c) / (_norm(v) * _norm(c))
+        cent_arr, lambda c: _dot(v, c) / (vnorm * _norm(c))
     )
     best = F.array_position(scores, F.array_max(scores)).cast("int")
     return df.select(

@@ -9293,13 +9293,19 @@ def h6_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
 H6_SQL = """
 WITH enc AS (
   SELECT l_returnflag,
-         concat_ws(chr(1),
-           COALESCE(CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR), chr(0)),
-           COALESCE(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR), chr(0)),
-           COALESCE(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR), chr(0)),
-           COALESCE(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR), chr(0)),
-           COALESCE(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR), chr(0)),
-           COALESCE(CAST(CAST(l_shipdate AS DATE) AS VARCHAR), chr(0))
+         concat(
+           CASE WHEN l_orderkey IS NULL THEN 'N'
+                ELSE 'V' || CAST(strlen(CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_orderkey AS BIGINT) AS VARCHAR) END,
+           CASE WHEN l_linenumber IS NULL THEN 'N'
+                ELSE 'V' || CAST(strlen(CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_linenumber AS BIGINT) AS VARCHAR) END,
+           CASE WHEN l_partkey IS NULL THEN 'N'
+                ELSE 'V' || CAST(strlen(CAST(CAST(l_partkey AS BIGINT) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_partkey AS BIGINT) AS VARCHAR) END,
+           CASE WHEN l_quantity IS NULL THEN 'N'
+                ELSE 'V' || CAST(strlen(CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_quantity AS DECIMAL(18,6)) AS VARCHAR) END,
+           CASE WHEN l_extendedprice IS NULL THEN 'N'
+                ELSE 'V' || CAST(strlen(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_extendedprice AS DECIMAL(18,6)) AS VARCHAR) END,
+           CASE WHEN l_shipdate IS NULL THEN 'N'
+                ELSE 'V' || CAST(strlen(CAST(CAST(l_shipdate AS DATE) AS VARCHAR)) AS VARCHAR) || ':' || CAST(CAST(l_shipdate AS DATE) AS VARCHAR) END
          ) AS row_enc
   FROM lineitem
 ),

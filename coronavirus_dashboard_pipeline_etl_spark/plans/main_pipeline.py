@@ -84,8 +84,6 @@ def process_panel(
     The precision knobs default to the reference's rounding; the oracle
     gate passes None (engines round doubles differently at the last
     ulp)."""
-    metrics = [c for c in panel.columns if c not in PANEL_META]
-
     out = homogenise_dates(panel)
     out = normalise_records(
         out,
@@ -313,6 +311,9 @@ def compact_store(
     (localCheckpoint) before its files are overwritten, so a task retry
     mid-overwrite re-reads executor blocks, never half-replaced files.
     """
+    from ..functions.graph import _persistent_rdd_ids, _release_rdds
+
+    sc = spark.sparkContext
     store = spark.read.parquet(path)
     # ONE grouped count for every selected partition (not a count-scan
     # per partition); the rewrites that follow each scan only their own
@@ -333,18 +334,31 @@ def compact_store(
         # cost bounded by one partition's rows, so a task retry
         # mid-overwrite re-reads executor blocks, not half-replaced
         # files)
+        # rolling release by RDD id (graph._release_rdds): a plain
+        # DataFrame.unpersist() is a NO-OP for localCheckpoint blocks
+        # (they are not cache-manager entries), which would pin every
+        # compacted partition's rows for the session — the same
+        # accumulation class that OOM'd the r6 sweep driver
+        __b = _persistent_rdd_ids(sc)
         part_df = (
             store.filter(F.col("partition_id") == pid)
             .coalesce(n_files)
             .localCheckpoint(eager=True)
         )
-        (
-            part_df.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("partition_id")
-            .parquet(path)
+        part_ids = (
+            ((_persistent_rdd_ids(sc) or set()) - __b)
+            if __b is not None
+            else set()
         )
-        part_df.unpersist()
+        try:
+            (
+                part_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("partition_id")
+                .parquet(path)
+            )
+        finally:
+            _release_rdds(sc, part_ids)
         written[pid] = n_files
     return written
 

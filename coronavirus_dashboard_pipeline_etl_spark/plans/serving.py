@@ -148,13 +148,20 @@ def release_over_release_delta(
     )
     w = Window.partitionBy("area_id", "date").orderBy("release_id")
     delta = _value().cast("double") - F.lag(_value().cast("double")).over(w)
-    out = df.withColumn("delta", F.greatest(delta, F.lit(0.0)))
+    # clamp AFTER the null filter decides inclusion: F.greatest SKIPS
+    # nulls, so clamping first would turn a no-previous-release (or
+    # failed-cast) NULL into 0.0 and the isNotNull filter below would
+    # never fire — every single-release (area, date) would surface as
+    # a spurious "new = 0" row
+    out = df.withColumn("__delta_raw", delta).withColumn(
+        "delta", F.greatest(F.col("__delta_raw"), F.lit(0.0))
+    )
     w_latest = Window.partitionBy("area_id", "date").orderBy(
         F.col("release_id").desc()
     )
     return (
         out.withColumn("__rn", F.row_number().over(w_latest))
-        .filter((F.col("__rn") == 1) & F.col("delta").isNotNull())
+        .filter((F.col("__rn") == 1) & F.col("__delta_raw").isNotNull())
         .select("area_id", "date", "delta")
     )
 
@@ -210,6 +217,7 @@ def landing_cache_rows(
     metric_names: Sequence[str],
     last_n_days: int = 30,
     value_cast: str = "double",
+    release_id: int | None = None,
 ) -> DataFrame:
     """The Redis landing-page cache payload: per (area, metric), a JSON
     array of {date, value} records over the trailing window —
@@ -219,11 +227,28 @@ def landing_cache_rows(
     also what the cross-engine gate uses, since integer JSON rendering is
     identical everywhere while double rendering is not).
 
+    Release scoping: the reference query runs against ONE release; on a
+    multi-release store ``collect_list`` would otherwise pack duplicate
+    {date, value} records per key into the JSON. Pass ``release_id``
+    to pin a release; by default the LATEST value per (area, metric,
+    date) wins (one window over the release dimension).
+
     The sink side (caching.redis_sink) writes these via foreachPartition.
     """
     df = _joined(time_series, areas, metrics).filter(
         F.col("metric").isin(*metric_names)
     )
+    if release_id is not None:
+        df = df.filter(F.col("release_id") == release_id)
+    elif "release_id" in df.columns:
+        w_rel = Window.partitionBy("area_id", "metric_id", "date").orderBy(
+            F.col("release_id").desc()
+        )
+        df = (
+            df.withColumn("__rrn", F.row_number().over(w_rel))
+            .filter(F.col("__rrn") == 1)
+            .drop("__rrn")
+        )
     w_max = Window.partitionBy("area_id", "metric_id")
     df = df.withColumn("__mx", F.max("date").over(w_max)).filter(
         F.datediff(F.to_date("__mx"), F.to_date("date")) < last_n_days

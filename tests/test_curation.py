@@ -945,3 +945,83 @@ def test_dsir_external_target_counts_full_target_total(spark):
             for g in grams(text)
         )
         assert got[did].importance_mass == mass, did
+
+
+def test_third_review_guards_and_checksum_injectivity(spark):
+    """Third review pass regressions: loud guards (LSH bands, zero-norm
+    assignment, bad priority weights, missing teleport seeds), NULL-text
+    totality in paragraph dedup, and checksum injectivity for the
+    sentinel-collision cases the old encoding missed."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        priority_sample,
+        table_checksum,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_paragraphs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.graph import (
+        pagerank_fixed_point,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        assign_centroids,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c"), Row(doc_id=2, text="a b c")]
+    )
+    sigs = minhash_signatures(docs)
+    with _pytest.raises(ValueError, match="positive multiple"):
+        lsh_candidate_pairs(sigs, k=16, bands=32)
+
+    # NULL text must come back (empty), not vanish
+    docs2 = spark.createDataFrame(
+        [Row(doc_id=1, text="p1\n\np2"), Row(doc_id=2, text=None)]
+    )
+    out = {r.doc_id: r for r in dedup_paragraphs(docs2).collect()}
+    assert set(out) == {1, 2}
+    assert out[2].text == ""
+
+    # zero-norm vector fails loudly instead of NULLing centroid_id
+    vecs = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.0, 0.0])]
+    )
+    cents = spark.createDataFrame(
+        [Row(centroid_id=0, centroid=[1.0, 0.0])]
+    )
+    with _pytest.raises(Exception, match="zero-norm"):
+        assign_centroids(vecs, cents).collect()
+
+    # bad priority weights fail loudly
+    rows = spark.createDataFrame(
+        [Row(doc_id=1, w=2.0), Row(doc_id=2, w=None)]
+    )
+    with _pytest.raises(Exception, match="must be > 0"):
+        priority_sample(rows, k=1, weight_col="w").collect()
+
+    # missing teleport seed fails loudly
+    edges = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])
+    with _pytest.raises(ValueError, match="teleport seed"):
+        pagerank_fixed_point(edges, n_iter=1, teleport=[999])
+
+    # checksum injectivity: NULL vs a literal old-sentinel string, and
+    # separator-straddling values, must checksum DIFFERENTLY
+    a = spark.createDataFrame([Row(x=None, y="b")], "x string, y string")
+    b = spark.createDataFrame([Row(x="\x00", y="b")], "x string, y string")
+    ca = table_checksum(a, cols=["x", "y"]).collect()[0].checksum
+    cb = table_checksum(b, cols=["x", "y"]).collect()[0].checksum
+    assert ca != cb
+    c = spark.createDataFrame([Row(x="a\x01b", y="c")], "x string, y string")
+    d = spark.createDataFrame([Row(x="a", y="b\x01c")], "x string, y string")
+    cc = table_checksum(c, cols=["x", "y"]).collect()[0].checksum
+    cd = table_checksum(d, cols=["x", "y"]).collect()[0].checksum
+    assert cc != cd
+    # and identical tables still agree
+    assert (
+        table_checksum(a, cols=["x", "y"]).collect()[0].checksum
+        == table_checksum(a, cols=["x", "y"]).collect()[0].checksum
+    )

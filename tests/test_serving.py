@@ -199,3 +199,26 @@ def test_area_percentiles_approx_tracks_exact(star):
         for q in ("p25", "p50", "p75"):
             assert abs(getattr(r, q) - getattr(e, q)) <= 1.0, (q, r, e)
         assert (r.min, r.max) == (e.min, e.max)
+
+
+def test_landing_cache_multi_release_latest_wins(spark, star):
+    """Regression: on a multi-release store the cache JSON must carry
+    ONE record per (area, metric, date) — the latest release's value —
+    not duplicates from every release (the DOSES[0] metric exists at
+    2021-05-01 in BOTH releases of the fixture)."""
+    import json as _json
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans import serving
+
+    out = serving.landing_cache_rows(
+        star["ts"], star["areas"], star["metrics"],
+        metric_names=[DOSES[0]], value_cast="double",
+    ).collect()
+    assert out
+    for r in out:
+        recs = _json.loads(r.cache_value)
+        dates = [x["date"] for x in recs]
+        assert len(dates) == len(set(dates)), r.cache_key
+    # and the surviving value is the LATEST release's (88.5, not 88.0)
+    a1 = next(r for r in out if r.area_code == "E92000001")
+    assert _json.loads(a1.cache_value)[0]["value"] == 88.5
