@@ -1002,7 +1002,15 @@ def priority_sample(
     ORDERING is engine-identical; priority ties break by id, making
     the kept set fully deterministic even at the cut boundary. One
     window over ``group_cols``: the same single-exchange shape as
-    every other per-group ranker here. Weights must be positive.
+    every other per-group ranker here.
+
+    Weight contract: NULL or negative weights raise loudly (they would
+    rank with meaningless priorities, silently corrupting the
+    inclusion-probability guarantee). Weight == 0 is a LEGITIMATE
+    value with inclusion probability exactly 0 — ``dsir_importance``
+    emits ``importance_mass = 0`` for empty documents by design — so
+    zero-weight rows are deterministically filtered out before
+    ranking, never selected, never an error.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -1013,15 +1021,15 @@ def priority_sample(
     # 2^60 zero draw by clamping to 1 (both engines, same clamp)
     u = F.greatest(u, F.lit(1))
     wv = F.col(weight_col).cast("double")
-    # the documented positivity contract, ENFORCED (the weighted_sample
-    # pattern): NULL/zero/negative weights would otherwise rank with
-    # meaningless priorities, silently breaking the inclusion-
-    # probability guarantee
+    # NULL / negative: loud raise (silent inclusion-probability
+    # corruption is worse than a failed job). Zero: filtered below —
+    # a zero weight means "never select", which the filter implements
+    # exactly and deterministically.
     wv = F.when(
-        wv.isNull() | (wv <= 0),
+        wv.isNull() | (wv < 0),
         F.raise_error(
             F.concat(
-                F.lit(f"priority_sample: {weight_col} must be > 0, got "),
+                F.lit(f"priority_sample: {weight_col} must be >= 0, got "),
                 F.coalesce(F.col(weight_col).cast("string"), F.lit("NULL")),
             )
         ).cast("double"),
@@ -1032,6 +1040,7 @@ def priority_sample(
     )
     return (
         df.withColumn("__priority", priority)
+        .filter(F.col("__priority") > 0)
         .withColumn("__rk", F.row_number().over(win))
         .filter(F.col("__rk") <= k)
         .drop("__priority", "__rk")

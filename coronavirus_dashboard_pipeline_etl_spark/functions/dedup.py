@@ -1014,13 +1014,18 @@ def minhash_probe_pairs(
 
     The candidate-pair frame is materialised with a lazy
     ``localCheckpoint`` (three consumers would otherwise re-execute
-    the corpus signature build). Checkpoint blocks are SESSION-PINNED
-    — in a long-lived driver running one probe per batch, snapshot
-    ``graph._persistent_rdd_ids`` before the call and
-    ``graph._release_rdds`` the difference after consuming the result
-    (the rolling-release protocol every iterative operator here uses;
-    single-threaded-session assumption documented on those helpers),
-    or pass ``cache_out=[]`` to receive the checkpointed frame itself.
+    the corpus signature build). Checkpoint blocks are session-pinned
+    by Spark, so the SAFE behavior is the default here: the blocks are
+    released automatically when the returned DataFrame is garbage
+    collected (a ``weakref.finalize`` on the result — a long-lived
+    driver running one probe per batch leaks nothing just by dropping
+    each batch's result). Consume the result before dropping it;
+    frames DERIVED from the result re-execute the band join if they
+    outlive it. Pass ``cache_out=[]`` to take ownership instead (the
+    finalizer is then NOT attached and release is the caller's job —
+    the ``dedup_components`` rolling-release protocol). The call-time
+    before/after id snapshot shares the single-threaded-session
+    contract documented on ``graph._persistent_rdd_ids``.
     """
     if bands < 1 or k % bands:
         raise ValueError(
@@ -1061,6 +1066,13 @@ def minhash_probe_pairs(
     # it each consumer re-executes the band join INCLUDING the corpus
     # signature build, the probe's dominant cost (measured 27.2 s ->
     # 11.5 s at sf1). The materialised rows are candidate-pair-sized.
+    # localCheckpoint registers its RDD as persistent AT CALL TIME
+    # (materialisation comes later), so a before/after id diff here
+    # captures exactly the blocks this probe pinned.
+    from .graph import _persistent_rdd_ids, _release_rdds
+
+    sc = batch.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
     cand = (
         band_rows(sig_b, "new_id")
         .join(band_rows(sig_c, "old_id"), ["band", "sig"])
@@ -1068,6 +1080,11 @@ def minhash_probe_pairs(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    pinned = None
+    if before is not None:
+        after = _persistent_rdd_ids(sc)
+        if after is not None:
+            pinned = after - before
     if cache_out is not None:
         cache_out.append(cand)
 
@@ -1089,12 +1106,23 @@ def minhash_probe_pairs(
     union = (
         F.size("__ta") + F.size("__tb") - F.size(F.array_intersect("__ta", "__tb"))
     ).cast("double")
-    return (
+    result = (
         cand.join(tb, "new_id")
         .join(tc, "old_id")
         .select("new_id", "old_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+    # Safe-by-default lifecycle: when the caller has NOT taken
+    # ownership via cache_out, release this probe's checkpoint blocks
+    # as soon as the result frame is garbage collected — one probe per
+    # batch in a long-lived driver then never accumulates pinned
+    # candidate-pair blocks (r8 advice). unpersist on a stopped
+    # context is swallowed by _release_rdds.
+    if cache_out is None and pinned:
+        import weakref
+
+        weakref.finalize(result, _release_rdds, sc, pinned)
+    return result
 
 
 def editdist_pairs(

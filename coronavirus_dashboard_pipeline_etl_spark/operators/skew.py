@@ -29,21 +29,31 @@ def salted_join(
     on: Sequence[str],
     salt_buckets: int = 16,
     how: str = "inner",
+    unique_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's rows spread across ``salt_buckets``
     sub-keys and the small side replicated once per bucket.
 
-    The salt mixes the row-content hash with a per-row physical
-    counter: a content-only hash would send byte-identical duplicated
-    rows — the degenerate mass-duplication case salting exists for,
-    the one ``probe_hot_keys`` is explicitly hardened against — all to
-    ONE salt bucket, leaving the straggler unsalted. The counter makes
-    the salt non-deterministic across task retries, which is safe
-    here: the salt never reaches the output (dropped after the join)
-    and join correctness is salt-independent — every (key, salt)
-    pairing matches the same replicated small-side rows. The small
-    side grows by the bucket factor — keep it the genuinely-small
-    side.
+    The salt is a DETERMINISTIC function of row values — this matters
+    under partial stage retry: a salt that depends on physical row
+    position (``monotonically_increasing_id`` et al.) is recomputed
+    differently when a lost map task re-runs after shuffle-fetch
+    failure, while already-fetched reducer inputs keep the old
+    assignment — rows silently duplicate or vanish (the SPARK-23207
+    failure class). Two deterministic modes:
+
+    * ``unique_cols`` given (e.g. a doc_id): salt = hash of those
+      columns. Spreads EVERY row independently, including
+      byte-identical duplicated rows — the degenerate mass-duplication
+      corpus ``probe_hot_keys`` is hardened against. Prefer this.
+    * default: salt = hash of the full row content. Still
+      deterministic and retry-safe; the one limitation is that
+      byte-identical duplicate rows co-bucket, so a corpus whose skew
+      IS mass-duplication keeps its straggler — pass ``unique_cols``
+      there.
+
+    The small side grows by the bucket factor — keep it the
+    genuinely-small side.
 
     Only join types where every output row is anchored to a big-side row
     are valid: right/full joins would emit each unmatched small-side row
@@ -57,12 +67,13 @@ def salted_join(
             f"salted_join supports big-side-anchored joins only, not {how!r}"
         )
     on = list(on)
+    salt_src = list(unique_cols) if unique_cols else list(big.columns)
+    missing = set(salt_src) - set(big.columns)
+    if missing:
+        raise ValueError(f"unique_cols not in big side: {sorted(missing)}")
     big_salted = big.withColumn(
         SALT_COL,
-        F.pmod(
-            F.xxhash64(*big.columns) + F.monotonically_increasing_id(),
-            F.lit(salt_buckets),
-        ),
+        F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)),
     )
     small_rep = small.withColumn(
         SALT_COL,
@@ -133,6 +144,7 @@ def adaptive_join(
     hot_threshold: int = 1_000_000,
     salt_buckets: int = 16,
     sample_one_in: int = 1,
+    unique_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Equi-join that salts ONLY when the big side is measurably skewed:
     ``probe_hot_keys`` decides, plain join otherwise. AQE's runtime
@@ -145,5 +157,8 @@ def adaptive_join(
     """
     on = list(on)
     if probe_hot_keys(big, on, hot_threshold, sample_one_in=sample_one_in):
-        return salted_join(big, small, on=on, salt_buckets=salt_buckets, how=how)
+        return salted_join(
+            big, small, on=on, salt_buckets=salt_buckets, how=how,
+            unique_cols=unique_cols,
+        )
     return big.join(small, on=on, how=how)

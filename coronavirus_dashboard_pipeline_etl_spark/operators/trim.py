@@ -5,8 +5,9 @@
   N=5 per ``db_etl/etl.py:466-472``).
 * ``trim_sides`` — on the melted long frame, per (area, metric) series:
   null out the leading rows through one row past the first non-zero
-  payload and the last valid row plus the one before it, then drop
-  all-null payload rows (``db_etl_upload/uploader.py:55-90``). The
+  payload, and everything from one row before the last valid payload
+  through the series end, then drop all-null rows
+  (``db_etl_upload/uploader.py:55-90``). The
   ``variants`` metric is exempt from BOTH strips (the reference only
   writes its masks back for non-variants metrics).
 """
@@ -69,13 +70,17 @@ def trim_sides(
          running sum of |payload| becomes > 0) + 1 further row. If the
          payload is non-numeric (nested cells), fall back to the first
          non-null row.
-      2. trailing strip: the last surviving non-null row and its
-         predecessor, recomputed AFTER the leading strip.
+      2. trailing strip: from (last surviving non-null row - 1),
+         recomputed AFTER the leading strip, through the series END —
+         the reference's ``dm.loc[last_valid - 1:, :] = NaN`` is an
+         unbounded label slice, so trailing null-payload rows are
+         swept away with the last two valid points.
       3. the reference NaNs the WHOLE masked row and finishes with
          ``dropna(how="all")`` (uploader.py:74-90): only strip-masked
          rows vanish. A payload that was already null keeps its key
-         columns, so it SURVIVES into the store — we therefore drop
-         exactly the masked rows, never pre-existing null payloads.
+         columns, so INTERIOR pre-existing nulls (between the two
+         strips) SURVIVE into the store; leading/trailing ones fall
+         inside the masks and are dropped.
       4. the strips are atomic per series and skipped for degenerate
          ones: a series with no non-null payload at all, or whose
          leading strip would null every remaining payload, is passed
@@ -127,13 +132,16 @@ def trim_sides(
     last_valid = F.max(
         F.when(F.col(payload_col).isNotNull() & ~lead_masked, F.col("__rn"))
     ).over(w_all)
-    # EXACTLY the last surviving non-null row and its predecessor — an
-    # unbounded `>= last_valid - 1` would also drop every row AFTER the
-    # last valid payload, i.e. the pre-existing trailing nulls point 3
-    # guarantees survive into the store
-    trail_masked = (F.col("__rn") >= last_valid - 1) & (
-        F.col("__rn") <= last_valid
-    )
+    # UNBOUNDED to the series end: the reference's
+    # ``dm.loc[last_valid - 1:, :] = NaN`` (uploader.py:86) is a label
+    # slice with no right bound, so the last valid row, its
+    # predecessor, AND every row after it (pre-existing trailing
+    # null-payload rows included) become all-NaN and are removed by
+    # ``dropna(how="all")``. Verified empirically against the
+    # reference pandas code: [0,1,2,3,4,5,null,null] keeps only the
+    # payload-3 row. (A bounded two-row mask was tried in r8 and was
+    # wrong — only INTERIOR pre-existing nulls survive, per point 3.)
+    trail_masked = F.col("__rn") >= last_valid - 1
 
     # both guards must hold or the series passes through untouched:
     # some payload exists (uploader.py:63) AND the leading strip leaves

@@ -1294,15 +1294,14 @@ r4 AS (
            MAX(CASE WHEN payload IS NOT NULL THEN rn END) OVER (PARTITION BY area_code, metric) AS last_valid
     FROM r3
 )
--- drop exactly the MASKED rows (lead strip handled by r3's NULLing at
--- a cut that only ever covers leading rows in this all-non-null gate
--- data, trailing strip = the last valid row and its predecessor);
--- rows after last_valid — pre-existing trailing nulls in general data
--- — survive, matching the reference's dropna(how='all') semantics
+-- drop exactly the MASKED rows (lead strip handled by r3's NULLing;
+-- trailing strip UNBOUNDED from last_valid-1 to the series end —
+-- the reference's dm.loc[last_valid - 1:, :] = NaN label slice has
+-- no right bound, so trailing null-payload rows are dropped too)
 SELECT area_code, metric, date, payload
 FROM r4
 WHERE payload IS NOT NULL
-  AND NOT (rn >= last_valid - 1 AND rn <= last_valid)
+  AND rn < last_valid - 1
 """
 
 QUERIES.update({
@@ -9527,7 +9526,7 @@ def m6_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             contents = []
             for d in pdf["media_id"]:
                 d = int(d)
-                w, h = 3 + d % 4, 2 + d % 3
+                w, h = 3 + d % 4, 5 + d % 3
                 if d % 2 == 0:
                     px = [(d * 13 + i * 5) % 256 for i in range(w * h)]
                     contents.append(build_png(w, h, px, color=0))
@@ -9550,7 +9549,7 @@ M6_SQL = """
 WITH p AS (
     SELECT doc_id,
            CAST(3 + doc_id % 4 AS INT) AS w,
-           CAST(2 + doc_id % 3 AS INT) AS h
+           CAST(5 + doc_id % 3 AS INT) AS h
     FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS media_id,
@@ -9735,7 +9734,7 @@ def m7_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             contents = []
             for d in pdf["media_id"]:
                 d = int(d)
-                w, h = 3 + d % 4, 2 + d % 3
+                w, h = 3 + d % 4, 5 + d % 3
                 pal = [
                     (
                         (d * 7 + j * 11) % 256,
@@ -9768,7 +9767,7 @@ M7_SQL = """
 WITH p AS (
     SELECT doc_id,
            CAST(3 + doc_id % 4 AS INT) AS w,
-           CAST(2 + doc_id % 3 AS INT) AS h
+           CAST(5 + doc_id % 3 AS INT) AS h
     FROM documents
 )
 SELECT CAST(doc_id AS BIGINT) AS media_id,

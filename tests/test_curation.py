@@ -996,12 +996,23 @@ def test_third_review_guards_and_checksum_injectivity(spark):
     with _pytest.raises(Exception, match="zero-norm"):
         assign_centroids(vecs, cents).collect()
 
-    # bad priority weights fail loudly
+    # bad priority weights fail loudly: NULL and negative raise;
+    # zero is legitimate (inclusion probability 0 — never selected)
     rows = spark.createDataFrame(
         [Row(doc_id=1, w=2.0), Row(doc_id=2, w=None)]
     )
-    with _pytest.raises(Exception, match="must be > 0"):
+    with _pytest.raises(Exception, match="must be >= 0"):
         priority_sample(rows, k=1, weight_col="w").collect()
+    rows_neg = spark.createDataFrame(
+        [Row(doc_id=1, w=2.0), Row(doc_id=2, w=-1.0)]
+    )
+    with _pytest.raises(Exception, match="must be >= 0"):
+        priority_sample(rows_neg, k=1, weight_col="w").collect()
+    rows_zero = spark.createDataFrame(
+        [Row(doc_id=1, w=2.0), Row(doc_id=2, w=0.0)]
+    )
+    kept = priority_sample(rows_zero, k=2, weight_col="w").collect()
+    assert [r.doc_id for r in kept] == [1]
 
     # missing teleport seed fails loudly
     edges = spark.createDataFrame([Row(src=1, dst=2), Row(src=2, dst=1)])

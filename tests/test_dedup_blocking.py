@@ -606,3 +606,23 @@ def test_review_fix_guards(spark):
     out = minhash_probe_pairs(df, df, k=16, bands=4, cache_out=handles)
     out.count()
     assert len(handles) == 1
+
+    # default lifecycle: the probe's checkpoint blocks are released
+    # when the result frame is dropped (weakref finalizer) — a
+    # long-lived one-probe-per-batch driver leaks nothing
+    import gc
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.graph import (
+        _persistent_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out2 = minhash_probe_pairs(df, df, k=16, bands=4)
+    out2.count()  # materialise the lazy checkpoint
+    during = _persistent_rdd_ids(sc)
+    assert during - before, "probe should pin checkpoint blocks"
+    del out2
+    gc.collect()
+    after = _persistent_rdd_ids(sc)
+    assert after - before == set(), f"leaked RDD ids: {after - before}"

@@ -384,12 +384,14 @@ def test_bucketed_store_aggregates_without_exchange(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_trim_sides_trailing_nulls_survive(spark):
-    """Docstring point 3 regression: the trailing strip masks EXACTLY
-    the last valid payload row and its predecessor — rows after the
-    last valid payload are pre-existing nulls that must reach the
-    store (the reference NaNs whole masked rows then dropna(how='all'),
-    which never removes a row that only ever had a null payload)."""
+def test_trim_sides_trailing_nulls_drop(spark):
+    """Trailing strip parity: the reference's
+    ``dm.loc[last_valid - 1:, :] = NaN`` (uploader.py:86) is an
+    UNBOUNDED label slice, so rows after the last valid payload
+    (pre-existing trailing nulls) are swept into the mask and dropped
+    by ``dropna(how='all')`` — verified by running the reference
+    pandas function on this exact series. Here the lead strip covers
+    rows 1-4 and the trail strip rows 5-8: nothing survives."""
     from coronavirus_dashboard_pipeline_etl_spark.operators.trim import trim_sides
 
     rows = [
@@ -399,13 +401,21 @@ def test_trim_sides_trailing_nulls_survive(spark):
     df = spark.createDataFrame(
         rows, "area_type string, area_code string, metric string, date string, payload double"
     )
-    got = sorted(
-        (r.date, r.payload) for r in trim_sides(df).collect()
+    assert trim_sides(df).count() == 0
+
+    # a longer plateau: [0,1,2,3,4,5,null,null] — lead strip rows 1-3,
+    # trail strip rows 5-8 (last valid row 6, predecessor, and the two
+    # trailing nulls). Only row 4 survives — matches the reference
+    # pandas run byte-for-byte.
+    rows1b = [
+        ("ltla", "E3", "cases", f"2021-01-0{i+1}", v)
+        for i, v in enumerate([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, None, None])
+    ]
+    df1b = spark.createDataFrame(
+        rows1b, "area_type string, area_code string, metric string, date string, payload double"
     )
-    # leading strip: rows 1-4 (first nonzero cumsum at row 3, +1 more);
-    # trailing strip: rows 5-6 (last valid = row 6 and predecessor);
-    # rows 7-8 are pre-existing nulls and SURVIVE
-    assert got == [("2021-01-07", None), ("2021-01-08", None)]
+    got1b = [(r.date, r.payload) for r in trim_sides(df1b).collect()]
+    assert got1b == [("2021-01-04", 3.0)]
 
     # interior nulls OUTSIDE the strips also survive: they are never
     # masked (null at row 4 — past the lead cut of rows 1-3, before the

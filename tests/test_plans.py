@@ -221,6 +221,20 @@ def test_salted_join_matches_plain_join(spark):
     assert got.count() == exp.count()
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
+    # unique_cols mode: still a pure rewrite, and the salt expression
+    # is a deterministic function of the named column (retry-safe —
+    # no monotonically_increasing_id in the plan)
+    got_u = salted_join(big, small, on=["k"], salt_buckets=8, unique_cols=["v"])
+    assert got_u.count() == exp.count()
+    assert got_u.exceptAll(exp).count() == 0
+    for frame in (got, got_u):
+        plan = frame._jdf.queryExecution().analyzed().toString()
+        assert "monotonically_increasing_id" not in plan, plan
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unique_cols not in big side"):
+        salted_join(big, small, on=["k"], unique_cols=["nope"])
+
 
 def test_composed_pipelines_exchange_budget(spark):
     """Lock in the composed pipelines' physical shape: a bounded number
