@@ -142,6 +142,24 @@ BUCKET_TABLE = "bench_serving_store"
 # instead of via hand math in the verdict.
 REF_PROBE_NUMPY_SEC = 1.052
 
+# Spark-side probe reference: the 32-thread JVM micro-job in
+# _spark_probe, pinned on a round-9 host whose numpy probe (1.082 s)
+# matched the r6 reference within 3%. The r8 file shipped a 9x-deflated
+# calibrated_total because the single-thread numpy probe ran 8.9x slow
+# on a host whose actual 32-core Spark throughput was reference-class —
+# single-thread memory-bandwidth speed and multicore JVM throughput are
+# DIFFERENT host properties and can diverge. The Spark probe measures
+# the quantity calibration actually scales (32-thread codegen
+# throughput); when the two implied host factors disagree beyond
+# CALIBRATION_AGREEMENT, the run emits calibration_suspect=true, nulls
+# calibrated_total, and raw timings are the governing numbers.
+# (The python_loop probe stays as an unpinned diagnostic only: across
+# two hosts whose numpy and Spark throughput agree within 5% it
+# measured 0.238 s vs 0.44 s — it tracks interpreter/core IPC, a third
+# independent host property, so it cannot anchor either.)
+REF_PROBE_SPARK_SEC = 0.22
+CALIBRATION_AGREEMENT = 1.5
+
 
 def _calibrate() -> dict[str, float]:
     """Spark-independent host-speed probes, reported alongside the query
@@ -167,6 +185,22 @@ def _calibrate() -> dict[str, float]:
         s += i & 1023
     loop = round(time.perf_counter() - t0, 3)
     return {"numpy_elementwise_sec": elementwise, "python_loop_sec": loop}
+
+
+def _spark_probe(spark) -> float:
+    """Fixed CPU-bound Spark micro-job (~0.2 s hot on the reference
+    host): 400M-row codegen scan across 64 tasks, no shuffle, 1-row
+    result. Runs AFTER the headline set so the JVM is fully warm; best
+    of two to shave scheduler jitter. Measures 32-thread JVM
+    throughput — the property calibration actually rescales."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 64).selectExpr(
+            "count(if(pmod(id * 2654435761, 1000003) < 500000, 1, null)) as c"
+        ).collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 
 def _bucketed_store_setup(spark, sf_dir: str) -> None:
@@ -336,12 +370,31 @@ def main() -> None:
     # plus an explicit complete flag.
     total = round(sum(timings.values()), 3)
     calibration = _calibrate()
-    # host-speed normalisation vs the pinned reference probe (see
-    # REF_PROBE_NUMPY_SEC): a FASTER host has a SMALLER probe time, so
-    # host_factor = ref/this comes out >1 and calibrated numbers scale
-    # UP toward what the reference host would have measured; a slower
-    # host gives a factor <1 and calibrated numbers scale DOWN
-    host_factor = REF_PROBE_NUMPY_SEC / calibration["numpy_elementwise_sec"]
+    try:
+        calibration["spark_probe_sec"] = _spark_probe(spark)
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: spark probe failed: {e}", file=sys.stderr)
+        calibration["spark_probe_sec"] = None
+    # host-speed normalisation vs the pinned reference probes: a FASTER
+    # host has a SMALLER probe time, so factor = ref/this comes out >1
+    # and calibrated numbers scale UP toward what the reference host
+    # would have measured. Two independent factors; when they disagree
+    # beyond CALIBRATION_AGREEMENT the calibration model ("Spark wall
+    # scales with single-thread numpy") has failed on this host (the
+    # r8 incident: numpy 8.9x slow, Spark throughput normal) — emit
+    # calibration_suspect and null calibrated_total so raw governs.
+    f_numpy = REF_PROBE_NUMPY_SEC / calibration["numpy_elementwise_sec"]
+    f_spark = (
+        REF_PROBE_SPARK_SEC / calibration["spark_probe_sec"]
+        if calibration["spark_probe_sec"]
+        else None
+    )
+    if f_spark is None:
+        suspect = True  # can't cross-check -> don't trust calibration
+    else:
+        ratio = f_numpy / f_spark
+        suspect = not (1 / CALIBRATION_AGREEMENT <= ratio <= CALIBRATION_AGREEMENT)
+    host_factor = f_numpy
     calibrated = {k: round(v * host_factor, 3) for k, v in timings.items()}
     out = {
         "metric": "headline_queries_total_wall",
@@ -350,12 +403,24 @@ def main() -> None:
         "complete": not errors,
         "queries": timings,
         "queries_calibrated": calibrated,
-        "calibrated_total": None if errors else round(sum(calibrated.values()), 3),
+        "calibrated_total": (
+            None
+            if (errors or suspect)
+            else round(sum(calibrated.values()), 3)
+        ),
+        "calibration_suspect": suspect,
         "host_factor": round(host_factor, 4),
+        "host_factor_spark": None if f_spark is None else round(f_spark, 4),
         "calibration": calibration,
         "ref_probe_numpy_sec": REF_PROBE_NUMPY_SEC,
+        "ref_probe_spark_sec": REF_PROBE_SPARK_SEC,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if suspect:
+        out["calibration_note"] = (
+            "numpy- and spark-implied host factors disagree beyond "
+            f"{CALIBRATION_AGREEMENT}x; raw timings govern this run"
+        )
     if errors:
         out["errors"] = errors
         out["partial_total"] = total
