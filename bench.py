@@ -120,6 +120,7 @@ HEADLINE = [
     # ADC chain
     "m7_gif_decode",
     "m8_jpeg_decode",
+    "m10_progressive_jpeg",
     "x20_dsir_importance",
     "s5_pq_adc_topk",
     "pipe16_ivfpq_index",

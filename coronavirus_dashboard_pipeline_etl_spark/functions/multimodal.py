@@ -28,7 +28,11 @@ formats a library-free container can handle:
   unstuffing and restart markers, DC prediction, dequantise, dezigzag,
   8x8 IDCT, 4:4:4 / 4:2:0 upsampling, JFIF YCbCr→RGB. Files carry
   their own Huffman tables, so the decoder is table-driven.
-  Progressive (SOF2) and arithmetic-coded files raise.
+  Progressive (SOF2) decodes too: the scan walk accumulates
+  coefficients per spectral band and successive-approximation bit
+  (DC first/refine, AC first with EOB runs, AC refinement with woven
+  correction bits), then the same dequant + IDCT runs once.
+  Arithmetic-coded and 12-bit files raise.
 * **IMG: synthetic** — the original deterministic grayscale test
   format, kept so the feature/resize fixtures stay byte-stable.
 
@@ -955,14 +959,472 @@ def build_jpeg(
     return bytes(out)
 
 
+def build_jpeg_progressive(
+    w: int, h: int, pixels: "object", color: bool = False
+) -> bytes:
+    """Assemble a real PROGRESSIVE JPEG (SOF2) — the forward half of
+    the progressive decode round-trip, mirroring ``build_jpeg``'s
+    contract (all-ones quant table, so with per-block-constant input
+    the decode is bit-exact).
+
+    Scan script (exercises every progressive block kind the decoder
+    implements): one interleaved DC-first scan at Al=1, a DC
+    refinement scan, then per component two spectral-band AC-first
+    scans (1-31, 32-63) at Al=1 and their two refinement scans at
+    Al=0. AC scans carry real EOB runs (EOBn symbols with extra bits,
+    buffered correction bits under the run) and ZRL-in-refinement;
+    encoding follows T.81 G.1.2.2-G.1.2.3. Grayscale or 4:4:4 color
+    (``color=True`` takes RGB 3*w*h flat); w and h must be multiples
+    of 8. Huffman tables are canonical fixed-length codes over exactly
+    the symbols the scans use (EOBn symbols are NOT in the standard
+    baseline tables, so the file carries its own)."""
+    import struct
+
+    import numpy as np
+
+    if w % 8 or h % 8:
+        raise ValueError(f"dimensions {w}x{h} not multiples of 8")
+    d = _dct_matrix()
+    quant = np.ones((8, 8))
+    if color:
+        px = np.asarray(pixels, dtype=np.uint8).reshape(h, w, 3)
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+    else:
+        planes = [np.asarray(pixels, dtype=np.uint8).reshape(h, w)]
+    ncomp = len(planes)
+    bh, bw = h // 8, w // 8
+    coefs = []
+    for plane in planes:
+        arr = np.zeros((bh, bw, 64), dtype=np.int64)
+        for by in range(bh):
+            for bx in range(bw):
+                c = _fdct_quant_block(
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8], d, quant
+                )
+                arr[by, bx] = [int(c[r, cc]) for r, cc in _ZZ]
+        coefs.append(arr)
+
+    # ---- per-scan symbol streams as ops: ("dc"|"ac", sym) Huffman
+    # symbols and ("raw", value, nbits) literal bits. Two passes: the
+    # op streams determine the symbol sets, the symbol sets determine
+    # the canonical tables, then the ops render to bits.
+
+    def dc_first_ops() -> list:
+        ops: list = []
+        preds = [0] * ncomp
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    dc = int(coefs[ci][by, bx, 0]) >> 1  # Al=1, arith shift
+                    size, bits = _jpeg_category(dc - preds[ci])
+                    preds[ci] = dc
+                    ops.append(("dc", size))
+                    if size:
+                        ops.append(("raw", bits, size))
+        return ops
+
+    def dc_refine_ops() -> list:
+        ops: list = []
+        for by in range(bh):
+            for bx in range(bw):
+                for ci in range(ncomp):
+                    ops.append(("raw", int(coefs[ci][by, bx, 0]) & 1, 1))
+        return ops
+
+    def ac_first_ops(ci: int, ss: int, se: int, al: int) -> list:
+        ops: list = []
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            ops.append(("ac", r << 4))
+            if r:
+                ops.append(("raw", eobrun - (1 << r), r))
+            eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
+                tv = [
+                    (abs(v) >> al) * (1 if v >= 0 else -1) for v in band
+                ]
+                nz = [k for k, v in enumerate(tv) if v]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                run = 0
+                for k in range(nz[-1] + 1):
+                    if tv[k] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        ops.append(("ac", 0xF0))  # ZRL
+                        run -= 16
+                    size, bits = _jpeg_category(tv[k])
+                    ops.append(("ac", (run << 4) | size))
+                    ops.append(("raw", bits, size))
+                    run = 0
+                if nz[-1] < len(tv) - 1:
+                    eobrun += 1
+        flush_eob()
+        return ops
+
+    def ac_refine_ops(ci: int, ss: int, se: int, al: int) -> list:
+        # T.81 G.1.2.3 / the classic refinement encoder: new ±1
+        # coefficients carry (zero-history-run, 1) symbols + sign bit;
+        # already-nonzero coefficients contribute one buffered
+        # correction bit each, transmitted after the next symbol
+        ops: list = []
+        eobrun = 0
+        pend: list = []  # correction bits owed under the pending EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            ops.append(("ac", r << 4))
+            if r:
+                ops.append(("raw", eobrun - (1 << r), r))
+            for b in pend:
+                ops.append(("raw", b, 1))
+            pend.clear()
+            eobrun = 0
+
+        for by in range(bh):
+            for bx in range(bw):
+                band = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
+                absv = [abs(v) >> al for v in band]
+                run = 0
+                br: list = []  # correction bits since the last symbol
+                for k, a in enumerate(absv):
+                    if a == 0:
+                        run += 1
+                        continue
+                    if a > 1:  # history-nonzero: one correction bit
+                        br.append(a & 1)
+                        continue
+                    # a == 1: newly nonzero at this approximation
+                    flush_eob()
+                    while run > 15:
+                        ops.append(("ac", 0xF0))
+                        for b in br:
+                            ops.append(("raw", b, 1))
+                        br.clear()
+                        run -= 16
+                    ops.append(("ac", (run << 4) | 1))
+                    ops.append(("raw", 1 if band[k] > 0 else 0, 1))
+                    for b in br:
+                        ops.append(("raw", b, 1))
+                    br.clear()
+                    run = 0
+                if run > 0 or br:
+                    eobrun += 1
+                    pend.extend(br)
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+        flush_eob()
+        return ops
+
+    # scan script: (component selector list, Ss, Se, Ah, Al, ops)
+    scans = [
+        (list(range(ncomp)), 0, 0, 0, 1, dc_first_ops()),
+        (list(range(ncomp)), 0, 0, 1, 0, dc_refine_ops()),
+    ]
+    for ci in range(ncomp):
+        scans.append(([ci], 1, 31, 0, 1, ac_first_ops(ci, 1, 31, 1)))
+        scans.append(([ci], 32, 63, 0, 1, ac_first_ops(ci, 32, 63, 1)))
+        scans.append(([ci], 1, 31, 1, 0, ac_refine_ops(ci, 1, 31, 0)))
+        scans.append(([ci], 32, 63, 1, 0, ac_refine_ops(ci, 32, 63, 0)))
+
+    dc_syms = sorted(
+        {op[1] for _, _, _, _, _, ops in scans for op in ops if op[0] == "dc"}
+    )
+    ac_syms = sorted(
+        {op[1] for _, _, _, _, _, ops in scans for op in ops if op[0] == "ac"}
+    )
+
+    def flat_table(syms: list) -> tuple[list, list, dict]:
+        """Fixed-length canonical codes over exactly these symbols:
+        N codes of length L where N < 2^L, so the all-ones code stays
+        unused (required for pad-bit robustness)."""
+        n = max(1, len(syms))
+        ln = max(2, (n + 1 - 1).bit_length())
+        if (1 << ln) <= n:
+            ln += 1
+        bits = [0] * 16
+        bits[ln - 1] = n
+        return bits, list(syms), _canonical_codes(bits, list(syms))
+
+    dc_bits, dc_vals, dc_codes = flat_table(dc_syms or [0])
+    ac_bits, ac_vals, ac_codes = flat_table(ac_syms or [0])
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(int(quant[r, c]) for r, c in _ZZ))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i in range(ncomp):
+        sof += bytes([i + 1, 0x11, 0])
+    out += seg(0xFFC2, sof)
+    out += seg(
+        0xFFC4,
+        b"\x00" + bytes(dc_bits) + bytes(dc_vals)
+        + b"\x10" + bytes(ac_bits) + bytes(ac_vals),
+    )
+    for comp_list, ss, se, ah, al, ops in scans:
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos += bytes([ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        wr = _BitWriter()
+        for op in ops:
+            if op[0] == "dc":
+                c, ln = dc_codes[op[1]]
+                wr.put(c, ln)
+            elif op[0] == "ac":
+                c, ln = ac_codes[op[1]]
+                wr.put(c, ln)
+            else:
+                wr.put(op[1], op[2])
+        out += wr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _next_jpeg_marker(buf: bytes, p: int) -> int:
+    """Position of the next real marker (not a stuffed 0x00, not an
+    RSTn) at or after ``p`` — how the multi-scan walk finds the end of
+    a scan's entropy-coded segment."""
+    while p + 1 < len(buf):
+        if (
+            buf[p] == 0xFF
+            and buf[p + 1] != 0x00
+            and not (0xD0 <= buf[p + 1] <= 0xD7)
+        ):
+            return p
+        p += 1
+    raise ValueError("JPEG: no marker after scan data")
+
+
+def _jpeg_block_dims(sof) -> tuple:
+    """(hmax, vmax, mcus_x, mcus_y, per-component block-grid dims).
+    Non-interleaved scans cover the component's OWN ceil(size/8) block
+    grid (T.81 A.2.2), which can be smaller than the MCU-padded grid
+    interleaved scans cover — both are returned."""
+    fw, fh, comps = sof
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    dims = []
+    for _, hs, vs, _ in comps:
+        cw = -(-fw * hs // hmax)
+        ch = -(-fh * vs // vmax)
+        dims.append(
+            {
+                "pad_bw": mcus_x * hs,
+                "pad_bh": mcus_y * vs,
+                "bw": -(-cw // 8),
+                "bh": -(-ch // 8),
+            }
+        )
+    return hmax, vmax, mcus_x, mcus_y, dims
+
+
+def _progressive_scan(
+    buf: bytes,
+    start: int,
+    sof,
+    scomp,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    htables: dict,
+    store: list,
+    restart_interval: int,
+) -> int:
+    """Decode ONE progressive scan (T.81 G.2): spectral selection
+    [ss, se], successive approximation ah→al, accumulating quantised
+    coefficients (zigzag order) into ``store``. Four block kinds: DC
+    first / DC refinement (one bit), AC first (with EOB runs) / AC
+    refinement (correction bits woven between new ±1 coefficients).
+    Returns the stream position after the scan's entropy data."""
+    fw, fh, comps = sof
+    # T.81 G.1.1.1.1: a progressive DC scan is exactly [0, 0]; AC
+    # scans start past DC, stay in-range, and carry ONE component.
+    # Enforcing this up front turns a mislabelled baseline file into a
+    # loud error instead of a desynced-Huffman garbage decode.
+    if not (
+        (ss == 0 and se == 0) or (0 < ss <= se <= 63 and len(scomp) == 1)
+    ):
+        raise ValueError(
+            f"JPEG: invalid progressive scan Ss={ss} Se={se} "
+            f"ns={len(scomp)}"
+        )
+    hmax, vmax, mcus_x, mcus_y, dims = _jpeg_block_dims(sof)
+    by_id = {c[0]: i for i, c in enumerate(comps)}
+    order = []
+    for cs, td, ta in scomp:
+        if cs not in by_id:
+            raise ValueError(f"JPEG: scan references unknown component {cs}")
+        order.append((by_id[cs], td, ta))
+    rd = _BitReader(buf, start)
+    eob = [0]  # EOB-run counter, shared across the scan's blocks
+    preds = [0] * len(comps)
+    p1, m1 = 1 << al, -(1 << al)
+
+    def table(tc: int, th: int) -> dict:
+        tbl = htables.get((tc, th))
+        if tbl is None:
+            raise ValueError("JPEG: missing Huffman table")
+        return tbl
+
+    def dc_first(ci: int, td: int, cf) -> None:
+        size = rd.huff(table(0, td))
+        diff = _extend(rd.receive(size), size) if size else 0
+        preds[ci] += diff
+        cf[0] = preds[ci] << al
+
+    def dc_refine(cf) -> None:
+        if rd.bit():
+            cf[0] |= p1
+
+    def ac_first(ta: int, cf) -> None:
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        tbl = table(1, ta)
+        k = ss
+        while k <= se:
+            rs = rd.huff(tbl)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r < 15:  # EOBn: this block + (run-1) following end
+                    eob[0] = (1 << r) - 1
+                    if r:
+                        eob[0] += rd.receive(r)
+                    break
+                k += 16  # ZRL
+                continue
+            k += r
+            if k > se:
+                raise ValueError("JPEG: AC index past spectral band")
+            cf[k] = _extend(rd.receive(s), s) << al
+            k += 1
+
+    def ac_refine(ta: int, cf) -> None:
+        tbl = table(1, ta)
+        k = ss
+        if eob[0] == 0:
+            while k <= se:
+                rs = rd.huff(tbl)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eob[0] = 1 << r
+                        if r:
+                            eob[0] += rd.receive(r)
+                        break
+                    # ZRL: pass 16 zero-history positions below
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG: refinement size must be 1")
+                    newval = p1 if rd.bit() else m1
+                # advance over the band: correction bits for every
+                # nonzero-history coefficient, counting down r zero-
+                # history positions to find where newval lands
+                while k <= se:
+                    if cf[k] != 0:
+                        if rd.bit() and (cf[k] & p1) == 0:
+                            cf[k] += p1 if cf[k] >= 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    cf[k] = newval
+                k += 1
+        if eob[0] > 0:
+            while k <= se:  # EOB-run remainder: correction bits only
+                if cf[k] != 0:
+                    if rd.bit() and (cf[k] & p1) == 0:
+                        cf[k] += p1 if cf[k] >= 0 else m1
+                k += 1
+            eob[0] -= 1
+
+    def decode_block(ci: int, td: int, ta: int, cf) -> None:
+        if ss == 0:
+            if ah == 0:
+                dc_first(ci, td, cf)
+            else:
+                dc_refine(cf)
+        else:
+            if ah == 0:
+                ac_first(ta, cf)
+            else:
+                ac_refine(ta, cf)
+
+    rst = 0
+    unit = 0
+
+    def maybe_restart() -> None:
+        nonlocal rst
+        if restart_interval and unit and unit % restart_interval == 0:
+            rd.restart(rst)
+            rst += 1
+            preds[:] = [0] * len(comps)
+            eob[0] = 0
+
+    if len(order) > 1:  # interleaved: DC scans only (T.81 G.1.1.1.1)
+        if ss != 0:
+            raise ValueError("JPEG: interleaved progressive AC scan")
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                maybe_restart()
+                for ci, td, ta in order:
+                    _, hs, vs, _ = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            decode_block(
+                                ci, td, ta,
+                                store[ci][my * vs + by, mx * hs + bx],
+                            )
+                unit += 1
+    else:
+        ci, td, ta = order[0]
+        for by in range(dims[ci]["bh"]):
+            for bx in range(dims[ci]["bw"]):
+                maybe_restart()
+                decode_block(ci, td, ta, store[ci][by, bx])
+                unit += 1
+    return rd.pos
+
+
 def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
-    """Real baseline JPEG decode, no image library: marker walk,
-    DQT/SOF0/DHT/DRI/SOS parse, canonical Huffman entropy decode with
-    byte unstuffing + restart handling, DC prediction, dequantisation,
+    """Real JPEG decode, no image library: marker walk, DQT/SOF/DHT/
+    DRI/SOS parse, canonical Huffman entropy decode with byte
+    unstuffing + restart handling, DC prediction, dequantisation,
     dezigzag, 8x8 IDCT, level shift + clamp, 4:2:0 upsampling, JFIF
-    YCbCr→RGB. Grayscale replicates into RGB. Progressive (SOF2),
-    arithmetic-coded, and 12-bit files raise NotImplementedError.
-    Returns ``(w, h, rgb)`` flat uint8 like every decoder here."""
+    YCbCr→RGB. Grayscale replicates into RGB. BASELINE (SOF0) decodes
+    in one scan; PROGRESSIVE (SOF2) walks every scan, accumulating
+    coefficients per spectral band and approximation bit
+    (``_progressive_scan``), then runs the shared dequant + IDCT +
+    assembly once. Arithmetic-coded and 12-bit files raise
+    NotImplementedError. Returns ``(w, h, rgb)`` flat uint8 like every
+    decoder here."""
     import struct
 
     import numpy as np
@@ -973,18 +1435,21 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
     qtables: dict[int, "object"] = {}
     htables: dict[tuple[int, int], dict] = {}
     sof = None
+    progressive = False
     restart_interval = 0
-    while pos + 4 <= len(buf):
+    coef_store: list | None = None
+    baseline_start = None
+    scomp: list = []
+    while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"JPEG: bad marker byte at {pos}")
         marker = buf[pos + 1]
-        if marker in (0xC2,):
-            raise NotImplementedError(
-                "progressive JPEG (SOF2) needs a codec library; "
-                "baseline (SOF0) decodes natively"
-            )
+        if marker == 0xD9:  # EOI
+            break
         if marker in (0xC9, 0xCA, 0xCB):
             raise NotImplementedError("arithmetic-coded JPEG unsupported")
+        if pos + 4 > len(buf):
+            raise ValueError("JPEG: truncated segment header")
         length = struct.unpack_from(">H", buf, pos + 2)[0]
         payload = buf[pos + 4 : pos + 2 + length]
         if marker == 0xDB:  # DQT, possibly several tables
@@ -998,7 +1463,8 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
                     tbl[r, c] = payload[p + 1 + i]
                 qtables[tq] = tbl
                 p += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             prec, fh, fw, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG supported")
@@ -1022,19 +1488,68 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", payload, 0)[0]
         elif marker == 0xDA:  # SOS: entropy data follows
+            if sof is None:
+                raise ValueError("JPEG: SOS before SOF")
             ns = payload[0]
             scomp = []
             for i in range(ns):
                 cs, tdta = payload[1 + 2 * i : 3 + 2 * i]
                 scomp.append((cs, tdta >> 4, tdta & 0x0F))
-            pos = pos + 2 + length
-            break
+            if not progressive:
+                baseline_start = pos + 2 + length
+                break
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ah_al = payload[3 + 2 * ns]
+            if coef_store is None:
+                _, _, _, _, dims = _jpeg_block_dims(sof)
+                coef_store = [
+                    np.zeros((di["pad_bh"], di["pad_bw"], 64), dtype=np.int32)
+                    for di in dims
+                ]
+            end = _progressive_scan(
+                buf, pos + 2 + length, sof, scomp, ss, se,
+                ah_al >> 4, ah_al & 0x0F, htables, coef_store,
+                restart_interval,
+            )
+            pos = _next_jpeg_marker(buf, end)
+            continue
         pos += 2 + length
-    else:
-        raise ValueError("JPEG: no SOS before end of data")
     if sof is None:
-        raise ValueError("JPEG: SOS before SOF0")
+        raise ValueError("JPEG: missing SOF frame header")
     fw, fh, comps = sof
+    if progressive:
+        if coef_store is None:
+            raise ValueError("JPEG: progressive file with no scans")
+        if fw < 1 or fh < 1:
+            raise ValueError(f"bad JPEG dimensions {fw}x{fh}")
+        d = _dct_matrix()
+        hmax = max(c[1] for c in comps)
+        vmax = max(c[2] for c in comps)
+        mcus_x = -(-fw // (8 * hmax))
+        mcus_y = -(-fh // (8 * vmax))
+        planes = []
+        for ci, (_, hs, vs, tq) in enumerate(comps):
+            if tq not in qtables:
+                raise ValueError(f"JPEG: missing quant table {tq}")
+            arr = coef_store[ci]
+            bhp, bwp, _ = arr.shape
+            nat = np.zeros((bhp, bwp, 8, 8))
+            for i, (r, c) in enumerate(_ZZ):
+                nat[:, :, r, c] = arr[:, :, i]
+            nat *= qtables[tq]
+            px = (d.T @ nat.reshape(-1, 8, 8)) @ d + 128.0
+            px = np.clip(np.rint(px), 0, 255).astype(np.uint8)
+            planes.append(
+                px.reshape(bhp, bwp, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bhp * 8, bwp * 8)
+            )
+        return _jpeg_planes_to_rgb(
+            fw, fh, comps, planes, hmax, vmax, mcus_x, mcus_y
+        )
+    pos = baseline_start
+    if pos is None:
+        raise ValueError("JPEG: no SOS before end of data")
     if fw < 1 or fh < 1:
         raise ValueError(f"bad JPEG dimensions {fw}x{fh}")
     d = _dct_matrix()
@@ -1113,6 +1628,18 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
         blocks = np.clip(np.rint(blocks), 0, 255).astype(np.uint8)
         for (y0, x0), block in zip(offsets[ci], blocks):
             planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    return _jpeg_planes_to_rgb(fw, fh, comps, planes, hmax, vmax, mcus_x, mcus_y)
+
+
+def _jpeg_planes_to_rgb(
+    fw: int, fh: int, comps, planes, hmax: int, vmax: int,
+    mcus_x: int, mcus_y: int,
+) -> tuple[int, int, "object"]:
+    """Shared final stage for baseline and progressive: chroma
+    upsample to the luma grid, crop padding, JFIF YCbCr→RGB (grayscale
+    replicates)."""
+    import numpy as np
+
     if len(comps) == 1:
         gray = planes[0][:fh, :fw]
         return fw, fh, np.repeat(gray.reshape(fh, fw, 1), 3, axis=2).reshape(-1)
@@ -1176,11 +1703,11 @@ def _decode_image_bytes(buf: bytes) -> tuple[int, int, float]:
         if buf.startswith(magic):
             raise NotImplementedError(
                 f"{name} decoding requires an image library (PIL); "
-                "PPM/BMP/PNG/GIF/baseline-JPEG are decoded natively"
+                "PPM/BMP/PNG/GIF/JPEG (baseline + progressive) are decoded natively"
             )
     raise NotImplementedError(
         "unrecognised image format; PPM (P6), 24-bit BMP, 8-bit PNG, GIF, "
-        "baseline JPEG and the IMG: synthetic format are decoded natively; "
+        "JPEG (baseline + progressive) and the IMG: synthetic format are decoded natively; "
         "WebP requires an image library (PIL)"
     )
 

@@ -10186,6 +10186,80 @@ QUERIES["m8_jpeg_decode"] = m8_jpeg_decode
 ORACLE["m8_jpeg_decode"] = M8_SQL
 
 
+def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal image stage with a real PROGRESSIVE (SOF2) JPEG
+    decode in the loop: per-8x8-block constant grayscale rasters
+    derived from doc_id, encoded by multimodal.build_jpeg_progressive
+    — a 6-scan script (interleaved DC first at Al=1, DC refinement,
+    and per spectral band 1-31/32-63 AC first + AC refinement) with
+    real EOB runs and file-carried Huffman tables — then decoded by
+    _parse_jpeg's multi-scan walk (spectral-selection +
+    successive-approximation coefficient accumulation, shared
+    dequant/IDCT). Per-block-constant input under quant=1 is DC-only,
+    so the decode is BIT-EXACT and the oracle replays the block
+    formula in SQL: any bug in scan sequencing, DC shift/refine-OR,
+    EOB-run bookkeeping, or band bounds perturbs decoded pixels and
+    fails the value hash. (functions/multimodal.py _progressive_scan /
+    build_jpeg_progressive / decode_images.)"""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.multimodal import build_jpeg_progressive, decode_images
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id")
+    )
+
+    def build(batches):
+        for pdf in batches:
+            contents = []
+            for dd in pdf["media_id"]:
+                dd = int(dd)
+                w, h = 8 * (1 + dd % 3), 8 * (1 + dd % 2)
+                bw = w // 8
+                vals = np.array(
+                    [
+                        (dd * 17 + b * 11) % 256
+                        for b in range(bw * (h // 8))
+                    ],
+                    dtype=np.uint8,
+                ).reshape(h // 8, bw)
+                px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                contents.append(build_jpeg_progressive(w, h, px.reshape(-1)))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": "image",
+                    "content": contents,
+                }
+            )
+
+    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
+    return decode_images(media)
+
+
+M10_SQL = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(8 * (1 + doc_id % 3) AS INT) AS w,
+           CAST(8 * (1 + doc_id % 2) AS INT) AS h
+    FROM documents
+)
+SELECT CAST(doc_id AS BIGINT) AS media_id,
+       'image' AS kind,
+       w AS width,
+       h AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * list_sum(list_transform(range(0, (w // 8) * (h // 8)),
+            b -> (doc_id * 17 + b * 11) % 256)) AS DOUBLE)
+       / CAST(w * h AS DOUBLE) AS mean_luma
+FROM p
+"""
+
+QUERIES["m10_progressive_jpeg"] = m10_progressive_jpeg
+ORACLE["m10_progressive_jpeg"] = M10_SQL
+
+
 def pipe17_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style quality bucketing (Wenzek et al. 2020): score every
     document with the in-corpus bigram LM (rational mode — exact

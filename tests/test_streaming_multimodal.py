@@ -1210,7 +1210,12 @@ def test_jpeg_baseline_decode_roundtrips_and_errors(spark):
     good = build_jpeg(8, 8, np.full(64, 77, dtype=np.uint8))
     with _pytest.raises(ValueError, match="SOI"):
         _parse_jpeg(b"\x00" + good)
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="invalid progressive scan"):
+        # a SOF2 frame whose only scan still declares the baseline
+        # [0, 63] band is spec-invalid for progressive (DC scans are
+        # exactly [0, 0]) — loud error, never a desynced garbage
+        # decode. Real progressive files are covered by
+        # test_progressive_jpeg_decode below.
         sof2 = bytearray(good)
         sof2[sof2.find(b"\xff\xc0") + 1] = 0xC2
         _parse_jpeg(bytes(sof2))
@@ -1227,6 +1232,72 @@ def test_jpeg_baseline_decode_roundtrips_and_errors(spark):
     )
     row = decode_images(media).collect()[0]
     assert (row.width, row.height, row.mean_luma) == (8, 8, 77.0)
+
+
+def test_progressive_jpeg_decode(spark):
+    """Progressive (SOF2) decode (multimodal.py _progressive_scan /
+    build_jpeg_progressive): the 6-scan successive-approximation +
+    spectral-selection pipeline must reconstruct EXACTLY what the
+    baseline path decodes for the same pixels — the two scan orders
+    carry identical quant=1 coefficients, so any divergence is a bug
+    in DC shift/refine, AC band bounds, EOB-run bookkeeping, or the
+    refinement correction-bit weave."""
+    import numpy as np
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_jpeg,
+        build_jpeg,
+        build_jpeg_progressive,
+        decode_images,
+    )
+
+    rng = np.random.RandomState(99)
+
+    # per-block-constant grayscale: DC-only, bit-exact recovery
+    vals = rng.randint(0, 256, size=(2, 3)).astype(np.uint8)
+    px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+    buf = build_jpeg_progressive(24, 16, px.reshape(-1))
+    assert b"\xff\xc2" in buf  # really SOF2
+    gw, gh, rgb = _parse_jpeg(buf)
+    assert (gw, gh) == (24, 16)
+    assert np.array_equal(rgb.reshape(16, 24, 3)[..., 0], px)
+
+    # arbitrary content, grayscale + 4:4:4 color: progressive decode
+    # == baseline decode of the same pixels (shared coefficients,
+    # different scan structure). The flat/spiky/low-amplitude trio
+    # drives EOB runs, ZRL, and dense ±1 refinement respectively.
+    fixtures = [
+        rng.randint(0, 256, size=(16, 32)),
+        np.full((32, 24), 130),
+        (128 + rng.randint(-2, 3, size=(24, 16))),
+    ]
+    fixtures[1][5, 7] = 255  # isolated spike in the flat image
+    for f in fixtures:
+        f = f.astype(np.uint8)
+        h, w = f.shape
+        _, _, prog = _parse_jpeg(build_jpeg_progressive(w, h, f.reshape(-1)))
+        _, _, base = _parse_jpeg(build_jpeg(w, h, f.reshape(-1)))
+        assert np.array_equal(prog, base), (w, h)
+    px3 = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    _, _, prog = _parse_jpeg(
+        build_jpeg_progressive(16, 16, px3.reshape(-1), color=True)
+    )
+    _, _, base = _parse_jpeg(build_jpeg(16, 16, px3.reshape(-1), color=True))
+    assert np.array_equal(prog, base)
+
+    # loud failure paths
+    with _pytest.raises(ValueError, match="multiples of 8"):
+        build_jpeg_progressive(7, 8, np.zeros(56, dtype=np.uint8))
+
+    # Spark path end-to-end
+    good = build_jpeg_progressive(8, 8, np.full(64, 93, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(good))],
+        "media_id long, kind string, content binary",
+    )
+    row = decode_images(media).collect()[0]
+    assert (row.width, row.height, row.mean_luma) == (8, 8, 93.0)
 
 
 def test_stream_neardup_probe_live_matches_batch(spark, tmp_path):
