@@ -18,6 +18,10 @@ Covered (the rewritten-semantics family the r8 verdict listed):
   sup1      suppression          msoa_etl_db/processor.py:211-227
   H1        keyed row hash       db_etl_upload/uploader.py:143-179
   J9        release delta        chunk_etl_postprocessing/vaccinations/queries.py:22-91
+  J4        homogenise dates     db_etl/processors/homogenisation.py:29-79
+  W5        tail trim            db_etl/processors/trimmer.py:40-50
+  W6        centered mean        db_etl_homepage_graphs/utils.py:105
+  W8        weekly thinning      msoa_etl_db/processor.py:68-78
   (W4 trim_sides already has its third leg: the reference's own golden
   fixture in test_main_pipeline.py plus the r9 empirical pandas runs.)
 """
@@ -459,3 +463,166 @@ def test_release_delta_matches_pandas_reference(spark):
     )
     got = {(r["area_code"], r["metric"]): r["delta"] for r in out.collect()}
     assert got == expected
+
+
+# ---------------------------------------------------------------------- J4
+
+
+def test_homogenise_dates_matches_pandas_reference(spark):
+    """Reference densify (db_etl/processors/homogenisation.py:29-79):
+    the scaffold is every (areaType, areaCode) pair crossed with the
+    GLOBAL min..max date range — a code whose series starts late still
+    gets rows back to the global start."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.homogenise import (
+        homogenise_dates,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            ("ltla", "E1", "2021-01-02", 5.0),
+            ("ltla", "E1", "2021-01-05", 7.0),
+            ("utla", "U9", "2021-01-04", 1.0),
+        ],
+        columns=["areaType", "areaCode", "date", "cases"],
+    )
+    # pandas replay: global date span x every (type, code) pair
+    span = pd.date_range("2021-01-02", "2021-01-05").strftime("%Y-%m-%d")
+    pairs = pdf[["areaType", "areaCode"]].drop_duplicates()
+    scaffold = pairs.merge(pd.DataFrame({"date": span}), how="cross")
+    expected = scaffold.merge(
+        pdf, how="left", on=["areaType", "areaCode", "date"]
+    )
+
+    sdf = spark.createDataFrame(
+        pdf, "areaType string, areaCode string, date string, cases double"
+    )
+    out = homogenise_dates(sdf).withColumn(
+        "date", F.date_format("date", "yyyy-MM-dd")
+    )
+    got = {
+        (r["areaType"], r["areaCode"], r["date"]): r["cases"]
+        for r in out.collect()
+    }
+    exp = {
+        (r.areaType, r.areaCode, r.date): (
+            None if pd.isna(r.cases) else r.cases
+        )
+        for r in expected.itertuples()
+    }
+    _assert_frames_match(
+        {k: (v,) for k, v in got.items()},
+        {k: (v,) for k, v in exp.items()},
+        "homogenise_dates",
+    )
+
+
+# ---------------------------------------------------------------------- W5
+
+
+def test_trim_end_matches_pandas_reference(spark):
+    """Reference tail trim (db_etl/processors/trimmer.py:40-50):
+    metrics masked with ``where(date <= max_date - days)`` — a pure
+    string-date comparison against the frame's global max."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.trim import trim_end
+
+    dates = [f"2021-02-{i:02d}" for i in range(1, 11)]
+    pdf = pd.DataFrame(
+        {
+            "date": dates * 2,
+            "areaCode": ["A"] * 10 + ["B"] * 10,
+            "cases": [float(i) for i in range(20)],
+            "deaths": [float(i * 2) for i in range(20)],
+            "untouched": [float(i * 3) for i in range(20)],
+        }
+    )
+    import datetime as _dt
+
+    cutoff = (
+        _dt.datetime.strptime(max(dates), "%Y-%m-%d")
+        - _dt.timedelta(days=5)
+    ).strftime("%Y-%m-%d")
+    expected = pdf.copy()
+    expected[["cases", "deaths"]] = expected[["cases", "deaths"]].where(
+        expected["date"] <= cutoff, None
+    )
+
+    sdf = spark.createDataFrame(pdf)
+    out = trim_end(sdf, ["cases", "deaths", "missing_col"], days_to_trim=5)
+    got = {
+        (r["areaCode"], r["date"]): (r["cases"], r["deaths"], r["untouched"])
+        for r in out.collect()
+    }
+    exp = {
+        (r.areaCode, r.date): (
+            None if pd.isna(r.cases) else r.cases,
+            None if pd.isna(r.deaths) else r.deaths,
+            r.untouched,
+        )
+        for r in expected.itertuples()
+    }
+    _assert_frames_match(got, exp, "trim_end")
+
+
+# ---------------------------------------------------------------------- W6
+
+
+def test_centered_rolling_mean_matches_pandas_reference(spark):
+    """Reference viz smoothing (db_etl_homepage_graphs/utils.py:105):
+    ``rolling(7, center=True).mean()`` — window rows [-3, +3],
+    min_periods defaults to the window so edges and any null-bearing
+    window yield NaN."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rolling import (
+        rolling_mean_centered,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, None, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    dates = [f"2021-03-{i:02d}" for i in range(1, len(vals) + 1)]
+    pdf = pd.DataFrame(
+        {
+            "areaType": "nation",
+            "areaCode": "E92",
+            "date": dates,
+            "cases": vals,
+        }
+    )
+    expected = pd.Series(vals, dtype="float64").rolling(7, center=True).mean()
+
+    sdf = spark.createDataFrame(
+        pdf, "areaType string, areaCode string, date string, cases double"
+    )
+    out = rolling_mean_centered(sdf, "cases", "smoothed")
+    got = {r["date"]: r["smoothed"] for r in out.collect()}
+    for i, dt in enumerate(dates):
+        e = expected.iloc[i]
+        assert _nan_eq(got[dt], None if pd.isna(e) else float(e)), (
+            dt,
+            got[dt],
+            e,
+        )
+
+
+# ---------------------------------------------------------------------- W8
+
+
+def test_weekly_thin_matches_pandas_reference(spark):
+    """Reference weekly grid (msoa_etl_db/processor.py:68-78):
+    ``date_range(end=release-5d, start=..., freq='-7D')`` — keep the
+    dates that lie on the 7-day grid counting back from the anchor."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.suppress import (
+        weekly_thin,
+    )
+
+    dates = pd.date_range("2021-04-01", "2021-04-24").strftime("%Y-%m-%d")
+    pdf = pd.DataFrame({"date": list(dates), "v": range(len(dates))})
+    # the reference's descending range: start = anchor (release - 5d),
+    # stepping -7D down to the span's first date
+    anchor = pd.Timestamp(max(dates)) - pd.Timedelta(days=5)
+    grid = set(
+        pd.date_range(start=anchor, end=min(dates), freq="-7D").strftime(
+            "%Y-%m-%d"
+        )
+    )
+
+    sdf = spark.createDataFrame(pdf, "date string, v long")
+    got = {r["date"] for r in weekly_thin(sdf, anchor_offset_days=5).collect()}
+    assert got == grid
