@@ -950,6 +950,42 @@ def test_jpeg_constant_blocks_exact_property(bw, bh, seed, rst):
 
 
 @given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+    amplitude=st.sampled_from([2, 40, 255]),
+    color=st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_progressive_jpeg_equals_baseline_property(bw, bh, seed, amplitude, color):
+    """Progressive (SOF2) decode must equal baseline decode of the same
+    pixels for ANY content — the two scan structures carry identical
+    quant=1 coefficients, so equality pins the whole successive-
+    approximation machinery (DC shift/refine-OR, AC band split, EOB
+    runs, correction-bit weave). Low amplitudes force dense ±1
+    refinement coefficients; high amplitudes force multi-bit
+    magnitudes and ZRL runs."""
+    import numpy as np
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _parse_jpeg,
+        build_jpeg,
+        build_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(seed)
+    w, h = bw * 8, bh * 8
+    lo, hi = 128 - amplitude // 2, 128 + (amplitude + 1) // 2
+    shape = (h, w, 3) if color else (h, w)
+    px = rng.randint(lo, hi + 1, size=shape).astype(np.uint8)
+    _, _, prog = _parse_jpeg(
+        build_jpeg_progressive(w, h, px.reshape(-1), color=color)
+    )
+    _, _, base = _parse_jpeg(build_jpeg(w, h, px.reshape(-1), color=color))
+    assert np.array_equal(prog, base)
+
+
+@given(
     w=st.integers(min_value=1, max_value=12),
     h=st.integers(min_value=1, max_value=10),
     npal=st.integers(min_value=2, max_value=256),
