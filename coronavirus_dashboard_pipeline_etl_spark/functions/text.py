@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from collections.abc import Mapping, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -719,3 +720,94 @@ def bpe_encode(
             yield out
 
     return df.mapInPandas(run, out_schema)
+
+
+# Unicode hygiene: the cleanup-pass regex classes, shared verbatim by
+# the Spark expressions and the DuckDB oracle (both RE2-compatible and
+# Java-regex-compatible spellings — \x{...} works in both engines).
+_CONTROL_CLASS = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"
+_ZERO_WIDTH_CLASS = r"[\x{200B}-\x{200D}\x{FEFF}]"
+_WS_CLASS = r"[\s\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+"
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out: str = "text_norm"
+) -> DataFrame:
+    """Unicode hygiene for crawled corpora: NFC normalisation, then
+    strip C0/C1 control and zero-width characters, collapse every
+    Unicode-whitespace run (incl. NBSP and the U+2000 block) to one
+    space, and trim. The canonical first pass before tokenising,
+    hashing, or deduplicating web text — without it, 'e'+COMBINING
+    ACUTE and the precomposed 'é' fingerprint as different documents.
+
+    Only the NFC step crosses into Python (``unicodedata.normalize``
+    has no JVM builtin) — one Arrow-vectorised pandas UDF, map-only,
+    no shuffle. Everything else is whole-stage-codegen'd
+    ``regexp_replace``. NULL text stays NULL (every stage is
+    null-propagating). DuckDB replays it exactly:
+    ``nfc_normalize`` + the same three regex classes.
+    """
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+
+    @pandas_udf(StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    c = _nfc(F.col(text_col))
+    c = F.regexp_replace(c, _CONTROL_CLASS, "")
+    c = F.regexp_replace(c, _ZERO_WIDTH_CLASS, "")
+    c = F.regexp_replace(c, _WS_CLASS, " ")
+    return df.withColumn(out, F.trim(c))
+
+
+def canonical_url(col: Column | str) -> Column:
+    """Canonical form of an absolute http(s) URL — the key web-crawl
+    pipelines dedup on (the same page arrives under dozens of
+    spellings). Deterministic, pure JVM expressions (regexp_extract +
+    array_sort — no UDF, no shuffle), and every rule is replayable in
+    ANSI-ish SQL so the gate verifies it value-for-value:
+
+    * scheme and host lowercase;
+    * default port dropped (``:80`` for http, ``:443`` for https;
+      other ports kept);
+    * empty path becomes ``/``;
+    * query parameters sorted bytewise (duplicates kept — dropping
+      them changes semantics for ``a=1&a=2`` servers), empty params
+      dropped, ``?`` omitted when nothing survives;
+    * fragment removed (never sent to the server).
+
+    Non-URL strings (no ``scheme://host``) come back unchanged — a
+    canonicaliser that nulls unparseable rows silently shrinks the
+    corpus.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    keep_port = (port != "") & ~(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+    )
+    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    sorted_q = F.array_join(
+        F.array_sort(F.filter(F.split(query, "&"), lambda p: p != F.lit(""))),
+        "&",
+    )
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(sorted_q != "", F.concat(F.lit("?"), sorted_q)).otherwise(
+            F.lit("")
+        ),
+    )
+    return F.when(scheme == "", c).otherwise(rebuilt)

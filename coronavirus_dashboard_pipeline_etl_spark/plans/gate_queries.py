@@ -10596,3 +10596,154 @@ WHERE d.lang IS NOT NULL
 
 QUERIES["x21_constraint_audit"] = x21_constraint_audit
 ORACLE["x21_constraint_audit"] = X21_SQL
+
+
+def t9_unicode_normalise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode hygiene pass (functions.text.normalize_text): dirty text
+    is synthesised per document — decomposed 'e'+COMBINING ACUTE, a
+    ZERO WIDTH SPACE, doubled spaces, NBSP, CRLF and a BEL control —
+    then NFC-normalised, control/zero-width-stripped, whitespace-
+    collapsed and trimmed. The oracle builds the identical bytes with
+    chr() and replays nfc_normalize + the same three regex classes, so
+    any divergence in normalisation order or class membership fails
+    the value hash. (Spark chr() is mod-256, so the builder uses
+    Python unicode literals; DuckDB uses chr(codepoint) — same
+    codepoints either way.)"""
+    from ..functions.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = F.concat(
+        # DECOMPOSED e + U+0301: the Spark-side NFC compose is
+        # load-bearing (a precomposed literal would make it a no-op)
+        F.lit("Cafe\u0301\u200b  start\u00a0"),
+        F.substring("text", 1, 30),
+        F.lit(" \r\n mid\x07dle "),
+        F.lit("\u2003tail\ufeff"),
+    )
+    out = normalize_text(docs.withColumn("dirty", dirty), "dirty", "clean")
+    return out.select(
+        "doc_id",
+        "clean",
+        F.length("clean").cast("long").alias("n_chars_clean"),
+    )
+
+
+T9_SQL = r"""
+WITH dirty AS (
+    SELECT doc_id,
+           'Cafe' || chr(769) || chr(8203) || '  start' || chr(160)
+             || substr(text, 1, 30)
+             || ' ' || chr(13) || chr(10) || ' mid' || chr(7) || 'dle '
+             || chr(8195) || 'tail' || chr(65279) AS d
+    FROM documents
+)
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(regexp_replace(
+            nfc_normalize(d),
+            '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+            '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+            '[\s\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
+         AS clean,
+       CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
+            nfc_normalize(d),
+            '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+            '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
+            '[\s\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g')))
+         AS BIGINT) AS n_chars_clean
+FROM dirty
+"""
+
+QUERIES["t9_unicode_normalise"] = t9_unicode_normalise
+ORACLE["t9_unicode_normalise"] = T9_SQL
+
+
+def t10_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalisation (functions.text.canonical_url): synthetic
+    crawl URLs per document cover every rule — uppercase scheme/host,
+    default vs non-default ports on both schemes, empty paths, unsorted
+    and duplicate-bearing query strings with empty params, fragments —
+    all canonicalised by pure JVM expressions (regexp_extract +
+    array_sort, no UDF). The oracle rebuilds the same URLs and replays
+    every rule in DuckDB (list_sort over split params), so the two
+    engines must agree byte-for-byte on the canonical form."""
+    from ..functions.text import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+    m2 = F.col("doc_id") % 2
+    scheme = (
+        F.when(m3 == 0, "http://").when(m3 == 1, "HTTPS://").otherwise("https://")
+    )
+    host = F.concat(F.lit("WWW.Site"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".ORG"))
+    port = (
+        F.when(m4 == 0, ":80").when(m4 == 1, ":443").when(m4 == 2, ":8080")
+        .otherwise("")
+    )
+    path = F.when(
+        m2 == 0,
+        F.concat(F.lit("/P"), (F.col("doc_id") % 7).cast("string"), F.lit("/x")),
+    ).otherwise("")
+    query = (
+        F.when(m3 == 0, F.concat(F.lit("?b=2&a="), (F.col("doc_id") % 9).cast("string")))
+        .when(m3 == 1, F.lit("?z=1&&a=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(m2 == 0, F.concat(F.lit("#s"), F.col("doc_id").cast("string"))).otherwise(F.lit(""))
+    url = F.concat(scheme, host, port, path, query, frag)
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        canonical_url(url).alias("canonical"),
+    )
+
+
+T10_SQL = """
+WITH u AS (
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTPS://'
+                ELSE 'https://' END
+           || 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+           || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                WHEN 2 THEN ':8080' ELSE '' END
+           || CASE doc_id % 2 WHEN 0
+                THEN '/P' || CAST(doc_id % 7 AS VARCHAR) || '/x' ELSE '' END
+           || CASE doc_id % 3 WHEN 0
+                THEN '?b=2&a=' || CAST(doc_id % 9 AS VARCHAR)
+                WHEN 1 THEN '?z=1&&a=2&a=1' ELSE '' END
+           || CASE doc_id % 2 WHEN 0
+                THEN '#s' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+    FROM documents
+),
+parts AS (
+    SELECT doc_id, url,
+           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query
+    FROM u
+),
+canon AS (
+    SELECT doc_id, url, scheme, path,
+           lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
+           regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+           array_to_string(
+               list_sort(list_filter(string_split(query, '&'), p -> p <> '')),
+               '&') AS sorted_q
+    FROM parts
+)
+SELECT doc_id, url,
+       scheme || '://' || host
+       || CASE WHEN port <> ''
+                AND NOT ((scheme = 'http' AND port = '80')
+                      OR (scheme = 'https' AND port = '443'))
+               THEN ':' || port ELSE '' END
+       || CASE WHEN path = '' THEN '/' ELSE path END
+       || CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END
+         AS canonical
+FROM canon
+"""
+
+QUERIES["t10_url_canonical"] = t10_url_canonical
+ORACLE["t10_url_canonical"] = T10_SQL

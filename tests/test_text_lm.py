@@ -179,3 +179,55 @@ def test_learn_bpe_merges_and_encode_spark(spark):
 
     with _pytest.raises(ValueError, match="max_vocab"):
         learn_bpe_merges(docs, n_merges=2, max_vocab=2)
+
+
+def test_normalize_text_unicode_hygiene(spark):
+    """normalize_text (text.py): NFC compose, control/zero-width strip,
+    Unicode-whitespace collapse, trim; NULL propagates. The decomposed
+    e+U+0301 input is the load-bearing case — it must come back as ONE
+    precomposed codepoint."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        normalize_text,
+    )
+
+    rows = [
+        (1, "Cafe\u0301\u200b  a b \r\n c\x07d "),
+        (2, None),
+        (3, "already clean"),
+        (4, "  　"),  # whitespace-only -> empty
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.text_norm for r in normalize_text(df).collect()}
+    assert got[1] == "Café a b cd"
+    assert len(got[1].split()[0]) == 4  # é is ONE composed codepoint
+    assert got[2] is None
+    assert got[3] == "already clean"
+    assert got[4] == ""
+
+
+def test_canonical_url_rules(spark):
+    """canonical_url (text.py): scheme/host lowercase, default-port
+    drop, empty path -> '/', query params sorted with duplicates kept
+    and empties dropped, fragment removed; non-URLs and NULL pass
+    through unchanged."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        canonical_url,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [
+        (1, "HTTP://WWW.Ex.COM:80/A/b?b=2&a=1&#frag", "http://www.ex.com/A/b?a=1&b=2"),
+        (2, "https://Host.io:443", "https://host.io/"),
+        (3, "https://host.io:8443/p?z=1&a=2&a=1", "https://host.io:8443/p?a=1&a=2&z=1"),
+        (4, "http://h.io:443/x", "http://h.io:443/x"),  # 443 NOT default for http
+        (5, "not a url", "not a url"),
+        (6, "ftp://Site.Org:21/x", "ftp://site.org:21/x"),
+        (7, "https://h.io/p?&&", "https://h.io/p"),  # all-empty query
+        (8, None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u, _ in rows], "id long, url string"
+    )
+    got = {r.id: r.c for r in df.select("id", canonical_url("url").alias("c")).collect()}
+    for i, _, want in rows:
+        assert got[i] == want, (i, got[i], want)
