@@ -1590,3 +1590,110 @@ def editdist_pairs_fastss(
         )
         .filter(F.col("dist") <= 1)
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    w: int = 4,
+    max_pos: int = 1 << 20,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD 2003 — the MOSS local fingerprinting scheme, public
+    algorithm): hash every k-token gram, slide a window of ``w``
+    consecutive gram hashes, and select each window's MINIMUM hash,
+    breaking ties by RIGHTMOST position (robust winnowing). The
+    guarantee that makes it the plagiarism-detection standard: any
+    shared token run of length >= w + k - 1 between two documents
+    shares at least one SELECTED fingerprint, while only ~2/(w+1) of
+    all gram hashes are kept.
+
+    Returns DISTINCT ``(id, pos, fp)`` — ``pos`` is the 0-based k-gram
+    start, ``fp`` the 40-bit md5-prefix gram hash (40 bits so the
+    combined order key below stays inside a BIGINT; cross-engine
+    exact, same family as ``md5_prefix_long``).
+
+    Spark-first shape: the min-hash-with-rightmost-tie rule collapses
+    to ONE associative aggregate — ``min(hash * 2^20 + (2^20-1-pos))``
+    over a ``ROWS CURRENT..w-1 FOLLOWING`` frame — because minimising
+    the combined key minimises the hash first and, among equal hashes,
+    maximises the position. One window exchange on ``id`` plus the
+    final distinct; no UDF, no self-join. ``max_pos`` (default 2^20
+    k-grams, ~1M tokens) bounds the position field so the encoding
+    cannot collide — longer documents raise loudly rather than
+    fingerprint wrongly (chunk them first: ``chunk_documents``).
+    """
+    if k < 1 or w < 1:
+        raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    n_grams = F.size(toks) - k + 1
+    n_grams = F.when(
+        n_grams > max_pos,
+        F.raise_error(
+            F.concat(
+                F.lit(f"winnow_fingerprints: document exceeds max_pos={max_pos} "
+                      f"k-grams ("),
+                n_grams.cast("string"),
+                F.lit(") — chunk it first"),
+            )
+        ).cast("int"),
+    ).otherwise(n_grams)
+    # sequence(1, n) DESCENDS when n < 1 (it would emit [1, 0] and a
+    # 0-start slice error) — short docs get an explicit empty array
+    idx = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    g = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+    hash40 = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
+    enc = F.lit(1 << 20)
+    combined = hash40 * enc + (enc - 1 - F.col("pos"))
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    sel = (
+        g.select("id", "pos", combined.alias("__c"))
+        .withColumn("__min", F.min("__c").over(win))
+        .withColumn("__n", F.count("__c").over(win))
+        .filter(F.col("__n") == w)  # full windows only (the definition)
+        # shiftright, NOT `/`: float division of a 60-bit key loses
+        # low bits above 2^53 and would decode wrong positions
+        .select(
+            "id",
+            F.shiftright("__min", 20).alias("fp_hi"),
+            (enc - 1 - F.col("__min") % enc).cast("long").alias("pos"),
+        )
+        .distinct()
+    )
+    return sel.select(
+        F.col("id").alias(id_col), "pos", F.col("fp_hi").alias("fp")
+    )
+
+
+def winnow_candidate_pairs(
+    fps: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Candidate plagiarism/overlap pairs from a winnowing fingerprint
+    table: documents sharing ANY selected fingerprint, with the shared
+    count (the match strength MOSS ranks by). Shared count is over
+    DISTINCT fingerprint VALUES (a value selected at several positions
+    counts once — MOSS semantics). Equi-join on ``fp`` — the shuffle
+    carries fingerprints (~2/(w+1) of the gram count), never
+    documents."""
+    a = fps.select(F.col(id_col).alias("id_a"), "fp").distinct()
+    b = fps.select(F.col(id_col).alias("id_b"), "fp").distinct()
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

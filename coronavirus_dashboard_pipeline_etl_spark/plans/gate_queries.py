@@ -10747,3 +10747,71 @@ FROM canon
 
 QUERIES["t10_url_canonical"] = t10_url_canonical
 ORACLE["t10_url_canonical"] = T10_SQL
+
+
+def d15_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint selection (functions.dedup.
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD 2003, the
+    MOSS scheme): per document, hash every 4-token gram (40-bit md5
+    prefix), slide a 3-hash window, keep each window's minimum hash
+    with rightmost tie-break, emit the distinct selections. The gate
+    aggregates the selected set per document (count + fp sum/min/max +
+    position sum): any divergence in the window min, the tie rule, the
+    full-window edge condition, or the combined-key encoding perturbs
+    the selected set and fails the value hash. The oracle replays the
+    identical combined-key window min in DuckDB SQL."""
+    from ..functions.dedup import winnow_fingerprints
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnow_fingerprints(docs, k=4, w=3)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fps"),
+        F.sum("fp").alias("sum_fp"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+        F.sum("pos").alias("sum_pos"),
+    )
+
+
+D15_SQL = """
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+         array_to_string(w[i:i+3], ' ') AS g
+  FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+  WHERE len(w) >= 4
+),
+hashed AS (
+  SELECT doc_id, pos,
+         list_reduce(list_transform(string_split(substr(md5(g), 1, 10), ''),
+             c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+             (a, b) -> a * 16 + b) AS h
+  FROM grams
+),
+win AS (
+  SELECT doc_id,
+         MIN(h * 1048576 + (1048575 - pos)) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS m,
+         COUNT(*) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS n
+  FROM hashed
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_fps,
+       CAST(SUM(fp) AS BIGINT) AS sum_fp,
+       MIN(fp) AS min_fp, MAX(fp) AS max_fp,
+       CAST(SUM(pos) AS BIGINT) AS sum_pos
+FROM (
+  SELECT DISTINCT doc_id, m // 1048576 AS fp, 1048575 - (m % 1048576) AS pos
+  FROM win WHERE n = 3
+)
+GROUP BY doc_id
+"""
+
+QUERIES["d15_winnow_fingerprints"] = d15_winnow_fingerprints
+ORACLE["d15_winnow_fingerprints"] = D15_SQL

@@ -626,3 +626,65 @@ def test_review_fix_guards(spark):
     gc.collect()
     after = _persistent_rdd_ids(sc)
     assert after - before == set(), f"leaked RDD ids: {after - before}"
+
+
+def test_winnow_fingerprints_selection_and_pairs(spark):
+    """Winnowing (dedup.winnow_fingerprints, SIGMOD 2003 MOSS scheme):
+    the guarantee — two documents sharing a token run of length
+    >= w + k - 1 share at least one SELECTED fingerprint; short docs
+    select nothing; selection is deterministic; the max_pos encoding
+    guard raises loudly; pair counts are over distinct fp values."""
+    import random
+
+    import pyspark.sql.functions as F
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(5)
+    words = [f"w{i}" for i in range(50)]
+    shared = " ".join(rng.choices(words, k=12))  # 12 >= w+k-1 = 8
+    da = (
+        " ".join(rng.choices(words, k=30))
+        + " " + shared + " "
+        + " ".join(rng.choices(words, k=20))
+    )
+    db = " ".join(rng.choices(words, k=15)) + " " + shared
+    dc = " ".join(rng.choices(words, k=40))
+    df = spark.createDataFrame(
+        [(1, da), (2, db), (3, dc), (4, "a b c")],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(df, k=5, w=4)
+    rows = fps.collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    assert 4 not in by_doc  # 3 tokens < k -> no grams, no selection
+    # guarantee: the planted 12-token run forces a shared fingerprint
+    fp1 = {fp for _, fp in by_doc[1]}
+    fp2 = {fp for _, fp in by_doc[2]}
+    assert fp1 & fp2
+    # density: winnowing keeps roughly 2/(w+1) of gram hashes
+    n_grams_1 = 63 - 5 + 1
+    assert len(by_doc[1]) < n_grams_1 / 2
+    # positions decode into the gram index range
+    assert all(0 <= p < n_grams_1 for p, _ in by_doc[1])
+    # deterministic re-run
+    again = winnow_fingerprints(df, k=5, w=4)
+    assert fps.exceptAll(again).count() == 0
+    assert again.exceptAll(fps).count() == 0
+    # candidate pairs rank by DISTINCT shared fp values
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnow_candidate_pairs(fps).collect()
+    }
+    assert pairs[(1, 2)] == len(fp1 & fp2)
+    # encoding guard: too many grams for the position field -> loud
+    with _pytest.raises(Exception, match="max_pos"):
+        winnow_fingerprints(df, k=5, w=4, max_pos=8).collect()
+    with _pytest.raises(ValueError, match="must be >= 1"):
+        winnow_fingerprints(df, k=0)
