@@ -10815,3 +10815,180 @@ GROUP BY doc_id
 
 QUERIES["d15_winnow_fingerprints"] = d15_winnow_fingerprints
 ORACLE["d15_winnow_fingerprints"] = D15_SQL
+
+
+def pipe18_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-crawl curation composing the round-9 operators
+    the way a crawl ingest would run them:
+
+    1. URL-level dedup — every document gets its crawl URL (the t10
+       synthesis), canonicalised by ``canonical_url``; only the
+       smallest doc_id per canonical URL survives (the same page
+       fetched under many spellings is ONE page);
+    2. text hygiene — ``normalize_text`` over the survivors (NFC +
+       control strip + whitespace collapse);
+    3. near-dup removal — ``winnow_fingerprints`` (k=4, w=3) on the
+       normalised text; any doc sharing >= 5 distinct fingerprints
+       with a SMALLER-id survivor is dropped (MOSS-ranked overlap,
+       deterministic keep-set);
+    4. the per-language curation ledger: kept count, total normalised
+       chars, total selected fingerprints.
+
+    Every stage is SQL-replayable, so the oracle replays the whole
+    pipeline — URL canon rules, winnowing window-min, overlap
+    threshold, anti-join — and any divergence anywhere in the chain
+    fails the value hash."""
+    from ..functions.dedup import winnow_candidate_pairs, winnow_fingerprints
+    from ..functions.text import canonical_url, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    m3 = F.col("doc_id") % 3
+    m4 = F.col("doc_id") % 4
+    m2 = F.col("doc_id") % 2
+    scheme = (
+        F.when(m3 == 0, "http://").when(m3 == 1, "HTTPS://").otherwise("https://")
+    )
+    host = F.concat(F.lit("WWW.Site"), (F.col("doc_id") % 5).cast("string"),
+                    F.lit(".ORG"))
+    port = (
+        F.when(m4 == 0, ":80").when(m4 == 1, ":443").when(m4 == 2, ":8080")
+        .otherwise("")
+    )
+    path = F.when(
+        m2 == 0,
+        F.concat(F.lit("/P"), (F.col("doc_id") % 7).cast("string"), F.lit("/x")),
+    ).otherwise("")
+    query = (
+        F.when(m3 == 0, F.concat(F.lit("?b=2&a="), (F.col("doc_id") % 9).cast("string")))
+        .when(m3 == 1, F.lit("?z=1&&a=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(scheme, host, port, path, query)
+    with_canon = docs.withColumn("canon", canonical_url(url))
+    w_url = Window.partitionBy("canon").orderBy("doc_id")
+    url_kept = (
+        with_canon.withColumn("__rn", F.row_number().over(w_url))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    normed = normalize_text(url_kept, "text", "text_norm")
+    fps = winnow_fingerprints(normed, id_col="doc_id", text_col="text_norm",
+                              k=4, w=3)
+    overlaps = winnow_candidate_pairs(fps).filter(F.col("n_shared") >= 5)
+    kept = normed.join(
+        overlaps.select(F.col("id_b").alias("doc_id")).distinct(),
+        "doc_id",
+        "left_anti",
+    )
+    fp_counts = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fps"))
+    return (
+        kept.join(fp_counts, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum(F.length("text_norm")).alias("total_chars"),
+            F.sum(F.coalesce("n_fps", F.lit(0))).alias("total_fps"),
+        )
+    )
+
+
+PIPE18_SQL = """
+WITH u AS (
+    SELECT doc_id, text, lang,
+           CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTPS://'
+                ELSE 'https://' END
+           || 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+           || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
+                WHEN 2 THEN ':8080' ELSE '' END
+           || CASE doc_id % 2 WHEN 0
+                THEN '/P' || CAST(doc_id % 7 AS VARCHAR) || '/x' ELSE '' END
+           || CASE doc_id % 3 WHEN 0
+                THEN '?b=2&a=' || CAST(doc_id % 9 AS VARCHAR)
+                WHEN 1 THEN '?z=1&&a=2&a=1' ELSE '' END AS url
+    FROM documents
+),
+parts AS (
+    SELECT *, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query
+    FROM u
+),
+canon AS (
+    SELECT doc_id, text, lang,
+           scheme || '://' || lower(regexp_extract(hostport, '^([^:]*)', 1))
+           || CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
+                    AND NOT ((scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
+                          OR (scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'))
+                   THEN ':' || regexp_extract(hostport, ':([0-9]+)$', 1) ELSE '' END
+           || CASE WHEN path = '' THEN '/' ELSE path END
+           || CASE WHEN array_to_string(list_sort(list_filter(string_split(query, '&'), p -> p <> '')), '&') <> ''
+                   THEN '?' || array_to_string(list_sort(list_filter(string_split(query, '&'), p -> p <> '')), '&')
+                   ELSE '' END AS c
+    FROM parts
+),
+url_kept AS (
+    SELECT doc_id, lang,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+               nfc_normalize(text),
+               '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g'),
+               '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
+               '[\\s\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]+', ' ', 'g'))
+             AS tn
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY doc_id) AS rn
+          FROM canon)
+    WHERE rn = 1
+),
+toks AS (
+    SELECT doc_id, lang, tn, list_filter(string_split(tn, ' '), t -> t <> '') AS w
+    FROM url_kept
+),
+grams AS (
+    SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos,
+           array_to_string(w[i:i+3], ' ') AS g
+    FROM toks, UNNEST(range(1, len(w) - 2)) AS t(i)
+    WHERE len(w) >= 4
+),
+hashed AS (
+    SELECT doc_id, pos,
+           list_reduce(list_transform(string_split(substr(md5(g), 1, 10), ''),
+               c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+               (a, b) -> a * 16 + b) AS h
+    FROM grams
+),
+win AS (
+    SELECT doc_id,
+           MIN(h * 1048576 + (1048575 - pos)) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS m,
+           COUNT(*) OVER (
+               PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS n
+    FROM hashed
+),
+sel AS (
+    SELECT DISTINCT doc_id, m // 1048576 AS fp, 1048575 - (m % 1048576) AS pos
+    FROM win WHERE n = 3
+),
+fpv AS (SELECT DISTINCT doc_id, fp FROM sel),
+overl AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+    FROM fpv a JOIN fpv b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+),
+dropped AS (SELECT DISTINCT id_b AS doc_id FROM overl WHERE n_shared >= 5),
+fp_counts AS (SELECT doc_id, COUNT(*) AS n_fps FROM sel GROUP BY doc_id)
+SELECT k.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(length(k.tn)) AS BIGINT) AS total_chars,
+       CAST(SUM(COALESCE(f.n_fps, 0)) AS BIGINT) AS total_fps
+FROM url_kept k
+LEFT JOIN fp_counts f USING (doc_id)
+WHERE k.doc_id NOT IN (SELECT doc_id FROM dropped)
+GROUP BY k.lang
+"""
+
+QUERIES["pipe18_crawl_curation"] = pipe18_crawl_curation
+ORACLE["pipe18_crawl_curation"] = PIPE18_SQL
