@@ -129,6 +129,11 @@ HEADLINE = [
     "m9_mixed_format_decode",
     "s17_warc_source",
     "x21_constraint_audit",
+    # round-9: progressive JPEG joined above (m10); the winnowing
+    # fingerprint selection and the composed crawl-curation pipeline
+    # are the round's heavy new corpus passes
+    "d15_winnow_fingerprints",
+    "pipe18_crawl_curation",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
@@ -144,8 +149,9 @@ BUCKET_TABLE = "bench_serving_store"
 REF_PROBE_NUMPY_SEC = 1.052
 
 # Spark-side probe reference: the 32-thread JVM micro-job in
-# _spark_probe, pinned on a round-9 host whose numpy probe (1.082 s)
-# matched the r6 reference within 3%. The r8 file shipped a 9x-deflated
+# _spark_probe, measured 0.33 s steady on a round-9 host whose numpy
+# probe ran 1.20x the r6 reference speed, so the reference-class pin
+# is 0.33 * 1.20 = 0.40 s. The r8 file shipped a 9x-deflated
 # calibrated_total because the single-thread numpy probe ran 8.9x slow
 # on a host whose actual 32-core Spark throughput was reference-class —
 # single-thread memory-bandwidth speed and multicore JVM throughput are
@@ -158,7 +164,7 @@ REF_PROBE_NUMPY_SEC = 1.052
 # two hosts whose numpy and Spark throughput agree within 5% it
 # measured 0.238 s vs 0.44 s — it tracks interpreter/core IPC, a third
 # independent host property, so it cannot anchor either.)
-REF_PROBE_SPARK_SEC = 0.22
+REF_PROBE_SPARK_SEC = 0.40
 CALIBRATION_AGREEMENT = 1.5
 
 
@@ -189,15 +195,15 @@ def _calibrate() -> dict[str, float]:
 
 
 def _spark_probe(spark) -> float:
-    """Fixed CPU-bound Spark micro-job (~0.2 s hot on the reference
-    host): 400M-row codegen scan across 64 tasks, no shuffle, 1-row
-    result. Runs AFTER the headline set so the JVM is fully warm; best
-    of two to shave scheduler jitter. Measures 32-thread JVM
-    throughput — the property calibration actually rescales."""
+    """Fixed CPU-bound Spark micro-job (~0.4 s hot on the reference
+    host): 1.6B-row codegen scan across 64 tasks, no shuffle, 1-row
+    result — sized so scheduler jitter is <~15% of the measurement (a
+    4x-smaller probe measured a 1.6x spread on one host). Runs AFTER
+    the headline set so the JVM is fully warm; best of three."""
     best = float("inf")
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
-        spark.range(0, 400_000_000, 1, 64).selectExpr(
+        spark.range(0, 1_600_000_000, 1, 64).selectExpr(
             "count(if(pmod(id * 2654435761, 1000003) < 500000, 1, null)) as c"
         ).collect()
         best = min(best, time.perf_counter() - t0)

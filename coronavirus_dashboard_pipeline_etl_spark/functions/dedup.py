@@ -1019,9 +1019,11 @@ def minhash_probe_pairs(
     released automatically when the returned DataFrame is garbage
     collected (a ``weakref.finalize`` on the result — a long-lived
     driver running one probe per batch leaks nothing just by dropping
-    each batch's result). Consume the result before dropping it;
-    frames DERIVED from the result re-execute the band join if they
-    outlive it. Pass ``cache_out=[]`` to take ownership instead (the
+    each batch's result). Consume the result before dropping it, and
+    do NOT keep frames DERIVED from it past the result's lifetime:
+    localCheckpoint truncates lineage, so a derived frame executed
+    after release fails loudly with missing-block errors rather than
+    recomputing. Pass ``cache_out=[]`` to take ownership instead (the
     finalizer is then NOT attached and release is the caller's job —
     the ``dedup_components`` rolling-release protocol). The call-time
     before/after id snapshot shares the single-threaded-session

@@ -783,7 +783,10 @@ def canonical_url(col: Column | str) -> Column:
 
     Non-URL strings (no ``scheme://host``) come back unchanged — a
     canonicaliser that nulls unparseable rows silently shrinks the
-    corpus.
+    corpus. Known simplification: a userinfo component
+    (``user@host``) is treated as part of the authority and lowercased
+    with it — acceptable for crawl dedup keys (crawlers don't fetch
+    credentialed URLs), wrong for a general-purpose URL library.
     """
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
