@@ -10837,7 +10837,15 @@ def pipe18_crawl_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every stage is SQL-replayable, so the oracle replays the whole
     pipeline — URL canon rules, winnowing window-min, overlap
     threshold, anti-join — and any divergence anywhere in the chain
-    fails the value hash."""
+    fails the value hash.
+
+    Scale note: the survivors frame feeds three consumers
+    (fingerprints, the anti-join left side, the ledger), so this
+    unpersisted gate plan re-reads the source per branch (4 scans in
+    PLAN_AUDIT). A production 100 TB run persists the url-deduped
+    survivors once (write_store / localCheckpoint) and every branch
+    reads the materialisation — the gate stays cache-free so its
+    timings and oracle comparison measure the plan, not cache state."""
     from ..functions.dedup import winnow_candidate_pairs, winnow_fingerprints
     from ..functions.text import canonical_url, normalize_text
 
