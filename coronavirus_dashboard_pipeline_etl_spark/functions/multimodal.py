@@ -1102,23 +1102,36 @@ def build_jpeg_progressive(
             for bx in range(bw):
                 band = [int(v) for v in coefs[ci][by, bx, ss : se + 1]]
                 absv = [abs(v) >> al for v in band]
+                # last position holding a NEW (±1) coefficient: zeros
+                # beyond it fold into the EOB run, never into ZRLs
+                eob_idx = -1
+                for k, a in enumerate(absv):
+                    if a == 1:
+                        eob_idx = k
                 run = 0
                 br: list = []  # correction bits since the last symbol
                 for k, a in enumerate(absv):
                     if a == 0:
                         run += 1
                         continue
+                    # pending ZRLs must be emitted at EVERY nonzero
+                    # position (T.81 / libjpeg): deferring them to the
+                    # next NEW coefficient would strand the correction
+                    # bit of an intervening history-nonzero
+                    # coefficient after the ZRL's 16-zero walk and
+                    # desync the decoder ([16 zeros, |c|>=2, ..., ±1])
+                    while run > 15 and k <= eob_idx:
+                        flush_eob()
+                        ops.append(("ac", 0xF0))
+                        run -= 16
+                        for b in br:
+                            ops.append(("raw", b, 1))
+                        br.clear()
                     if a > 1:  # history-nonzero: one correction bit
                         br.append(a & 1)
                         continue
                     # a == 1: newly nonzero at this approximation
                     flush_eob()
-                    while run > 15:
-                        ops.append(("ac", 0xF0))
-                        for b in br:
-                            ops.append(("raw", b, 1))
-                        br.clear()
-                        run -= 16
                     ops.append(("ac", (run << 4) | 1))
                     ops.append(("raw", 1 if band[k] > 0 else 0, 1))
                     for b in br:

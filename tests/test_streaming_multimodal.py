@@ -1300,6 +1300,62 @@ def test_progressive_jpeg_decode(spark):
     assert (row.width, row.height, row.mean_luma) == (8, 8, 93.0)
 
 
+def test_progressive_refinement_zrl_pattern():
+    """Regression for the AC-refinement ZRL stranding bug: a band with
+    a >=16-zero run followed by a HISTORY-NONZERO coefficient (|c|>=2)
+    and a later new ±1 desyncs an encoder that defers pending ZRLs to
+    the next new coefficient — the intervening coefficient's
+    correction bit lands after the ZRL symbol but the decoder's ZRL
+    walk never reaches its position. T.81/libjpeg emit pending ZRLs at
+    EVERY nonzero position; this pins that. The block is found by a
+    deterministic seeded search over DCT-basis pixels (pixel rounding
+    makes direct coefficient placement unreliable)."""
+    import numpy as np
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.multimodal import (
+        _ZZ,
+        _dct_matrix,
+        _parse_jpeg,
+        build_jpeg,
+        build_jpeg_progressive,
+    )
+
+    d = _dct_matrix()
+    rng = np.random.RandomState(0)
+
+    def pattern_ok(zz):
+        band, run = zz[1:32], 0
+        for i, v in enumerate(band):
+            if v == 0:
+                run += 1
+                continue
+            if run >= 16 and abs(v) >= 2 and any(
+                abs(x) == 1 for x in band[i + 1 :]
+            ):
+                return True
+            run = 0
+        return False
+
+    found = None
+    for _ in range(20000):
+        coefs = np.zeros((8, 8))
+        hi = rng.randint(18, 26)
+        lo = rng.randint(hi + 1, 32)
+        r, c = _ZZ[hi]
+        coefs[r, c] = rng.choice([4, 6, 8, 10])
+        r, c = _ZZ[lo]
+        coefs[r, c] = rng.choice([1, -1])
+        px = np.clip(np.rint(d.T @ coefs @ d + 128.0), 0, 255).astype(np.uint8)
+        got = np.rint(d @ (px.astype(np.float64) - 128.0) @ d.T).astype(int)
+        if pattern_ok([got[rr, cc] for rr, cc in _ZZ]):
+            found = px
+            break
+    assert found is not None, "seeded search failed to build the pattern"
+    _, _, prog = _parse_jpeg(build_jpeg_progressive(8, 8, found.reshape(-1)))
+    _, _, base = _parse_jpeg(build_jpeg(8, 8, found.reshape(-1)))
+    assert np.array_equal(prog, base)
+
+
 def test_stream_neardup_probe_live_matches_batch(spark, tmp_path):
     """probe_neardup_stream on a REAL stream (two micro-batches via
     maxFilesPerTrigger) emits exactly the pairs the batch operator
