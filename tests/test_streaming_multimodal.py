@@ -1300,6 +1300,100 @@ def test_progressive_jpeg_decode(spark):
     assert (row.width, row.height, row.mean_luma) == (8, 8, 93.0)
 
 
+def test_progressive_decode_with_restart_markers():
+    """Restart handling inside PROGRESSIVE scans is decoder-only code
+    (the engine's own progressive encoder never emits DRI), so this
+    hand-assembles a two-scan SOF2 file with DRI=2 and RSTn markers
+    splitting both the DC-first and DC-refinement scans, and asserts
+    the bit-exact decode — predictor and EOB-run resets at restart
+    boundaries are load-bearing here."""
+    import struct
+
+    import numpy as np
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import (
+        multimodal as mm,
+    )
+
+    w, h = 32, 8
+    px = np.repeat(
+        np.repeat(np.array([[10, 80, 150, 220]], dtype=np.uint8), 8, axis=0),
+        8,
+        axis=1,
+    )
+    d = mm._dct_matrix()
+    quant = np.ones((8, 8))
+    coefs = []
+    for bx in range(4):
+        c = mm._fdct_quant_block(px[0:8, bx * 8 : bx * 8 + 8], d, quant)
+        coefs.append([int(c[r, cc]) for r, cc in mm._ZZ])
+
+    dc_syms = set()
+    segs, ops, preds = [], [], 0
+    for bx in range(4):
+        if bx and bx % 2 == 0:
+            segs.append(ops)
+            ops, preds = [], 0  # predictor resets at the restart
+        dc = coefs[bx][0] >> 1
+        size, bits = mm._jpeg_category(dc - preds)
+        preds = dc
+        dc_syms.add(size)
+        ops.append(("dc", size))
+        if size:
+            ops.append(("raw", bits, size))
+    segs.append(ops)
+    ref_segs, ops = [], []
+    for bx in range(4):
+        if bx and bx % 2 == 0:
+            ref_segs.append(ops)
+            ops = []
+        ops.append(("raw", coefs[bx][0] & 1, 1))
+    ref_segs.append(ops)
+
+    n = len(dc_syms)
+    ln = 2
+    while (1 << ln) <= n:
+        ln += 1
+    bits16 = [0] * 16
+    bits16[ln - 1] = n
+    vals = sorted(dc_syms)
+    codes = mm._canonical_codes(bits16, vals)
+
+    def seg(marker, payload):
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFDB, b"\x00" + bytes(int(quant[r, c]) for r, c in mm._ZZ))
+    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, b"\x00" + bytes(bits16) + bytes(vals))
+    out += seg(0xFFDD, struct.pack(">H", 2))
+
+    def render(scan_segs, ss, se, ah, al):
+        o = bytearray(
+            seg(0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        )
+        for i, sops in enumerate(scan_segs):
+            wr = mm._BitWriter()
+            for op in sops:
+                if op[0] == "dc":
+                    c, length = codes[op[1]]
+                    wr.put(c, length)
+                else:
+                    wr.put(op[1], op[2])
+            o += wr.flush()
+            if i < len(scan_segs) - 1:
+                o += bytes([0xFF, 0xD0 + (i % 8)])
+        return o
+
+    out += render(segs, 0, 0, 0, 1)
+    out += render(ref_segs, 0, 0, 1, 0)
+    out += b"\xff\xd9"
+
+    gw, gh, rgb = mm._parse_jpeg(bytes(out))
+    assert (gw, gh) == (w, h)
+    assert np.array_equal(rgb.reshape(h, w, 3)[..., 0], px)
+
+
 def test_progressive_refinement_zrl_pattern():
     """Regression for the AC-refinement ZRL stranding bug: a band with
     a >=16-zero run followed by a HISTORY-NONZERO coefficient (|c|>=2)
