@@ -14,6 +14,15 @@ Fixtures are generated the way the production frame arrives: sorted by
 (metric, date) with a fresh RangeIndex, so the reference's label-based
 ``.loc`` slices see contiguous ascending labels per metric — the
 regime its pandas code was written for.
+
+Where the reference uses a 2-3 line pandas-1.x idiom that pandas 2
+rejects or silently re-types (set indexers; ``.loc`` full-column
+assignment now keeping the old dtype), the exec namespace supplies a
+behavior-faithful shim for THAT HELPER while the function under test
+runs verbatim. ``change_by_sum`` is the one reference function that
+cannot run verbatim under pandas 2 at all (its groupby().rolling()
+reset_index/join chain hits hard API drift) — its third leg stays the
+hand-replayed chain in test_pandas_reference_parity.py.
 """
 
 from __future__ import annotations
@@ -116,3 +125,246 @@ def test_reference_extraction_sane():
     out = fn(df.copy())
     # the empirically verified behavior: only the payload-3 row survives
     assert len(out) == 1 and out.iloc[0]["payload"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# general extraction: run MORE reference functions as oracles
+# ---------------------------------------------------------------------------
+
+
+def _load_ref_functions(path: str, names: list[str], extra_ns: dict | None = None):
+    """AST-extract top-level functions by name from a reference source
+    file and exec them together (decorators like @func_logger resolve
+    against a pass-through stub). Returns the populated namespace."""
+    src = open(path, encoding="utf-8").read()
+    tree = ast.parse(src)
+    wanted = [
+        n
+        for n in tree.body
+        if isinstance(n, ast.FunctionDef) and n.name in names
+    ]
+    assert {n.name for n in wanted} == set(names), (
+        f"missing in {path}: {set(names) - {n.name for n in wanted}}"
+    )
+    mod = ast.Module(body=wanted, type_ignores=[])
+    ns: dict = {
+        "NaN": np.nan,
+        "DataFrame": pd.DataFrame,
+        "func_logger": lambda *a, **k: (lambda f: f),
+    }
+    if extra_ns:
+        ns.update(extra_ns)
+    exec(compile(mod, path, "exec"), ns)  # noqa: S102 - test oracle
+    return ns
+
+
+@given(
+    newv=st.lists(
+        st.sampled_from([None, 0.0, 2.0]), min_size=3, max_size=10
+    ),
+    cumv=st.lists(
+        st.sampled_from([None, 1.0, 4.0]), min_size=3, max_size=10
+    ),
+)
+@settings(max_examples=15, deadline=None)
+def test_normalise_records_matches_reference_code(spark, newv, cumv):
+    """Reference normalise_records (db_etl/processors/normalisation.py)
+    executed as oracle: bounded zero-fill / ffill windows per areaCode
+    and areaName propagation, on hypothesis null patterns."""
+    from pandas import unique
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.normalise import (
+        normalise_records,
+    )
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/processors/normalisation.py",
+        ["normalise_records"],
+        {"unique": unique},
+    )
+    ref_fn = ns["normalise_records"]
+
+    n = max(len(newv), len(cumv))
+    newv = (newv + [None] * n)[:n]
+    cumv = (cumv + [None] * n)[:n]
+    dates = pd.date_range("2021-05-01", periods=n)
+    pdf = pd.DataFrame(
+        {
+            "areaType": ["ltla"] * n,
+            "areaCode": ["X1"] * n,
+            "areaName": ["Xton" if i == n // 2 else None for i in range(n)],
+            "date": dates,
+            "newCases": pd.array(newv, dtype="float64"),
+            "cumCases": pd.array(cumv, dtype="float64"),
+        }
+    )
+    ref_out = ref_fn(pdf.copy(), zero_filled=["newCases"], cumulative=["cumCases"])
+
+    def clean(v):
+        return None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
+
+    expected = {
+        r["date"]: (
+            clean(r["newCases"]),
+            clean(r["cumCases"]),
+            None if pd.isna(r["areaName"]) else r["areaName"],
+        )
+        for _, r in ref_out.iterrows()
+    }
+
+    spdf = pdf.copy()
+    spdf["date"] = spdf["date"].dt.strftime("%Y-%m-%d")
+    sdf = spark.createDataFrame(
+        spdf.where(spdf.notna(), None),
+        "areaType string, areaCode string, areaName string, date string, "
+        "newCases double, cumCases double",
+    )
+    got = {
+        r["date"]: (r["newCases"], r["cumCases"], r["areaName"])
+        for r in normalise_records(
+            sdf, zero_filled=["newCases"], cumulative=["cumCases"]
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_pair_summation_and_suppression_match_reference_code(spark):
+    """calculate_pair_summations (derived_metrics.py) and
+    suppress_by_rolling_sum (msoa_etl_db/processor.py) executed as
+    oracles on null/edge fixtures."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.derived import (
+        calculate_pair_summations,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.operators.suppress import (
+        suppress_by_rolling_sum,
+    )
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/processors/derived_metrics.py",
+        ["calculate_pair_summations"],
+    )
+    pdf = pd.DataFrame(
+        {
+            "id": range(6),
+            "first": [1.0, None, 3.0, None, 0.0, -2.5],
+            "second": [2.0, 5.0, None, None, 0.0, 2.5],
+        }
+    )
+    ref_out = ns["calculate_pair_summations"](
+        pdf.copy(), both=("first", "second")
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["id"]: r["both"]
+        for r in calculate_pair_summations(
+            sdf, [("first", "second", "both")]
+        ).collect()
+    }
+    for i in range(6):
+        e = ref_out["both"].iloc[i]
+        assert got[i] == (None if pd.isna(e) else e), (i, got[i], e)
+
+    ns2 = _load_ref_functions(
+        "/root/reference/msoa_etl_db/processor.py",
+        ["suppress_by_rolling_sum"],
+    )
+    stats = ["RollingSum", "Change", "Direction", "ChangePercentage", "RollingRate"]
+    cols = {f"cases{s}": [0.0, 2.0, 2.5, 3.0, None, 10.0] for s in stats}
+    spdf = pd.DataFrame({"id": range(6), **cols})
+    ref_sup = ns2["suppress_by_rolling_sum"](spdf.copy(), "cases")
+    sdf2 = spark.createDataFrame(spdf)
+    out2 = suppress_by_rolling_sum(
+        sdf2, "casesRollingSum", [f"cases{s}" for s in stats], threshold=2
+    )
+    got2 = {r["id"]: tuple(r[f"cases{s}"] for s in stats) for r in out2.collect()}
+    for i in range(6):
+        exp = tuple(
+            None if pd.isna(ref_sup[f"cases{s}"].iloc[i]) else ref_sup[f"cases{s}"].iloc[i]
+            for s in stats
+        )
+        assert got2[i] == exp, (i, got2[i], exp)
+
+
+def test_trim_end_and_row_hash_match_reference_code(spark):
+    """trim_end (db_etl/processors/trimmer.py) and generate_row_hash
+    (db_etl_upload/uploader.py) executed as oracles."""
+    from datetime import datetime, timedelta
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.hashing import (
+        row_hash_blake2,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.operators.trim import trim_end
+
+    class _CompatSet(set):
+        # pandas 2 rejects set column indexers; the reference's
+        # ``set(metrics).intersection(...)`` fed one to .loc under
+        # pandas 1.x — intersect to a sorted LIST, same members
+        def intersection(self, other):
+            return sorted(set(self) & set(other))
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/processors/trimmer.py",
+        ["trim_end"],
+        {"datetime": datetime, "timedelta": timedelta, "set": _CompatSet},
+    )
+    dates = [f"2021-02-{i:02d}" for i in range(1, 11)]
+    pdf = pd.DataFrame(
+        {
+            "date": dates,
+            "cases": [float(i) for i in range(10)],
+            "other": [float(i * 3) for i in range(10)],
+        }
+    )
+    ref_out = ns["trim_end"](pdf.copy(), ["cases", "ghost"], 5)
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        r["date"]: (r["cases"], r["other"])
+        for r in trim_end(sdf, ["cases", "ghost"], days_to_trim=5).collect()
+    }
+    for i, dt in enumerate(dates):
+        e = ref_out["cases"].iloc[i]
+        assert got[dt] == (
+            None if pd.isna(e) else e,
+            ref_out["other"].iloc[i],
+        ), dt
+
+    key = b"fourth-leg-key"
+    from hashlib import blake2s
+
+    ns3 = _load_ref_functions(
+        "/root/reference/db_etl_upload/uploader.py",
+        ["generate_row_hash"],
+        {"RECORD_KEY": key, "blake2s": blake2s},
+    )
+    hpdf = pd.DataFrame(
+        {
+            "date": ["2021-01-01", "2021-01-02T00:00:00"],
+            "area_type": ["ltla", "utla"],
+            "area_code": ["E1", "E2"],
+            "metric_id": [7, 8],
+            "release_id": [3, 3],
+        }
+    )
+    ref_hash = list(ns3["generate_row_hash"](hpdf.copy(), hash_only=True))
+    sdf3 = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "date": ["2021-01-01", "2021-01-02"],  # [:10] trim applied
+                "area_type": ["ltla", "utla"],
+                "area_code": ["E1", "E2"],
+                "metric_id": [7, 8],
+                "release_id": [3, 3],
+            }
+        )
+    )
+    got3 = [
+        r["hash"]
+        for r in row_hash_blake2(
+            sdf3,
+            ["date", "area_type", "area_code", "metric_id", "release_id"],
+            key=key,
+        )
+        .orderBy("area_code")
+        .collect()
+    ]
+    assert got3 == ref_hash
