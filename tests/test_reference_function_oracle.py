@@ -368,3 +368,70 @@ def test_trim_end_and_row_hash_match_reference_code(spark):
         .collect()
     ]
     assert got3 == ref_hash
+
+
+@given(
+    areas=st.dictionaries(
+        keys=st.sampled_from([("ltla", "E1"), ("ltla", "E2"), ("utla", "U9")]),
+        values=st.sets(st.integers(min_value=1, max_value=9), min_size=1, max_size=5),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_homogenise_dates_matches_reference_code(spark, areas):
+    """Reference homogenise_dates (db_etl/processors/homogenisation.py)
+    executed verbatim as oracle: the scaffold spans the GLOBAL min..max
+    date for every (areaType, areaCode) pair, however sparse each
+    area's own dates are."""
+    from itertools import product
+
+    from pandas import MultiIndex, concat, date_range, to_datetime, unique
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.homogenise import (
+        homogenise_dates,
+    )
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/processors/homogenisation.py",
+        ["homogenise_dates"],
+        {
+            "to_datetime": to_datetime,
+            "date_range": date_range,
+            "unique": unique,
+            "MultiIndex": MultiIndex,
+            "concat": concat,
+            "product": product,
+        },
+    )
+    rows = [
+        {
+            "areaType": at,
+            "areaCode": ac,
+            "date": f"2021-01-{d:02d}",
+            "cases": float(d),
+        }
+        for (at, ac), days in sorted(areas.items())
+        for d in sorted(days)
+    ]
+    pdf = pd.DataFrame(rows)
+    ref_out = ns["homogenise_dates"](pdf.copy())
+    expected = {
+        (r.areaType, r.areaCode, r.date.strftime("%Y-%m-%d")): (
+            None if pd.isna(r.cases) else r.cases
+        )
+        for r in ref_out.itertuples()
+    }
+
+    import pyspark.sql.functions as F
+
+    sdf = spark.createDataFrame(
+        pdf, "areaType string, areaCode string, date string, cases double"
+    )
+    got = {
+        (r.areaType, r.areaCode, r.date): r.cases
+        for r in homogenise_dates(sdf)
+        .withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+        .collect()
+    }
+    assert got == expected
