@@ -435,3 +435,109 @@ def test_homogenise_dates_matches_reference_code(spark, areas):
         .collect()
     }
     assert got == expected
+
+
+def test_calculate_rates_matches_reference_code(spark):
+    """Reference generic_rate.calculate_rates executed verbatim as
+    oracle: the leading-window min_count=0 zero-publication, the
+    SpecimenDate 5-day event mask, and the non-event global
+    last-valid-date mask, against the Spark calculate_rates.
+    Populations chosen so every rate is integer-exact (pandas round(1)
+    is half-even, Spark HALF_UP — irrelevant off the .05 boundary)."""
+    import collections
+    import logging
+    from datetime import datetime, timedelta
+    from typing import Iterable
+
+    from pandas import to_datetime
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rates import (
+        calculate_rates,
+    )
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/processors/generic_rate.py",
+        ["calculate_rates"],
+        {
+            "logging": logging,
+            "to_datetime": to_datetime,
+            "datetime": datetime,
+            "timedelta": timedelta,
+            "RATE_PER_POPULATION_FACTOR": 100_000,
+            "Iterable": Iterable,
+        },
+    )
+    PopData = collections.namedtuple("PopData", "general")
+    popdf = pd.DataFrame(
+        {"population": [1000.0, 2000.0]},
+        index=pd.Index(["E1", "E2"], name="areaCode"),
+    )
+
+    ev = {
+        "E1": [1, 2, 3, 4, 5, 6, 7, 8, 9, None, 11, 12, 13, 14, 15, 16],
+        "E2": [0] * 16,
+    }
+    cum = {
+        # E1 stops reporting at day 10; E2 at day 12 -> the GLOBAL
+        # last-valid mask cuts after day 12
+        "E1": [2, 2, 4, 4, 6, 6, 8, 8, 10, 10, None, None, None, None, None, None],
+        "E2": [1] * 12 + [None] * 4,
+    }
+    rows = []
+    for code in ("E1", "E2"):
+        for i in range(16):
+            rows.append(
+                {
+                    "areaType": "ltla",
+                    "areaCode": code,
+                    "date": f"2021-03-{i + 1:02d}",
+                    "newCasesBySpecimenDate": ev[code][i],
+                    "cumAdmissions": cum[code][i],
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    for c in ("newCasesBySpecimenDate", "cumAdmissions"):
+        pdf[c] = pdf[c].astype("float64")
+
+    ref_out = ns["calculate_rates"](
+        pdf.copy(),
+        PopData(general=popdf),
+        rolling_rate=["newCasesBySpecimenDate", "cumAdmissions"],
+        incidence_rate=[],
+        rate_per_n=100_000,
+    )
+    out_cols = [
+        "newCasesBySpecimenDateRollingSum",
+        "newCasesBySpecimenDateRollingRate",
+        "cumAdmissionsRollingSum",
+        "cumAdmissionsRollingRate",
+    ]
+
+    def clean(v):
+        return None if (v is None or (isinstance(v, float) and np.isnan(v))) else v
+
+    expected = {
+        (r["areaCode"], r["date"]): tuple(clean(r[c]) for c in out_cols)
+        for _, r in ref_out.iterrows()
+    }
+
+    sdf = spark.createDataFrame(
+        pdf.where(pdf.notna(), None),
+        "areaType string, areaCode string, date string, "
+        "newCasesBySpecimenDate double, cumAdmissions double",
+    )
+    pop_sdf = spark.createDataFrame(
+        popdf.reset_index(), "areaCode string, population double"
+    )
+    got = {
+        (r["areaCode"], r["date"]): tuple(r[c] for c in out_cols)
+        for r in calculate_rates(
+            sdf,
+            pop_sdf,
+            rolling_rate=["newCasesBySpecimenDate", "cumAdmissions"],
+            precision=1,
+        ).collect()
+    }
+    assert got == expected, {
+        k: (got[k], expected[k]) for k in got if got[k] != expected[k]
+    }
