@@ -541,3 +541,96 @@ def test_calculate_rates_matches_reference_code(spark):
     assert got == expected, {
         k: (got[k], expected[k]) for k in got if got[k] != expected[k]
     }
+
+
+def test_derived_trio_matches_reference_code(spark):
+    """negative_to_zero (db_etl/etl.py), ratio_to_percentage
+    (processors/converter.py), and calculate_by_adjacent_column
+    (processors/derived_metrics.py) executed as oracles. Ratio values
+    avoid the .05 rounding boundary (pandas half-even vs Spark
+    HALF_UP)."""
+    from coronavirus_dashboard_pipeline_etl_spark.operators.derived import (
+        calculate_by_adjacent_column,
+        negative_to_zero,
+        ratio_to_percentage,
+    )
+
+    # negative_to_zero: set the reference's configured metric list
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/etl.py",
+        ["negative_to_zero"],
+        {"NEGATIVE_TO_ZERO": ["newCases", "ghostMetric"]},
+    )
+    pdf = pd.DataFrame(
+        {
+            "id": range(5),
+            "newCases": [-3.0, 0.0, 4.0, -0.5, None],
+            "untouched": [-9.0] * 5,
+        }
+    )
+    ref_out = ns["negative_to_zero"](pdf.copy())
+    got = {
+        r["id"]: (r["newCases"], r["untouched"])
+        for r in negative_to_zero(
+            spark.createDataFrame(pdf), ["newCases", "ghostMetric"]
+        ).collect()
+    }
+    for i in range(5):
+        e = ref_out["newCases"].iloc[i]
+        assert got[i] == (
+            None if pd.isna(e) else e,
+            ref_out["untouched"].iloc[i],
+        ), i
+
+    # ratio_to_percentage
+    class _CompatSet(set):
+        def intersection(self, other):
+            return sorted(set(self) & set(other))
+
+    ns2 = _load_ref_functions(
+        "/root/reference/db_etl/processors/converter.py",
+        ["ratio_to_percentage"],
+        {"set": _CompatSet},
+    )
+    rpdf = pd.DataFrame({"id": range(4), "ratio": [0.123, 0.9991, None, 1.2]})
+    ref_pct = ns2["ratio_to_percentage"](rpdf.copy(), ["ratio", "nope"])
+    got_pct = {
+        r["id"]: r["ratio"]
+        for r in ratio_to_percentage(
+            spark.createDataFrame(rpdf), ["ratio", "nope"]
+        ).collect()
+    }
+    for i in range(4):
+        e = ref_pct["ratio"].iloc[i]
+        assert got_pct[i] == (None if pd.isna(e) else e), (i, got_pct[i], e)
+
+    # calculate_by_adjacent_column: fill the latest date's nulls from
+    # the per-area max of the source column
+    apdf = pd.DataFrame(
+        [
+            ("ltla", "E1", "2021-01-01", 5.0, None),
+            ("ltla", "E1", "2021-01-02", 9.0, None),
+            ("ltla", "E2", "2021-01-01", 3.0, 7.0),
+            ("ltla", "E2", "2021-01-02", 4.0, None),
+            ("ltla", "E3", "2021-01-02", None, None),  # no source at all
+        ],
+        columns=["areaType", "areaCode", "date", "src", "tgt"],
+    )
+    ns3 = _load_ref_functions(
+        "/root/reference/db_etl/processors/derived_metrics.py",
+        ["calculate_by_adjacent_column"],
+    )
+    ref_adj = ns3["calculate_by_adjacent_column"](apdf.copy(), tgt="src")
+    expected = {
+        (r.areaCode, r.date): (None if pd.isna(r.tgt) else r.tgt)
+        for r in ref_adj.itertuples()
+    }
+    sdf = spark.createDataFrame(
+        apdf.where(apdf.notna(), None),
+        "areaType string, areaCode string, date string, src double, tgt double",
+    )
+    got_adj = {
+        (r.areaCode, r.date): r.tgt
+        for r in calculate_by_adjacent_column(sdf, [("tgt", "src")]).collect()
+    }
+    assert got_adj == expected, (got_adj, expected)
