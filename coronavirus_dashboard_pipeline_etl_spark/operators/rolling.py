@@ -252,6 +252,12 @@ def cumulative_sum(
 
     pandas cumsum skips nulls (null in -> null out, running total keeps
     going), which is exactly ``sum over unboundedPreceding`` + null gate.
+
+    Output naming follows the reference's
+    ``metric.replace("new", "cum")`` (etl.py:944): ``newCases`` becomes
+    ``cumCases``, not ``cumNewCases``. Metrics without a ``new``
+    substring take the prefix-and-capitalise fallback (the reference
+    never feeds those; the fallback keeps the operator total).
     """
     metrics = sorted(set(metrics) & set(df.columns))
     w = (
@@ -260,7 +266,12 @@ def cumulative_sum(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     for m in metrics:
-        out = f"{prefix}{m[0].upper()}{m[1:]}" if not m.startswith(prefix) else m
+        if m.startswith(prefix):
+            out = m
+        elif prefix == "cum" and "new" in m:
+            out = m.replace("new", "cum")
+        else:
+            out = f"{prefix}{m[0].upper()}{m[1:]}"
         df = df.withColumn(
             out,
             F.when(F.col(m).isNotNull(), F.sum(F.col(m)).over(w)),

@@ -634,3 +634,49 @@ def test_derived_trio_matches_reference_code(spark):
         for r in calculate_by_adjacent_column(sdf, [("tgt", "src")]).collect()
     }
     assert got_adj == expected, (got_adj, expected)
+
+
+def test_calculate_cumulative_matches_reference_code(spark):
+    """calculate_cumulative (db_etl/etl.py) executed as oracle: per-area
+    running totals with pandas' skip-null semantics AND the reference's
+    new->cum output naming."""
+    import logging
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.rolling import (
+        cumulative_sum,
+    )
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/etl.py",
+        ["calculate_cumulative"],
+        {"logging": logging},
+    )
+    rows = []
+    for code, vals in (("E1", [1.0, None, 3.0, 0.0]), ("E2", [None, None, 5.0, 2.0])):
+        for i, v in enumerate(vals):
+            rows.append(
+                {
+                    "areaType": "ltla",
+                    "areaName": code.lower(),
+                    "areaCode": code,
+                    "date": f"2021-03-{i + 1:02d}",
+                    "newCases": v,
+                }
+            )
+    pdf = pd.DataFrame(rows)
+    ref_out = ns["calculate_cumulative"](pdf.copy(), ["newCases"])
+    assert "cumCases" in ref_out.columns  # the new->cum naming rule
+    expected = {
+        (r.areaCode, r.date): (None if pd.isna(r.cumCases) else r.cumCases)
+        for r in ref_out.itertuples()
+    }
+    sdf = spark.createDataFrame(
+        pdf.where(pdf.notna(), None),
+        "areaType string, areaName string, areaCode string, date string, "
+        "newCases double",
+    )
+    got = {
+        (r.areaCode, r.date): r.cumCases
+        for r in cumulative_sum(sdf, ["newCases"]).collect()
+    }
+    assert got == expected
