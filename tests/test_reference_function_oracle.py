@@ -680,3 +680,68 @@ def test_calculate_cumulative_matches_reference_code(spark):
         for r in cumulative_sum(sdf, ["newCases"]).collect()
     }
     assert got == expected
+
+
+def test_homogenise_demographics_matches_reference_code(spark):
+    """homogenise_demographics_dates (homogenisation.py:81-130)
+    executed verbatim as oracle for the WEEKLY scaffold with a nesting
+    key: every (areaType, areaCode, weekly-date, age) combination over
+    the global span exists exactly once, existing rows merge in."""
+    from itertools import product
+
+    from pandas import MultiIndex, concat, date_range, to_datetime, unique
+
+    import pyspark.sql.functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.homogenise import (
+        homogenise_dates,
+    )
+
+    ns = _load_ref_functions(
+        "/root/reference/db_etl/processors/homogenisation.py",
+        ["homogenise_demographics_dates"],
+        {
+            "to_datetime": to_datetime,
+            "date_range": date_range,
+            "unique": unique,
+            "MultiIndex": MultiIndex,
+            "concat": concat,
+            "product": product,
+        },
+    )
+    # Sundays 2021-02-07/14/21/28 lie in the span; rows exist sparsely
+    rows = [
+        ("ltla", "E1", "2021-02-07", "00_04", 1.0),
+        ("ltla", "E1", "2021-02-21", "05_09", 2.0),
+        ("ltla", "E2", "2021-02-14", "00_04", 3.0),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["areaType", "areaCode", "date", "age", "cases"]
+    )
+    ref_out = ns["homogenise_demographics_dates"](
+        pdf.copy(),
+        base_metrics=["areaType", "areaCode", "date", "age"],
+        nesting_param="age",
+        frequency="W",
+    )
+    expected = {
+        (r.areaType, r.areaCode, r.date.strftime("%Y-%m-%d"), r.age): (
+            None if pd.isna(r.cases) else r.cases
+        )
+        for r in ref_out.itertuples()
+    }
+
+    sdf = spark.createDataFrame(
+        pdf, "areaType string, areaCode string, date string, age string, "
+        "cases double",
+    )
+    got = {
+        (r.areaType, r.areaCode, r.date, r.age): r.cases
+        for r in homogenise_dates(sdf, frequency="W", extra_keys=["age"])
+        .withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+        .collect()
+    }
+    assert got == expected, (
+        f"spark-only={set(got) - set(expected)} "
+        f"ref-only={set(expected) - set(got)}"
+    )
