@@ -814,3 +814,73 @@ def canonical_url(col: Column | str) -> Column:
         ),
     )
     return F.when(scheme == "", c).otherwise(rebuilt)
+
+
+#: Unicode scripts profiled by ``script_profile``: output column ->
+#: Java regex class (Spark side). The DuckDB oracle uses the RE2
+#: spelling of the same property ([\p{Latin}] for [\p{IsLatin}]).
+SCRIPT_CLASSES = {
+    "n_latin": r"[\p{IsLatin}]",
+    "n_cyrillic": r"[\p{IsCyrillic}]",
+    "n_han": r"[\p{IsHan}]",
+    "n_arabic": r"[\p{IsArabic}]",
+    "n_greek": r"[\p{IsGreek}]",
+    "n_digit": r"[0-9]",
+}
+
+
+def script_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode-script distribution per document — the cheap structural
+    complement to marker-based lang-ID (``langid_scores``): stopword
+    markers can't see CJK/Arabic/Cyrillic text at all, but script
+    counts separate those corpora in one codegen'd pass. Adds one
+    BIGINT count per ``SCRIPT_CLASSES`` entry, plus ``dominant_script``
+    (the script with the most characters, ties to the first in
+    declaration order, ``none`` when every count is zero) and
+    ``script_purity`` (dominant count / total counted, NULL when
+    nothing counted).
+
+    All ``regexp_count`` expressions — JVM-side, no UDF, no shuffle;
+    DuckDB replays the same character classes via RE2's \\p{Script}
+    spelling, so the gate pins both the counts and the tie rules."""
+    c = F.col(text_col)
+    counts = {
+        name: F.coalesce(
+            F.regexp_count(c, F.lit(pat)), F.lit(0)
+        ).cast("long")
+        for name, pat in SCRIPT_CLASSES.items()
+    }
+    df = df.withColumns(counts)
+    total = None
+    for name in SCRIPT_CLASSES:
+        total = F.col(name) if total is None else total + F.col(name)
+    best = None
+    for name in SCRIPT_CLASSES:  # first-declared wins ties: strict >
+        cond = None
+        for other in SCRIPT_CLASSES:
+            if other == name:
+                continue
+            prior = list(SCRIPT_CLASSES).index(other) < list(
+                SCRIPT_CLASSES
+            ).index(name)
+            # beat later entries on >=, earlier entries on >
+            this = (
+                F.col(name) > F.col(other)
+                if prior
+                else F.col(name) >= F.col(other)
+            )
+            cond = this if cond is None else cond & this
+        label = F.when(cond & (F.col(name) > 0), F.lit(name[2:]))
+        best = label if best is None else F.coalesce(best, label)
+    return df.withColumns(
+        {
+            "dominant_script": F.coalesce(best, F.lit("none")),
+            "script_purity": F.when(
+                total > 0,
+                F.greatest(
+                    *[F.col(n) for n in SCRIPT_CLASSES]
+                ).cast("double")
+                / total.cast("double"),
+            ),
+        }
+    )

@@ -11000,3 +11000,80 @@ GROUP BY k.lang
 
 QUERIES["pipe18_crawl_curation"] = pipe18_crawl_curation
 ORACLE["pipe18_crawl_curation"] = PIPE18_SQL
+
+
+def t11_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-script profiling (functions.text.script_profile):
+    deterministic multilingual text per document — Latin+digits,
+    Cyrillic-dominant, Han+Greek, and an Arabic/Han TIE (resolved to
+    han, the earlier SCRIPT_CLASSES declaration) — profiled into
+    per-script counts, dominant_script and script_purity, all JVM
+    regexp_count. The oracle rebuilds identical codepoints with chr()
+    and replays the counts with RE2's \\p{Script} classes plus the
+    ordered-CASE tie rule, so class membership AND the tie order are
+    pinned cross-engine."""
+    from ..functions.text import script_profile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m4 = F.col("doc_id") % 4
+    body = (
+        F.when(m4 == 0, F.lit("hello world "))
+        .when(m4 == 1, F.lit('пппп abc '))
+        .when(m4 == 2, F.lit('你你你γγ '))
+        .otherwise(F.lit('ممممم你你你你你 '))
+    )
+    text = F.concat(body, (F.col("doc_id") % 100).cast("string"))
+    out = script_profile(docs.withColumn("text", text))
+    return out.select(
+        "doc_id", "n_latin", "n_cyrillic", "n_han", "n_arabic",
+        "n_greek", "n_digit", "dominant_script", "script_purity",
+    )
+
+
+T11_SQL = r"""
+WITH t AS (
+    SELECT doc_id,
+           (CASE doc_id % 4
+              WHEN 0 THEN 'hello world '
+              WHEN 1 THEN repeat(chr(1087), 4) || ' abc '
+              WHEN 2 THEN repeat(chr(20320), 3) || repeat(chr(947), 2) || ' '
+              ELSE repeat(chr(1605), 5) || repeat(chr(20320), 5) || ' '
+            END) || CAST(doc_id % 100 AS VARCHAR) AS txt
+    FROM documents
+),
+c AS (
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(txt, '[\p{Latin}]')) AS BIGINT) AS n_latin,
+           CAST(len(regexp_extract_all(txt, '[\p{Cyrillic}]')) AS BIGINT) AS n_cyrillic,
+           CAST(len(regexp_extract_all(txt, '[\p{Han}]')) AS BIGINT) AS n_han,
+           CAST(len(regexp_extract_all(txt, '[\p{Arabic}]')) AS BIGINT) AS n_arabic,
+           CAST(len(regexp_extract_all(txt, '[\p{Greek}]')) AS BIGINT) AS n_greek,
+           CAST(len(regexp_extract_all(txt, '[0-9]')) AS BIGINT) AS n_digit
+    FROM t
+)
+SELECT doc_id, n_latin, n_cyrillic, n_han, n_arabic, n_greek, n_digit,
+       CASE
+         WHEN n_latin > 0 AND n_latin >= n_cyrillic AND n_latin >= n_han
+              AND n_latin >= n_arabic AND n_latin >= n_greek
+              AND n_latin >= n_digit THEN 'latin'
+         WHEN n_cyrillic > 0 AND n_cyrillic >= n_han AND n_cyrillic >= n_arabic
+              AND n_cyrillic >= n_greek AND n_cyrillic >= n_digit THEN 'cyrillic'
+         WHEN n_han > 0 AND n_han >= n_arabic AND n_han >= n_greek
+              AND n_han >= n_digit THEN 'han'
+         WHEN n_arabic > 0 AND n_arabic >= n_greek AND n_arabic >= n_digit
+              THEN 'arabic'
+         WHEN n_greek > 0 AND n_greek >= n_digit THEN 'greek'
+         WHEN n_digit > 0 THEN 'digit'
+         ELSE 'none'
+       END AS dominant_script,
+       CASE WHEN n_latin + n_cyrillic + n_han + n_arabic + n_greek + n_digit > 0
+            THEN CAST(GREATEST(n_latin, n_cyrillic, n_han, n_arabic, n_greek,
+                               n_digit) AS DOUBLE)
+                 / CAST(n_latin + n_cyrillic + n_han + n_arabic + n_greek
+                        + n_digit AS DOUBLE)
+       END AS script_purity
+FROM c
+"""
+
+QUERIES["t11_script_profile"] = t11_script_profile
+ORACLE["t11_script_profile"] = T11_SQL

@@ -231,3 +231,34 @@ def test_canonical_url_rules(spark):
     got = {r.id: r.c for r in df.select("id", canonical_url("url").alias("c")).collect()}
     for i, _, want in rows:
         assert got[i] == want, (i, got[i], want)
+
+
+def test_script_profile_counts_and_ties(spark):
+    """script_profile (text.py): per-script counts, dominant_script
+    with first-declared tie rule, purity; NULL/no-script -> none."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        script_profile,
+    )
+
+    rows = [
+        (1, "hello world 123"),
+        (2, "ппппп abc"),
+        (3, "你你你"),
+        (4, "!!! ..."),
+        (5, None),
+        (6, "abcγγγ"),  # 3-3 tie -> latin (declared first)
+        (7, "مم你你"),  # 2-2 tie -> han (declared first)
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {
+        r.id: (r.n_latin, r.n_cyrillic, r.n_han, r.n_arabic, r.n_greek,
+               r.n_digit, r.dominant_script, r.script_purity)
+        for r in script_profile(df).collect()
+    }
+    assert got[1] == (10, 0, 0, 0, 0, 3, "latin", 10 / 13)
+    assert got[2][:2] == (3, 5) and got[2][6] == "cyrillic"
+    assert got[3][6] == "han" and got[3][7] == 1.0
+    assert got[4][6] == "none" and got[4][7] is None
+    assert got[5][6] == "none" and got[5][7] is None
+    assert got[6][6] == "latin" and got[6][7] == 0.5
+    assert got[7][6] == "han"
