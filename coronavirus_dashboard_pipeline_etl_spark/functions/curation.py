@@ -1021,12 +1021,14 @@ def priority_sample(
     # 2^60 zero draw by clamping to 1 (both engines, same clamp)
     u = F.greatest(u, F.lit(1))
     wv = F.col(weight_col).cast("double")
-    # NULL / negative: loud raise (silent inclusion-probability
-    # corruption is worse than a failed job). Zero: filtered below —
-    # a zero weight means "never select", which the filter implements
-    # exactly and deterministically.
+    # NULL / NaN / negative: loud raise (silent inclusion-probability
+    # corruption is worse than a failed job — and NaN would sail
+    # through a < 0 check, then rank FIRST under desc ordering because
+    # Spark sorts NaN above every finite double). Zero: filtered below
+    # — a zero weight means "never select", which the filter
+    # implements exactly and deterministically.
     wv = F.when(
-        wv.isNull() | (wv < 0),
+        wv.isNull() | F.isnan(wv) | (wv < 0),
         F.raise_error(
             F.concat(
                 F.lit(f"priority_sample: {weight_col} must be >= 0, got "),

@@ -969,6 +969,13 @@ def dedup_incremental(
     )
 
 
+#: rolling-release registry for minhash_probe_pairs' default mode:
+#: id(SparkContext) -> (weakref to the context, RDD ids the LAST
+#: default-mode probe pinned). The next probe on the same context
+#: releases them (see the lifecycle note in the docstring).
+_PROBE_PINNED: dict[int, tuple] = {}
+
+
 def minhash_probe_pairs(
     batch: DataFrame,
     corpus: DataFrame,
@@ -1015,19 +1022,22 @@ def minhash_probe_pairs(
     The candidate-pair frame is materialised with a lazy
     ``localCheckpoint`` (three consumers would otherwise re-execute
     the corpus signature build). Checkpoint blocks are session-pinned
-    by Spark, so the SAFE behavior is the default here: the blocks are
-    released automatically when the returned DataFrame is garbage
-    collected (a ``weakref.finalize`` on the result — a long-lived
-    driver running one probe per batch leaks nothing just by dropping
-    each batch's result). Consume the result before dropping it, and
-    do NOT keep frames DERIVED from it past the result's lifetime:
-    localCheckpoint truncates lineage, so a derived frame executed
-    after release fails loudly with missing-block errors rather than
-    recomputing. Pass ``cache_out=[]`` to take ownership instead (the
-    finalizer is then NOT attached and release is the caller's job —
-    the ``dedup_components`` rolling-release protocol). The call-time
-    before/after id snapshot shares the single-threaded-session
-    contract documented on ``graph._persistent_rdd_ids``.
+    by Spark, so the SAFE default is a ROLLING release: each
+    default-mode probe call releases the PREVIOUS call's checkpoint
+    blocks before pinning its own — a long-lived driver running one
+    probe per batch holds at most one probe's blocks, with no
+    garbage-collector timing in the loop (a GC-finalizer variant was
+    tried and rejected: ``probe(...).filter(...)`` drops the
+    intermediate immediately, and localCheckpoint lineage is
+    truncated, so releasing at GC crashed ordinary method chains).
+    Contract: finish consuming one probe's result (and everything
+    derived from it) BEFORE issuing the next probe on the same
+    SparkContext. Pass ``cache_out=[]`` to take ownership instead
+    (the call then neither releases prior blocks nor registers its
+    own — the ``dedup_components`` rolling-release protocol applies).
+    The call-time before/after id snapshot shares the
+    single-threaded-session contract documented on
+    ``graph._persistent_rdd_ids``.
     """
     if bands < 1 or k % bands:
         raise ValueError(
@@ -1074,6 +1084,10 @@ def minhash_probe_pairs(
     from .graph import _persistent_rdd_ids, _release_rdds
 
     sc = batch.sparkSession.sparkContext
+    if cache_out is None:
+        prev = _PROBE_PINNED.pop(id(sc), None)
+        if prev is not None and prev[0]() is sc:
+            _release_rdds(sc, prev[1])
     before = _persistent_rdd_ids(sc)
     cand = (
         band_rows(sig_b, "new_id")
@@ -1114,16 +1128,16 @@ def minhash_probe_pairs(
         .select("new_id", "old_id", (inter / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
-    # Safe-by-default lifecycle: when the caller has NOT taken
-    # ownership via cache_out, release this probe's checkpoint blocks
-    # as soon as the result frame is garbage collected — one probe per
-    # batch in a long-lived driver then never accumulates pinned
-    # candidate-pair blocks (r8 advice). unpersist on a stopped
-    # context is swallowed by _release_rdds.
+    # Safe-by-default lifecycle: register this probe's blocks so the
+    # NEXT default-mode probe on this context releases them — one
+    # probe per batch in a long-lived driver then never accumulates
+    # pinned candidate-pair blocks (r8 advice), and nothing depends on
+    # garbage-collection timing. The weakref guards against an id()
+    # collision after the original context is collected.
     if cache_out is None and pinned:
         import weakref
 
-        weakref.finalize(result, _release_rdds, sc, pinned)
+        _PROBE_PINNED[id(sc)] = (weakref.ref(sc), pinned)
     return result
 
 
@@ -1629,6 +1643,14 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
+    if max_pos > 1 << 20:
+        # the position field is FIXED at 20 bits (the shiftright/mod
+        # decode below) — a larger cap would not widen it, it would
+        # silently wrap positions into the hash bits
+        raise ValueError(
+            f"max_pos={max_pos} exceeds the 20-bit position encoding "
+            f"(max {1 << 20}); chunk longer documents instead"
+        )
     toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
     n_grams = F.size(toks) - k + 1
     n_grams = F.when(

@@ -725,9 +725,21 @@ def bpe_encode(
 # Unicode hygiene: the cleanup-pass regex classes, shared verbatim by
 # the Spark expressions and the DuckDB oracle (both RE2-compatible and
 # Java-regex-compatible spellings — \x{...} works in both engines).
-_CONTROL_CLASS = r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]"
+# C1 controls (U+0080-009F) are stripped EXCEPT U+0085 (NEL), which is
+# a line break and therefore collapses as whitespace instead; the
+# whitespace class also carries the non-\s Unicode separators Java \s
+# misses without UNICODE_CHARACTER_CLASS (NBSP, OGHAM SPACE MARK, the
+# U+2000 block, LINE/PARAGRAPH SEPARATOR, narrow/math/ideographic
+# spaces).
+_CONTROL_CLASS = (
+    r"[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}"
+    r"\x{80}-\x{84}\x{86}-\x{9F}]"
+)
 _ZERO_WIDTH_CLASS = r"[\x{200B}-\x{200D}\x{FEFF}]"
-_WS_CLASS = r"[\s\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+"
+_WS_CLASS = (
+    r"[\s\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}"
+    r"\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+"
+)
 
 
 def normalize_text(
@@ -789,16 +801,23 @@ def canonical_url(col: Column | str) -> Column:
     credentialed URLs), wrong for a general-purpose URL library.
     """
     c = F.col(col) if isinstance(col, str) else col
-    scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    hostport = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    # fragment OFF first ((?s): a pathological fragment may span
+    # lines): every later extract runs on the fragment-free string —
+    # an unanchored query extract on the raw URL would misread
+    # 'page#frag?x=1' as carrying the query 'x=1'
+    nofrag = F.regexp_replace(c, r"(?s)#.*", "")
+    scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
     host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
     port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))
     )
-    path = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
-    query = F.regexp_extract(c, r"\?([^#]*)", 1)
+    path = F.regexp_extract(
+        nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    query = F.regexp_extract(nofrag, r"\?([^#]*)", 1)
     sorted_q = F.array_join(
         F.array_sort(F.filter(F.split(query, "&"), lambda p: p != F.lit(""))),
         "&",

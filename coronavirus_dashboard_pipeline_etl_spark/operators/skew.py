@@ -154,6 +154,13 @@ def adaptive_join(
     decision is deterministic for a fixed input layout (md5 sample, no
     RNG — see ``probe_hot_keys`` for the exact contract), so re-runs of
     the same job produce the same plan.
+
+    LIMITATION (inherited from the deterministic salt): without
+    ``unique_cols``, byte-identical duplicated rows co-bucket, so a hot
+    key whose mass IS duplication gets replication cost with no
+    spreading — pass ``unique_cols`` (any unique id) on corpora where
+    mass-duplicated rows are plausible; ``probe_hot_keys`` firing on
+    such a corpus without it leaves the straggler unsplit.
     """
     on = list(on)
     if probe_hot_keys(big, on, hot_threshold, sample_one_in=sample_one_in):

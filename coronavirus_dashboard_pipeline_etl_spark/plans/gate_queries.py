@@ -10197,22 +10197,35 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     successive-approximation coefficient accumulation, shared
     dequant/IDCT). Per-block-constant input under quant=1 is DC-only,
     so the decode is BIT-EXACT and the oracle replays the block
-    formula in SQL: any bug in scan sequencing, DC shift/refine-OR,
-    EOB-run bookkeeping, or band bounds perturbs decoded pixels and
-    fails the value hash. (functions/multimodal.py _progressive_scan /
-    build_jpeg_progressive / decode_images.)"""
+    formula in SQL (pinning scan sequencing and DC shift/refine-OR);
+    a second NOISY 8x8 leg per document decodes nonzero-AC content
+    through both the progressive and the baseline scan structures and
+    the oracle pins their equality, so AC coefficient placement,
+    EOB-run bookkeeping, the refinement correction-bit weave, and
+    band bounds are ALSO load-bearing in-gate.
+    (functions/multimodal.py _progressive_scan /
+    build_jpeg_progressive.)"""
     import numpy as np
     import pandas as pd
 
-    from ..functions.multimodal import build_jpeg_progressive, decode_images
+    from ..functions.multimodal import (
+        _parse_jpeg,
+        _rgb_mean_luma,
+        build_jpeg,
+        build_jpeg_progressive,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
 
-    def build(batches):
+    def build_and_decode(batches):
+        # ONE pass: encode + decode inline via the same _parse_jpeg the
+        # decode_images stage dispatches to (its Arrow plumbing is
+        # already pinned by m2/m6-m9); a decode_images + join shape
+        # would re-execute this builder once per branch
         for pdf in batches:
-            contents = []
+            recs = []
             for dd in pdf["media_id"]:
                 dd = int(dd)
                 w, h = 8 * (1 + dd % 3), 8 * (1 + dd % 2)
@@ -10225,17 +10238,40 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dtype=np.uint8,
                 ).reshape(h // 8, bw)
                 px = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
-                contents.append(build_jpeg_progressive(w, h, px.reshape(-1)))
+                gw, gh, rgb = _parse_jpeg(
+                    build_jpeg_progressive(w, h, px.reshape(-1))
+                )
+                # nonzero-AC leg: an 8x8 NOISY block decoded through
+                # BOTH scan structures — constant blocks alone leave
+                # every AC path (coefficient placement, EOB runs,
+                # refinement weave) unexercised in-gate; the equality
+                # flag is pinned TRUE by the oracle, so any divergence
+                # in those paths fails the gate
+                noisy = (
+                    (dd * 31 + np.arange(64) * 13) % 256
+                ).astype(np.uint8)
+                _, _, prog = _parse_jpeg(build_jpeg_progressive(8, 8, noisy))
+                _, _, base = _parse_jpeg(build_jpeg(8, 8, noisy))
+                recs.append(
+                    (
+                        dd, "image", gw, gh, gw * gh,
+                        _rgb_mean_luma(gw, gh, rgb),
+                        bool(np.array_equal(prog, base)),
+                    )
+                )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": "image",
-                    "content": contents,
-                }
+                recs,
+                columns=[
+                    "media_id", "kind", "width", "height", "n_pixels",
+                    "mean_luma", "prog_matches_baseline",
+                ],
             )
 
-    media = docs.mapInPandas(build, "media_id long, kind string, content binary")
-    return decode_images(media)
+    return docs.mapInPandas(
+        build_and_decode,
+        "media_id long, kind string, width int, height int, "
+        "n_pixels long, mean_luma double, prog_matches_baseline boolean",
+    )
 
 
 M10_SQL = """
@@ -10252,7 +10288,8 @@ SELECT CAST(doc_id AS BIGINT) AS media_id,
        CAST(w * h AS BIGINT) AS n_pixels,
        CAST(64 * list_sum(list_transform(range(0, (w // 8) * (h // 8)),
             b -> (doc_id * 17 + b * 11) % 256)) AS DOUBLE)
-       / CAST(w * h AS DOUBLE) AS mean_luma
+       / CAST(w * h AS DOUBLE) AS mean_luma,
+       TRUE AS prog_matches_baseline
 FROM p
 """
 
@@ -10640,15 +10677,15 @@ WITH dirty AS (
 SELECT doc_id,
        trim(regexp_replace(regexp_replace(regexp_replace(
             nfc_normalize(d),
-            '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+            '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{80}-\x{84}\x{86}-\x{9F}]', '', 'g'),
             '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
-            '[\s\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
+            '[\s\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+', ' ', 'g'))
          AS clean,
        CAST(length(trim(regexp_replace(regexp_replace(regexp_replace(
             nfc_normalize(d),
-            '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+            '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}\x{80}-\x{84}\x{86}-\x{9F}]', '', 'g'),
             '[\x{200B}-\x{200D}\x{FEFF}]', '', 'g'),
-            '[\s\x{00A0}\x{2000}-\x{200A}\x{202F}\x{205F}\x{3000}]+', ' ', 'g')))
+            '[\s\x{85}\x{A0}\x{1680}\x{2000}-\x{200A}\x{2028}\x{2029}\x{202F}\x{205F}\x{3000}]+', ' ', 'g')))
          AS BIGINT) AS n_chars_clean
 FROM dirty
 """
@@ -10718,11 +10755,11 @@ WITH u AS (
 ),
 parts AS (
     SELECT doc_id, url,
-           lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-           regexp_extract(url, '\\?([^#]*)', 1) AS query
-    FROM u
+           lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+    FROM (SELECT *, regexp_replace(url, '(?s)#.*', '') AS nofrag FROM u)
 ),
 canon AS (
     SELECT doc_id, url, scheme, path,
@@ -10918,11 +10955,11 @@ WITH u AS (
     FROM documents
 ),
 parts AS (
-    SELECT *, lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
-           regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
-           regexp_extract(url, '\\?([^#]*)', 1) AS query
-    FROM u
+    SELECT *, lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS hostport,
+           regexp_extract(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+           regexp_extract(nofrag, '\\?([^#]*)', 1) AS query
+    FROM (SELECT *, regexp_replace(url, '(?s)#.*', '') AS nofrag FROM u)
 ),
 canon AS (
     SELECT doc_id, text, lang,
@@ -10941,9 +10978,9 @@ url_kept AS (
     SELECT doc_id, lang,
            trim(regexp_replace(regexp_replace(regexp_replace(
                nfc_normalize(text),
-               '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}]', '', 'g'),
+               '[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}\\x{7F}\\x{80}-\\x{84}\\x{86}-\\x{9F}]', '', 'g'),
                '[\\x{200B}-\\x{200D}\\x{FEFF}]', '', 'g'),
-               '[\\s\\x{00A0}\\x{2000}-\\x{200A}\\x{202F}\\x{205F}\\x{3000}]+', ' ', 'g'))
+               '[\\s\\x{85}\\x{A0}\\x{1680}\\x{2000}-\\x{200A}\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+', ' ', 'g'))
              AS tn
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY doc_id) AS rn
           FROM canon)

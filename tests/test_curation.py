@@ -1008,6 +1008,13 @@ def test_third_review_guards_and_checksum_injectivity(spark):
     )
     with _pytest.raises(Exception, match="must be >= 0"):
         priority_sample(rows_neg, k=1, weight_col="w").collect()
+    # NaN would pass a < 0 check and then SORT FIRST (Spark ranks NaN
+    # above every finite double) — it must raise, not win the sample
+    rows_nan = spark.createDataFrame(
+        [Row(doc_id=1, w=2.0), Row(doc_id=2, w=float("nan"))]
+    )
+    with _pytest.raises(Exception, match="must be >= 0"):
+        priority_sample(rows_nan, k=1, weight_col="w").collect()
     rows_zero = spark.createDataFrame(
         [Row(doc_id=1, w=2.0), Row(doc_id=2, w=0.0)]
     )

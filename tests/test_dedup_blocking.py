@@ -607,25 +607,40 @@ def test_review_fix_guards(spark):
     out.count()
     assert len(handles) == 1
 
-    # default lifecycle: the probe's checkpoint blocks are released
-    # when the result frame is dropped (weakref finalizer) — a
-    # long-lived one-probe-per-batch driver leaks nothing
-    import gc
-
+    # default lifecycle: ROLLING release — each default-mode probe
+    # releases the previous probe's checkpoint blocks, so a long-lived
+    # one-probe-per-batch driver holds at most one probe's blocks and
+    # no release ever depends on garbage-collection timing
     from coronavirus_dashboard_pipeline_etl_spark.functions.graph import (
         _persistent_rdd_ids,
     )
 
     sc = spark.sparkContext
     before = _persistent_rdd_ids(sc)
-    out2 = minhash_probe_pairs(df, df, k=16, bands=4)
-    out2.count()  # materialise the lazy checkpoint
+    # method CHAINING off the result must be safe (the GC-finalizer
+    # design this replaced crashed here: the intermediate was
+    # collected and its truncated-lineage blocks released before the
+    # derived frame ran)
+    import pyspark.sql.functions as _F
+
+    chained = minhash_probe_pairs(df, df, k=16, bands=4).filter(
+        _F.col("jaccard") >= 0.0
+    )
+    assert chained.count() >= 0
     during = _persistent_rdd_ids(sc)
     assert during - before, "probe should pin checkpoint blocks"
-    del out2
-    gc.collect()
-    after = _persistent_rdd_ids(sc)
-    assert after - before == set(), f"leaked RDD ids: {after - before}"
+    out3 = minhash_probe_pairs(df, df, k=16, bands=4)
+    out3.count()
+    after2 = _persistent_rdd_ids(sc)
+    # the first probe's blocks are gone; only the second's remain
+    assert (during - before) & after2 == set(), "previous probe leaked"
+    assert after2 - before, "current probe should hold its own blocks"
+    # a cache_out (ownership) call must NOT release the default-mode
+    # probe's still-registered blocks
+    own: list = []
+    out4 = minhash_probe_pairs(df, df, k=16, bands=4, cache_out=own)
+    out4.count()
+    assert (after2 - before) <= (_persistent_rdd_ids(sc) or set())
 
 
 def test_winnow_fingerprints_selection_and_pairs(spark):
@@ -688,3 +703,7 @@ def test_winnow_fingerprints_selection_and_pairs(spark):
         winnow_fingerprints(df, k=5, w=4, max_pos=8).collect()
     with _pytest.raises(ValueError, match="must be >= 1"):
         winnow_fingerprints(df, k=0)
+    # the position field is FIXED at 20 bits: a larger cap cannot be
+    # honoured and must be rejected, not silently wrap
+    with _pytest.raises(ValueError, match="20-bit position encoding"):
+        winnow_fingerprints(df, max_pos=1 << 21)

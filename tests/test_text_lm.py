@@ -199,6 +199,16 @@ def test_normalize_text_unicode_hygiene(spark):
     df = spark.createDataFrame(rows, "id long, text string")
     got = {r.id: r.text_norm for r in normalize_text(df).collect()}
     assert got[1] == "Café a b cd"
+    # C1 controls strip; NEL (U+0085) and LINE SEPARATOR (U+2028)
+    # collapse as whitespace (the documented hygiene contract)
+    extra = spark.createDataFrame(
+        [(10, "a\x9bb"), (11, "a\u0085b"), (12, "a\u2028b\u1680c")],
+        "id long, text string",
+    )
+    got2 = {r.id: r.text_norm for r in normalize_text(extra).collect()}
+    assert got2[10] == "ab"
+    assert got2[11] == "a b"
+    assert got2[12] == "a b c"
     assert len(got[1].split()[0]) == 4  # é is ONE composed codepoint
     assert got[2] is None
     assert got[3] == "already clean"
@@ -224,6 +234,9 @@ def test_canonical_url_rules(spark):
         (6, "ftp://Site.Org:21/x", "ftp://site.org:21/x"),
         (7, "https://h.io/p?&&", "https://h.io/p"),  # all-empty query
         (8, None, None),
+        # '?' INSIDE the fragment is fragment content, not a query
+        (9, "https://a.com/p#frag?x=1", "https://a.com/p"),
+        (10, "https://a.com/p?a=1#f?b=2", "https://a.com/p?a=1"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in rows], "id long, url string"
