@@ -409,14 +409,18 @@ def main() -> None:
         "unit": "sec",
         "complete": not errors,
         "queries": timings,
-        "queries_calibrated": calibrated,
+        # when the calibration model is suspect the scaled per-query
+        # numbers are as untrustworthy as the total — null them too,
+        # so no downstream reader mistakes them for real (mirrors the
+        # calibrated_total handling)
+        "queries_calibrated": None if suspect else calibrated,
         "calibrated_total": (
             None
             if (errors or suspect)
             else round(sum(calibrated.values()), 3)
         ),
         "calibration_suspect": suspect,
-        "host_factor": round(host_factor, 4),
+        "host_factor": None if suspect else round(host_factor, 4),
         "host_factor_spark": None if f_spark is None else round(f_spark, 4),
         "calibration": calibration,
         "ref_probe_numpy_sec": REF_PROBE_NUMPY_SEC,
@@ -428,6 +432,8 @@ def main() -> None:
             "numpy- and spark-implied host factors disagree beyond "
             f"{CALIBRATION_AGREEMENT}x; raw timings govern this run"
         )
+        # diagnostics only — the name says it can't be trusted
+        out["host_factor_numpy_distrusted"] = round(f_numpy, 4)
     if errors:
         out["errors"] = errors
         out["partial_total"] = total

@@ -1456,6 +1456,13 @@ def _parse_jpeg(buf: bytes) -> tuple[int, int, "object"]:
     while pos + 2 <= len(buf):
         if buf[pos] != 0xFF:
             raise ValueError(f"JPEG: bad marker byte at {pos}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes — skip them so padded third-party files parse
+        # instead of reading 0xFF as the marker code
+        while pos + 2 <= len(buf) and buf[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 2 > len(buf):
+            raise ValueError("JPEG: truncated at fill bytes")
         marker = buf[pos + 1]
         if marker == 0xD9:  # EOI
             break

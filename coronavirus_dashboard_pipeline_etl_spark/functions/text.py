@@ -785,6 +785,14 @@ def canonical_url(col: Column | str) -> Column:
     ANSI-ish SQL so the gate verifies it value-for-value:
 
     * scheme and host lowercase;
+    * userinfo stripped (``user:pass@host`` keys as ``host`` — the
+      same page credentialed or not is ONE page; the host starts after
+      the LAST ``@`` in the authority, the WHATWG parser's rule, so a
+      raw ``@`` inside sloppy userinfo can't truncate the host);
+    * bracketed IPv6 hosts kept whole (``[::1]:8080`` keeps host
+      ``[::1]`` and port ``8080`` — a colon-naive split would key on
+      ``[``); unbracketed IPv6 is not legal in a URL authority and
+      stays out of contract;
     * default port dropped (``:80`` for http, ``:443`` for https;
       other ports kept);
     * empty path becomes ``/``;
@@ -795,10 +803,7 @@ def canonical_url(col: Column | str) -> Column:
 
     Non-URL strings (no ``scheme://host``) come back unchanged — a
     canonicaliser that nulls unparseable rows silently shrinks the
-    corpus. Known simplification: a userinfo component
-    (``user@host``) is treated as part of the authority and lowercased
-    with it — acceptable for crawl dedup keys (crawlers don't fetch
-    credentialed URLs), wrong for a general-purpose URL library.
+    corpus.
     """
     c = F.col(col) if isinstance(col, str) else col
     # fragment OFF first ((?s): a pathological fragment may span
@@ -808,8 +813,12 @@ def canonical_url(col: Column | str) -> Column:
     nofrag = F.regexp_replace(c, r"(?s)#.*", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    host = F.lower(F.regexp_extract(hostport, r"^([^:]*)", 1))
-    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    # userinfo OFF (greedy: host begins after the LAST '@'), then a
+    # bracket-aware host extract so '[::1]:8080' splits at the right
+    # colon instead of the first one
+    hp = F.regexp_replace(hostport, r"^.*@", "")
+    host = F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\]|[^:]*)", 1))
+    port = F.regexp_extract(hp, r":([0-9]+)$", 1)
     keep_port = (port != "") & ~(
         ((scheme == "http") & (port == "80"))
         | ((scheme == "https") & (port == "443"))

@@ -10705,8 +10705,11 @@ ORACLE["t9_unicode_normalise"] = T9_SQL
 def t10_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalisation (functions.text.canonical_url): synthetic
     crawl URLs per document cover every rule — uppercase scheme/host,
-    default vs non-default ports on both schemes, empty paths, unsorted
-    and duplicate-bearing query strings with empty params, fragments —
+    userinfo (including a colon-bearing ``u:p@`` and a raw-``@``
+    ``A@B@`` that exercises the host-after-LAST-@ rule), bracketed
+    IPv6 hosts, default vs non-default ports on both schemes, empty
+    paths, unsorted and duplicate-bearing query strings with empty
+    params, fragments —
     all canonicalised by pure JVM expressions (regexp_extract +
     array_sort, no UDF). The oracle rebuilds the same URLs and replays
     every rule in DuckDB (list_sort over split params), so the two
@@ -10717,11 +10720,18 @@ def t10_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     m3 = F.col("doc_id") % 3
     m4 = F.col("doc_id") % 4
     m2 = F.col("doc_id") % 2
+    m6 = F.col("doc_id") % 6
     scheme = (
         F.when(m3 == 0, "http://").when(m3 == 1, "HTTPS://").otherwise("https://")
     )
-    host = F.concat(F.lit("WWW.Site"), (F.col("doc_id") % 5).cast("string"),
-                    F.lit(".ORG"))
+    user = (
+        F.when(m6 == 0, F.lit("u:p@")).when(m6 == 1, F.lit("A@B@"))
+        .otherwise(F.lit(""))
+    )
+    host = F.when(F.col("doc_id") % 7 == 0, F.lit("[2001:DB8::1]")).otherwise(
+        F.concat(F.lit("WWW.Site"), (F.col("doc_id") % 5).cast("string"),
+                 F.lit(".ORG"))
+    )
     port = (
         F.when(m4 == 0, ":80").when(m4 == 1, ":443").when(m4 == 2, ":8080")
         .otherwise("")
@@ -10736,7 +10746,7 @@ def t10_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(""))
     )
     frag = F.when(m2 == 0, F.concat(F.lit("#s"), F.col("doc_id").cast("string"))).otherwise(F.lit(""))
-    url = F.concat(scheme, host, port, path, query, frag)
+    url = F.concat(scheme, user, host, port, path, query, frag)
     return docs.select(
         "doc_id",
         url.alias("url"),
@@ -10749,7 +10759,10 @@ WITH u AS (
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'http://' WHEN 1 THEN 'HTTPS://'
                 ELSE 'https://' END
-           || 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG'
+           || CASE doc_id % 6 WHEN 0 THEN 'u:p@' WHEN 1 THEN 'A@B@'
+                ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '[2001:DB8::1]'
+                ELSE 'WWW.Site' || CAST(doc_id % 5 AS VARCHAR) || '.ORG' END
            || CASE doc_id % 4 WHEN 0 THEN ':80' WHEN 1 THEN ':443'
                 WHEN 2 THEN ':8080' ELSE '' END
            || CASE doc_id % 2 WHEN 0
@@ -10771,12 +10784,12 @@ parts AS (
 ),
 canon AS (
     SELECT doc_id, url, scheme, path,
-           lower(regexp_extract(hostport, '^([^:]*)', 1)) AS host,
-           regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+           lower(regexp_extract(hp, '^(\\[[^\\]]*\\]|[^:]*)', 1)) AS host,
+           regexp_extract(hp, ':([0-9]+)$', 1) AS port,
            array_to_string(
                list_sort(list_filter(string_split(query, '&'), p -> p <> '')),
                '&') AS sorted_q
-    FROM parts
+    FROM (SELECT *, regexp_replace(hostport, '^.*@', '') AS hp FROM parts)
 )
 SELECT doc_id, url,
        scheme || '://' || host
@@ -10971,7 +10984,8 @@ parts AS (
 ),
 canon AS (
     SELECT doc_id, text, lang,
-           scheme || '://' || lower(regexp_extract(hostport, '^([^:]*)', 1))
+           scheme || '://'
+           || lower(regexp_extract(regexp_replace(hostport, '^.*@', ''), '^(\\[[^\\]]*\\]|[^:]*)', 1))
            || CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
                     AND NOT ((scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
                           OR (scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'))

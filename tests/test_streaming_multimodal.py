@@ -1210,6 +1210,13 @@ def test_jpeg_baseline_decode_roundtrips_and_errors(spark):
     good = build_jpeg(8, 8, np.full(64, 77, dtype=np.uint8))
     with _pytest.raises(ValueError, match="SOI"):
         _parse_jpeg(b"\x00" + good)
+
+    # T.81 B.1.1.2 fill bytes: 0xFF padding before a marker is legal in
+    # third-party files — decode must skip it, not parse 0xFF as the
+    # marker code (and then misread the next bytes as a length)
+    dqt_at = good.find(b"\xff\xdb")
+    padded = good[:dqt_at] + b"\xff\xff\xff" + good[dqt_at:]
+    assert np.array_equal(_parse_jpeg(padded)[2], _parse_jpeg(good)[2])
     with _pytest.raises(ValueError, match="invalid progressive scan"):
         # a SOF2 frame whose only scan still declares the baseline
         # [0, 63] band is spec-invalid for progressive (DC scans are
