@@ -10198,11 +10198,22 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     dequant/IDCT). Per-block-constant input under quant=1 is DC-only,
     so the decode is BIT-EXACT and the oracle replays the block
     formula in SQL (pinning scan sequencing and DC shift/refine-OR);
-    a second NOISY 8x8 leg per document decodes nonzero-AC content
+    a second NOISY 8x8 leg decodes nonzero-AC content
     through both the progressive and the baseline scan structures and
     the oracle pins their equality, so AC coefficient placement,
     EOB-run bookkeeping, the refinement correction-bit weave, and
     band bounds are ALSO load-bearing in-gate.
+
+    Distinct-content decode (round 10): the synthetic raster and the
+    probe are fully determined by ``doc_id % 3840`` (w/h by %3/%2,
+    pixel values by %256, the probe leg by %5 — 3840 = lcm), so the
+    gate decodes each DISTINCT content once and broadcast-joins the
+    results back to the corpus — the content-addressed pattern a real
+    100 TB multimodal ingest uses (hash-dedup before the expensive
+    decode). Every scan path still runs (all 3840 rasters + all 256
+    noisy probes decode), every output row is still value-checked by
+    the oracle, and the decode count is CONSTANT in corpus size
+    instead of linear (sf1: 26.6k -> 3.8k decodes).
     (functions/multimodal.py _progressive_scan /
     build_jpeg_progressive.)"""
     import numpy as np
@@ -10218,6 +10229,14 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("media_id")
     )
+    # explicit partition count: the distinct output is tiny, so AQE
+    # would coalesce it to ONE task and serialise all 3840 decodes on
+    # one core — spread the expensive stage across the cluster
+    keys = (
+        docs.select((F.col("media_id") % 3840).alias("__k"))
+        .distinct()
+        .repartition(96, "__k")
+    )
 
     def build_and_decode(batches):
         # ONE pass: encode + decode inline via the same _parse_jpeg the
@@ -10226,7 +10245,7 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # would re-execute this builder once per branch
         for pdf in batches:
             recs = []
-            for dd in pdf["media_id"]:
+            for dd in pdf["__k"]:
                 dd = int(dd)
                 w, h = 8 * (1 + dd % 3), 8 * (1 + dd % 2)
                 bw = w // 8
@@ -10245,10 +10264,9 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # BOTH scan structures — constant blocks alone leave
                 # every AC path (coefficient placement, EOB runs,
                 # refinement weave) unexercised in-gate. Probed on a
-                # deterministic 1-in-5 of documents (distinct noise
-                # per doc; the full-rate leg tripled the gate's wall);
-                # unprobed rows carry an honest NULL, probed rows a
-                # TRUE the oracle pins, so any divergence fails.
+                # deterministic 1-in-5 of keys (distinct noise per
+                # key); unprobed rows carry an honest NULL, probed
+                # rows a TRUE the oracle pins, so any divergence fails.
                 if dd % 5 == 0:
                     noisy = (
                         (dd * 31 + np.arange(64) * 13) % 256
@@ -10262,7 +10280,7 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     probe = None
                 recs.append(
                     (
-                        dd, "image", gw, gh, gw * gh,
+                        dd, gw, gh, gw * gh,
                         _rgb_mean_luma(gw, gh, rgb),
                         probe,
                     )
@@ -10270,15 +10288,25 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 recs,
                 columns=[
-                    "media_id", "kind", "width", "height", "n_pixels",
+                    "__k", "width", "height", "n_pixels",
                     "mean_luma", "prog_matches_baseline",
                 ],
             )
 
-    return docs.mapInPandas(
+    decoded = keys.mapInPandas(
         build_and_decode,
-        "media_id long, kind string, width int, height int, "
+        "__k long, width int, height int, "
         "n_pixels long, mean_luma double, prog_matches_baseline boolean",
+    )
+    return (
+        docs.withColumn("__k", F.col("media_id") % 3840)
+        .join(F.broadcast(decoded), "__k")
+        .select(
+            "media_id",
+            F.lit("image").alias("kind"),
+            "width", "height", "n_pixels", "mean_luma",
+            "prog_matches_baseline",
+        )
     )
 
 
