@@ -56,6 +56,9 @@ HEADLINE = [
     "j14_interval_overlap",
     # round-5: semantic dedup via IVF probe buckets
     "d10_embedding_neardup",
+    # round-10: the BLAS-kernel twin (blocked matmul per bucket) — the
+    # production 100 TB scoring path; same oracle-checked pair set
+    "d10b_embedding_neardup_blas",
     # round-5 second half: sketch build at volume, substring-span dedup
     # over the corpus, nearest as-of, and the large-volume join
     "sk1_hll_registers",

@@ -5603,6 +5603,55 @@ QUERIES["d10_embedding_neardup"] = d10_embedding_neardup
 ORACLE["d10_embedding_neardup"] = D10_SQL
 
 
+def d10b_embedding_neardup_blas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS-kernel twin of d10 (similarity.embedding_neardup_pairs_blas):
+    identical probe assignment, candidate generation, first-shared-bucket
+    dedup, and HALF_UP rounded-cosine threshold — but the in-bucket
+    scoring is one blocked float64 matmul per bucket instead of per-pair
+    JVM folds (~17x faster at sf1). Decisions only (id pairs, no cosine
+    column): matmul float ordering differs from a sequential fold in the
+    low bits, so the value-checked contract is the KEPT PAIR SET. The
+    oracle is d10's with the cosine projected away."""
+    from ..functions.similarity import embedding_neardup_pairs_blas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    return embedding_neardup_pairs_blas(emb, seeds, threshold=0.35, nprobe=2)
+
+
+D10B_SQL = """
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+probes AS (
+    SELECT vec_id, v, list(cid ORDER BY rn) AS buckets FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, cents c
+    ) t WHERE rn <= 2
+    GROUP BY vec_id, v
+),
+x AS (SELECT vec_id, v, buckets, UNNEST(buckets) AS b FROM probes),
+pairs AS (
+    SELECT l.vec_id AS id_l, r.vec_id AS id_r,
+           ROUND(list_cosine_similarity(l.v, r.v), 6) AS cosine
+    FROM x l JOIN x r ON l.b = r.b AND l.vec_id < r.vec_id
+    WHERE l.b = list_min(list_intersect(l.buckets, r.buckets))
+)
+SELECT id_l, id_r FROM pairs WHERE cosine >= 0.35
+"""
+
+QUERIES["d10b_embedding_neardup_blas"] = d10b_embedding_neardup_blas
+ORACLE["d10b_embedding_neardup_blas"] = D10B_SQL
+
+
 from ..functions.curation import assign_shards, split_corpus  # noqa: E402
 
 

@@ -808,6 +808,45 @@ def test_embedding_neardup_guard_and_symmetry(spark):
         embedding_neardup_pairs(emb, seeds, threshold=1.5)
 
 
+def test_embedding_neardup_blas_kernel_equivalence(spark):
+    """The BLAS kernel (embedding_neardup_pairs_blas) must keep exactly
+    the pair set the expression path keeps — same probe assignment,
+    same first-shared-bucket dedup, same HALF_UP rounded threshold —
+    including with a block size smaller than the buckets (exercising
+    the blocked matmul's boundary arithmetic). Guards must match too."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    expr_pairs = {
+        (r["id_l"], r["id_r"])
+        for r in embedding_neardup_pairs(emb, seeds, threshold=0.3).collect()
+    }
+    for block_rows in (512, 7):  # 7 < bucket sizes -> multi-block path
+        blas_pairs = {
+            (r["id_l"], r["id_r"])
+            for r in embedding_neardup_pairs_blas(
+                emb, seeds, threshold=0.3, block_rows=block_rows
+            ).collect()
+        }
+        assert blas_pairs == expr_pairs, block_rows
+
+    with pytest.raises(ValueError, match="max_bucket"):
+        embedding_neardup_pairs_blas(emb, seeds, threshold=0.3, max_bucket=10)
+    with pytest.raises(ValueError, match="threshold"):
+        embedding_neardup_pairs_blas(emb, seeds, threshold=1.5)
+
+
 # --------------------------------------------------------------------------
 # round 5: EWMA and duplicated-span references
 # --------------------------------------------------------------------------
