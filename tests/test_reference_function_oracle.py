@@ -28,6 +28,7 @@ hand-replayed chain in test_pandas_reference_parity.py.
 from __future__ import annotations
 
 import ast
+import math
 
 import numpy as np
 import pandas as pd
@@ -745,3 +746,315 @@ def test_homogenise_demographics_matches_reference_code(spark):
         f"spark-only={set(got) - set(expected)} "
         f"ref-only={set(expected) - set(got)}"
     )
+
+
+# ------------------------------------------------------------- composed chain
+
+
+def _shim_change_by_sum(data: pd.DataFrame, metrics) -> pd.DataFrame:
+    """pandas-2 shim for the reference ``change_by_sum``
+    (db_etl/processors/rolling.py:81-233) used ONLY inside the composed
+    chain: the verbatim function cannot run under pandas 2 (its
+    groupby().rolling() reset_index/join chain hits hard API drift), so
+    this replays the same steps, including the load-bearing reuse rule
+    the composition exists to test: an existing ``{m}RollingSum``
+    column (the rates path's, with its 0-coerced leading windows) is
+    REUSED, never recomputed (rolling.py:131-163). pct is left
+    unrounded — the composed comparison runs Spark at
+    ``pct_precision=None`` and compares with tolerance, keeping the
+    half-even-vs-HALF-UP display rounding out of the parity question.
+    min_sum handling is omitted (the main chain never passes it)."""
+    d = data.sort_values(["areaType", "areaCode", "date"]).reset_index(drop=True)
+    keys = ["areaType", "areaCode"]
+    for m in sorted(set(metrics) & set(d.columns)):
+        rs, ch = f"{m}RollingSum", f"{m}Change"
+        dirn, pct = f"{m}Direction", f"{m}ChangePercentage"
+        grp = d.groupby(keys, group_keys=False, sort=False)
+        if rs not in d.columns:
+            d[rs] = (
+                grp[m]
+                .apply(lambda s: s.astype(float).rolling(7).sum())
+                .reset_index(drop=True)
+            )
+            grp = d.groupby(keys, group_keys=False, sort=False)
+
+        def all_zero(s: pd.Series) -> pd.Series:
+            return s.mask(pd.Series([s.sum() == 0] * len(s), index=s.index))
+
+        d[rs] = grp[rs].apply(all_zero).reset_index(drop=True)
+        grp = d.groupby(keys, group_keys=False, sort=False)
+        d[ch] = grp[rs].diff(7)
+        d[dirn] = d[ch].map(
+            lambda v: None
+            if pd.isna(v)
+            else ("DOWN" if v < 0 else "UP" if v > 0 else "SAME")
+        )
+
+        def pct_fn(w: pd.Series) -> float:
+            cur, prev = w.iloc[7], w.iloc[0]
+            if cur == 0 and prev > 0:
+                return -100.0
+            fraction = cur / (prev or 1) - 1
+            if fraction == -1:
+                return 0.0
+            return fraction * 100
+
+        d[pct] = (
+            grp[rs]
+            .apply(lambda s: s.rolling(8).apply(pct_fn))
+            .reset_index(drop=True)
+        )
+        raw_null = d[m].isna()
+        d.loc[raw_null, [rs, ch, dirn, pct]] = np.nan
+    return d
+
+
+_CHAIN_METRICS = {
+    "newCasesBySpecimenDate": [None, 0.0, 1.0, 3.0, 7.0],
+    "newCasesByPublishDate": [None, -2.0, 0.0, 2.0, 6.0],
+    "cumCasesByPublishDate": [None, 1.0, 4.0, 9.0],
+    "newPillarOne": [None, 0.0, 2.0, 5.0],
+    "newPillarTwo": [None, 1.0, 3.0],
+    "posRatio": [None, 0.1, 0.25, 0.5],
+    "vaxSrc": [None, 2.0, 6.0],
+    "cumVax": [None, 3.0],
+}
+
+
+def _chain_panel(seed: int) -> pd.DataFrame:
+    """A fuzzed 16-day 2-area panel: sparse per-area date coverage (the
+    homogenise scaffold must bite), one areaName observation per area,
+    pools chosen so every configured operator fires and every rate /
+    ratio is exact at 1 dp in both rounding modes."""
+    rng = np.random.RandomState(seed)
+    dates = [f"2021-03-{i:02d}" for i in range(1, 17)]
+    rows = []
+    for code in ("E1", "E2"):
+        present = sorted(
+            rng.choice(16, size=rng.randint(8, 17), replace=False)
+        )
+        name_at = int(rng.choice(len(present)))
+        for j, di in enumerate(present):
+            row = {
+                "areaType": "ltla",
+                "areaCode": code,
+                "areaName": f"{code}ton" if j == name_at else None,
+                "date": dates[di],
+            }
+            for m, pool in _CHAIN_METRICS.items():
+                row[m] = pool[rng.randint(len(pool))]
+            rows.append(row)
+    pdf = pd.DataFrame(rows)
+    for m in _CHAIN_METRICS:
+        pdf[m] = pdf[m].astype("float64")
+    return pdf
+
+
+def test_process_panel_matches_reference_chain_composed(spark):
+    """EP1 composed-chain parity (r9 verdict item 5): the reference's
+    ACTUAL ``.pipe()`` chain (db_etl/etl.py:996-1022 order) executed on
+    fuzzed panels — homogenise_dates, normalise_records,
+    negative_to_zero, calculate_pair_summations,
+    calculate_by_adjacent_column, calculate_rates, ratio_to_percentage
+    and trim_end all VERBATIM from the reference source; change_by_sum
+    through the pandas-2 shim above — against ``process_panel``
+    end-to-end. Single-operator parity cannot see composition bugs
+    (column naming handed between stages, the rates->change RollingSum
+    reuse, mask ordering); this does."""
+    import collections
+    import logging
+    from datetime import datetime, timedelta
+    from itertools import product
+    from typing import Iterable
+
+    from pandas import (
+        MultiIndex,
+        concat,
+        date_range,
+        to_datetime,
+        unique,
+    )
+
+    from coronavirus_dashboard_pipeline_etl_spark.config import MetricConfig
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        process_panel,
+    )
+
+    class _CompatSet(set):
+        def intersection(self, other):
+            return sorted(set(self) & set(other))
+
+    ns_h = _load_ref_functions(
+        "/root/reference/db_etl/processors/homogenisation.py",
+        ["homogenise_dates"],
+        {
+            "to_datetime": to_datetime,
+            "date_range": date_range,
+            "unique": unique,
+            "MultiIndex": MultiIndex,
+            "concat": concat,
+            "product": product,
+        },
+    )
+    ns_n = _load_ref_functions(
+        "/root/reference/db_etl/processors/normalisation.py",
+        ["normalise_records"],
+        {"unique": unique},
+    )
+    ns_z = _load_ref_functions(
+        "/root/reference/db_etl/etl.py",
+        ["negative_to_zero"],
+        {"NEGATIVE_TO_ZERO": ["newCasesByPublishDate"]},
+    )
+    ns_p = _load_ref_functions(
+        "/root/reference/db_etl/processors/derived_metrics.py",
+        ["calculate_pair_summations", "calculate_by_adjacent_column"],
+    )
+    ns_r = _load_ref_functions(
+        "/root/reference/db_etl/processors/generic_rate.py",
+        ["calculate_rates"],
+        {
+            "logging": logging,
+            "to_datetime": to_datetime,
+            "datetime": datetime,
+            "timedelta": timedelta,
+            "RATE_PER_POPULATION_FACTOR": 100_000,
+            "Iterable": Iterable,
+        },
+    )
+    ns_c = _load_ref_functions(
+        "/root/reference/db_etl/processors/converter.py",
+        ["ratio_to_percentage"],
+        {"set": _CompatSet},
+    )
+    ns_t = _load_ref_functions(
+        "/root/reference/db_etl/processors/trimmer.py",
+        ["trim_end"],
+        {"datetime": datetime, "timedelta": timedelta, "set": _CompatSet},
+    )
+    PopData = collections.namedtuple("PopData", "general")
+    popdf = pd.DataFrame(
+        {"population": [1000.0, 2000.0]},
+        index=pd.Index(["E1", "E2"], name="areaCode"),
+    )
+
+    scd = ["newCasesBySpecimenDate", "newCasesByPublishDate"]
+    rr = ["newCasesBySpecimenDate"]
+    cfg = MetricConfig(
+        sum_change_direction=frozenset(scd),
+        rolling_rate=frozenset(rr),
+        negative_to_zero=frozenset({"newCasesByPublishDate"}),
+        fill_with_zeros=frozenset(
+            {"newCasesBySpecimenDate", "newCasesByPublishDate"}
+        ),
+        start_with_zero=frozenset({"cumCasesByPublishDate"}),
+        ratio_to_percentage=frozenset({"posRatio"}),
+        trim_end=frozenset({"newCasesBySpecimenDate"}),
+        pair_sums=(("newPillarOne", "newPillarTwo", "newPCRTests"),),
+        adjacent_fill=(("cumVax", "vaxSrc"),),
+    )
+    out_cols = (
+        list(_CHAIN_METRICS)
+        + ["newPCRTests", "areaName"]
+        + [f"{m}{s}" for m in scd
+           for s in ("RollingSum", "Change", "Direction", "ChangePercentage")]
+        + ["newCasesBySpecimenDateRollingRate"]
+    )
+    pct_cols = {f"{m}ChangePercentage" for m in scd}
+
+    def key_date(v) -> str:
+        return v.strftime("%Y-%m-%d") if hasattr(v, "strftime") else str(v)[:10]
+
+    seen_non_null: set[str] = set()
+    for seed in (11, 23, 47):
+        pdf = _chain_panel(seed)
+
+        d = ns_h["homogenise_dates"](pdf.copy())
+        d = ns_n["normalise_records"](
+            d,
+            zero_filled=sorted(cfg.fill_with_zeros),
+            cumulative=sorted(cfg.start_with_zero),
+        )
+        d = ns_z["negative_to_zero"](d)
+        d = ns_p["calculate_pair_summations"](
+            d, newPCRTests=("newPillarOne", "newPillarTwo")
+        )
+        d = ns_p["calculate_by_adjacent_column"](d, cumVax="vaxSrc")
+        d = ns_r["calculate_rates"](
+            d,
+            PopData(general=popdf),
+            rolling_rate=rr,
+            incidence_rate=[],
+            rate_per_n=100_000,
+        )
+        d = _shim_change_by_sum(d, scd)
+        d = ns_c["ratio_to_percentage"](d, ["posRatio"])
+        d = ns_t["trim_end"](d, sorted(cfg.trim_end), 5)
+
+        def clean(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            return v
+
+        expected = {
+            (r["areaCode"], key_date(r["date"])): tuple(
+                clean(r[c]) for c in out_cols
+            )
+            for _, r in d.iterrows()
+        }
+
+        sdf = spark.createDataFrame(
+            pdf.where(pdf.notna(), None),
+            "areaType string, areaCode string, areaName string, date string, "
+            + ", ".join(f"{m} double" for m in _CHAIN_METRICS),
+        )
+        pop_sdf = spark.createDataFrame(
+            popdf.reset_index(), "areaCode string, population double"
+        )
+        got = {
+            (r["areaCode"], key_date(r["date"])): tuple(
+                r[c] for c in out_cols
+            )
+            for r in process_panel(
+                sdf,
+                pop_sdf,
+                cfg,
+                release_timestamp=None,
+                pct_precision=None,
+                rate_precision=1,
+            ).collect()
+        }
+        assert set(got) == set(expected), (
+            f"seed {seed}: spark-only={set(got) - set(expected)} "
+            f"ref-only={set(expected) - set(got)}"
+        )
+        bad = []
+        for k in sorted(got):
+            for c, g, e in zip(out_cols, got[k], expected[k]):
+                if c in pct_cols and g is not None and e is not None:
+                    ok = abs(g - e) < 1e-6
+                else:
+                    ok = _nan_eq_chain(g, e)
+                if not ok:
+                    bad.append((k, c, g, e))
+        assert not bad, f"seed {seed}: first mismatches: {bad[:8]}"
+        seen_non_null.update(
+            c
+            for vals in expected.values()
+            for c, v in zip(out_cols, vals)
+            if v is not None
+        )
+    # non-vacuity: across the three panels every compared column must
+    # carry at least one real value — an all-null column would make the
+    # parity above trivially true for that operator
+    assert seen_non_null == set(out_cols), (
+        f"all-null compared columns: {set(out_cols) - seen_non_null}"
+    )
+
+
+def _nan_eq_chain(a, b) -> bool:
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        return a == b or abs(a - b) < 1e-9
+    return a == b
