@@ -5410,6 +5410,187 @@ QUERIES["s10b_store_roundtrip"] = s10b_store_roundtrip
 ORACLE["s10b_store_roundtrip"] = S10B_SQL
 
 
+def s18_serve_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value oracle for the bucketed serving store (r9 verdict item 6):
+    the bench's ``serve_bucketed_latest`` path was benched but never
+    value-checked. This gate builds the SAME long frame the bench
+    builds (lineitem melted to qty/price/discount per synthetic area),
+    writes it through ``write_store_bucketed`` (catalog table,
+    bucketBy(area_code, metric) + sortBy), reads it BACK THROUGH THE
+    BUCKETED TABLE, and serves latest-per-(area_code, metric).
+
+    Tie rule made deterministic on purpose: many long rows share an
+    area's max date, and ``max_by(payload, date)`` is free to pick any
+    of them — unverifiable. The gate serves
+    ``max(struct(date, payload))`` (latest date, largest payload within
+    it), which the oracle replays as ROW_NUMBER over
+    (date DESC, payload DESC) on the unbucketed frame — so the write
+    -> bucket -> read -> aggregate chain is value-checked end to end.
+    (plans/main_pipeline.write_store_bucketed; reference store DDL
+    db_etl_update_db/update.py:71-89.)"""
+    import shutil
+
+    from ..operators.pivoting import melt
+    from .main_pipeline import write_store_bucketed
+
+    table = "gate_s18_store"
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("A"), (F.col("l_suppkey") % 500).cast("string")).alias(
+            "areaCode"
+        ),
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("date"),
+        F.col("l_quantity").cast("double").alias("qty"),
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+    long = melt(
+        li, id_vars=["areaCode", "date"], value_vars=["qty", "price", "discount"]
+    ).withColumnRenamed("areaCode", "area_code")
+    long = long.withColumn("partition_id", F.lit("gate"))
+    # fresh store per run: the gate proves THIS run's write->read chain,
+    # and a stale location from a dead session would fail saveAsTable
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{warehouse}/{table}", ignore_errors=True)
+    write_store_bucketed(long, table, buckets=16)
+    store = spark.table(table)
+    return (
+        store.groupBy("area_code", "metric")
+        .agg(F.max(F.struct(F.col("date"), F.col("payload"))).alias("__top"))
+        .select(
+            "area_code",
+            "metric",
+            F.col("__top.date").alias("date"),
+            F.col("__top.payload").alias("payload"),
+        )
+    )
+
+
+S18_SQL = """
+WITH long AS (
+    SELECT 'A' || CAST(l_suppkey % 500 AS VARCHAR) AS area_code,
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d') AS date,
+           'qty' AS metric, CAST(l_quantity AS DOUBLE) AS payload
+    FROM lineitem
+    UNION ALL
+    SELECT 'A' || CAST(l_suppkey % 500 AS VARCHAR),
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d'),
+           'price', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT 'A' || CAST(l_suppkey % 500 AS VARCHAR),
+           strftime(CAST(l_shipdate AS TIMESTAMP), '%Y-%m-%d'),
+           'discount', CAST(l_discount AS DOUBLE)
+    FROM lineitem
+)
+SELECT area_code, metric, date, payload
+FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY area_code, metric
+        ORDER BY date DESC, payload DESC
+    ) AS rn
+    FROM long
+)
+WHERE rn = 1
+"""
+
+QUERIES["s18_serve_bucketed"] = s18_serve_bucketed
+ORACLE["s18_serve_bucketed"] = S18_SQL
+
+
+def s19_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip oracle for ``merge_upsert_store`` (the reference's
+    ON-CONFLICT hash-upsert, uploader.py:300-325, over a parquet
+    store). Release 1 (orders with orderkey % 7 != 0) is written with
+    ``write_store``; release 2 arrives as a batch covering conflicts
+    (rows present in release 1), inserts (orderkey % 7 == 0), an
+    untouched partition (p2 gets no batch rows and must survive
+    byte-for-byte), and identity DUPLICATES (each batch identity is
+    emitted twice with different payloads, so the deterministic
+    keep-max-payload dedup rule is load-bearing). The gate reads the
+    merged store back and aggregates per (partition_id, release_id);
+    the oracle replays the batch dedup (greatest of the two payload
+    strings), the conflict rule (batch wins on hash), and the
+    untouched-partition rule in SQL — any drift in any of the three
+    fails the value hash."""
+    import shutil
+
+    from .main_pipeline import merge_upsert_store, write_store
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("hash")
+    part = F.concat(
+        F.lit("p"), (F.col("o_custkey") % 3).cast("string")
+    ).alias("partition_id")
+    base = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        h,
+        part,
+        F.col("o_orderkey").cast("string").alias("payload"),
+        F.lit(1).cast("long").alias("release_id"),
+    )
+    inc_src = orders.filter(
+        (F.col("o_orderkey") % 3 == 0) & (F.col("o_custkey") % 3 != 2)
+    )
+    inc = None
+    for mult in (2, 3):
+        leg = inc_src.select(
+            h,
+            part,
+            (F.col("o_orderkey") * mult).cast("string").alias("payload"),
+            F.lit(2).cast("long").alias("release_id"),
+        )
+        inc = leg if inc is None else inc.unionByName(leg)
+
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = f"{warehouse}/gate_s19_store"
+    shutil.rmtree(path, ignore_errors=True)
+    write_store(base, path)
+    merge_upsert_store(inc, path)
+    store = spark.read.parquet(path)
+    return store.groupBy("partition_id", "release_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_distinct(F.col("hash")).alias("n_hashes"),
+        F.sum(F.col("payload").cast("double")).alias("sum_payload"),
+    )
+
+
+S19_SQL = """
+WITH base AS (
+    SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hash,
+           'p' || CAST(o_custkey % 3 AS VARCHAR) AS partition_id,
+           CAST(o_orderkey AS VARCHAR) AS payload,
+           CAST(1 AS BIGINT) AS release_id
+    FROM orders WHERE o_orderkey % 7 <> 0
+),
+inc AS (
+    SELECT md5(CAST(o_orderkey AS VARCHAR)) AS hash,
+           'p' || CAST(o_custkey % 3 AS VARCHAR) AS partition_id,
+           greatest(CAST(o_orderkey * 2 AS VARCHAR),
+                    CAST(o_orderkey * 3 AS VARCHAR)) AS payload,
+           CAST(2 AS BIGINT) AS release_id
+    FROM orders WHERE o_orderkey % 3 = 0 AND o_custkey % 3 <> 2
+),
+final AS (
+    SELECT * FROM inc
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM inc i
+        WHERE i.hash = b.hash AND i.partition_id = b.partition_id
+    )
+)
+SELECT partition_id, release_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT hash) AS BIGINT) AS n_hashes,
+       SUM(CAST(payload AS DOUBLE)) AS sum_payload
+FROM final
+GROUP BY partition_id, release_id
+"""
+
+QUERIES["s19_merge_upsert"] = s19_merge_upsert
+ORACLE["s19_merge_upsert"] = S19_SQL
+
+
 def pipe11_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANN index build + query (the IVF pipeline pipe7 is to
     dedup): seed centroids (vec_id < 8) -> map-side assignment -> ONE

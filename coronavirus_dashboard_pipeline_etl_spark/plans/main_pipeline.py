@@ -257,6 +257,89 @@ def write_store_bucketed(
         )
 
 
+def merge_upsert_store(
+    incoming: DataFrame, path: str, max_affected_partitions: int = 10_000
+) -> None:
+    """MERGE twin of ``write_store`` — the reference's row-level upsert
+    semantic (``db_etl_upload/uploader.py:300-325``: dedup the batch on
+    the identity tuple, then INSERT .. ON CONFLICT (hash, partition_id)
+    DO UPDATE SET payload) expressed over a parquet store at partition
+    granularity. ``write_store``'s dynamic overwrite REPLACES a
+    partition wholesale; this keeps existing rows whose hash the batch
+    doesn't carry — the semantic a partial re-run or late-metric
+    backfill needs.
+
+    1. Batch dedup: the reference keeps the FIRST duplicate in frame
+       order; a distributed frame has no frame order, so the twin keeps
+       the MAX payload string per (hash, partition_id) — deterministic
+       across engines and partitionings. Identity-tuple duplicates
+       share their hash (the hash IS the keyed identity digest,
+       uploader.py:156-178), so the dedup key is the same.
+    2. Affected partitions: distinct partition_id in the batch
+       (bounded, loud collect — a batch fanning into more than
+       ``max_affected_partitions`` partitions is a malformed release).
+    3. Conflict rule: existing rows in affected partitions survive iff
+       their (hash, partition_id) is absent from the batch; batch rows
+       always land. The reference updates ONLY payload on conflict,
+       but a hash match implies every identity column matches, so
+       batch-row-wins IS payload-update.
+    4. The merged affected partitions are localCheckpoint-materialised
+       (the plan reads the same files the dynamic overwrite is about
+       to replace), then written with dynamic partition overwrite —
+       untouched partitions' files are never rewritten. At real 100 TB
+       scale the same logic rides a transactional table format's MERGE
+       (Delta/Iceberg) instead of checkpoint+overwrite; the semantics
+       here are the contract.
+    """
+    import os
+
+    spark = incoming.sparkSession
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("hash", "partition_id").orderBy(
+        F.col("payload").desc()
+    )
+    inc = (
+        incoming.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    store_exists = os.path.isdir(path) and any(
+        True
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    if not store_exists:
+        write_store(inc, path)
+        return
+    parts = (
+        inc.select("partition_id")
+        .distinct()
+        .limit(max_affected_partitions + 1)
+        .collect()
+    )
+    if len(parts) > max_affected_partitions:
+        raise ValueError(
+            f"merge_upsert_store: batch touches more than "
+            f"{max_affected_partitions} partitions; that is a malformed "
+            "release (or raise max_affected_partitions explicitly)"
+        )
+    affected = [r["partition_id"] for r in parts]
+    existing = spark.read.parquet(path).filter(
+        F.col("partition_id").isin(affected)
+    )
+    survivors = existing.join(
+        inc.select("hash", "partition_id"),
+        ["hash", "partition_id"],
+        "left_anti",
+    )
+    merged = inc.unionByName(survivors.select(*inc.columns)).localCheckpoint(
+        eager=True
+    )
+    write_store(merged, path)
+
+
 def run_main(
     spark: SparkSession,
     json_path: str,

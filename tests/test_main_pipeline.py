@@ -429,3 +429,55 @@ def test_trim_sides_trailing_nulls_drop(spark):
     )
     got2 = sorted((r.date, r.payload) for r in trim_sides(df2).collect())
     assert got2 == [("2021-01-04", None), ("2021-01-05", 5.0)]
+
+
+def test_merge_upsert_store_semantics(spark, tmp_path):
+    """merge_upsert_store (main_pipeline.py): first write falls through
+    to write_store; a later batch updates conflicting hashes, inserts
+    new ones, leaves untouched partitions' files alone, and dedups
+    in-batch identities by max payload string; the affected-partition
+    guard raises loudly."""
+    import os
+
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        merge_upsert_store,
+    )
+
+    path = str(tmp_path / "store")
+    base = spark.createDataFrame(
+        [
+            ("h1", "p0", "old1", 1),
+            ("h2", "p0", "old2", 1),
+            ("h3", "p1", "old3", 1),
+        ],
+        "hash string, partition_id string, payload string, release_id long",
+    )
+    merge_upsert_store(base, path)  # no store yet -> plain write
+    p1_files = sorted(os.listdir(f"{path}/partition_id=p1"))
+
+    batch = spark.createDataFrame(
+        [
+            ("h1", "p0", "newA", 2),  # conflict -> replaces old1
+            ("h1", "p0", "newB", 2),  # in-batch dup -> max wins (newB)
+            ("h9", "p0", "ins9", 2),  # insert
+        ],
+        "hash string, partition_id string, payload string, release_id long",
+    )
+    merge_upsert_store(batch, path)
+    got = {
+        (r.hash, r.partition_id): (r.payload, r.release_id)
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("h1", "p0"): ("newB", 2),
+        ("h2", "p0"): ("old2", 1),
+        ("h9", "p0"): ("ins9", 2),
+        ("h3", "p1"): ("old3", 1),
+    }
+    # untouched partition: same files, not rewritten
+    assert sorted(os.listdir(f"{path}/partition_id=p1")) == p1_files
+
+    with pytest.raises(ValueError, match="partitions"):
+        merge_upsert_store(batch, path, max_affected_partitions=0)
