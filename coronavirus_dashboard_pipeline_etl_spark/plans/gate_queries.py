@@ -5591,6 +5591,110 @@ QUERIES["s19_merge_upsert"] = s19_merge_upsert
 ORACLE["s19_merge_upsert"] = S19_SQL
 
 
+def pipe19_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    dedup the way the paper runs it, composed from this engine's
+    operators:
+
+    1. cluster the embedding space (``assign_centroids`` over the
+       deterministic seed set — zero-shuffle codegen assignment);
+    2. within-cluster duplicate pairs above the cosine threshold —
+       ``embedding_neardup_pairs_blas`` at nprobe=1 (the blocked-matmul
+       kernel; candidates never cross clusters, exactly the paper's
+       within-cluster pairwise pass);
+    3. epsilon-groups = connected components over the pair graph
+       (``dedup_components`` min-label propagation);
+    4. the paper's keep rule: in each group keep the member with the
+       LOWEST cosine similarity to its cluster centroid (the point
+       farthest from the cluster core carries the most information),
+       ties by smallest id.
+
+    Output: one row per vector with its cluster, its epsilon-group
+    canonical id, the rounded centroid similarity the keep rule sorted
+    on, and the keep decision. The oracle replays every stage in SQL —
+    assignment tie rule, rounded pair threshold, the unrolled
+    Shiloach-Vishkin component rounds, and the keep-rule window."""
+    from ..functions.dedup import dedup_components
+    from ..functions.similarity import (
+        assign_centroids,
+        embedding_neardup_pairs_blas,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid"),
+    )
+    assigned = assign_centroids(emb, seeds)
+    pairs = embedding_neardup_pairs_blas(
+        emb, seeds, threshold=0.4, nprobe=1
+    ).select(F.col("id_l").alias("id_a"), F.col("id_r").alias("id_b"))
+    comps = dedup_components(pairs, emb.select("vec_id"), id_col="vec_id")
+    scored = assigned.select(
+        "vec_id",
+        "centroid_id",
+        F.round(F.col("centroid_score"), 6).alias("c_sim"),
+    ).join(comps, "vec_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("c_sim").asc_nulls_last(), F.col("vec_id").asc()
+    )
+    return scored.select(
+        "vec_id",
+        "centroid_id",
+        "canonical_id",
+        (F.row_number().over(w) == 1).alias("kept"),
+        "c_sim",
+    )
+
+
+def _pipe19_sql() -> str:
+    return f"""
+WITH e AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+assigned AS MATERIALIZED (
+    SELECT vec_id, v, cid AS centroid_id,
+           ROUND(cs, 6) AS c_sim
+    FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               list_cosine_similarity(e.v, c.cv) AS cs,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid ASC
+               ) AS rn
+        FROM e, cents c
+    ) t WHERE rn = 1
+),
+pairs AS MATERIALIZED (
+    SELECT l.vec_id AS id_a, r.vec_id AS id_b
+    FROM assigned l JOIN assigned r
+      ON l.centroid_id = r.centroid_id AND l.vec_id < r.vec_id
+    WHERE ROUND(list_cosine_similarity(l.v, r.v), 6) >= 0.4
+),
+documents AS (SELECT vec_id AS doc_id FROM e),
+edges AS MATERIALIZED (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+),
+{_cc_rounds_sql()}
+SELECT a.vec_id,
+       CAST(a.centroid_id AS BIGINT) AS centroid_id,
+       c.label AS canonical_id,
+       (ROW_NUMBER() OVER (
+            PARTITION BY c.label
+            ORDER BY a.c_sim ASC NULLS LAST, a.vec_id ASC
+        ) = 1) AS kept,
+       a.c_sim
+FROM assigned a JOIN cc c ON a.vec_id = c.node
+"""
+
+
+QUERIES["pipe19_semdedup"] = pipe19_semdedup
+ORACLE["pipe19_semdedup"] = _pipe19_sql()
+
+
 def pipe11_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANN index build + query (the IVF pipeline pipe7 is to
     dedup): seed centroids (vec_id < 8) -> map-side assignment -> ONE
