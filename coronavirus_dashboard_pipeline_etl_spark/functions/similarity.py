@@ -576,6 +576,55 @@ def probe_assign(
     )
 
 
+def _probe_exploded_guarded(
+    df: DataFrame,
+    centroids: DataFrame,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+    centroid_id_col: str,
+    centroid_vec_col: str,
+    max_bucket: int,
+    caller: str,
+) -> DataFrame:
+    """Shared candidate-generation preamble of the two embedding-neardup
+    kernels: ``probe_assign`` -> explode onto probe buckets -> ONE lazy
+    ``localCheckpoint`` (the guard collect doubles as the eager
+    materialisation; the k-wide probe scoring would otherwise re-execute
+    per downstream consumer) -> the loud never-all-pairs bucket guard.
+    Returns the checkpointed exploded frame (id, __v, __bs, __b)."""
+    probed = probe_assign(
+        df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v")),
+        centroids,
+        nprobe=nprobe,
+        vec_col="__v",
+        centroid_id_col=centroid_id_col,
+        centroid_vec_col=centroid_vec_col,
+    )
+    x = probed.select(
+        F.col(id_col),
+        "__v",
+        F.col("probe_buckets").alias("__bs"),
+        F.explode("probe_buckets").alias("__b"),
+    )
+    x = x.localCheckpoint(eager=False)
+    oversized = (
+        x.groupBy("__b")
+        .count()
+        .filter(F.col("count") > max_bucket)
+        .limit(1)
+        .collect()
+    )
+    if oversized:
+        raise ValueError(
+            f"{caller}: probe bucket {oversized[0]['__b']} "
+            f"holds {oversized[0]['count']} > max_bucket={max_bucket} "
+            "vectors; train more centroids (k ~ corpus/1e4) or raise "
+            "max_bucket explicitly"
+        )
+    return x
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     centroids: DataFrame,
@@ -626,43 +675,17 @@ def embedding_neardup_pairs(
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
     if join_slices < 1:
         raise ValueError(f"join_slices must be >= 1, got {join_slices}")
-    probed = probe_assign(
-        df.select(
-            F.col(id_col), _to_double(F.col(vec_col)).alias("__v")
-        ),
+    x = _probe_exploded_guarded(
+        df,
         centroids,
-        nprobe=nprobe,
-        vec_col="__v",
-        centroid_id_col=centroid_id_col,
-        centroid_vec_col=centroid_vec_col,
+        nprobe,
+        id_col,
+        vec_col,
+        centroid_id_col,
+        centroid_vec_col,
+        max_bucket,
+        "embedding_neardup_pairs",
     )
-    x = probed.select(
-        F.col(id_col),
-        "__v",
-        F.col("probe_buckets").alias("__bs"),
-        F.explode("probe_buckets").alias("__b"),
-    )
-    # One scoring pass total: the k-wide probe scoring would otherwise
-    # re-execute three times (the guard job + each side of the
-    # self-join — the sides project different aliases, so exchange
-    # reuse cannot kick in). localCheckpoint materialises the exploded
-    # (id, vec, buckets) rows once — nprobe x corpus, linear — and the
-    # guard collect doubles as the eager materialisation.
-    x = x.localCheckpoint(eager=False)
-    oversized = (
-        x.groupBy("__b")
-        .count()
-        .filter(F.col("count") > max_bucket)
-        .limit(1)
-        .collect()
-    )
-    if oversized:
-        raise ValueError(
-            f"embedding_neardup_pairs: probe bucket {oversized[0]['__b']} "
-            f"holds {oversized[0]['count']} > max_bucket={max_bucket} "
-            "vectors; train more centroids (k ~ corpus/1e4) or raise "
-            "max_bucket explicitly"
-        )
     # Salt the in-bucket self-join: with few trained centroids the join
     # key (__b) has cardinality k, so the quadratic in-bucket pair work
     # would land on at most k tasks no matter how many cores exist (and
@@ -770,37 +793,17 @@ def embedding_neardup_pairs_blas(
 
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
-    probed = probe_assign(
-        df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v")),
+    x = _probe_exploded_guarded(
+        df,
         centroids,
-        nprobe=nprobe,
-        vec_col="__v",
-        centroid_id_col=centroid_id_col,
-        centroid_vec_col=centroid_vec_col,
+        nprobe,
+        id_col,
+        vec_col,
+        centroid_id_col,
+        centroid_vec_col,
+        max_bucket,
+        "embedding_neardup_pairs_blas",
     )
-    x = probed.select(
-        F.col(id_col),
-        "__v",
-        F.col("probe_buckets").alias("__bs"),
-        F.explode("probe_buckets").alias("__b"),
-    )
-    # one probe-scoring pass total (guard + the grouped kernel would
-    # otherwise re-execute it), same as the expression path
-    x = x.localCheckpoint(eager=False)
-    oversized = (
-        x.groupBy("__b")
-        .count()
-        .filter(F.col("count") > max_bucket)
-        .limit(1)
-        .collect()
-    )
-    if oversized:
-        raise ValueError(
-            f"embedding_neardup_pairs_blas: probe bucket "
-            f"{oversized[0]['__b']} holds {oversized[0]['count']} > "
-            f"max_bucket={max_bucket} vectors; train more centroids "
-            "(k ~ corpus/1e4) or raise max_bucket explicitly"
-        )
     scale = 10.0 ** round_digits
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":

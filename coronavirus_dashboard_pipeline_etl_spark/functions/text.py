@@ -813,10 +813,12 @@ def canonical_url(col: Column | str) -> Column:
     nofrag = F.regexp_replace(c, r"(?s)#.*", "")
     scheme = F.lower(F.regexp_extract(nofrag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     hostport = F.regexp_extract(nofrag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
-    # userinfo OFF (greedy: host begins after the LAST '@'), then a
-    # bracket-aware host extract so '[::1]:8080' splits at the right
-    # colon instead of the first one
-    hp = F.regexp_replace(hostport, r"^.*@", "")
+    # userinfo OFF (greedy: host begins after the LAST '@'; (?s) so a
+    # pathological newline inside userinfo — which the hostport class
+    # [^/?#]* admits — cannot stop the strip), then a bracket-aware
+    # host extract so '[::1]:8080' splits at the right colon instead
+    # of the first one
+    hp = F.regexp_replace(hostport, r"(?s)^.*@", "")
     host = F.lower(F.regexp_extract(hp, r"^(\[[^\]]*\]|[^:]*)", 1))
     port = F.regexp_extract(hp, r":([0-9]+)$", 1)
     keep_port = (port != "") & ~(

@@ -11151,7 +11151,7 @@ canon AS (
            array_to_string(
                list_sort(list_filter(string_split(query, '&'), p -> p <> '')),
                '&') AS sorted_q
-    FROM (SELECT *, regexp_replace(hostport, '^.*@', '') AS hp FROM parts)
+    FROM (SELECT *, regexp_replace(hostport, '(?s)^.*@', '') AS hp FROM parts)
 )
 SELECT doc_id, url,
        scheme || '://' || host
@@ -11347,7 +11347,7 @@ parts AS (
 canon AS (
     SELECT doc_id, text, lang,
            scheme || '://'
-           || lower(regexp_extract(regexp_replace(hostport, '^.*@', ''), '^(\\[[^\\]]*\\]|[^:]*)', 1))
+           || lower(regexp_extract(regexp_replace(hostport, '(?s)^.*@', ''), '^(\\[[^\\]]*\\]|[^:]*)', 1))
            || CASE WHEN regexp_extract(hostport, ':([0-9]+)$', 1) <> ''
                     AND NOT ((scheme = 'http' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '80')
                           OR (scheme = 'https' AND regexp_extract(hostport, ':([0-9]+)$', 1) = '443'))

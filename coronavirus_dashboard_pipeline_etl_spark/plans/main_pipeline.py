@@ -291,11 +291,12 @@ def merge_upsert_store(
        (Delta/Iceberg) instead of checkpoint+overwrite; the semantics
        here are the contract.
     """
-    import os
-
-    spark = incoming.sparkSession
+    from pyspark.errors import AnalysisException
     from pyspark.sql import Window
 
+    from ..functions.graph import _persistent_rdd_ids, _release_rdds
+
+    spark = incoming.sparkSession
     w = Window.partitionBy("hash", "partition_id").orderBy(
         F.col("payload").desc()
     )
@@ -304,13 +305,15 @@ def merge_upsert_store(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    store_exists = os.path.isdir(path) and any(
-        True
-        for root, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
-    if not store_exists:
+    # FS-agnostic existence probe: an os.path check only sees the local
+    # filesystem — on HDFS/S3 an existing store would read as absent and
+    # the first-write fallback's dynamic overwrite would wholesale-
+    # replace the batch's partitions, losing every non-conflicting row.
+    # Probe through Spark's reader instead (missing path OR an empty
+    # schema-less directory both raise AnalysisException).
+    try:
+        existing_all = spark.read.parquet(path)
+    except AnalysisException:
         write_store(inc, path)
         return
     parts = (
@@ -326,18 +329,28 @@ def merge_upsert_store(
             "release (or raise max_affected_partitions explicitly)"
         )
     affected = [r["partition_id"] for r in parts]
-    existing = spark.read.parquet(path).filter(
-        F.col("partition_id").isin(affected)
-    )
+    existing = existing_all.filter(F.col("partition_id").isin(affected))
     survivors = existing.join(
         inc.select("hash", "partition_id"),
         ["hash", "partition_id"],
         "left_anti",
     )
+    # the checkpoint blocks are not cache-manager entries (unpersist is
+    # a no-op for them); release by RDD id once the write has consumed
+    # them, else every merge pins its partitions' rows for the session
+    # — the accumulation class that OOM'd the r6 sweep driver
+    sc = spark.sparkContext
+    __b = _persistent_rdd_ids(sc)
     merged = inc.unionByName(survivors.select(*inc.columns)).localCheckpoint(
         eager=True
     )
-    write_store(merged, path)
+    merged_ids = (
+        ((_persistent_rdd_ids(sc) or set()) - __b) if __b is not None else set()
+    )
+    try:
+        write_store(merged, path)
+    finally:
+        _release_rdds(sc, merged_ids)
 
 
 def run_main(

@@ -245,6 +245,9 @@ def test_canonical_url_rules(spark):
         (13, "https://[2001:DB8::1]:8080/x", "https://[2001:db8::1]:8080/x"),
         (14, "http://[::1]:80/x", "http://[::1]/x"),
         (15, "http://u:p@[::1]:8080", "http://[::1]:8080/"),
+        # a newline inside userinfo (admitted by the hostport class)
+        # must not stop the strip — (?s) on the userinfo regex
+        (16, "http://u\np@Host.io/x", "http://host.io/x"),
     ]
     df = spark.createDataFrame(
         [(i, u) for i, u, _ in rows], "id long, url string"
