@@ -137,6 +137,11 @@ HEADLINE = [
     # are the round's heavy new corpus passes
     "d15_winnow_fingerprints",
     "pipe18_crawl_curation",
+    # round-10: the SemDeDup composition (cluster -> BLAS within-cluster
+    # pairs -> components -> keep rule) and the bucketed-store
+    # merge-upsert round trip
+    "pipe19_semdedup",
+    "s19_merge_upsert",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
