@@ -356,6 +356,60 @@ def bm25_topk(
     return ranked.limit(k)
 
 
+def rrf_fuse(
+    rankings: Sequence[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack/Clarke/Buettcher, SIGIR 2009):
+    ``fused(d) = sum over legs of 1 / (k + rank_leg(d))``, a document
+    absent from a leg contributing 0 — the standard hybrid-retrieval
+    combiner (BM25 + dense, multi-field, multi-query expansion) because
+    it needs no score calibration between legs, only ranks. k=60 is the
+    paper's constant.
+
+    Exactness: each term is one double division on integer-valued
+    doubles and the sum is a FIXED-ORDER expression (leg 0 + leg 1 +
+    ...), so fused scores are bit-identical across engines and
+    partitionings; final ties break by id.
+
+    Plan shape: the legs are top-k-sized by construction (they come out
+    of retrieval operators), so fusion is a chain of full-outer joins on
+    the id plus one global row_number over a handful of rows — constant
+    work per query regardless of corpus size. Returns
+    ``(id, rrf_score, rank)`` ordered by rank.
+    """
+    from pyspark.sql import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    if k <= 0:
+        raise ValueError(f"rrf_fuse: k must be positive, got {k}")
+    fused = None
+    for i, leg in enumerate(rankings):
+        part = leg.select(
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
+            ).alias(f"__rrf_{i}"),
+        )
+        fused = part if fused is None else fused.join(
+            part, id_col, "full_outer"
+        )
+    score = None
+    for i in range(len(rankings)):
+        c = F.coalesce(F.col(f"__rrf_{i}"), F.lit(0.0))
+        score = c if score is None else score + c
+    out = fused.select(F.col(id_col), score.alias("rrf_score"))
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col).asc())
+    out = out.withColumn("rank", F.row_number().over(w).cast("long"))
+    if top_k is not None:
+        out = out.filter(F.col("rank") <= top_k)
+    return out.orderBy("rank")
+
+
 def bigram_lm_score(
     df: DataFrame,
     id_col: str = "doc_id",

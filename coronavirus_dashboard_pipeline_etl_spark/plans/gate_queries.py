@@ -1993,7 +1993,10 @@ j{r} AS MATERIALIZED (
     return ",".join(parts)
 
 
-def _d6_sql() -> str:
+def _lsh_cc_prefix_sql() -> str:
+    """Shared oracle prefix (d6, x22): minhash(16) -> 2-band LSH
+    candidate pairs -> bidirectional edges -> the unrolled
+    connected-component rounds, ending in ``cc(node, label)``."""
     bands = []
     for bidx in range(2):
         members = ", ".join(f"mh{i}" for i in range(bidx * 8, (bidx + 1) * 8))
@@ -2001,8 +2004,7 @@ def _d6_sql() -> str:
             f"SELECT doc_id, {bidx} AS band, concat_ws('_', {members}) AS sig "
             "FROM sig WHERE mh0 IS NOT NULL"
         )
-    return f"""
-WITH th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
+    return f"""th AS (SELECT doc_id, {_TH_SQL} AS th FROM documents),
 sig AS (
     SELECT doc_id,
            {','.join(f'list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}' for i, (a, b) in enumerate(hash_params(16)))}
@@ -2019,7 +2021,12 @@ edges AS MATERIALIZED (
     UNION ALL
     SELECT id_b AS a, id_a AS b FROM pairs
 ),
-{_cc_rounds_sql()}
+{_cc_rounds_sql()}"""
+
+
+def _d6_sql() -> str:
+    return f"""
+WITH {_lsh_cc_prefix_sql()}
 SELECT node AS doc_id, label AS canonical_id FROM cc
 """
 
@@ -5701,6 +5708,165 @@ FROM assigned a JOIN cc c ON a.vec_id = c.node
 
 QUERIES["pipe19_semdedup"] = pipe19_semdedup
 ORACLE["pipe19_semdedup"] = _pipe19_sql()
+
+
+def h7_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-retrieval fusion (functions.text.rrf_fuse — Reciprocal
+    Rank Fusion, Cormack et al. SIGIR 2009): leg A is the b1 BM25
+    top-20 for the 3-term query; leg B is a coverage-then-brevity
+    ranking (distinct query terms present DESC, doc length ASC — the
+    classic boolean-coverage signal BM25's saturation can invert).
+    RRF fuses the two rank lists with k=60 and returns the fused
+    top-10. Scores are fixed-order sums of exact double divisions, so
+    the oracle replays them bit-for-bit; docs appearing in only one
+    leg exercise the absent-leg-contributes-0 rule."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import bm25_topk, rrf_fuse, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = bm25_topk(
+        docs, list(_B1_TERMS), k=20, k1=_BM25_K1, b=_BM25_B, log_idf=False
+    )
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank"),
+    )
+    toks = tokens("text")
+
+    # NB: a two-parameter lambda would make PySpark pass (element,
+    # index) — a closure per term keeps the HOF unary
+    def term_present(term: str):
+        return (
+            F.size(F.filter(toks, lambda x: x == F.lit(term))) > 0
+        ).cast("int")
+
+    coverage = None
+    for t in _B1_TERMS:
+        c = term_present(t)
+        coverage = c if coverage is None else coverage + c
+    cov = docs.select(
+        "doc_id",
+        coverage.alias("__cov"),
+        F.size(toks).alias("__dl"),
+    ).orderBy(
+        F.col("__cov").desc(), F.col("__dl").asc(), F.col("doc_id").asc()
+    ).limit(20)
+    cov_rank = cov.select(
+        "doc_id",
+        F.row_number()
+        .over(
+            W.orderBy(
+                F.col("__cov").desc(), F.col("__dl").asc(),
+                F.col("doc_id").asc(),
+            )
+        )
+        .alias("rank"),
+    )
+    return rrf_fuse([lex_rank, cov_rank], k=60, top_k=10)
+
+
+H7_SQL = f"""
+WITH base AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
+           {_B1_TF}
+    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
+           {_B1_DF}
+    FROM base
+),
+lex AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
+    FROM (
+        SELECT doc_id, {_B1_SCORE} AS score
+        FROM base, stats
+        ORDER BY score DESC, doc_id ASC
+        LIMIT 20
+    )
+),
+cov AS (
+    SELECT doc_id, ROW_NUMBER() OVER (
+        ORDER BY coverage DESC, dl ASC, doc_id ASC) AS r
+    FROM (
+        SELECT doc_id, dl,
+               {' + '.join(f'(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)' for i in range(len(_B1_TERMS)))} AS coverage
+        FROM base
+        ORDER BY coverage DESC, dl ASC, doc_id ASC
+        LIMIT 20
+    )
+),
+fused AS (
+    SELECT COALESCE(l.doc_id, c.doc_id) AS doc_id,
+           COALESCE(1.0 / (60.0 + l.r), 0.0)
+           + COALESCE(1.0 / (60.0 + c.r), 0.0) AS rrf_score
+    FROM lex l FULL OUTER JOIN cov c ON l.doc_id = c.doc_id
+)
+SELECT doc_id, rrf_score, rank FROM (
+    SELECT doc_id, rrf_score,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY rrf_score DESC, doc_id ASC) AS BIGINT) AS rank
+    FROM fused
+)
+WHERE rank <= 10
+"""
+
+QUERIES["h7_rrf_fusion"] = h7_rrf_fusion
+ORACLE["h7_rrf_fusion"] = H7_SQL
+
+
+def x22_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split — the production pretraining
+    rule that x17's per-doc md5 coin cannot give: near-duplicate
+    documents must land in the SAME split, or the eval set leaks
+    training data. Composition: minhash(16) -> 2-band LSH pairs ->
+    connected components (the near-dup groups) -> the md5 split coin
+    thrown on the COMPONENT's canonical id instead of the doc id, so
+    every member of a group inherits one decision. Per-(lang, split)
+    ledger: doc and component counts + id bounds. The oracle replays
+    the full chain (the d6 component prefix + the x17 coin on the
+    label)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sigs, k=16, bands=2)
+    comp = dedup_components(pairs, docs.select("doc_id"))
+    labeled = docs.select("doc_id", "lang").join(comp, "doc_id")
+    out = split_corpus(
+        labeled, id_col="canonical_id", val_fraction=0.1, test_fraction=0.1
+    )
+    return out.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("canonical_id").alias("n_components"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+def _x22_sql() -> str:
+    coin = _md5int_sql("CAST(l.label AS VARCHAR) || 'split'")
+    return f"""
+WITH {_lsh_cc_prefix_sql()},
+s AS (
+    SELECT d.doc_id, d.lang, l.label,
+           CASE WHEN {coin} % 10000 < 1000 THEN 'val'
+                WHEN {coin} % 10000 < 2000 THEN 'test'
+                ELSE 'train' END AS split
+    FROM documents d JOIN cc l ON d.doc_id = l.node
+)
+SELECT lang, split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_components,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM s GROUP BY lang, split
+"""
+
+
+QUERIES["x22_leakage_safe_split"] = x22_leakage_safe_split
+ORACLE["x22_leakage_safe_split"] = _x22_sql()
 
 
 def pipe11_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -286,3 +286,74 @@ def test_script_profile_counts_and_ties(spark):
     assert got[5][6] == "none" and got[5][7] is None
     assert got[6][6] == "latin" and got[6][7] == 0.5
     assert got[7][6] == "han"
+
+
+def test_rrf_fuse_rules(spark):
+    """rrf_fuse (text.py): fixed-order 1/(k+rank) sums, absent-leg
+    contributes zero, ties break by id, top_k filter, guards."""
+    import pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        rrf_fuse,
+    )
+
+    a = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(2, 1), (4, 2)], "doc_id long, rank long"
+    )
+    got = {r.doc_id: (r.rrf_score, r.rank) for r in rrf_fuse([a, b], k=60).collect()}
+    assert got[2] == (1 / 62 + 1 / 61, 1)  # in both legs -> wins
+    assert got[1] == (1 / 61, 2)  # absent from leg b -> 0 contribution
+    assert got[4] == (1 / 62, 3)
+    assert got[3] == (1 / 63, 4)
+    top2 = rrf_fuse([a, b], k=60, top_k=2).collect()
+    assert [r.doc_id for r in top2] == [2, 1]
+
+    # tie: docs 5 and 6 with identical single-leg ranks -> id order
+    c = spark.createDataFrame([(6, 1), (5, 1)], "doc_id long, rank long")
+    tie = rrf_fuse([c], k=60).collect()
+    assert [r.doc_id for r in tie] == [5, 6]
+
+    with pytest.raises(ValueError, match="no rankings"):
+        rrf_fuse([])
+    with pytest.raises(ValueError, match="positive"):
+        rrf_fuse([a], k=0)
+
+
+def test_leakage_safe_split_invariant(spark):
+    """x22 composition property: every member of a near-dup component
+    carries the SAME split (the whole point — x17's per-doc coin can
+    separate near-duplicates across train/eval)."""
+    import pyspark.sql.functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        split_corpus,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_components,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(docs, k=16)
+    pairs = lsh_candidate_pairs(sigs, k=16, bands=2)
+    comp = dedup_components(pairs, docs.select("doc_id"))
+    out = split_corpus(
+        docs.join(comp, "doc_id"),
+        id_col="canonical_id",
+        val_fraction=0.1,
+        test_fraction=0.1,
+    )
+    per_comp = out.groupBy("canonical_id").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert per_comp.filter(F.col("n_splits") > 1).count() == 0
+    # non-vacuity: the fixture must contain at least one multi-doc
+    # component, else the invariant is trivially true
+    assert per_comp.filter(F.col("n") > 1).count() > 0
+    assert out.select("split").distinct().count() == 3
