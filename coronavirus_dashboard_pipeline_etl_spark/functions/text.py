@@ -356,51 +356,6 @@ def bm25_topk(
     return ranked.limit(k)
 
 
-#: PII classes scrubbed by ``scrub_pii``: name -> (Java/RE2-compatible
-#: pattern, replacement token). Patterns deliberately use only syntax
-#: with IDENTICAL semantics in Java regex and RE2 (character classes,
-#: bounded quantifiers, \b word boundaries, no backrefs/lookaround), so
-#: a SQL oracle can replay the scrub byte-for-byte.
-PII_PATTERNS = {
-    "email": (
-        r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-        "<EMAIL>",
-    ),
-    "ipv4": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    "phone": (r"\+\d{1,2} \d{3} \d{3} \d{4}", "<PHONE>"),
-}
-
-
-def scrub_pii(
-    df: DataFrame, text_col: str = "text", out: str = "text_scrubbed"
-) -> DataFrame:
-    """PII scrubbing — the redaction pass every pretraining corpus runs
-    before anything ships: emails, IPv4 literals, and international
-    phone numbers replaced with typed placeholder tokens, with a
-    per-class match count so corpus monitoring can track PII density.
-
-    All JVM ``regexp_replace``/``regexp_count`` expressions (map-side,
-    zero shuffle, codegen'd); counts are taken on the ORIGINAL text
-    before any replacement, so classes cannot shadow each other's
-    counts, and replacement runs email -> ipv4 -> phone (emails may
-    contain digit runs; scrubbing them first keeps the later classes'
-    matches stable). Placeholder tokens contain no digits or ``@``, so
-    a replacement can never create a new match for a later class.
-
-    Adds ``out`` plus ``n_email``/``n_ipv4``/``n_phone``. NULL text
-    propagates as NULL with NULL counts.
-    """
-    c = F.col(text_col)
-    counts = {
-        f"n_{name}": F.regexp_count(c, F.lit(pat)).cast("long")
-        for name, (pat, _) in PII_PATTERNS.items()
-    }
-    scrubbed = c
-    for pat, token in PII_PATTERNS.values():
-        scrubbed = F.regexp_replace(scrubbed, pat, token)
-    return df.withColumns({**counts, out: scrubbed})
-
-
 def rrf_fuse(
     rankings: Sequence[DataFrame],
     id_col: str = "doc_id",

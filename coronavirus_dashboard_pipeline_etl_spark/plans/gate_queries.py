@@ -5869,79 +5869,6 @@ QUERIES["x22_leakage_safe_split"] = x22_leakage_safe_split
 ORACLE["x22_leakage_safe_split"] = _x22_sql()
 
 
-def t12_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrubbing (functions.text.scrub_pii): every document gets a
-    deterministic decoration — an email for doc_id % 2 == 0, an IPv4
-    for % 3 == 0, a phone for % 5 == 0 (so the overlap classes
-    coexist in one row at % 30) — and the scrubber must replace each
-    with its typed token and count it. The oracle rebuilds the same
-    decorated text and replays the counts (len(regexp_extract_all))
-    and the ordered global replaces, so pattern-semantics drift
-    between the engines' regex dialects fails the value hash on the
-    full scrubbed text."""
-    from ..functions.text import scrub_pii
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    email = F.when(
-        F.col("doc_id") % 2 == 0,
-        F.concat(
-            F.lit(" user"), (F.col("doc_id") % 7).cast("string"),
-            F.lit("@ex"), (F.col("doc_id") % 3).cast("string"),
-            F.lit(".com"),
-        ),
-    ).otherwise(F.lit(""))
-    ip = F.when(
-        F.col("doc_id") % 3 == 0,
-        F.concat(
-            F.lit(" 10."), (F.col("doc_id") % 250).cast("string"),
-            F.lit(".0."), (F.col("doc_id") % 200).cast("string"),
-        ),
-    ).otherwise(F.lit(""))
-    phone = F.when(
-        F.col("doc_id") % 5 == 0,
-        F.concat(F.lit(" +1 555 867 530"), (F.col("doc_id") % 10).cast("string")),
-    ).otherwise(F.lit(""))
-    decorated = docs.select(
-        "doc_id", F.concat(F.col("text"), email, ip, phone).alias("text")
-    )
-    return scrub_pii(decorated).select(
-        "doc_id", "n_email", "n_ipv4", "n_phone", "text_scrubbed"
-    )
-
-
-T12_SQL = r"""
-WITH decorated AS (
-    SELECT doc_id,
-           text
-           || CASE WHEN doc_id % 2 = 0
-                THEN ' user' || CAST(doc_id % 7 AS VARCHAR)
-                     || '@ex' || CAST(doc_id % 3 AS VARCHAR) || '.com'
-                ELSE '' END
-           || CASE WHEN doc_id % 3 = 0
-                THEN ' 10.' || CAST(doc_id % 250 AS VARCHAR)
-                     || '.0.' || CAST(doc_id % 200 AS VARCHAR)
-                ELSE '' END
-           || CASE WHEN doc_id % 5 = 0
-                THEN ' +1 555 867 530' || CAST(doc_id % 10 AS VARCHAR)
-                ELSE '' END AS t
-    FROM documents
-)
-SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
-       CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-       CAST(len(regexp_extract_all(t, '\+\d{1,2} \d{3} \d{3} \d{4}')) AS BIGINT) AS n_phone,
-       regexp_replace(regexp_replace(regexp_replace(t,
-           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-           '\+\d{1,2} \d{3} \d{3} \d{4}', '<PHONE>', 'g') AS text_scrubbed
-FROM decorated
-"""
-
-QUERIES["t12_pii_scrub"] = t12_pii_scrub
-ORACLE["t12_pii_scrub"] = T12_SQL
-
-
-
 def pipe11_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ANN index build + query (the IVF pipeline pipe7 is to
     dedup): seed centroids (vec_id < 8) -> map-side assignment -> ONE

@@ -357,37 +357,3 @@ def test_leakage_safe_split_invariant(spark):
     # component, else the invariant is trivially true
     assert per_comp.filter(F.col("n") > 1).count() > 0
     assert out.select("split").distinct().count() == 3
-
-
-def test_scrub_pii_rules(spark):
-    """scrub_pii (text.py): typed placeholders, counts taken on the
-    ORIGINAL text, email-before-ip order, NULL propagation, no-PII
-    passthrough."""
-    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
-        scrub_pii,
-    )
-
-    rows = [
-        (1, "mail me at a.b+c@ex.org or x@y.io thanks"),
-        (2, "server 10.0.0.1 and 192.168.1.255 up"),
-        (3, "call +1 555 867 5309 now"),
-        (4, "clean text only"),
-        (5, None),
-        # an email whose local part contains digit runs: the ip/phone
-        # counts on the ORIGINAL text must not see fragments exposed
-        # only after the email is replaced
-        (6, "weird 10.0.0.1.user@ex.com here"),
-    ]
-    df = spark.createDataFrame(rows, "id long, text string")
-    got = {
-        r.id: (r.n_email, r.n_ipv4, r.n_phone, r.text_scrubbed)
-        for r in scrub_pii(df).collect()
-    }
-    assert got[1] == (2, 0, 0, "mail me at <EMAIL> or <EMAIL> thanks")
-    assert got[2] == (0, 2, 0, "server <IP> and <IP> up")
-    assert got[3] == (0, 0, 1, "call <PHONE> now")
-    assert got[4] == (0, 0, 0, "clean text only")
-    assert got[5] == (None, None, None, None)
-    # email pattern eats the dotted prefix (greedy [A-Za-z0-9.-]+ in
-    # the domain...); counts reflect the ORIGINAL text's matches
-    assert got[6][3] == "weird <EMAIL> here"
