@@ -395,6 +395,22 @@ def rrf_fuse(
                 F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
             ).alias(f"__rrf_{i}"),
         )
+        # a duplicate id inside one leg would FAN OUT through the
+        # full-outer join chain (two rows for the doc, every doc below
+        # it displaced) — fail loudly instead; legs are top-k-sized,
+        # so the guard aggregate is a trivial job
+        dup = (
+            part.groupBy(id_col)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .collect()
+        )
+        if dup:
+            raise ValueError(
+                f"rrf_fuse: leg {i} contains duplicate {id_col}="
+                f"{dup[0][id_col]}; each leg must rank a document once"
+            )
         fused = part if fused is None else fused.join(
             part, id_col, "full_outer"
         )

@@ -4089,8 +4089,10 @@ _B1_SCORE = " + ".join(
     for i in range(len(_B1_TERMS))
 )
 
-B1_SQL = f"""
-WITH base AS (
+# shared oracle prefix for every gate that replays the b1 BM25 scoring
+# (B1_SQL, H7_SQL) — ONE definition of the tokenization and corpus
+# stats, so the oracles cannot drift apart
+_B1_BASE_STATS_SQL = f"""base AS (
     SELECT doc_id,
            CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
            {_B1_TF}
@@ -4100,7 +4102,10 @@ stats AS (
     SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
            {_B1_DF}
     FROM base
-)
+)"""
+
+B1_SQL = f"""
+WITH {_B1_BASE_STATS_SQL}
 SELECT doc_id, {_B1_SCORE} AS score
 FROM base, stats
 ORDER BY score DESC, doc_id ASC
@@ -5769,17 +5774,7 @@ def h7_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 H7_SQL = f"""
-WITH base AS (
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS DOUBLE) AS dl,
-           {_B1_TF}
-    FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
-),
-stats AS (
-    SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl,
-           {_B1_DF}
-    FROM base
-),
+WITH {_B1_BASE_STATS_SQL},
 lex AS (
     SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS r
     FROM (
@@ -11683,12 +11678,17 @@ def t13_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sums are exact integers, so the fertility division is
     bit-identical cross-engine. Oracle: the bpe2 sentinel-space replay
     extended with the per-word char sum and the lang rollup."""
-    from ..functions.text import bpe_encode, learn_bpe_merges
+    from ..functions.text import BPE_WORD_PATTERN, bpe_encode, learn_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
     merges = learn_bpe_merges(docs, n_merges=3)
     enc = bpe_encode(docs, merges).select("doc_id", "n_bpe_tokens")
-    arr = F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+    # pretoken universe MUST be the tokenizer's own (BPE_WORD_PATTERN):
+    # a hardcoded copy would let numerator (chars) and denominator
+    # (tokens) silently diverge if the pattern is ever widened
+    arr = F.regexp_extract_all(
+        F.lower(F.col("text")), F.lit(BPE_WORD_PATTERN), 0
+    )
     chars = F.aggregate(
         arr, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
     )

@@ -357,3 +357,16 @@ def test_leakage_safe_split_invariant(spark):
     # component, else the invariant is trivially true
     assert per_comp.filter(F.col("n") > 1).count() > 0
     assert out.select("split").distinct().count() == 3
+
+
+def test_rrf_fuse_rejects_duplicate_ids_in_a_leg(spark):
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        rrf_fuse,
+    )
+    import pytest
+
+    bad = spark.createDataFrame(
+        [(7, 3), (7, 5), (1, 1)], "doc_id long, rank long"
+    )
+    with pytest.raises(ValueError, match="duplicate doc_id=7"):
+        rrf_fuse([bad])
