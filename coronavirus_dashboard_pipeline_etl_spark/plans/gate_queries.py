@@ -2683,11 +2683,17 @@ dates AS (
     FROM (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
           FROM bounds)
 ),
-areas AS (SELECT DISTINCT area_code FROM cases),
+areas AS (
+    -- each area's series begins at its OWN first observed date
+    -- (reference get_dataset pads only trailing dates) — the global
+    -- scaffold is bounded below per area
+    SELECT area_code, MIN(date) AS area_min FROM cases GROUP BY 1
+),
 panel AS (
     SELECT a.area_code, d.date, COALESCE(c.c, 0.0) AS cases
     FROM areas a CROSS JOIN dates d
     LEFT JOIN cases c ON c.area_code = a.area_code AND c.date = d.date
+    WHERE d.date >= a.area_min
 ),
 r1 AS (
     SELECT area_code, date, cases,

@@ -1058,3 +1058,240 @@ def _nan_eq_chain(a, b) -> bool:
     if isinstance(a, float) and isinstance(b, float):
         return a == b or abs(a - b) < 1e-9
     return a == b
+
+
+# -------------------------------------------------------- composed MSOA chain
+
+
+def _msoa_ref_change(pdf: pd.DataFrame, metric: str, min_sum_allowed, min_sum_sub):
+    """The reference change_by_sum hand replay (rolling.py:81-233) with
+    the min-sum substitution branch, UNROUNDED pct (the Spark side runs
+    pct_precision=None and the comparison uses tolerance, keeping the
+    half-even-vs-HALF-UP display rounding out of the parity question)."""
+    d = pdf.sort_values(["areaType", "areaCode", "date"]).reset_index(drop=True)
+    keys = ["areaType", "areaCode"]
+    grp = d.groupby(keys, group_keys=False, sort=False)
+    rsum = grp[metric].apply(lambda s: s.astype(float).rolling(7).sum())
+    rsum = rsum.reset_index(drop=True)
+    if min_sum_allowed is not None:
+        rsum = rsum.where(~(rsum < min_sum_allowed), float(min_sum_sub))
+    d["rsum"] = rsum
+
+    def all_zero(s: pd.Series) -> pd.Series:
+        return s.mask(pd.Series([s.sum() == 0] * len(s), index=s.index))
+
+    grp = d.groupby(keys, group_keys=False, sort=False)
+    d["rsum"] = grp["rsum"].apply(all_zero).reset_index(drop=True)
+    grp = d.groupby(keys, group_keys=False, sort=False)
+    d["chg"] = grp["rsum"].diff(7)
+    d["dirn"] = d["chg"].map(
+        lambda v: None
+        if pd.isna(v)
+        else ("DOWN" if v < 0 else "UP" if v > 0 else "SAME")
+    )
+
+    def pct_fn(w: pd.Series) -> float:
+        cur, prev = w.iloc[7], w.iloc[0]
+        if cur == 0 and prev > 0:
+            return -100.0
+        fraction = cur / (prev or 1) - 1
+        if fraction == -1:
+            return 0.0
+        return fraction * 100
+
+    d["pct"] = (
+        grp["rsum"].apply(lambda s: s.rolling(8).apply(pct_fn)).reset_index(drop=True)
+    )
+    raw_null = d[metric].isna()
+    d.loc[raw_null, ["rsum", "chg", "dirn", "pct"]] = np.nan
+    if min_sum_allowed is not None:
+        sub_rows = d["rsum"] == float(min_sum_sub)
+        d.loc[sub_rows, ["rsum", "chg", "dirn", "pct", metric]] = np.nan
+    return d
+
+
+def test_run_msoa_matches_reference_chain_composed(spark):
+    """EP3 composed-chain parity: the reference MSOA processor chain
+    (msoa_etl_db/processor.py:267-298) replayed per area the way the
+    reference actually runs it — get_dataset's trailing zero-pad to the
+    GLOBAL max date, then homogenise_dates / normaliser (verbatim),
+    change_by_sum(min_sum 3->2) via the replay above,
+    calculate_rolling_rate / suppress_by_rolling_sum / to_periodic_data
+    (verbatim) — against ``run_msoa`` over the multi-area frame.
+
+    The fixture deliberately includes a LATE-STARTING area with nonzero
+    early counts: the reference's per-area frame begins at that area's
+    own first observed date, which is the subtle boundary a global
+    densify could get wrong."""
+    from itertools import product as _product
+
+    from pandas import (
+        MultiIndex,
+        concat,
+        date_range,
+        to_datetime,
+        unique,
+    )
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.msoa_pipeline import (
+        run_msoa,
+    )
+
+    from datetime import datetime, timedelta
+
+    ns_h = _load_ref_functions(
+        "/root/reference/db_etl/processors/homogenisation.py",
+        ["homogenise_dates"],
+        {
+            "to_datetime": to_datetime,
+            "date_range": date_range,
+            "unique": unique,
+            "MultiIndex": MultiIndex,
+            "concat": concat,
+            "product": _product,
+        },
+    )
+    ns_m = _load_ref_functions(
+        "/root/reference/msoa_etl_db/processor.py",
+        [
+            "normaliser",
+            "calculate_rolling_rate",
+            "suppress_by_rolling_sum",
+            "to_periodic_data",
+            "get_date_periods",
+        ],
+        {
+            "datetime": datetime,
+            "timedelta": timedelta,
+            "date_range": date_range,
+        },
+    )
+
+    metric = "newCasesBySpecimenDate"
+    release_ts = "2021-03-20"
+    dates = [f"2021-03-{i:02d}" for i in range(1, 17)]
+    series = {
+        # E1 spans the global range, with a small-count stretch so the
+        # min-sum substitution and suppression branches fire
+        "E1": {dates[i]: v for i, v in enumerate(
+            [1, 0, 0, 1, 0, 0, 0, 5, 9, 9, 9, 9, 9, 9, 9, 9]
+        )},
+        # E2 STARTS LATE (first observation at day 5) with immediate
+        # nonzero counts, and stops reporting early (trailing zero-pad)
+        "E2": {dates[i]: v for i, v in enumerate(
+            [None, None, None, None, 4, 5, 6, 7, 8, 9, 9, 9, None, None, None, None]
+        ) if v is not None},
+    }
+    pops = {"E1": 1000.0, "E2": 2000.0}
+    global_max = dates[-1]
+
+    # ---- reference leg, PER AREA (one Azure Function per area) ----
+    expected = {}
+    for code, obs in series.items():
+        rows = [
+            {"areaType": "msoa", "areaCode": code, "date": dt,
+             metric: float(v)}
+            for dt, v in sorted(obs.items())
+        ]
+        pdf = pd.DataFrame(rows)
+        # get_dataset:146-171 — trailing zero-pad to the global max
+        area_max = pdf["date"].max()
+        if area_max < global_max:
+            pad = pd.date_range(
+                start=pd.Timestamp(area_max) + pd.Timedelta(days=1),
+                end=global_max,
+                freq="1D",
+            )
+            pdf = pd.concat(
+                [
+                    pdf,
+                    pd.DataFrame(
+                        [
+                            {"areaType": "msoa", "areaCode": code,
+                             "date": f"{d:%Y-%m-%d}", metric: 0.0}
+                            for d in pad
+                        ]
+                    ),
+                ],
+                ignore_index=True,
+            )
+        d = ns_h["homogenise_dates"](pdf.copy())
+        d["date"] = d["date"].map(
+            lambda x: x.strftime("%Y-%m-%d") if hasattr(x, "strftime") else x
+        )
+        d = ns_m["normaliser"](d, column=metric)
+        d = _msoa_ref_change(d, metric, min_sum_allowed=3, min_sum_sub=2)
+        d["population"] = pops[code]
+        d = d.rename(columns={"rsum": f"{metric}RollingSum"})
+        d = ns_m["calculate_rolling_rate"](d, metric=metric)
+        d = d.rename(
+            columns={
+                f"{metric}RollingSum": "rsum",
+                f"{metric}RollingRate": "rate",
+            }
+        )
+        # suppress_by_rolling_sum works on the suffixed names
+        d = d.rename(
+            columns={
+                "rsum": f"{metric}RollingSum",
+                "chg": f"{metric}Change",
+                "dirn": f"{metric}Direction",
+                "pct": f"{metric}ChangePercentage",
+                "rate": f"{metric}RollingRate",
+            }
+        )
+        d = ns_m["suppress_by_rolling_sum"](d, metric=metric)
+        d = ns_m["to_periodic_data"](d, timestamp=release_ts)
+
+        def clean(v):
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                return None
+            return v
+
+        for _, r in d.iterrows():
+            expected[(code, r["date"])] = tuple(
+                clean(r[f"{metric}{s}"])
+                for s in ("RollingSum", "Change", "Direction",
+                          "ChangePercentage", "RollingRate")
+            )
+
+    # ---- Spark leg: one multi-area frame through run_msoa ----
+    rows = [
+        (code, dt, float(v))
+        for code, obs in series.items()
+        for dt, v in sorted(obs.items())
+    ]
+    cases = spark.createDataFrame(
+        rows, f"areaCode string, date string, {metric} double"
+    )
+    pop = spark.createDataFrame(
+        [(k, v) for k, v in pops.items()], "areaCode string, population double"
+    )
+    out = run_msoa(
+        cases, pop, release_timestamp=release_ts,
+        pct_precision=None, rate_precision=1,
+    )
+    got = {
+        (r["area_code"], r["date"]): (
+            r[f"{metric}RollingSum"],
+            r[f"{metric}Change"],
+            r[f"{metric}Direction"],
+            r[f"{metric}ChangePercentage"],
+            r[f"{metric}RollingRate"],
+        )
+        for r in out.collect()
+    }
+    assert set(got) == set(expected), (
+        f"spark-only={sorted(set(got) - set(expected))} "
+        f"ref-only={sorted(set(expected) - set(got))}"
+    )
+    bad = []
+    for k in sorted(got):
+        for i, (g, e) in enumerate(zip(got[k], expected[k])):
+            if i == 3 and g is not None and e is not None:  # pct: tolerance
+                ok = abs(g - e) < 1e-6
+            else:
+                ok = _nan_eq_chain(g, e)
+            if not ok:
+                bad.append((k, i, g, e))
+    assert not bad, f"first mismatches: {bad[:10]}"
