@@ -134,16 +134,26 @@ def normalise_demographics_records(
         stage1["areaNameLower"] = F.lower(name)
 
     if cumulative:
-        # zero-seed the first date across all bands (normalisation.py:128-133)
-        df = with_scalar(df, "__global_min_date", F.min(date_col))
+        # zero-seed the first date across all bands
+        # (normalisation.py:128-133). The reference runs per-AREA
+        # chunks, so ``d.date.min()`` is that area's own first date —
+        # a global scalar min would skip the seed for every area that
+        # starts later than the earliest one (found by the composed
+        # reference-exec parity test, round 10).
+        w_amin = (
+            Window.partitionBy("areaCode")
+            .orderBy(date_col)
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        df = df.withColumn("__area_min_date", F.min(date_col).over(w_amin))
         for col in cumulative:
             zero = F.lit(0).cast(df.schema[col].dataType)
             stage1[col] = F.when(
-                (F.col(date_col) == F.col("__global_min_date"))
+                (F.col(date_col) == F.col("__area_min_date"))
                 & F.col(col).isNull(),
                 zero,
             ).otherwise(F.col(col))
-    df = df.withColumns(stage1).drop("__global_min_date")
+    df = df.withColumns(stage1).drop("__area_min_date")
 
     if cumulative:
         # stage 2 (one projection): bounded ffill over the seeded values —

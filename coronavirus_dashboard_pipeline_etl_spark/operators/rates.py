@@ -44,6 +44,7 @@ def calculate_rates(
     rate_per_n: int = RATE_PER,
     precision: int | None = RATE_PRECISION,
     last_valid: Mapping[str, str] | None = None,
+    tail_rules: bool = True,
 ) -> DataFrame:
     """Add {m}RollingSum/{m}RollingRate and {m}Rate columns.
 
@@ -110,10 +111,15 @@ def calculate_rates(
     # whole frame, NOT per area).
     known = last_valid or {}
     scalar_aggs = []
-    if any(is_event(m) for m in rolling_rate) and "__max_date" not in known:
+    # ``tail_rules=False`` reproduces the AGE path (calculate_age_rates,
+    # generic_rate.py:139-214): its only mask is ``date > max_date``
+    # with max_date = the frame max — inert — and it has no last-valid
+    # rule either; both freshness masks belong to the FLAT path only
+    # (found by the composed demographics reference-exec test, round 10)
+    if tail_rules and any(is_event(m) for m in rolling_rate) and "__max_date" not in known:
         scalar_aggs.append(F.max(date_col).alias("__max_date"))
     for m in rolling_rate:
-        if not is_event(m) and m not in known:
+        if tail_rules and not is_event(m) and m not in known:
             scalar_aggs.append(
                 F.max(F.when(raw(m).isNotNull(), F.col(date_col))).alias(
                     f"__last_{m}"
@@ -124,12 +130,15 @@ def calculate_rates(
         scalars = df.agg(*scalar_aggs)
         scalar_cols = scalars.columns
         df = df.crossJoin(broadcast(scalars))
-    max_date = (
-        F.lit(known["__max_date"]) if "__max_date" in known else F.col("__max_date")
-    )
-    event_cutoff = F.date_format(
-        F.date_sub(F.to_date(max_date), TAIL_TRIM_DAYS), "yyyy-MM-dd"
-    )
+    if tail_rules:
+        max_date = (
+            F.lit(known["__max_date"])
+            if "__max_date" in known
+            else F.col("__max_date")
+        )
+        event_cutoff = F.date_format(
+            F.date_sub(F.to_date(max_date), TAIL_TRIM_DAYS), "yyyy-MM-dd"
+        )
 
     def last_valid_col(m: str) -> F.Column:
         return F.lit(known[m]) if m in known else F.col(f"__last_{m}")
@@ -155,6 +164,9 @@ def calculate_rates(
         rrate = f"{m}{SUFFIX_ROLLING_RATE}"
         rate = F.col(rsum).cast("double") / F.col("population") * rate_per_n
         rate = rate if precision is None else F.round(rate, precision)
+        if not tail_rules:
+            stage2[rrate] = rate
+            continue
         # tail freshness rule (generic_rate.py:107-117)
         if is_event(m):
             stale = F.col(date_col) > event_cutoff

@@ -52,11 +52,24 @@ def run_demographics(
     Returns one row per (areaType, areaCode, areaName, date) with
     ``out_col`` = sorted array<struct<{nesting_param}, metrics...>>.
     """
+    # the reference's per-area chunk begins at that area's own first
+    # observed date (run_demographics operates on one area per call) —
+    # bound the global scaffold below per area or late-starting areas
+    # gain leading rows the reference never produces (found by the
+    # composed reference-exec parity test, round 10)
+    area_min = data.groupBy("areaCode").agg(
+        F.min(F.to_date("date")).alias("__area_min")
+    )
     df = homogenise_dates(
         data,
         group_keys=("areaType", "areaCode"),
         frequency=frequency,
         extra_keys=(nesting_param,),
+    )
+    df = (
+        df.join(F.broadcast(area_min), "areaCode")
+        .filter(F.to_date("date") >= F.col("__area_min"))
+        .drop("__area_min")
     )
     df = normalise_demographics_records(
         df,
@@ -72,6 +85,10 @@ def run_demographics(
             group_keys=("areaType", "areaCode", nesting_param),
             join_keys=("areaCode", nesting_param),
             precision=rate_precision,
+            # the AGE rate path has no live freshness mask
+            # (calculate_age_rates: date > frame-max is inert, no
+            # last-valid rule) — masking belongs to the flat path
+            tail_rules=False,
         )
     if tail_mask:
         df = trim_end(df, tail_mask, TAIL_TRIM_DAYS)

@@ -37,17 +37,21 @@ def test_age_demographics_nesting(spark):
     )
     got = {r["date"]: r.asDict() for r in out.collect()}
     assert len(got) == 20  # one row per date
-    # SpecimenDate metrics are tail-masked for the trailing 5 days
-    # (generic_rate.py:107-117): max=02-20 -> rates visible through 02-15
     rec = got["2021-02-15"]["casesAgeDemographics"]
     assert [x["age"] for x in rec] == ["00_04", "05_09"]  # sorted nesting
     # age 05_09: full 7-day window of 10s -> rsum 70, rate = 70/3.5e6*1e5 = 2.0
     r59 = rec[1]
     assert r59["newCasesBySpecimenDateRollingSum"] == 70.0
     assert r59["newCasesBySpecimenDateRollingRate"] == 2.0
-    # and masked inside the tail window
-    masked = got["2021-02-18"]["casesAgeDemographics"][1]
-    assert masked["newCasesBySpecimenDateRollingSum"] is None
+    # the AGE rate path carries NO freshness mask (calculate_age_rates'
+    # date > frame-max guard is inert and it has no last-valid rule —
+    # established by the composed reference-exec parity test, round 10;
+    # the 5-day freshness handling in the reference demographics path
+    # is the later wall-clock payload-format row drop, out of engine
+    # scope): trailing dates keep their live rolling values
+    tail = got["2021-02-18"]["casesAgeDemographics"][1]
+    assert tail["newCasesBySpecimenDateRollingSum"] == 70.0
+    assert tail["newCasesBySpecimenDateRollingRate"] == 2.0
     # the zero-filled hole keeps 00_04's rolling sum at 60 on day 9
     r04_d9 = got["2021-02-09"]["casesAgeDemographics"][0]
     assert r04_d9["newCasesBySpecimenDateRollingSum"] == 60.0

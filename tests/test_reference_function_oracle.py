@@ -1295,3 +1295,205 @@ def test_run_msoa_matches_reference_chain_composed(spark):
             if not ok:
                 bad.append((k, i, g, e))
     assert not bad, f"first mismatches: {bad[:10]}"
+
+
+# ------------------------------------------------- composed demographics chain
+
+
+def test_run_demographics_matches_reference_chain_composed(spark):
+    """EP2 nested-pathway composed parity: the reference
+    ``run_demographics`` chain (db_etl/etl.py:1285-1322) replayed PER
+    AREA the way the per-chunk function runs it —
+    homogenise_demographics_dates, normalise_demographics_records, and
+    calculate_age_rates all VERBATIM from the reference source, then
+    the groupby -> to_dict(records) nested collapse — against
+    ``run_demographics`` over the multi-area frame. The payload-format
+    tail (column rename to db names, Int64 cast, the wall-clock
+    now()-5d row drop) is out of scope: it is formatting, and the
+    now() dependence is not replayable.
+
+    The fixture includes a LATE-STARTING area (the boundary the MSOA
+    composed test caught run_msoa on) and sparse nulls per (age, date)
+    so the zero-fill and the per-band scaffold both bite."""
+    from itertools import product as _product
+
+    from pandas import (
+        MultiIndex,
+        concat,
+        date_range,
+        to_datetime,
+        unique,
+    )
+
+    import logging
+    from datetime import datetime, timedelta
+    from typing import Iterable
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.demographics_pipeline import (
+        run_demographics,
+    )
+
+    ns_h = _load_ref_functions(
+        "/root/reference/db_etl/processors/homogenisation.py",
+        ["homogenise_demographics_dates"],
+        {
+            "to_datetime": to_datetime,
+            "date_range": date_range,
+            "unique": unique,
+            "MultiIndex": MultiIndex,
+            "concat": concat,
+            "product": _product,
+        },
+    )
+    class _CompatSet(set):
+        # pandas 2 rejects set column indexers; the reference's
+        # ``set(zero_filled).intersection(...)`` fed one to .loc under
+        # pandas 1.x — intersect to a sorted LIST, same members
+        def intersection(self, other):
+            return sorted(set(self) & set(other))
+
+    ns_n = _load_ref_functions(
+        "/root/reference/db_etl/processors/normalisation.py",
+        ["normalise_demographics_records"],
+        {
+            "unique": unique,
+            "product": _product,
+            "Iterable": Iterable,
+            "set": _CompatSet,
+        },
+    )
+    ns_r = _load_ref_functions(
+        "/root/reference/db_etl/processors/generic_rate.py",
+        ["calculate_age_rates"],
+        {
+            "logging": logging,
+            "to_datetime": to_datetime,
+            "datetime": datetime,
+            "timedelta": timedelta,
+            "RATE_PER_POPULATION_FACTOR": 100_000,
+            "Iterable": Iterable,
+        },
+    )
+
+    m = "newCasesBySpecimenDate"
+    dates = [f"2021-03-{i:02d}" for i in range(1, 13)]
+    # (area, age) -> sparse {date: value}; E2 starts late (day 4)
+    series = {
+        ("E1", "00_04"): {dates[i]: v for i, v in enumerate(
+            [1, None, 0, 2, None, 3, 1, 0, 2, 4, None, 1]
+        ) if v is not None},
+        ("E1", "05_09"): {dates[i]: v for i, v in enumerate(
+            [0, 2, None, 1, 1, None, 0, 3, 1, None, 2, 0]
+        ) if v is not None},
+        ("E2", "00_04"): {dates[i]: v for i, v in enumerate(
+            [None, None, None, 5, 1, 2, 0, 1, 3, 2, 1, 0]
+        ) if v is not None},
+        ("E2", "05_09"): {dates[i]: v for i, v in enumerate(
+            [None, None, None, None, 2, 1, 1, 0, 2, 1, 3, 1]
+        ) if v is not None},
+    }
+    pops = {
+        ("E1", "00_04"): 1000.0, ("E1", "05_09"): 2000.0,
+        ("E2", "00_04"): 4000.0, ("E2", "05_09"): 1000.0,
+    }
+    main_metrics = ["areaType", "areaCode", "areaName", "date", "age"]
+    out_fields = ["age", m, f"{m}RollingSum", f"{m}RollingRate"]
+
+    def clean(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return None
+        return v
+
+    # ---- reference leg, per area (one chunk function per area) ----
+    expected = {}
+    for code in ("E1", "E2"):
+        rows = []
+        for (c, age), obs in sorted(series.items()):
+            if c != code:
+                continue
+            for dt, v in sorted(obs.items()):
+                rows.append(
+                    {"areaType": "ltla", "areaCode": code,
+                     "areaName": f"{code}ton", "date": dt, "age": age,
+                     m: float(v)}
+                )
+        pdf = pd.DataFrame(rows)
+        d = ns_h["homogenise_demographics_dates"](
+            pdf.copy(),
+            base_metrics=["areaType", "areaCode", "date", "age"],
+            nesting_param="age",
+            frequency="D",
+        )
+        d = d.set_index(main_metrics)
+        d = ns_n["normalise_demographics_records"](
+            d,
+            zero_filled=[m],
+            cumulative=[],
+            base_metrics=["areaType", "areaCode", "date", "age"],
+            nesting_param="age",
+        )
+        popdf = pd.DataFrame(
+            {"population": [pops[(code, a)] for a in ("00_04", "05_09")]},
+            index=pd.MultiIndex.from_tuples(
+                [(code, "00_04"), (code, "05_09")], names=["areaCode", "age"]
+            ),
+        )
+        d = ns_r["calculate_age_rates"](
+            d, popdf, max_date=d.date.max(), rolling_rate=[m]
+        )
+        # the nested collapse (etl.py:1315-1320)
+        collapsed = (
+            d.groupby(main_metrics[:-1])
+            .apply(lambda x: x.loc[:, out_fields].to_dict(orient="records"))
+            .reset_index()
+            .rename(columns={0: "nested"})
+        )
+        for _, r in collapsed.iterrows():
+            key = (r["areaCode"], r["areaName"], r["date"])
+            expected[key] = sorted(
+                tuple(clean(rec[f]) for f in out_fields) for rec in r["nested"]
+            )
+
+    # ---- Spark leg: one multi-area frame through run_demographics ----
+    rows = [
+        ("ltla", code, f"{code}ton", dt, age, float(v))
+        for (code, age), obs in sorted(series.items())
+        for dt, v in sorted(obs.items())
+    ]
+    sdf = spark.createDataFrame(
+        rows,
+        f"areaType string, areaCode string, areaName string, date string, "
+        f"age string, {m} double",
+    )
+    pop_sdf = spark.createDataFrame(
+        [(c, a, p) for (c, a), p in pops.items()],
+        "areaCode string, age string, population double",
+    )
+    out = run_demographics(
+        sdf,
+        nesting_param="age",
+        value_metrics=[m],
+        out_col="nested",
+        population=pop_sdf,
+        rolling_rate=[m],
+        zero_filled=[m],
+        frequency="D",
+        rate_precision=1,
+    )
+    import pyspark.sql.functions as F
+
+    out = out.withColumn("date", F.date_format("date", "yyyy-MM-dd"))
+    got = {}
+    for r in out.collect():
+        key = (r["areaCode"], r["areaName"], r["date"])
+        got[key] = sorted(
+            tuple(rec[f] for f in out_fields) for rec in r["nested"]
+        )
+    assert set(got) == set(expected), (
+        f"spark-only={sorted(set(got) - set(expected))[:6]} "
+        f"ref-only={sorted(set(expected) - set(got))[:6]}"
+    )
+    bad = [
+        (k, got[k], expected[k]) for k in sorted(got) if got[k] != expected[k]
+    ]
+    assert not bad, f"first mismatches: {bad[:4]}"
