@@ -1,5 +1,6 @@
 """Date homogenisation — densify the (areaType, areaCode, date) panel so
-every area carries every date in the observed global range.
+every area carries every scaffold date (the ``span`` parameter decides
+whether the range is the observed global one or each group's own).
 
 Re-expresses ``db_etl/processors/homogenisation.py:29-130``: the reference
 builds a cartesian scaffold DataFrame in driver memory (itertools.product
@@ -27,26 +28,25 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.functions import broadcast
 
 
-def _date_scaffold(bounds: DataFrame, frequency: str) -> DataFrame:
-    """1-column frame of all dates in [lo, hi] from a 1-row bounds frame.
+def _date_seq(lo: F.Column, hi: F.Column, frequency: str) -> F.Column:
+    """Array of all scaffold dates in [lo, hi].
 
     ``frequency`` 'D' = daily; 'W' = pandas ``date_range(freq="W")``
     parity: weekly anchored on Sundays, first Sunday >= min date
     (homogenise_demographics_dates, homogenisation.py:88-96).
     """
     if frequency == "D":
-        seq = F.sequence(F.col("lo"), F.col("hi"), F.expr("interval 1 day"))
-    elif frequency == "W":
-        first_sunday = F.when(
-            F.dayofweek("lo") == 1, F.col("lo")
-        ).otherwise(F.next_day("lo", "Sun"))
-        seq = F.when(
-            first_sunday <= F.col("hi"),
-            F.sequence(first_sunday, F.col("hi"), F.expr("interval 7 days")),
+        return F.sequence(lo, hi, F.expr("interval 1 day"))
+    if frequency == "W":
+        first_sunday = F.when(F.dayofweek(lo) == 1, lo).otherwise(
+            F.next_day(lo, "Sun")
+        )
+        return F.when(
+            first_sunday <= hi,
+            F.sequence(first_sunday, hi, F.expr("interval 7 days")),
         ).otherwise(F.array())
-    else:  # pragma: no cover - config error
-        raise ValueError(f"unsupported frequency {frequency!r}")
-    return bounds.select(F.explode(seq).alias("__scaffold_date"))
+    # pragma: no cover - config error
+    raise ValueError(f"unsupported frequency {frequency!r}")
 
 
 def homogenise_dates(
@@ -55,6 +55,7 @@ def homogenise_dates(
     date_col: str = "date",
     frequency: str = "D",
     extra_keys: Sequence[str] = (),
+    span: str = "global",
 ) -> DataFrame:
     """Densify to one row per (group keys [, extra nesting keys], date).
 
@@ -63,7 +64,27 @@ def homogenise_dates(
     nesting parameter (age band / variant), homogenisation.py:97-113.
     Dates are kept as ISO strings at the edges (the reference's wire
     format).
+
+    ``span`` decides which range each group's scaffold covers — the
+    reference runs its homogenisers over frames of different extents,
+    and the distributed engine must reproduce each one (the composed
+    reference-exec parity tests, round 10, caught the differences):
+
+    * ``"global"`` (default): every group spans the GLOBAL [min, max]
+      and the GLOBAL nesting-value set — the flat path, whose frame is
+      the whole release (homogenise_dates over the main panel).
+    * ``"group"``: each group spans its OWN [min, max] and its OWN
+      nesting values — the demographics path, where the reference runs
+      one chunk per area (etl.py:1285-1322), so the scaffold never
+      extends past that area's first/last observed date or invents
+      bands the area never reported.
+    * ``"group_min"``: per-group lower bound, GLOBAL upper bound (and
+      global nesting values) — the MSOA path, where ``get_dataset``
+      zero-pads trailing dates to the release max before the per-area
+      chunk is homogenised (msoa_etl_db/processor.py:146-171).
     """
+    if span not in ("global", "group", "group_min"):
+        raise ValueError(f"unsupported span {span!r}")
     keys = list(group_keys)
     aggs = [
         F.min(F.to_date(date_col)).alias("__lo"),
@@ -78,21 +99,54 @@ def homogenise_dates(
     # lineage so the three derivations below share a single execution.
     stats = df.groupBy(*keys).agg(*aggs).localCheckpoint(eager=False)
 
-    bounds = stats.agg(F.min("__lo").alias("lo"), F.max("__hi").alias("hi"))
-    dates = _date_scaffold(bounds, frequency)
-    scaffold = stats.select(*keys).crossJoin(broadcast(dates))
-    for k in extra_keys:
-        vals = stats.select(F.explode(f"__set_{k}").alias(k)).distinct()
-        dtype = df.schema[k].dataType
-        null_val = (
-            stats.agg(F.max(f"__has_null_{k}").alias("__hn"))
-            .filter(F.col("__hn"))
-            .select(F.lit(None).cast(dtype).alias(k))
+    if span == "global":
+        bounds = stats.agg(F.min("__lo").alias("lo"), F.max("__hi").alias("hi"))
+        dates = bounds.select(
+            F.explode(_date_seq(F.col("lo"), F.col("hi"), frequency)).alias(
+                "__scaffold_date"
+            )
         )
-        scaffold = scaffold.crossJoin(broadcast(vals.unionByName(null_val)))
+        scaffold = stats.select(*keys).crossJoin(broadcast(dates))
+    else:
+        per_group = stats
+        if span == "group_min":
+            ghi = stats.agg(F.max("__hi").alias("__ghi"))
+            per_group = per_group.crossJoin(broadcast(ghi))
+            hi = F.col("__ghi")
+        else:
+            hi = F.col("__hi")
+        scaffold = per_group.withColumn(
+            "__scaffold_date",
+            F.explode(_date_seq(F.col("__lo"), hi, frequency)),
+        )
+
+    for k in extra_keys:
+        dtype = df.schema[k].dataType
+        if span == "group":
+            # each group keeps its OWN nesting-value set
+            members = F.when(
+                F.col(f"__has_null_{k}"),
+                F.concat(
+                    F.col(f"__set_{k}"),
+                    F.array(F.lit(None).cast(dtype)),
+                ),
+            ).otherwise(F.col(f"__set_{k}"))
+            scaffold = scaffold.withColumn(k, F.explode(members))
+        else:
+            vals = stats.select(F.explode(f"__set_{k}").alias(k)).distinct()
+            null_val = (
+                stats.agg(F.max(f"__has_null_{k}").alias("__hn"))
+                .filter(F.col("__hn"))
+                .select(F.lit(None).cast(dtype).alias(k))
+            )
+            scaffold = scaffold.crossJoin(
+                broadcast(vals.unionByName(null_val))
+            )
     scaffold = scaffold.withColumn(
         date_col, F.date_format("__scaffold_date", "yyyy-MM-dd")
-    ).drop("__scaffold_date")
+    ).select(
+        *keys, *extra_keys, date_col
+    )
 
     # full outer = the reference's outer merge: for frequency='D' the
     # scaffold is a superset of the data keys so this degenerates to a left

@@ -109,15 +109,17 @@ def normalise_demographics_records(
 
     Differences from the flat path, per the reference:
     * zero-filled metrics are blanket zero-filled (no bounds);
-    * cumulative metrics are zero-seeded at the global min date so all
-      bands share a starting point, then ffilled within the valid range
-      per (areaCode, nesting value).
+    * cumulative metrics are zero-seeded at each AREA'S OWN min date so
+      all bands share a starting point (the reference runs per-area
+      chunks, so its ``d.date.min()`` is the area's first date — round
+      10), then ffilled within the valid range per (areaCode, nesting
+      value).
     """
     zero_filled = sorted(set(zero_filled) & set(df.columns))
     cumulative = sorted(set(cumulative) & set(df.columns))
 
     # stage 1 (one projection): blanket zero-fills, areaName propagation,
-    # and the cumulative zero-seed at the global min date
+    # and the cumulative zero-seed at each area's own min date
     stage1: dict[str, F.Column] = {}
     for col in zero_filled:
         zero = F.lit(0).cast(df.schema[col].dataType)

@@ -71,6 +71,13 @@ def calculate_rates(
     areas that stop reporting early keep their trailing rolling values
     exactly like the reference.
 
+    ``tail_rules=False`` reproduces the AGE path (calculate_age_rates,
+    generic_rate.py:139-214), which has NO live freshness mask: its
+    ``date > max_date`` guard is inert (callers pass the frame max) and
+    it has no last-valid rule — both masks above belong to the FLAT
+    path only (established by the composed demographics reference-exec
+    parity test, round 10).
+
     The whole-frame scalars (event cutoff, per-metric last valid dates)
     are an aggregate branch over the upstream subtree — a second pass.
     At scale, pass ``last_valid`` (metric -> ISO date, and the key

@@ -52,24 +52,18 @@ def run_demographics(
     Returns one row per (areaType, areaCode, areaName, date) with
     ``out_col`` = sorted array<struct<{nesting_param}, metrics...>>.
     """
-    # the reference's per-area chunk begins at that area's own first
-    # observed date (run_demographics operates on one area per call) —
-    # bound the global scaffold below per area or late-starting areas
-    # gain leading rows the reference never produces (found by the
-    # composed reference-exec parity test, round 10)
-    area_min = data.groupBy("areaCode").agg(
-        F.min(F.to_date("date")).alias("__area_min")
-    )
+    # span="group": the reference runs ONE chunk per area
+    # (etl.py:1285-1322), so each area's scaffold covers its OWN
+    # [first, last] observed dates and its OWN nesting values — a
+    # global scaffold would invent leading/trailing rows and bands the
+    # reference never produces (found by the composed reference-exec
+    # parity test, round 10)
     df = homogenise_dates(
         data,
         group_keys=("areaType", "areaCode"),
         frequency=frequency,
         extra_keys=(nesting_param,),
-    )
-    df = (
-        df.join(F.broadcast(area_min), "areaCode")
-        .filter(F.to_date("date") >= F.col("__area_min"))
-        .drop("__area_min")
+        span="group",
     )
     df = normalise_demographics_records(
         df,

@@ -3259,19 +3259,24 @@ pop AS (
            COUNT(DISTINCT user_id) AS population
     FROM events GROUP BY 1, 2
 ),
-bounds AS (SELECT MIN(date)::DATE lo, MAX(date)::DATE hi FROM data),
+-- per-AREA spans and band sets (span="group"): the reference runs one
+-- chunk per area, so the scaffold never extends past an area's own
+-- first/last observed date or invents bands the area never reported
+spans AS (SELECT areaCode, MIN(date)::DATE lo, MAX(date)::DATE hi
+          FROM data GROUP BY 1),
 dates AS (
-    SELECT strftime(dd, '%Y-%m-%d') AS date
-    FROM (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE dd
-          FROM bounds)
+    SELECT areaCode, strftime(dd, '%Y-%m-%d') AS date FROM (
+        SELECT areaCode,
+               UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS dd
+        FROM spans
+    )
 ),
-areas AS (SELECT DISTINCT areaCode FROM data),
-ages AS (SELECT DISTINCT age FROM data),
+bands AS (SELECT DISTINCT areaCode, age FROM data),
 dense AS (
-    SELECT a.areaCode, g.age, d.date, COALESCE(s.value, 0.0) AS value
-    FROM areas a CROSS JOIN ages g CROSS JOIN dates d
+    SELECT b.areaCode, b.age, d.date, COALESCE(s.value, 0.0) AS value
+    FROM bands b JOIN dates d ON d.areaCode = b.areaCode
     LEFT JOIN data s
-      ON s.areaCode = a.areaCode AND s.age = g.age AND s.date = d.date
+      ON s.areaCode = b.areaCode AND s.age = b.age AND s.date = d.date
 ),
 r AS (
     SELECT areaCode, age, date, value,

@@ -76,23 +76,14 @@ def run_msoa(
     df = cases.withColumn("areaType", F.lit("msoa"))
 
     # densify to the global max date; missing/padded observations are 0
-    # (the reference appends literal zero rows). The reference's
-    # per-area frame begins at that area's OWN first observed date
-    # (get_dataset:146-171 pads only TRAILING dates; homogenise then
-    # spans the per-area frame) — so the global scaffold must be
-    # bounded below per area, or a late-starting area gains leading
-    # zero rows the reference never produces (found by the composed
-    # reference-exec parity test, round 10).
-    area_min = cases.groupBy("areaCode").agg(
-        F.min(F.to_date("date")).alias("__area_min")
-    )
-    df = homogenise_dates(df)
+    # (the reference appends literal zero rows). span="group_min": the
+    # reference's per-area frame begins at that area's OWN first
+    # observed date but get_dataset:146-171 zero-pads TRAILING dates to
+    # the release (global) max — a fully-global scaffold would give a
+    # late-starting area leading zero rows the reference never produces
+    # (found by the composed reference-exec parity test, round 10).
+    df = homogenise_dates(df, span="group_min")
     df = df.withColumn(METRIC, F.coalesce(F.col(METRIC), F.lit(0.0)))
-    df = (
-        df.join(broadcast(area_min), "areaCode")
-        .filter(F.to_date("date") >= F.col("__area_min"))
-        .drop("__area_min")
-    )
 
     if suppress:
         df = change_by_sum(

@@ -1377,7 +1377,11 @@ def test_run_demographics_matches_reference_chain_composed(spark):
 
     m = "newCasesBySpecimenDate"
     dates = [f"2021-03-{i:02d}" for i in range(1, 13)]
-    # (area, age) -> sparse {date: value}; E2 starts late (day 4)
+    # (area, age) -> sparse {date: value}. The boundary cases that
+    # distinguish per-area-chunk semantics from a global scaffold:
+    # E2 starts late (day 4); E3 STOPS EARLY (last observation day 8)
+    # and reports only ONE band — the reference chunk must not gain
+    # trailing rows past day 8 or invent the missing band.
     series = {
         ("E1", "00_04"): {dates[i]: v for i, v in enumerate(
             [1, None, 0, 2, None, 3, 1, 0, 2, 4, None, 1]
@@ -1391,10 +1395,14 @@ def test_run_demographics_matches_reference_chain_composed(spark):
         ("E2", "05_09"): {dates[i]: v for i, v in enumerate(
             [None, None, None, None, 2, 1, 1, 0, 2, 1, 3, 1]
         ) if v is not None},
+        ("E3", "00_04"): {dates[i]: v for i, v in enumerate(
+            [2, 1, None, 0, 3, 1, 2, 4]
+        ) if v is not None},
     }
     pops = {
         ("E1", "00_04"): 1000.0, ("E1", "05_09"): 2000.0,
         ("E2", "00_04"): 4000.0, ("E2", "05_09"): 1000.0,
+        ("E3", "00_04"): 2000.0, ("E3", "05_09"): 1000.0,
     }
     main_metrics = ["areaType", "areaCode", "areaName", "date", "age"]
     out_fields = ["age", m, f"{m}RollingSum", f"{m}RollingRate"]
@@ -1406,7 +1414,7 @@ def test_run_demographics_matches_reference_chain_composed(spark):
 
     # ---- reference leg, per area (one chunk function per area) ----
     expected = {}
-    for code in ("E1", "E2"):
+    for code in ("E1", "E2", "E3"):
         rows = []
         for (c, age), obs in sorted(series.items()):
             if c != code:
@@ -1432,10 +1440,11 @@ def test_run_demographics_matches_reference_chain_composed(spark):
             base_metrics=["areaType", "areaCode", "date", "age"],
             nesting_param="age",
         )
+        ages = sorted({a for (c, a) in series if c == code})
         popdf = pd.DataFrame(
-            {"population": [pops[(code, a)] for a in ("00_04", "05_09")]},
+            {"population": [pops[(code, a)] for a in ages]},
             index=pd.MultiIndex.from_tuples(
-                [(code, "00_04"), (code, "05_09")], names=["areaCode", "age"]
+                [(code, a) for a in ages], names=["areaCode", "age"]
             ),
         )
         d = ns_r["calculate_age_rates"](
