@@ -95,8 +95,17 @@ def flatten_nested_metrics(
 
 
 def wrap_payload(value: Column) -> Column:
-    """Scalar value -> JSON object string ``{"value": <x>}``."""
-    return F.to_json(F.struct(value.alias("value")))
+    """Scalar value -> JSON object string ``{"value": <x>}``.
+
+    A NULL value wraps as ``{"value":null}`` — the reference's
+    ``convert_values`` (uploader.py:501-507) turns None into
+    ``{"value": None}``, so the stored JSONB carries an explicit null
+    member; ``to_json``'s default of OMITTING null fields would ship
+    ``{}`` instead (found by the composed deploy-chain reference-exec
+    test, round 10)."""
+    return F.to_json(
+        F.struct(value.alias("value")), {"ignoreNullFields": "false"}
+    )
 
 
 def wrap_payload_column(

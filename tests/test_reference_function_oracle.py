@@ -1506,3 +1506,126 @@ def test_run_demographics_matches_reference_chain_composed(spark):
         (k, got[k], expected[k]) for k in sorted(got) if got[k] != expected[k]
     ]
     assert not bad, f"first mismatches: {bad[:4]}"
+
+
+# ------------------------------------------------------ composed deploy chain
+
+
+def test_to_long_store_matches_reference_deploy_chain(spark):
+    """Load-side composed parity: the reference ``deploy`` value chain
+    (db_etl_upload/uploader.py:546-646) replayed PER AREA — the
+    camelCase->snake rename (the uploader's metric_names map,
+    uploader.py:135-140), datetime coercion, melt, then trim_sides,
+    format_weekly_metrics, and convert_values VERBATIM from the
+    reference source, the null->None coercion, and the final dropna —
+    against ``to_long_store`` over the multi-area wide panel. The
+    DB-registry legs (validate_metrics, get_area_data ids, to_sql) and
+    the row hash are out of scope here: the hash has its own
+    reference-exec leg and the ids are infra.
+
+    The fixture carries the three melt families that hide type bugs:
+    a numeric metric with leading/trailing nulls (trim_sides bites), a
+    Direction STRING metric (the mixed-type melt union path), and a
+    weekly metric with interior nulls (format_weekly_metrics bites)."""
+    from pandas import to_datetime
+
+    from coronavirus_dashboard_pipeline_etl_spark.plans.main_pipeline import (
+        to_long_store,
+    )
+
+    ns = _load_ref_functions(
+        REF_UPLOADER,
+        ["trim_sides", "format_weekly_metrics", "convert_values"],
+        {"ndarray": np.ndarray},
+    )
+    ref_trim = ns["trim_sides"]
+    ref_weekly = ns["format_weekly_metrics"]
+    ref_convert = ns["convert_values"]
+    # the uploader's column-rename map (uploader.py:135-140) — data,
+    # not logic; replicated so the melt id_vars match the reference's
+    rename_map = {"areaType": "area_type", "areaCode": "area_code"}
+
+    dates = [f"2021-04-{i:02d}" for i in range(1, 11)]
+    panel_rows = []
+    for code, off in (("E1", 0.0), ("E2", 10.0)):
+        for i, dt in enumerate(dates):
+            cases = (
+                None if i in (0, 1, 4, 8, 9) else float(i) + off
+            )  # null head+tail -> trim_sides; INTERIOR null at i=4
+            # survives both trims and must wrap as {"value": null}
+            direction = (
+                None if i in (0, 9) else ("UP" if i % 2 else "DOWN")
+            )
+            weekly = (
+                None if i % 3 == 0 else 100.0 + i + off
+            )  # interior nulls -> weekly dropna
+            panel_rows.append(
+                ("ltla", code, dt, cases, direction, weekly)
+            )
+    cols = [
+        "areaType", "areaCode", "date",
+        "newCases", "casesDirection", "weeklyVaccines",
+    ]
+
+    # ---- reference leg, per area (one deploy call per file) ----
+    expected = {}
+    for code in ("E1", "E2"):
+        pdf = pd.DataFrame(
+            [r for r in panel_rows if r[1] == code], columns=cols
+        )
+        d = pdf.assign(
+            date=to_datetime(pdf.date, format="%Y-%m-%d"),
+            release_id=7,
+            partition_id="ltla",
+        ).rename(columns=rename_map)
+        d = d.melt(
+            id_vars=[
+                "area_type", "area_code", "date", "release_id",
+                "partition_id",
+            ],
+            var_name="metric",
+            value_name="payload",
+        )
+        d = d.reset_index(drop=True)
+        d = ref_trim(d)
+        d = ref_weekly(d)
+        d.payload = d.payload.where(d.payload.notnull(), None)
+        d.payload = d.payload.map(ref_convert)
+        d = d.dropna(
+            subset=["metric", "area_type", "area_code", "release_id", "date"],
+            how="any",
+        )
+        for _, r in d.iterrows():
+            key = (r["area_code"], r["metric"], f"{r['date']:%Y-%m-%d}")
+            expected[key] = r["payload"]
+
+    # ---- Spark leg: to_long_store over the multi-area panel ----
+    sdf = spark.createDataFrame(
+        panel_rows,
+        "areaType string, areaCode string, date string, "
+        "newCases double, casesDirection string, weeklyVaccines double",
+    )
+    out = to_long_store(sdf, release_id=7)
+    import json as _json
+
+    got = {}
+    for r in out.collect():
+        key = (r["area_code"], r["metric"], r["date"])
+        got[key] = (
+            None if r["payload"] is None else _json.loads(r["payload"])
+        )
+        assert r["release_id"] == 7
+        assert r["partition_id"] == "ltla"
+        assert r["hash"]  # keyed digest present (parity pinned in h1)
+    assert set(got) == set(expected), (
+        f"spark-only={sorted(set(got) - set(expected))[:6]} "
+        f"ref-only={sorted(set(expected) - set(got))[:6]}"
+    )
+    bad = [
+        (k, got[k], expected[k]) for k in sorted(got)
+        if got[k] != expected[k]
+    ]
+    assert not bad, f"first payload mismatches: {bad[:6]}"
+    # non-vacuity: every melt family must survive with real payloads
+    kinds = {k[1] for k in got}
+    assert kinds == {"newCases", "casesDirection", "weeklyVaccines"}
