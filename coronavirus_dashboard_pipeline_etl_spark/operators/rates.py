@@ -45,6 +45,7 @@ def calculate_rates(
     precision: int | None = RATE_PRECISION,
     last_valid: Mapping[str, str] | None = None,
     tail_rules: bool = True,
+    frame_keys: Sequence[str] | None = None,
 ) -> DataFrame:
     """Add {m}RollingSum/{m}RollingRate and {m}Rate columns.
 
@@ -70,6 +71,16 @@ def calculate_rates(
     the whole frame (generic_rate.py:113-117), not a per-area max — so
     areas that stop reporting early keep their trailing rolling values
     exactly like the reference.
+
+    ``frame_keys`` scopes the tail-rule scalars (event cutoff and
+    per-metric last-valid dates) PER GROUP instead of over the whole
+    frame: the reference's main chain runs on one (areaType, areaCode)
+    chunk per call (retrieve.py:147-163), so its ``d.date.max()`` /
+    ``dropna().date.max()`` are that AREA's own dates. The default
+    (None, whole-frame scalars) is the FUNCTION's verbatim behavior on
+    a multi-area frame — composition layers that reproduce the
+    per-chunk fan-out pass the chunk keys (found by the per-area
+    composed reference-exec parity test, round 10).
 
     ``tail_rules=False`` reproduces the AGE path (calculate_age_rates,
     generic_rate.py:139-214), which has NO live freshness mask: its
@@ -117,6 +128,32 @@ def calculate_rates(
     # raw date (generic_rate.py:113-117 — dropna().date.max() over the
     # whole frame, NOT per area).
     known = last_valid or {}
+    if frame_keys is not None and tail_rules:
+        # per-chunk scalars as window maxes — no aggregate branch, no
+        # cross join; the window rides the existing key partitioning
+        w_frame = Window.partitionBy(*frame_keys)
+        scalar_cols: list = []
+        max_date = (
+            F.lit(known["__max_date"])
+            if "__max_date" in known
+            else F.max(date_col).over(w_frame)
+        )
+        event_cutoff = F.date_format(
+            F.date_sub(F.to_date(max_date), TAIL_TRIM_DAYS), "yyyy-MM-dd"
+        )
+
+        def last_valid_col(m: str) -> F.Column:
+            if m in known:
+                return F.lit(known[m])
+            return F.max(
+                F.when(raw(m).isNotNull(), F.col(date_col))
+            ).over(w_frame)
+
+        return _rates_stages(
+            df, rolling_rate, incidence_rate, dtypes, raw, is_event,
+            w_roll, rate_per_n, precision, tail_rules, event_cutoff,
+            last_valid_col, date_col, scalar_cols,
+        )
     scalar_aggs = []
     # ``tail_rules=False`` reproduces the AGE path (calculate_age_rates,
     # generic_rate.py:139-214): its only mask is ``date > max_date``
@@ -150,8 +187,25 @@ def calculate_rates(
     def last_valid_col(m: str) -> F.Column:
         return F.lit(known[m]) if m in known else F.col(f"__last_{m}")
 
-    # one projection for all sums+rates, one for all tail masks (the mask
-    # must observe the computed columns)
+    return _rates_stages(
+        df, rolling_rate, incidence_rate, dtypes, raw, is_event,
+        w_roll, rate_per_n, precision, tail_rules,
+        event_cutoff if tail_rules else None,
+        last_valid_col, date_col, scalar_cols,
+    )
+
+
+def _rates_stages(
+    df, rolling_rate, incidence_rate, dtypes, raw, is_event, w_roll,
+    rate_per_n, precision, tail_rules, event_cutoff, last_valid_col,
+    date_col, scalar_cols,
+):
+    """Shared tail of ``calculate_rates``: one projection for all
+    sums+rates, one for all tail masks (the mask must observe the
+    computed columns). The caller decides HOW the tail-rule scalars are
+    derived (whole-frame aggregate + cross join, per-chunk window
+    maxes, or caller-supplied literals) — the stage arithmetic is
+    identical for every scoping."""
     stage1: dict[str, F.Column] = {}
     for m in rolling_rate:
         rsum = f"{m}{SUFFIX_ROLLING_SUM}"

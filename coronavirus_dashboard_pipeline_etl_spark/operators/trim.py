@@ -28,6 +28,7 @@ def trim_end(
     days_to_trim: int = TAIL_TRIM_DAYS,
     date_col: str = "date",
     max_date: str | None = None,
+    group_keys: Sequence[str] | None = None,
 ) -> DataFrame:
     """Mask `metrics` where date > (max date - days_to_trim).
 
@@ -37,7 +38,16 @@ def trim_end(
     already know the release date (the reference's generic_rate.py:59-60
     derives the cutoff from the run timestamp) should pass it explicitly
     — the mask then folds into the main stage with no extra scan.
+
+    ``group_keys`` scopes the cutoff PER GROUP (one window max instead
+    of the global scalar): the reference's main chain runs on one
+    (areaType, areaCode) chunk per call (retrieve.py:147-163), so its
+    ``d.date.max()`` is that AREA's own max — an early-stopping area is
+    masked relative to its own last date, not the release's (found by
+    the per-area composed reference-exec parity test, round 10).
     """
+    from pyspark.sql import Window
+
     metrics = sorted(set(metrics) & set(df.columns))
     if not metrics:
         return df
@@ -45,6 +55,13 @@ def trim_end(
         keep = F.to_date(date_col) <= F.date_sub(
             F.to_date(F.lit(max_date)), days_to_trim
         )
+        for m in metrics:
+            df = df.withColumn(m, F.when(keep, F.col(m)))
+        return df
+    if group_keys is not None:
+        w = Window.partitionBy(*group_keys)
+        cutoff = F.date_sub(F.to_date(F.max(date_col).over(w)), days_to_trim)
+        keep = F.to_date(date_col) <= cutoff
         for m in metrics:
             df = df.withColumn(m, F.when(keep, F.col(m)))
         return df

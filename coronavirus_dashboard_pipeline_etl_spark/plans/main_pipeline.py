@@ -83,8 +83,18 @@ def process_panel(
 
     The precision knobs default to the reference's rounding; the oracle
     gate passes None (engines round doubles differently at the last
-    ulp)."""
-    out = homogenise_dates(panel)
+    ulp).
+
+    Frame scope: the reference fans the main chain out as ONE
+    (areaType, areaCode) chunk per call (retrieve.py:147-163 writes one
+    blob per area; run_direct processes it alone), so every
+    frame-scoped scalar in the chain — the homogenise span, the rates
+    event cutoff and last-valid dates, the trim_end cutoff — is that
+    AREA's own, not the release's. The per-area composed reference-exec
+    parity test (round 10) caught the global scoping this plan
+    originally used."""
+    chunk_keys = ("areaType", "areaCode")
+    out = homogenise_dates(panel, span="group")
     out = normalise_records(
         out,
         zero_filled=config.fill_with_zeros,
@@ -99,6 +109,7 @@ def process_panel(
         rolling_rate=config.rolling_rate,
         incidence_rate=config.incidence_rate,
         precision=rate_precision,
+        frame_keys=chunk_keys,
     )
     # change_by_sum reuses a RollingSum column calculate_rates already
     # made (reference rolling.py:131-163): the rate path's sums carry
@@ -108,7 +119,7 @@ def process_panel(
         out, config.sum_change_direction, pct_precision=pct_precision
     )
     out = ratio_to_percentage(out, config.ratio_to_percentage)
-    out = trim_end(out, config.trim_end, TAIL_TRIM_DAYS)
+    out = trim_end(out, config.trim_end, TAIL_TRIM_DAYS, group_keys=chunk_keys)
     if release_timestamp is not None:
         out = out.withColumn("releaseTimestamp", F.lit(release_timestamp))
     return out.orderBy(

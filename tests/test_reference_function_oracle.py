@@ -825,14 +825,24 @@ def _chain_panel(seed: int) -> pd.DataFrame:
     """A fuzzed 16-day 2-area panel: sparse per-area date coverage (the
     homogenise scaffold must bite), one areaName observation per area,
     pools chosen so every configured operator fires and every rate /
-    ratio is exact at 1 dp in both rounding modes."""
+    ratio is exact at 1 dp in both rounding modes. E2 deliberately
+    starts LATE and stops EARLY (its candidate dates are indices 3-12)
+    — the reference runs the chain per (areaType, areaCode) chunk
+    (retrieve.py:147-163 fans out one blob per area; run_direct
+    processes it alone), so per-area frame bounds are load-bearing."""
     rng = np.random.RandomState(seed)
     dates = [f"2021-03-{i:02d}" for i in range(1, 17)]
     rows = []
     for code in ("E1", "E2"):
-        present = sorted(
-            rng.choice(16, size=rng.randint(8, 17), replace=False)
-        )
+        if code == "E1":
+            present = sorted(
+                rng.choice(16, size=rng.randint(8, 17), replace=False)
+            )
+            present = sorted(set(present) | {0, 15})  # spans the range
+        else:
+            present = sorted(
+                3 + rng.choice(10, size=rng.randint(6, 11), replace=False)
+            )
         name_at = int(rng.choice(len(present)))
         for j, di in enumerate(present):
             row = {
@@ -969,39 +979,44 @@ def test_process_panel_matches_reference_chain_composed(spark):
     for seed in (11, 23, 47):
         pdf = _chain_panel(seed)
 
-        d = ns_h["homogenise_dates"](pdf.copy())
-        d = ns_n["normalise_records"](
-            d,
-            zero_filled=sorted(cfg.fill_with_zeros),
-            cumulative=sorted(cfg.start_with_zero),
-        )
-        d = ns_z["negative_to_zero"](d)
-        d = ns_p["calculate_pair_summations"](
-            d, newPCRTests=("newPillarOne", "newPillarTwo")
-        )
-        d = ns_p["calculate_by_adjacent_column"](d, cumVax="vaxSrc")
-        d = ns_r["calculate_rates"](
-            d,
-            PopData(general=popdf),
-            rolling_rate=rr,
-            incidence_rate=[],
-            rate_per_n=100_000,
-        )
-        d = _shim_change_by_sum(d, scd)
-        d = ns_c["ratio_to_percentage"](d, ["posRatio"])
-        d = ns_t["trim_end"](d, sorted(cfg.trim_end), 5)
-
-        def clean(v):
-            if v is None or (isinstance(v, float) and math.isnan(v)):
-                return None
-            return v
-
-        expected = {
-            (r["areaCode"], key_date(r["date"])): tuple(
-                clean(r[c]) for c in out_cols
+        expected = {}
+        # the reference fans out ONE chunk per (areaType, areaCode)
+        # (retrieve.py:147-163) and run_direct processes each alone —
+        # so every frame-scoped scalar in the chain (homogenise span,
+        # rates last-valid/event cutoffs, trim_end cutoff) is PER AREA
+        for code in pdf["areaCode"].unique():
+            d = pdf.loc[pdf.areaCode == code, :].reset_index(drop=True)
+            d = ns_h["homogenise_dates"](d.copy())
+            d = ns_n["normalise_records"](
+                d,
+                zero_filled=sorted(cfg.fill_with_zeros),
+                cumulative=sorted(cfg.start_with_zero),
             )
-            for _, r in d.iterrows()
-        }
+            d = ns_z["negative_to_zero"](d)
+            d = ns_p["calculate_pair_summations"](
+                d, newPCRTests=("newPillarOne", "newPillarTwo")
+            )
+            d = ns_p["calculate_by_adjacent_column"](d, cumVax="vaxSrc")
+            d = ns_r["calculate_rates"](
+                d,
+                PopData(general=popdf),
+                rolling_rate=rr,
+                incidence_rate=[],
+                rate_per_n=100_000,
+            )
+            d = _shim_change_by_sum(d, scd)
+            d = ns_c["ratio_to_percentage"](d, ["posRatio"])
+            d = ns_t["trim_end"](d, sorted(cfg.trim_end), 5)
+
+            def clean(v):
+                if v is None or (isinstance(v, float) and math.isnan(v)):
+                    return None
+                return v
+
+            for _, r in d.iterrows():
+                expected[(r["areaCode"], key_date(r["date"]))] = tuple(
+                    clean(r[c]) for c in out_cols
+                )
 
         sdf = spark.createDataFrame(
             pdf.where(pdf.notna(), None),
