@@ -592,7 +592,13 @@ def _probe_exploded_guarded(
     ``localCheckpoint`` (the guard collect doubles as the eager
     materialisation; the k-wide probe scoring would otherwise re-execute
     per downstream consumer) -> the loud never-all-pairs bucket guard.
-    Returns the checkpointed exploded frame (id, __v, __bs, __b)."""
+    Returns the checkpointed exploded frame (id, __v, __bs, __b).
+
+    Degenerate input: a ZERO-NORM vector raises loudly inside
+    ``probe_assign`` (its assert fires before any scoring), so neither
+    kernel ever evaluates a 0/0 cosine — the expression path and the
+    BLAS path cannot diverge on NaN because the NaN is unreachable
+    (pinned by ``test_zero_norm_raises_identically_in_both_kernels``)."""
     probed = probe_assign(
         df.select(F.col(id_col), _to_double(F.col(vec_col)).alias("__v")),
         centroids,
@@ -787,12 +793,24 @@ def embedding_neardup_pairs_blas(
     one task per bucket — with the documented k ~ corpus/1e4 centroid
     contract that is plenty of tasks at scale, and BLAS threads fill
     the cores within each task.
+
+    Ids: the output schema is derived from ``df.schema[id_col]`` — any
+    orderable id type works, same as the expression path. Inside the
+    kernel the ``id_l < id_r`` orientation uses numpy/pandas ordering,
+    which matches Spark's for integers/floats/dates and for ASCII
+    strings (Spark compares strings as UTF-8 bytes; non-ASCII ids whose
+    code-point order differs from byte order could orient a pair
+    differently from the expression path — use the expression path for
+    oracle-parity on such ids).
     """
     import numpy as np
     import pandas as pd
 
     if not 0.0 <= threshold <= 1.0:
         raise ValueError(f"threshold must be in [0, 1], got {threshold}")
+    if block_rows < 1:
+        raise ValueError(f"block_rows must be >= 1, got {block_rows}")
+    id_type = df.schema[id_col].dataType.simpleString()
     x = _probe_exploded_guarded(
         df,
         centroids,
@@ -808,11 +826,12 @@ def embedding_neardup_pairs_blas(
 
     def score(pdf: "pd.DataFrame") -> "pd.DataFrame":
         n = len(pdf)
+        empty = pdf[id_col].iloc[:0]
         if n < 2:
-            return pd.DataFrame({"id_l": [], "id_r": []}).astype("int64")
+            return pd.DataFrame({"id_l": empty, "id_r": empty})
         pdf = pdf.sort_values(id_col, kind="mergesort")
         bkt = int(pdf["__b"].iloc[0])
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        ids = pdf[id_col].to_numpy()
         mat = np.array(list(pdf["__v"]), dtype=np.float64)
         probe_sets = [frozenset(b) for b in pdf["__bs"]]
         norm = np.sqrt((mat * mat).sum(axis=1))
@@ -836,12 +855,14 @@ def embedding_neardup_pairs_blas(
                     out_r.append(ids[j])
         return pd.DataFrame(
             {
-                "id_l": np.asarray(out_l, dtype=np.int64),
-                "id_r": np.asarray(out_r, dtype=np.int64),
+                "id_l": pd.Series(out_l, dtype=empty.dtype),
+                "id_r": pd.Series(out_r, dtype=empty.dtype),
             }
         )
 
-    return x.groupBy("__b").applyInPandas(score, "id_l long, id_r long")
+    return x.groupBy("__b").applyInPandas(
+        score, f"id_l {id_type}, id_r {id_type}"
+    )
 
 
 def kmeans_seeds_farthest(

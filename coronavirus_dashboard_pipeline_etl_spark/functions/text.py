@@ -395,6 +395,13 @@ def rrf_fuse(
                 F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))
             ).alias(f"__rrf_{i}"),
         )
+        # a leg's upstream lineage can be a whole-corpus retrieval run
+        # (bm25_topk, an ANN scan); checkpoint the projected top-k-sized
+        # leg so the guard collect below doubles as its materialisation
+        # and the fused plan reads the tiny checkpoint instead of
+        # re-executing the retrieval (the _probe_exploded_guarded
+        # pattern)
+        part = part.localCheckpoint(eager=False)
         # a duplicate id inside one leg would FAN OUT through the
         # full-outer join chain (two rows for the doc, every doc below
         # it displaced) — fail loudly instead; legs are top-k-sized,

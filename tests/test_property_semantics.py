@@ -845,6 +845,70 @@ def test_embedding_neardup_blas_kernel_equivalence(spark):
         embedding_neardup_pairs_blas(emb, seeds, threshold=0.3, max_bucket=10)
     with pytest.raises(ValueError, match="threshold"):
         embedding_neardup_pairs_blas(emb, seeds, threshold=1.5)
+    with pytest.raises(ValueError, match="block_rows"):
+        embedding_neardup_pairs_blas(emb, seeds, threshold=0.3, block_rows=0)
+
+
+def test_zero_norm_raises_identically_in_both_kernels(spark):
+    """A zero-norm vector must raise LOUDLY in probe_assign before any
+    cosine is evaluated, in BOTH the expression and BLAS kernels — the
+    0/0 NaN that could otherwise make the two paths diverge (Spark
+    sorts NaN greatest; numpy's NaN >= t is False) is unreachable."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [1.0, 0.01])],
+        "vec_id long, embedding array<double>",
+    )
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, centroid array<double>"
+    )
+    for fn in (embedding_neardup_pairs, embedding_neardup_pairs_blas):
+        with pytest.raises(
+            (SparkRuntimeException, Py4JJavaError), match="zero-norm"
+        ):
+            fn(df, cent, threshold=0.9, nprobe=1).collect()
+
+
+def test_blas_kernel_supports_string_ids(spark):
+    """The BLAS kernel derives its output schema from the input id
+    column — string ids must work and keep the same pair set as the
+    expression path (ASCII ids: numpy and Spark orderings agree)."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        F.format_string("doc-%05d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    seeds = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .filter(F.col("vec_id") < 4)
+        .select(
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("centroid"),
+        )
+    )
+    expr_pairs = {
+        (r["id_l"], r["id_r"])
+        for r in embedding_neardup_pairs(emb, seeds, threshold=0.3).collect()
+    }
+    got = embedding_neardup_pairs_blas(emb, seeds, threshold=0.3)
+    assert dict(got.dtypes) == {"id_l": "string", "id_r": "string"}
+    blas_pairs = {(r["id_l"], r["id_r"]) for r in got.collect()}
+    assert blas_pairs == expr_pairs and expr_pairs
 
 
 # --------------------------------------------------------------------------

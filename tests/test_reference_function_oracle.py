@@ -28,6 +28,7 @@ hand-replayed chain in test_pandas_reference_parity.py.
 from __future__ import annotations
 
 import ast
+import hashlib
 import math
 
 import numpy as np
@@ -38,9 +39,54 @@ from hypothesis import strategies as st
 
 REF_UPLOADER = "/root/reference/db_etl_upload/uploader.py"
 
+# The reference tree is UNTRUSTED public content that these tests exec
+# as an expected-output generator. Pin every exec'd file to the digest
+# it had when the parity suite was written, so a swapped or tampered
+# tree fails loudly instead of silently executing foreign code (and so
+# a legitimately updated reference forces a deliberate re-review of
+# the parity contract before its code runs again).
+_REF_SHA256 = {
+    "/root/reference/db_etl/etl.py":
+        "f2ea0bdcab047f6e9d97318a26b6dff4c105c7082085ffa344909225250ff34d",
+    "/root/reference/db_etl/processors/converter.py":
+        "de5800d8ddca1af90f9264636e740fedd800ee8978c5272e1c278b0d7dc015ce",
+    "/root/reference/db_etl/processors/derived_metrics.py":
+        "290210be9d98b91cda9123047c575b285c192aa72aa13c5fef75662c1baba0aa",
+    "/root/reference/db_etl/processors/generic_rate.py":
+        "3e2aace039d365e5c56228d68adda19d0a58c8766f025665dcb94a26658f251b",
+    "/root/reference/db_etl/processors/homogenisation.py":
+        "2c11030c72d0f160904061b64de94091ca1936bf6f08d72c6185fbedb2b8147d",
+    "/root/reference/db_etl/processors/normalisation.py":
+        "c6c66d91829e9944ebe8f919f20a100f173dbab687c86376b09fb6a5a955af7e",
+    "/root/reference/db_etl/processors/trimmer.py":
+        "438e3ef279611f49afb5f1cd4970c647657e66bf07998f82d37d5be901bd62ed",
+    "/root/reference/db_etl_upload/uploader.py":
+        "2c7832b6e53a527efb3f537278dbb77da12da5a14b9edf3d0da225594bfc7cea",
+    "/root/reference/msoa_etl_db/processor.py":
+        "302c88147f76735405ce68070507364ffd190768e900980cfe0c34e2974879ae",
+}
+
+
+def _read_pinned(path: str) -> str:
+    """Read a reference source file, failing if its content hash is not
+    the pinned one (never exec un-reviewed reference code)."""
+    raw = open(path, "rb").read()
+    digest = hashlib.sha256(raw).hexdigest()
+    pinned = _REF_SHA256.get(path)
+    assert pinned is not None, (
+        f"{path} is exec'd as a parity oracle but has no pinned sha256 — "
+        "add its digest to _REF_SHA256 after reviewing the file"
+    )
+    assert digest == pinned, (
+        f"{path} changed since the parity suite pinned it "
+        f"(sha256 {digest} != pinned {pinned}); the reference tree is "
+        "untrusted content — re-review the file, then update _REF_SHA256"
+    )
+    return raw.decode("utf-8")
+
 
 def _load_reference_trim_sides():
-    src = open(REF_UPLOADER, encoding="utf-8").read()
+    src = _read_pinned(REF_UPLOADER)
     tree = ast.parse(src)
     fn = next(
         n
@@ -136,8 +182,9 @@ def test_reference_extraction_sane():
 def _load_ref_functions(path: str, names: list[str], extra_ns: dict | None = None):
     """AST-extract top-level functions by name from a reference source
     file and exec them together (decorators like @func_logger resolve
-    against a pass-through stub). Returns the populated namespace."""
-    src = open(path, encoding="utf-8").read()
+    against a pass-through stub). Returns the populated namespace.
+    The file's sha256 must match the pin in ``_REF_SHA256``."""
+    src = _read_pinned(path)
     tree = ast.parse(src)
     wanted = [
         n
