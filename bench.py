@@ -142,6 +142,10 @@ HEADLINE = [
     # merge-upsert round trip
     "pipe19_semdedup",
     "s19_merge_upsert",
+    # round-11: CDC apply-changes (window + anti-join + union over the
+    # delta) and the KMV bottom-k sketch build (distinct + min-k)
+    "cdc1_apply_changes",
+    "sk6_kmv_distinct",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

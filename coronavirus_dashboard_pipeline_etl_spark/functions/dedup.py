@@ -1632,14 +1632,21 @@ def winnow_fingerprints(
     exact, same family as ``md5_prefix_long``).
 
     Spark-first shape: the min-hash-with-rightmost-tie rule collapses
-    to ONE associative aggregate — ``min(hash * 2^20 + (2^20-1-pos))``
-    over a ``ROWS CURRENT..w-1 FOLLOWING`` frame — because minimising
-    the combined key minimises the hash first and, among equal hashes,
-    maximises the position. One window exchange on ``id`` plus the
-    final distinct; no UDF, no self-join. ``max_pos`` (default 2^20
-    k-grams, ~1M tokens) bounds the position field so the encoding
-    cannot collide — longer documents raise loudly rather than
-    fingerprint wrongly (chunk them first: ``chunk_documents``).
+    to ``min(hash * 2^20 + (2^20-1-pos))`` per window — minimising the
+    combined key minimises the hash first and, among equal hashes,
+    maximises the position. Because winnowing is PER-DOCUMENT local,
+    the whole selection runs as array higher-order functions inside
+    the row (grams -> combined keys -> ``array_min`` over each
+    w-slice -> decode -> ``array_distinct``) and only the selected
+    fingerprints are exploded at the end: ZERO exchanges — no window
+    shuffle, no distinct shuffle — where the naive plan ships every
+    gram row through a sort exchange. No UDF, no self-join.
+    ``max_pos`` (default 2^20 k-grams, ~1M tokens) bounds the position
+    field so the encoding cannot collide — longer documents raise
+    loudly rather than fingerprint wrongly (chunk them first:
+    ``chunk_documents``); it equally bounds the in-row key array
+    (<= 8 MB), the same per-doc locality the window form required of a
+    partition.
     """
     if k < 1 or w < 1:
         raise ValueError(f"k and w must be >= 1, got k={k} w={w}")
@@ -1672,34 +1679,50 @@ def winnow_fingerprints(
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
     )
-    g = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(grams).alias("pos", "gram"),
-    )
-    hash40 = F.conv(F.substring(F.md5("gram"), 1, 10), 16, 10).cast("long")
     enc = F.lit(1 << 20)
-    combined = hash40 * enc + (enc - 1 - F.col("pos"))
-    win = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    sel = (
-        g.select("id", "pos", combined.alias("__c"))
-        .withColumn("__min", F.min("__c").over(win))
-        .withColumn("__n", F.count("__c").over(win))
-        .filter(F.col("__n") == w)  # full windows only (the definition)
-        # shiftright, NOT `/`: float division of a 60-bit key loses
-        # low bits above 2^53 and would decode wrong positions
-        .select(
-            "id",
-            F.shiftright("__min", 20).alias("fp_hi"),
-            (enc - 1 - F.col("__min") % enc).cast("long").alias("pos"),
+    # combined key per gram: hash40 * 2^20 + (2^20 - 1 - pos); the
+    # two-arg transform lambda's i is the 0-BASED array index == pos
+    keys = F.transform(
+        grams,
+        lambda g, i: F.conv(F.substring(F.md5(g), 1, 10), 16, 10).cast(
+            "long"
         )
-        .distinct()
+        * enc
+        + (enc - 1 - i.cast("long")),
     )
-    return sel.select(
-        F.col("id").alias(id_col), "pos", F.col("fp_hi").alias("fp")
+    def _select(ka: Column) -> Column:
+        # ka is a BOUND lambda variable (a value), so the n_windows
+        # slice-min references below read the materialised array — the
+        # md5 keys are hashed exactly ONCE per gram
+        n_windows = F.size(ka) - w + 1  # full windows only (the definition)
+        mins = F.when(
+            n_windows >= 1,
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(ka, i, w)),
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+        # decode + per-doc dedup INSIDE the row (selections are unique
+        # across docs by id, so array_distinct is the whole distinct);
+        # shiftright, NOT `/`: float division of a 60-bit key loses low
+        # bits above 2^53 and would decode wrong positions
+        return F.array_distinct(
+            F.transform(
+                mins,
+                lambda m: F.struct(
+                    (enc - 1 - m % enc).cast("long").alias("pos"),
+                    F.shiftright(m, 20).alias("fp"),
+                ),
+            )
+        )
+
+    # transform(array(keys), ...) evaluates the keys expression once
+    # and binds the result — without this, each window's lambda would
+    # inline and RE-EVALUATE the whole hashing transform (O(n^2) md5)
+    sel = F.element_at(F.transform(F.array(keys), _select), 1)
+    return (
+        df.select(F.col(id_col), F.explode(sel).alias("__s"))
+        .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
     )
 
 

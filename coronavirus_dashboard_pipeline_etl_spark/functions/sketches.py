@@ -434,3 +434,128 @@ def histogram_quantiles(
         * F.lit(width)
     )
     return first.select("q", est.alias("est"))
+
+
+# --------------------------------------------------------------------------
+# KMV (k-minimum-values / bottom-k) distinct sketch — supports set
+# INTERSECTION estimates, which HLL cannot express
+# --------------------------------------------------------------------------
+
+def kmv_sketch(
+    df: DataFrame,
+    item: Column,
+    k: int = 64,
+    group_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Bottom-k / KMV distinct sketch (Bar-Yossef et al. 2002; Beyer et
+    al. SIGMOD 2007): per group, the ``k`` SMALLEST distinct 60-bit item
+    hashes, ascending. One row per group: ``(*group_cols, sketch
+    array<long>, n_kept int)``.
+
+    Why alongside HLL: a KMV sketch is a uniform sample of the hash
+    space, so two groups' sketches compose — Jaccard / intersection
+    estimates fall out of ``kmv_pairwise`` — where HLL registers only
+    union.  Mergeable the same way: union two sketches' values and keep
+    the k smallest distinct (re-run this function over the exploded
+    sketches).
+
+    Scale shape: a map-side-combinable distinct on ``(group, hash)``
+    (the partial dedup halves the exchange under repetition-heavy
+    corpora), then ``row_number <= k`` and the array roll-up sharing
+    ONE group-keyed exchange.  The shuffle carries distinct hashes;
+    sketch state is k longs per group.
+
+    Determinism: the hash is the shared md5 60-bit prefix
+    (``dedup.md5_prefix_long``), the sketch is an exact set — the
+    DuckDB oracle rebuilds it value-for-value.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_sketch: k must be >= 2, got {k}")
+    df = df.filter(item.isNotNull())
+    h = _h60(item)
+    keys = [F.col(c) for c in group_cols]
+    distinct = df.select(*keys, h.alias("__h")).dropDuplicates(
+        [*group_cols, "__h"]
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list("__h")).alias("sketch"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+    )
+
+
+def kmv_estimate(sketch: Column, n_kept: Column, k: int) -> Column:
+    """Distinct-count estimate from a KMV sketch column: exact
+    ``n_kept`` while the sketch is unsaturated (fewer than k distinct
+    values seen — the sketch IS the value set), else the KMV estimator
+    ``(k-1) / U_k`` with ``U_k`` the k-th smallest hash normalised to
+    (0, 1].  Exactly two IEEE double ops (one divide each) in a fixed
+    order — cross-engine reproducible."""
+    u_k = F.element_at(sketch, k).cast("double") / F.lit(float(1 << 60))
+    return F.when(
+        n_kept < k, n_kept.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_k)
+
+
+def kmv_pairwise(
+    sketches: DataFrame,
+    group_col: str,
+    k: int,
+) -> DataFrame:
+    """Pairwise Jaccard / intersection / union estimates between every
+    two groups' KMV sketches (Beyer et al. 2007 §4): for groups a < b,
+    pool both sketches, keep the k' = min(k, |pool|) smallest distinct
+    values L, count the members of L present in BOTH sketches, then
+
+    * ``jaccard_est``  = overlap / k'
+    * ``union_est``    = KMV estimate over L (exact |L| if unsaturated)
+    * ``intersect_est`` = jaccard_est * union_est
+
+    All work is higher-order functions over two k-sized arrays after a
+    sketch x sketch self-join — the frame is groups², never data-sized
+    (sketch the corpus first; this runs on the sketch table).
+    """
+    if k < 2:
+        raise ValueError(f"kmv_pairwise: k must be >= 2, got {k}")
+    a = sketches.select(
+        F.col(group_col).alias("g_a"),
+        F.col("sketch").alias("__sa"),
+        F.col("n_kept").alias("__na"),
+    )
+    b = sketches.select(
+        F.col(group_col).alias("g_b"),
+        F.col("sketch").alias("__sb"),
+        F.col("n_kept").alias("__nb"),
+    )
+    pairs = a.join(b, F.col("g_a") < F.col("g_b"))
+    pool = F.slice(
+        F.array_sort(F.array_union("__sa", "__sb")), 1, k
+    )
+    kp = F.size(pool)  # k' = min(k, |distinct union of sketches|)
+    overlap = F.size(
+        F.filter(
+            pool,
+            lambda v: F.array_contains(F.col("__sa"), v)
+            & F.array_contains(F.col("__sb"), v),
+        )
+    )
+    jaccard = overlap.cast("double") / kp.cast("double")
+    u_k = F.element_at(pool, kp).cast("double") / F.lit(float(1 << 60))
+    union_est = F.when(
+        kp < k, kp.cast("double")
+    ).otherwise(F.lit(float(k - 1)) / u_k)
+    return pairs.select(
+        "g_a",
+        "g_b",
+        overlap.cast("long").alias("overlap_k"),
+        jaccard.alias("jaccard_est"),
+        union_est.alias("union_est"),
+        (jaccard * union_est).alias("intersect_est"),
+    )

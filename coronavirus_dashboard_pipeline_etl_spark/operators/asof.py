@@ -362,6 +362,68 @@ def snapshot_diff(
     )
 
 
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply a CDC change stream to a snapshot — the lakehouse
+    APPLY CHANGES / Debezium-compaction semantic (public: Delta Lake
+    docs, Kleppmann DDIA ch.11): per key, only the change with the
+    HIGHEST ``(seq, *tiebreaks)`` wins; a winning ``op == delete_op``
+    tombstone removes the key (a tombstone for an absent key is a
+    no-op); any other winning op upserts the change's row wholesale;
+    keys untouched by the stream pass through. Returns the new
+    snapshot with exactly the snapshot's columns.
+
+    ``changes`` must carry every snapshot column plus ``seq_col`` and
+    ``op_col``; ``tiebreak_cols`` totalise the order under sequence
+    collisions (same contract as ``scd2_intervals``) — REQUIRED for a
+    deterministic result when one key can hold two changes at one
+    sequence number.
+
+    Plan shape: one window exchange on ``keys`` reduces the stream to
+    its per-key winner (the stream is delta-sized, not table-sized);
+    the snapshot then LEFT ANTI joins the winners' key set (touched
+    rows drop) and the non-tombstone winners union in. At scale the
+    winner set is broadcast-sized whenever the delta is — both joins
+    collapse to broadcast hash joins and the full table never
+    shuffles; with a table-sized backlog the anti join degrades
+    gracefully to sort-merge on the same key exchange the window
+    already produced.
+    """
+    key_list = list(keys)
+    missing = [
+        c
+        for c in snapshot.columns + [seq_col, op_col]
+        if c not in changes.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"apply_changes: changes is missing columns {missing}"
+        )
+    order = [F.col(seq_col).desc()] + [
+        F.col(c).desc() for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(*key_list).orderBy(*order)
+    winners = (
+        changes.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    kept = snapshot.join(
+        winners.select(*key_list), on=key_list, how="left_anti"
+    )
+    upserts = winners.filter(F.col(op_col) != delete_op).select(
+        *snapshot.columns
+    )
+    return kept.unionByName(upserts)
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

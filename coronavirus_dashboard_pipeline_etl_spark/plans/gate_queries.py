@@ -11746,3 +11746,308 @@ GROUP BY d.lang
 
 QUERIES["t13_bpe_fertility"] = t13_bpe_fertility
 ORACLE["t13_bpe_fertility"] = T13_SQL
+
+
+# --------------------------------------------------------------------------
+# round 11: CDC apply-changes, KMV sketch family, ORC source round-trip
+# --------------------------------------------------------------------------
+
+
+def _cdc_changes(orders: DataFrame) -> DataFrame:
+    """Deterministic CDC stream over the orders snapshot, exercising
+    every apply rule: seq-1 updates (+100) and tombstones; seq-2
+    deletes OVERRIDING updates, updates REINSTATING deleted keys
+    (price*2), brand-new inserted keys (+100000000 id space); and a
+    same-seq collision pair resolved by the src tiebreak ('b' beats
+    'a', so +2 must win over +1)."""
+    base_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+
+    def leg(filt, price, seq, op, src, key_shift=0):
+        return orders.filter(filt).select(
+            (F.col("o_orderkey") + F.lit(key_shift)).alias("o_orderkey"),
+            F.col("o_custkey"),
+            F.col("o_orderstatus"),
+            price.alias("o_totalprice"),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit(op).alias("op"),
+            F.lit(src).alias("src"),
+        )
+
+    p = F.col("o_totalprice")
+    k = F.col("o_orderkey")
+    # every leg gets a DISTINCT src so keys matched by several legs at
+    # the same seq (e.g. k%5==0 AND k%7==3 at seq 1) still resolve to
+    # one deterministic winner — identical (key, seq, src) rows would
+    # make row_number engine-dependent
+    legs = [
+        leg(k % 5 == 0, p + 100.0, 1, "U", "u1"),
+        leg(k % 7 == 3, p, 1, "D", "d1"),
+        leg(k % 10 == 0, p, 2, "D", "d2"),
+        leg((k % 7 == 3) & (k % 2 == 0), p * 2.0, 2, "U", "u2"),
+        leg(k % 11 == 5, p + 0.5, 1, "I", "i1", key_shift=100_000_000),
+        leg(k % 13 == 1, p + 1.0, 2, "U", "a"),
+        leg(k % 13 == 1, p + 2.0, 2, "U", "b"),
+    ]
+    out = legs[0]
+    for l in legs[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def cdc1_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (operators.asof.apply_changes — the lakehouse APPLY
+    CHANGES semantic): per-key latest-wins over (seq, tiebreak), a
+    winning tombstone removes the key, other winners upsert wholesale,
+    untouched keys pass through. The synthetic stream covers
+    delete-overrides-update, update-reinstates-delete, fresh inserts,
+    and a same-seq tiebreak collision; the oracle replays the full
+    rule set with ROW_NUMBER + anti-join + union. Aggregated per
+    (o_orderstatus, o_orderkey % 97) so every surviving row's key and
+    price feed the value hash."""
+    from ..operators.asof import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    applied = apply_changes(
+        orders,
+        _cdc_changes(orders),
+        keys=["o_orderkey"],
+        seq_col="seq",
+        op_col="op",
+        tiebreak_cols=["src"],
+    )
+    return applied.groupBy(
+        "o_orderstatus", (F.col("o_orderkey") % 97).alias("key_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        # exact integer cents, not SUM(double): summation order differs
+        # across engines and flips the last ulp of a float sum
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+CDC1_SQL = """
+WITH snapshot AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+),
+changes AS (
+    SELECT o_orderkey, o_custkey, o_orderstatus,
+           o_totalprice + 100.0 AS o_totalprice,
+           CAST(1 AS BIGINT) AS seq, 'U' AS op, 'u1' AS src
+    FROM orders WHERE o_orderkey % 5 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           1, 'D', 'd1' FROM orders WHERE o_orderkey % 7 = 3
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+           2, 'D', 'd2' FROM orders WHERE o_orderkey % 10 = 0
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice * 2.0,
+           2, 'U', 'u2' FROM orders WHERE o_orderkey % 7 = 3 AND o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+           o_totalprice + 0.5, 1, 'I', 'i1'
+    FROM orders WHERE o_orderkey % 11 = 5
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1.0,
+           2, 'U', 'a' FROM orders WHERE o_orderkey % 13 = 1
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 2.0,
+           2, 'U', 'b' FROM orders WHERE o_orderkey % 13 = 1
+),
+winners AS (
+    SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY o_orderkey ORDER BY seq DESC, src DESC) AS rn
+        FROM changes
+    ) WHERE rn = 1
+),
+applied AS (
+    SELECT s.* FROM snapshot s
+    WHERE NOT EXISTS (SELECT 1 FROM winners w WHERE w.o_orderkey = s.o_orderkey)
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM winners WHERE op <> 'D'
+)
+SELECT o_orderstatus, o_orderkey % 97 AS key_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_price_cents
+FROM applied
+GROUP BY o_orderstatus, key_bucket
+"""
+
+QUERIES["cdc1_apply_changes"] = cdc1_apply_changes
+ORACLE["cdc1_apply_changes"] = CDC1_SQL
+
+
+def sk6_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct sketch (sketches.kmv_sketch, Bar-Yossef
+    2002 / Beyer SIGMOD 2007): per order priority, the 128 smallest
+    distinct 60-bit md5 hashes of the customer key. The gate exports
+    the sketch state itself (count, XOR fold, k-th value — overflow-
+    free exact integers) plus the (k-1)/U_k estimate; the oracle
+    rebuilds the identical sketch with ROW_NUMBER over the same md5
+    prefix."""
+    from ..functions.sketches import kmv_estimate, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketch(
+        orders,
+        F.col("o_custkey").cast("string"),
+        k=128,
+        group_cols=("o_orderpriority",),
+    )
+    return sk.select(
+        "o_orderpriority",
+        F.col("n_kept").cast("long").alias("n_kept"),
+        F.aggregate(
+            "sketch",
+            F.lit(0).cast("long"),
+            lambda a, x: a.bitwiseXOR(x),
+        ).alias("xor_sketch"),
+        F.element_at("sketch", F.col("n_kept").cast("int")).alias("kth"),
+        kmv_estimate(F.col("sketch"), F.col("n_kept"), 128).alias("est"),
+    )
+
+
+_KMV_H = (
+    "list_reduce(list_transform(string_split(substr(md5("
+    "CAST(o_custkey AS VARCHAR)),1,15), ''), "
+    "c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)), "
+    "(a,b) -> a*16+b)"
+)
+
+SK6_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders
+),
+r AS (
+    SELECT o_orderpriority, h,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM h
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list(h ORDER BY h)), (a,b) -> xor(a,b)) AS xor_sketch,
+       MAX(h) AS kth,
+       CASE WHEN COUNT(*) < 128 THEN CAST(COUNT(*) AS DOUBLE)
+            ELSE 127.0 / (CAST(MAX(h) AS DOUBLE) / 1152921504606846976.0)
+       END AS est
+FROM r WHERE rn <= 128
+GROUP BY o_orderpriority
+"""
+
+QUERIES["sk6_kmv_distinct"] = sk6_kmv_distinct
+ORACLE["sk6_kmv_distinct"] = SK6_SQL
+
+
+def sk7_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise set-intersection estimates from KMV sketches
+    (sketches.kmv_pairwise — the capability HLL cannot express):
+    Jaccard / union / intersection of the customer sets behind every
+    two order priorities, computed entirely from two 128-value
+    sketches per pair. The oracle replays the pooled bottom-k, the
+    both-sides membership count, and the unsaturated-exact rule in
+    DuckDB list functions."""
+    from ..functions.sketches import kmv_pairwise, kmv_sketch
+
+    orders = load_table(spark, sf_dir, "orders")
+    sk = kmv_sketch(
+        orders,
+        F.col("o_custkey").cast("string"),
+        k=128,
+        group_cols=("o_orderpriority",),
+    )
+    return kmv_pairwise(sk, "o_orderpriority", k=128)
+
+
+SK7_SQL = f"""
+WITH h AS (
+    SELECT DISTINCT o_orderpriority, {_KMV_H} AS h FROM orders
+),
+r AS (
+    SELECT o_orderpriority, h,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h) AS rn
+    FROM h
+),
+sk AS (
+    SELECT o_orderpriority AS g, list(h ORDER BY h) AS s
+    FROM r WHERE rn <= 128 GROUP BY o_orderpriority
+),
+pairs AS (
+    SELECT a.g AS g_a, b.g AS g_b, a.s AS sa, b.s AS sb,
+           list_sort(list_distinct(a.s || b.s))[1:128] AS pool
+    FROM sk a JOIN sk b ON a.g < b.g
+),
+scored AS (
+    SELECT g_a, g_b, len(pool) AS kp,
+           len(list_filter(pool,
+               v -> list_contains(sa, v) AND list_contains(sb, v)))
+               AS overlap,
+           list_extract(pool, len(pool)) AS kth
+    FROM pairs
+)
+SELECT g_a, g_b,
+       CAST(overlap AS BIGINT) AS overlap_k,
+       CAST(overlap AS DOUBLE) / CAST(kp AS DOUBLE) AS jaccard_est,
+       CASE WHEN kp < 128 THEN CAST(kp AS DOUBLE)
+            ELSE 127.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+       END AS union_est,
+       (CAST(overlap AS DOUBLE) / CAST(kp AS DOUBLE)) *
+       CASE WHEN kp < 128 THEN CAST(kp AS DOUBLE)
+            ELSE 127.0 / (CAST(kth AS DOUBLE) / 1152921504606846976.0)
+       END AS intersect_est
+FROM scored
+"""
+
+QUERIES["sk7_kmv_intersect"] = sk7_kmv_intersect
+ORACLE["sk7_kmv_intersect"] = SK7_SQL
+
+
+def s20_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink round-trip: the documents table written as ORC
+    (Spark's second first-class columnar format — predicate pushdown
+    and column pruning work the same as parquet) and read back; the
+    per-language aggregate must match the parquet-derived oracle
+    value-for-value, proving the format conversion is lossless for
+    longs and UTF-8 strings."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_s20_orc"
+    shutil.rmtree(path, ignore_errors=True)
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+        F.sum("doc_id").alias("sum_id"),
+    )
+
+
+S20_SQL = """
+SELECT lang, source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_id
+FROM documents
+GROUP BY lang, source
+"""
+
+QUERIES["s20_orc_roundtrip"] = s20_orc_roundtrip
+ORACLE["s20_orc_roundtrip"] = S20_SQL

@@ -515,3 +515,65 @@ def test_hll_summary_empty_input_is_empty_sketch(spark):
     assert row.s_scaled == m * (1 << (61 - p))
     alpha = 0.7213 / (1.0 + 1.079 / m)
     assert abs(row.raw_estimate - alpha * m) < 1e-9
+
+
+def test_kmv_sketch_exact_and_estimate(spark):
+    """KMV: unsaturated sketches are the exact distinct set (estimate
+    == exact count); saturated sketches keep exactly k ascending
+    values and the estimator lands within the published error bound
+    (~1/sqrt(k)) on a known cardinality."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    # 2000 distinct values, each duplicated 3x, one group
+    rows = [(i % 2000,) for i in range(6000)]
+    df = spark.createDataFrame(rows, "v long")
+    sk = kmv_sketch(df, F.col("v").cast("string"), k=64).select(
+        "sketch",
+        "n_kept",
+        kmv_estimate(F.col("sketch"), F.col("n_kept"), 64).alias("est"),
+    )
+    r = sk.first()
+    assert r["n_kept"] == 64
+    assert list(r["sketch"]) == sorted(r["sketch"])
+    assert abs(r["est"] - 2000) / 2000 < 3 / (64 ** 0.5)  # 3 sigma
+
+    small = spark.createDataFrame([(i,) for i in range(10)], "v long")
+    r2 = (
+        kmv_sketch(small, F.col("v").cast("string"), k=64)
+        .select(
+            "n_kept",
+            kmv_estimate(F.col("sketch"), F.col("n_kept"), 64).alias("est"),
+        )
+        .first()
+    )
+    assert r2["n_kept"] == 10 and r2["est"] == 10.0
+
+
+def test_kmv_pairwise_matches_exact_on_unsaturated(spark):
+    """When both sketches are unsaturated the pairwise estimates are
+    EXACT: jaccard/union/intersection equal the true set values."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
+    rows = [("a", v) for v in range(0, 30)] + [
+        ("b", v) for v in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    sk = kmv_sketch(
+        df, F.col("v").cast("string"), k=128, group_cols=("g",)
+    )
+    r = kmv_pairwise(sk, "g", k=128).first()
+    assert (r["g_a"], r["g_b"]) == ("a", "b")
+    assert r["overlap_k"] == 10  # |{20..29}|
+    assert r["union_est"] == 50.0
+    assert abs(r["jaccard_est"] - 10 / 50) < 1e-12
+    assert abs(r["intersect_est"] - 10.0) < 1e-9

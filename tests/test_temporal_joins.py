@@ -277,3 +277,50 @@ def test_asof_directions_match_pandas_merge_asof(spark):
                     direction, tol_s, row["event_id"],
                     got[int(row["event_id"])], (ref, exp_ts),
                 )
+
+
+def test_apply_changes_rules(spark):
+    """CDC apply: latest-wins per (seq, tiebreak), tombstone deletes,
+    tombstone for an absent key is a no-op, insert creates, untouched
+    keys pass through, and the result carries exactly the snapshot's
+    columns."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "id long, name string, val double",
+    )
+    changes = spark.createDataFrame(
+        [
+            # id 1: update then delete (delete wins at seq 2)
+            (1, "a", 11.0, 1, "U", "s1"),
+            (1, "a", 11.0, 2, "D", "s1"),
+            # id 2: two seq-2 updates -> tiebreak 's2' > 's1'
+            (2, "b", 21.0, 2, "U", "s1"),
+            (2, "b2", 22.0, 2, "U", "s2"),
+            # id 3: delete then reinstate at higher seq
+            (3, "c", 30.0, 1, "D", "s1"),
+            (3, "c2", 33.0, 2, "U", "s1"),
+            # id 5: fresh insert; id 9: tombstone for absent key
+            (5, "e", 50.0, 1, "I", "s1"),
+            (9, "x", 0.0, 1, "D", "s1"),
+        ],
+        "id long, name string, val double, seq long, op string, src string",
+    )
+    out = apply_changes(
+        snap, changes, keys=["id"], tiebreak_cols=["src"]
+    )
+    assert out.columns == snap.columns
+    got = {r.id: (r.name, r.val) for r in out.collect()}
+    assert got == {
+        2: ("b2", 22.0),
+        3: ("c2", 33.0),
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
+
+    with pytest.raises(ValueError, match="missing columns"):
+        apply_changes(snap, changes.drop("op"), keys=["id"])
