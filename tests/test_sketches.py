@@ -577,3 +577,35 @@ def test_kmv_pairwise_matches_exact_on_unsaturated(spark):
     assert r["union_est"] == 50.0
     assert abs(r["jaccard_est"] - 10 / 50) < 1e-12
     assert abs(r["intersect_est"] - 10.0) < 1e-9
+
+
+def test_kmv_sketch_merge_via_resketch(spark):
+    """KMV merge contract: sketching the UNION of per-shard sketches'
+    values (explode + re-run with the hash bypassed) equals sketching
+    the full corpus directly — the property that makes it a mergeable
+    distributed aggregate."""
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        kmv_sketch,
+    )
+
+    rows = [(("s1" if v % 2 == 0 else "s2"), v % 700) for v in range(4000)]
+    df = spark.createDataFrame(rows, "shard string, v long")
+    k = 32
+    direct = kmv_sketch(df, F.col("v").cast("string"), k=k).first()
+
+    shard_sketches = kmv_sketch(
+        df, F.col("v").cast("string"), k=k, group_cols=("shard",)
+    )
+    # merge = k smallest distinct values pooled across shard sketches;
+    # the sketch values ARE the hashes, so pool them directly
+    merged = (
+        shard_sketches.select(F.explode("sketch").alias("h"))
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(k)
+        .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
+        .first()
+    )
+    assert list(merged["sketch"]) == list(direct["sketch"])
