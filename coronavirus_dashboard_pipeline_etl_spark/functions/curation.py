@@ -175,6 +175,100 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def topgram_repetition(
+    df: DataFrame,
+    text_col: str = "text",
+    top_ns: "tuple[int, ...]" = (2, 3),
+    dup_n: int = 5,
+) -> DataFrame:
+    """The character-fraction repetition rules from Gopher/MassiveText
+    (Rae et al. 2021, Table A1) that ``repetition_stats``'s count
+    ratios don't capture — the signals that distinguish "one boiler-
+    plate phrase stamped everywhere" from diffuse repetition:
+
+    * ``top{n}_gram`` / ``top{n}_char_frac`` for each n in ``top_ns``:
+      the document's most frequent word n-gram (ties broken by the
+      lexicographically SMALLEST gram, so the argmax is deterministic)
+      and the fraction of the document's characters its occurrences
+      cover: ``count * len(gram) / len(text)``.
+    * ``dup{dup_n}_char_frac``: characters across ALL occurrences of
+      duplicated ``dup_n``-grams over total characters (the common
+      public implementation of "fraction of characters in duplicate
+      n-grams"; overlapping grams are each counted, so the ratio can
+      exceed 1 on pathological inputs — it is a filter signal, not a
+      probability).
+
+    Shape: pure per-row array HOFs — per-doc distinct grams x instance
+    counts is O(tokens²) bounded by document length, embarrassingly
+    parallel, zero exchanges. Documents shorter than n grams get
+    fraction 0.0 and a NULL gram.
+    """
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    chars = F.length(F.col(text_col)).cast("double")
+
+    def grams(n: int) -> Column:
+        cnt = F.size(toks) - n + 1
+        idx = F.when(cnt >= 1, F.sequence(F.lit(1), cnt)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i, n), " ")
+        )
+
+    def counted(g: Column) -> Column:
+        # (count, gram) per distinct gram — bound the gram array once
+        # so it isn't re-evaluated per distinct element
+        return F.element_at(
+            F.transform(
+                F.array(g),
+                lambda ga: F.transform(
+                    F.array_distinct(ga),
+                    lambda x: F.struct(
+                        F.size(F.filter(ga, lambda y: y == x)).alias("c"),
+                        x.alias("g"),
+                    ),
+                ),
+            ),
+            1,
+        )
+
+    cols: dict = {}
+    for n in top_ns:
+        stats = counted(grams(n))
+        # sort by (-count, gram): max count first, lexicographic tie;
+        # F.get (NULL past the end), NOT element_at — ANSI mode throws
+        # on index 1 of the empty stats a too-short document produces
+        top = F.get(
+            F.array_sort(
+                F.transform(
+                    stats,
+                    lambda s: F.struct(
+                        (-s["c"]).alias("nc"), s["g"].alias("g")
+                    ),
+                )
+            ),
+            0,
+        )
+        cols[f"top{n}_gram"] = top["g"]
+        cols[f"top{n}_char_frac"] = F.when(
+            F.size(stats) > 0,
+            (-top["nc"]).cast("double")
+            * F.length(top["g"]).cast("double")
+            / chars,
+        ).otherwise(F.lit(0.0))
+    dup_stats = counted(grams(dup_n))
+    dup_chars = F.aggregate(
+        F.filter(dup_stats, lambda s: s["c"] > 1),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + s["c"].cast("double") * F.length(s["g"]).cast("double"),
+    )
+    cols[f"dup{dup_n}_char_frac"] = F.when(
+        chars > 0, dup_chars / chars
+    ).otherwise(F.lit(0.0))
+    return df.withColumns(cols)
+
+
 def normalize_embeddings(
     df: DataFrame, vec_col: str = "embedding", out: str | None = None
 ) -> DataFrame:

@@ -12051,3 +12051,81 @@ GROUP BY lang, source
 
 QUERIES["s20_orc_roundtrip"] = s20_orc_roundtrip
 ORACLE["s20_orc_roundtrip"] = S20_SQL
+
+
+def t14_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/MassiveText character-fraction repetition rules
+    (curation.topgram_repetition, Rae et al. 2021 Table A1): per doc
+    the most frequent 2-/3-gram (deterministic lexicographic tie), the
+    character fraction its occurrences cover, and the character
+    fraction of duplicated 5-grams. The oracle replays gram explode +
+    count + ROW_NUMBER argmax + the same exact-integer-in-double
+    arithmetic."""
+    from ..functions.curation import topgram_repetition
+
+    docs = load_table(spark, sf_dir, "documents")
+    return topgram_repetition(docs, top_ns=(2, 3), dup_n=5).select(
+        "doc_id",
+        "top2_gram",
+        "top2_char_frac",
+        "top3_gram",
+        "top3_char_frac",
+        "dup5_char_frac",
+    )
+
+
+def _gopher_gram_cte(n: int, tag: str) -> str:
+    return f"""
+g{tag} AS (
+    SELECT doc_id, chars,
+           unnest(list_transform(
+               range(1, greatest(len(w) - {n - 1}, 0) + 1),
+               i -> array_to_string(w[i:i+{n - 1}], ' '))) AS gram
+    FROM base
+),
+c{tag} AS (
+    SELECT doc_id, chars, gram, COUNT(*) AS c
+    FROM g{tag} GROUP BY doc_id, chars, gram
+)"""
+
+
+T14_SQL = f"""
+WITH base AS (
+    SELECT doc_id, CAST(len(text) AS DOUBLE) AS chars,
+           list_filter(string_split(text, ' '), t -> t <> '') AS w
+    FROM documents
+),{_gopher_gram_cte(2, "2")},{_gopher_gram_cte(3, "3")},{_gopher_gram_cte(5, "5")},
+top2 AS (
+    SELECT doc_id, gram, CAST(c AS DOUBLE) * CAST(len(gram) AS DOUBLE)
+               / chars AS frac
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+          FROM c2) WHERE rn = 1
+),
+top3 AS (
+    SELECT doc_id, gram, CAST(c AS DOUBLE) * CAST(len(gram) AS DOUBLE)
+               / chars AS frac
+    FROM (SELECT *, ROW_NUMBER() OVER (
+              PARTITION BY doc_id ORDER BY c DESC, gram ASC) AS rn
+          FROM c3) WHERE rn = 1
+),
+dup5 AS (
+    SELECT doc_id,
+           SUM(CAST(c AS DOUBLE) * CAST(len(gram) AS DOUBLE)) AS dupchars
+    FROM c5 WHERE c > 1 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       t2.gram AS top2_gram,
+       COALESCE(t2.frac, 0.0) AS top2_char_frac,
+       t3.gram AS top3_gram,
+       COALESCE(t3.frac, 0.0) AS top3_char_frac,
+       CASE WHEN b.chars > 0 THEN COALESCE(d5.dupchars, 0.0) / b.chars
+            ELSE 0.0 END AS dup5_char_frac
+FROM base b
+LEFT JOIN top2 t2 USING (doc_id)
+LEFT JOIN top3 t3 USING (doc_id)
+LEFT JOIN dup5 d5 USING (doc_id)
+"""
+
+QUERIES["t14_gopher_repetition"] = t14_gopher_repetition
+ORACLE["t14_gopher_repetition"] = T14_SQL

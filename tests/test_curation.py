@@ -1043,3 +1043,42 @@ def test_third_review_guards_and_checksum_injectivity(spark):
         table_checksum(a, cols=["x", "y"]).collect()[0].checksum
         == table_checksum(a, cols=["x", "y"]).collect()[0].checksum
     )
+
+
+def test_topgram_repetition_hand_values(spark):
+    """Gopher char-fraction rules on hand-checkable docs: argmax count
+    with lexicographic tie, exact char fractions, duplicated-5-gram
+    coverage, and the short/empty degenerate cases."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.curation import (
+        topgram_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "a b a b a" -> 2-grams: [a b, b a, a b, b a] — tie at 2,
+            # lexicographic min "a b" wins; frac = 2*3/9
+            (1, "a b a b a"),
+            # all tokens distinct: every 2-gram occurs once -> top
+            # count 1, lexicographically first gram "p q"
+            (2, "p q r s"),
+            # 5-gram duplication: "x y x y x y x y x y x y" has
+            # 8 5-grams, each of the 2 distinct values 4x -> all dup;
+            # chars=23, gram len 9 -> dup5 = 8*9/23
+            (3, "x y x y x y x y x y x y"),
+            (4, "one"),  # shorter than any n-gram
+            (5, ""),  # empty
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in topgram_repetition(docs, top_ns=(2,), dup_n=5).collect()
+    }
+    assert out[1].top2_gram == "a b"
+    assert abs(out[1].top2_char_frac - 2 * 3 / 9) < 1e-12
+    assert out[2].top2_gram == "p q"
+    assert abs(out[2].top2_char_frac - 1 * 3 / 7) < 1e-12
+    assert abs(out[3].dup5_char_frac - 8 * 9 / 23) < 1e-12
+    assert out[4].top2_gram is None
+    assert out[4].top2_char_frac == 0.0
+    assert out[5].dup5_char_frac == 0.0

@@ -324,3 +324,49 @@ def test_apply_changes_rules(spark):
 
     with pytest.raises(ValueError, match="missing columns"):
         apply_changes(snap, changes.drop("op"), keys=["id"])
+
+
+def test_apply_changes_sequential_equals_union(spark):
+    """Composability: applying change waves one at a time (in seq
+    order) equals applying the union in one shot — the property that
+    lets a CDC consumer batch arbitrarily. Holds because per-key
+    latest-wins is associative when wave boundaries respect seq
+    order."""
+    import random
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        apply_changes,
+    )
+
+    rng = random.Random(11)
+    snap_rows = [(i, float(i * 10)) for i in range(40)]
+    snap = spark.createDataFrame(snap_rows, "id long, val double")
+    waves = []
+    for seq in (1, 2, 3):
+        rows = []
+        for i in range(60):  # ids 0..59: some absent from snapshot
+            r = rng.random()
+            if r < 0.4:
+                continue
+            op = "D" if r < 0.6 else "U"
+            rows.append((i, float(seq * 1000 + i), seq, op, f"s{seq}"))
+        waves.append(
+            spark.createDataFrame(
+                rows, "id long, val double, seq long, op string, src string"
+            )
+        )
+
+    seq_applied = snap
+    for w in waves:
+        seq_applied = apply_changes(
+            seq_applied, w, keys=["id"], tiebreak_cols=["src"]
+        )
+    union = waves[0]
+    for w in waves[1:]:
+        union = union.unionByName(w)
+    one_shot = apply_changes(
+        snap, union, keys=["id"], tiebreak_cols=["src"]
+    )
+    a = {(r.id, r.val) for r in seq_applied.collect()}
+    b = {(r.id, r.val) for r in one_shot.collect()}
+    assert a == b and a  # non-vacuous
