@@ -525,14 +525,10 @@ def kmv_pairwise(
     if k < 2:
         raise ValueError(f"kmv_pairwise: k must be >= 2, got {k}")
     a = sketches.select(
-        F.col(group_col).alias("g_a"),
-        F.col("sketch").alias("__sa"),
-        F.col("n_kept").alias("__na"),
+        F.col(group_col).alias("g_a"), F.col("sketch").alias("__sa")
     )
     b = sketches.select(
-        F.col(group_col).alias("g_b"),
-        F.col("sketch").alias("__sb"),
-        F.col("n_kept").alias("__nb"),
+        F.col(group_col).alias("g_b"), F.col("sketch").alias("__sb")
     )
     pairs = a.join(b, F.col("g_a") < F.col("g_b"))
     pool = F.slice(
