@@ -232,16 +232,17 @@ def topgram_repetition(
             1,
         )
 
-    cols: dict = {}
-    for n in top_ns:
-        stats = counted(grams(n))
-        # sort by (-count, gram): max count first, lexicographic tie;
-        # F.get (NULL past the end), NOT element_at — ANSI mode throws
-        # on index 1 of the empty stats a too-short document produces
+    def top_struct(st: Column) -> Column:
+        """(gram, frac) from a BOUND stats array — st is a lambda
+        variable, so the O(tokens²) counting behind it is evaluated
+        once however many times this body references it. Sort by
+        (-count, gram): max count first, lexicographic tie; F.get
+        (NULL past the end), NOT element_at — ANSI mode throws on
+        index 1 of the empty stats a too-short document produces."""
         top = F.get(
             F.array_sort(
                 F.transform(
-                    stats,
+                    st,
                     lambda s: F.struct(
                         (-s["c"]).alias("nc"), s["g"].alias("g")
                     ),
@@ -249,24 +250,45 @@ def topgram_repetition(
             ),
             0,
         )
-        cols[f"top{n}_gram"] = top["g"]
-        cols[f"top{n}_char_frac"] = F.when(
-            F.size(stats) > 0,
-            (-top["nc"]).cast("double")
-            * F.length(top["g"]).cast("double")
-            / chars,
-        ).otherwise(F.lit(0.0))
-    dup_stats = counted(grams(dup_n))
+        return F.struct(
+            top["g"].alias("g"),
+            F.when(
+                F.size(st) > 0,
+                (-top["nc"]).cast("double")
+                * F.length(top["g"]).cast("double")
+                / chars,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("frac"),
+        )
+
+    # each __ts{n} is materialised as its OWN column before the field
+    # extraction below: the struct is referenced twice (gram + frac),
+    # and CollapseProject refuses to inline a non-cheap expression used
+    # more than once — without this the counting would re-run per field
+    out = df
+    for n in top_ns:
+        out = out.withColumn(
+            f"__ts{n}",
+            F.get(F.transform(F.array(counted(grams(n))), top_struct), 0),
+        )
+    dup_stats = counted(grams(dup_n))  # referenced exactly once below
     dup_chars = F.aggregate(
         F.filter(dup_stats, lambda s: s["c"] > 1),
         F.lit(0.0),
         lambda acc, s: acc
         + s["c"].cast("double") * F.length(s["g"]).cast("double"),
     )
+    cols: dict = {}
+    for n in top_ns:
+        cols[f"top{n}_gram"] = F.col(f"__ts{n}")["g"]
+        cols[f"top{n}_char_frac"] = F.col(f"__ts{n}")["frac"]
     cols[f"dup{dup_n}_char_frac"] = F.when(
         chars > 0, dup_chars / chars
     ).otherwise(F.lit(0.0))
-    return df.withColumns(cols)
+    return out.withColumns(cols).drop(
+        *[f"__ts{n}" for n in top_ns]
+    )
 
 
 def normalize_embeddings(

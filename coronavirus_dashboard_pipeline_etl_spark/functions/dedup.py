@@ -1626,10 +1626,14 @@ def winnow_fingerprints(
     shares at least one SELECTED fingerprint, while only ~2/(w+1) of
     all gram hashes are kept.
 
-    Returns DISTINCT ``(id, pos, fp)`` — ``pos`` is the 0-based k-gram
-    start, ``fp`` the 40-bit md5-prefix gram hash (40 bits so the
-    combined order key below stays inside a BIGINT; cross-engine
-    exact, same family as ``md5_prefix_long``).
+    Returns DISTINCT ``(id, pos, fp)`` per input row — ``pos`` is the
+    0-based k-gram start, ``fp`` the 40-bit md5-prefix gram hash (40
+    bits so the combined order key below stays inside a BIGINT;
+    cross-engine exact, same family as ``md5_prefix_long``).
+    ``id_col`` must uniquely key ``df`` (one row per document — the
+    table shape every caller has): the dedup is per-row
+    ``array_distinct``, so duplicate input ids would emit their rows'
+    selections independently rather than globally distinct.
 
     Spark-first shape: the min-hash-with-rightmost-tie rule collapses
     to ``min(hash * 2^20 + (2^20-1-pos))`` per window — minimising the

@@ -455,15 +455,22 @@ def kmv_sketch(
     Why alongside HLL: a KMV sketch is a uniform sample of the hash
     space, so two groups' sketches compose — Jaccard / intersection
     estimates fall out of ``kmv_pairwise`` — where HLL registers only
-    union.  Mergeable the same way: union two sketches' values and keep
-    the k smallest distinct (re-run this function over the exploded
-    sketches).
+    union.  Merge per-shard sketches with ``kmv_merge`` (pool the
+    already-hashed sketch VALUES and keep the k smallest distinct —
+    never re-hash them through this function, which would land the
+    merged sketch in a double-hashed space incompatible with
+    directly-built sketches).
 
     Scale shape: a map-side-combinable distinct on ``(group, hash)``
     (the partial dedup halves the exchange under repetition-heavy
-    corpora), then ``row_number <= k`` and the array roll-up sharing
-    ONE group-keyed exchange.  The shuffle carries distinct hashes;
-    sketch state is k longs per group.
+    corpora), then a PER-PARTITION bottom-k prefilter (keep the k
+    smallest per shuffle partition — the union of per-partition
+    bottom-ks always contains the global bottom-k, so the result is
+    partitioning-independent) before the global ``row_number <= k``:
+    the final group-keyed exchange carries at most k x partitions rows
+    per group instead of every distinct hash — without the prefilter
+    an UNGROUPED sketch would funnel the corpus's whole distinct-hash
+    set through one task.
 
     Determinism: the hash is the shared md5 60-bit prefix
     (``dedup.md5_prefix_long``), the sketch is an exact set — the
@@ -479,9 +486,50 @@ def kmv_sketch(
     distinct = df.select(*keys, h.alias("__h")).dropDuplicates(
         [*group_cols, "__h"]
     )
+    pre = Window.partitionBy(
+        *group_cols, F.spark_partition_id()
+    ).orderBy("__h")
+    distinct = (
+        distinct.withColumn("__prn", F.row_number().over(pre))
+        .filter(F.col("__prn") <= k)
+        .drop("__prn")
+    )
     w = Window.partitionBy(*group_cols).orderBy("__h")
     return (
         distinct.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list("__h")).alias("sketch"),
+            F.count(F.lit(1)).cast("int").alias("n_kept"),
+        )
+    )
+
+
+def kmv_merge(
+    sketches: DataFrame,
+    k: int,
+    group_cols: "tuple[str, ...]" = (),
+) -> DataFrame:
+    """Merge per-shard KMV sketches built with the same ``k``: pool the
+    sketch VALUES (already hashed — re-hashing via ``kmv_sketch`` would
+    produce an incompatible double-hashed sketch) and keep the k
+    smallest distinct per group. Output schema matches ``kmv_sketch``,
+    so merged and directly-built sketches compose in ``kmv_pairwise``
+    and estimate identically (pytest pins merged == direct).
+
+    The exchange carries at most k values per input sketch row.
+    """
+    from pyspark.sql import Window
+
+    if k < 2:
+        raise ValueError(f"kmv_merge: k must be >= 2, got {k}")
+    pooled = sketches.select(
+        *[F.col(c) for c in group_cols], F.explode("sketch").alias("__h")
+    ).dropDuplicates([*group_cols, "__h"])
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        pooled.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .groupBy(*group_cols)
         .agg(

@@ -399,7 +399,7 @@ def apply_changes(
     key_list = list(keys)
     missing = [
         c
-        for c in snapshot.columns + [seq_col, op_col]
+        for c in snapshot.columns + [seq_col, op_col, *tiebreak_cols]
         if c not in changes.columns
     ]
     if missing:
@@ -418,9 +418,17 @@ def apply_changes(
     kept = snapshot.join(
         winners.select(*key_list), on=key_list, how="left_anti"
     )
-    upserts = winners.filter(F.col(op_col) != delete_op).select(
-        *snapshot.columns
+    # a NULL op would fail the != below and silently tombstone the key
+    # (the anti-join already dropped it) — malformed input raises loudly
+    # instead, matching the engine's degenerate-input convention
+    op = F.when(
+        F.col(op_col).isNotNull(), F.col(op_col)
+    ).otherwise(
+        F.assert_true(
+            F.lit(False), F.lit("apply_changes: NULL op in change stream")
+        ).cast("string")
     )
+    upserts = winners.filter(op != delete_op).select(*snapshot.columns)
     return kept.unionByName(upserts)
 
 

@@ -11760,8 +11760,6 @@ def _cdc_changes(orders: DataFrame) -> DataFrame:
     (price*2), brand-new inserted keys (+100000000 id space); and a
     same-seq collision pair resolved by the src tiebreak ('b' beats
     'a', so +2 must win over +1)."""
-    base_cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
-
     def leg(filt, price, seq, op, src, key_shift=0):
         return orders.filter(filt).select(
             (F.col("o_orderkey") + F.lit(key_shift)).alias("o_orderkey"),

@@ -107,14 +107,19 @@ def test_age_band_values_reference_golden(spark):
     (db_etl_homepage_graphs/tests/test_waffle_chart.py:32-37): the 75+
     band of its captured payload fixture must yield vaccination_date
     4178999 and percentage 48."""
+    import hashlib
     import importlib.util
 
     from coronavirus_dashboard_pipeline_etl_spark.plans.serving import age_band_values
 
-    spec = importlib.util.spec_from_file_location(
-        "db_data",
-        "/root/reference/db_etl_homepage_graphs/tests/test_data/db_data.py",
-    )
+    path = "/root/reference/db_etl_homepage_graphs/tests/test_data/db_data.py"
+    # same untrusted-content pin as test_reference_function_oracle's
+    # _REF_SHA256: never exec un-reviewed reference code
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert digest == (
+        "7dd188a5327b8677b58a3a88f01d4efb968f28deb7abc7ee1240f302b163a2a8"
+    ), f"{path} changed since pinned ({digest}); re-review before exec"
+    spec = importlib.util.spec_from_file_location("db_data", path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     payload = [

@@ -579,14 +579,15 @@ def test_kmv_pairwise_matches_exact_on_unsaturated(spark):
     assert abs(r["intersect_est"] - 10.0) < 1e-9
 
 
-def test_kmv_sketch_merge_via_resketch(spark):
-    """KMV merge contract: sketching the UNION of per-shard sketches'
-    values (explode + re-run with the hash bypassed) equals sketching
-    the full corpus directly — the property that makes it a mergeable
-    distributed aggregate."""
+def test_kmv_sketch_merge_equals_direct(spark):
+    """KMV merge contract (kmv_merge): pooling per-shard sketches'
+    already-hashed values and keeping the k smallest distinct equals
+    sketching the full corpus directly — schema and values — the
+    property that makes it a mergeable distributed aggregate."""
     from pyspark.sql import functions as F
 
     from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        kmv_merge,
         kmv_sketch,
     )
 
@@ -598,14 +599,6 @@ def test_kmv_sketch_merge_via_resketch(spark):
     shard_sketches = kmv_sketch(
         df, F.col("v").cast("string"), k=k, group_cols=("shard",)
     )
-    # merge = k smallest distinct values pooled across shard sketches;
-    # the sketch values ARE the hashes, so pool them directly
-    merged = (
-        shard_sketches.select(F.explode("sketch").alias("h"))
-        .dropDuplicates(["h"])
-        .orderBy("h")
-        .limit(k)
-        .agg(F.array_sort(F.collect_list("h")).alias("sketch"))
-        .first()
-    )
+    merged = kmv_merge(shard_sketches.drop("shard"), k=k).first()
     assert list(merged["sketch"]) == list(direct["sketch"])
+    assert merged["n_kept"] == direct["n_kept"] == k

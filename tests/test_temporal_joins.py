@@ -370,3 +370,34 @@ def test_apply_changes_sequential_equals_union(spark):
     a = {(r.id, r.val) for r in seq_applied.collect()}
     b = {(r.id, r.val) for r in one_shot.collect()}
     assert a == b and a  # non-vacuous
+
+
+def test_apply_changes_null_op_raises(spark):
+    """A winning change with a NULL op must raise loudly — without the
+    guard the anti-join has already dropped the key, so a malformed
+    extract would silently tombstone rows."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        apply_changes,
+    )
+
+    snap = spark.createDataFrame([(1, 10.0)], "id long, val double")
+    changes = spark.createDataFrame(
+        [(1, 11.0, 1, None)], "id long, val double, seq long, op string"
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="NULL op"
+    ):
+        apply_changes(snap, changes, keys=["id"]).collect()
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="missing columns.*src"):
+        apply_changes(
+            snap,
+            changes,
+            keys=["id"],
+            tiebreak_cols=["src"],
+        )
