@@ -143,9 +143,12 @@ HEADLINE = [
     "pipe19_semdedup",
     "s19_merge_upsert",
     # round-11: CDC apply-changes (window + anti-join + union over the
-    # delta) and the KMV bottom-k sketch build (distinct + min-k)
+    # delta), the KMV bottom-k sketch build (distinct + min-k), and the
+    # maximal exact shared-run pass (inverted-index join + diagonal
+    # gaps-and-islands)
     "cdc1_apply_changes",
     "sk6_kmv_distinct",
+    "d16_shared_spans",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

@@ -1748,3 +1748,105 @@ def winnow_candidate_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def shared_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_len: int = 16,
+    max_gram_docs: int = 50,
+) -> DataFrame:
+    """MAXIMAL exact shared token runs between document PAIRS — the
+    span an exact-substring dedup actually cuts (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": their
+    suffix-array pass re-expressed relationally). ``duplicated_spans``
+    counts fixed-k spans corpus-wide; this returns, per (id_a, id_b,
+    run), the maximal run: start token position in each document and
+    its token length.
+
+    Relational shape (the dotplot-diagonal trick): k-gram inverted
+    index -> drop grams private to one doc -> pair positions via an
+    equi-join ON THE GRAM HASH with ``id_a < id_b`` -> a run of
+    consecutive matching grams lies on one DIAGONAL (``pos_a - pos_b``
+    constant), so maximal runs are gaps-and-islands per (pair,
+    diagonal): group on ``pos_a - row_number()`` within the diagonal,
+    then ``len_tokens = gram_count + k - 1``. Every step is an
+    equi-join or window — no suffix sort, no UDF; the DuckDB oracle
+    replays it exactly.
+
+    Scale guards: the join fans out quadratically per gram in its
+    document frequency, so grams seen in more than ``max_gram_docs``
+    documents raise LOUDLY (boilerplate that common should be cut by
+    the corpus-level ``duplicated_spans``/frequency filters first —
+    silently skipping hot grams would split maximal runs and corrupt
+    the contract). The shuffle carries (gram hash, id, pos) index
+    rows and the surviving pair positions only.
+    """
+    if k < 1:
+        raise ValueError(f"shared_spans: k must be >= 1, got {k}")
+    if min_len < k:
+        raise ValueError(
+            f"shared_spans: min_len must be >= k, got {min_len} < {k}"
+        )
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    n_grams = F.size(toks) - k + 1
+    idx = F.when(
+        n_grams >= 1, F.sequence(F.lit(1), n_grams)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i, k), " ")
+    )
+    g = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
+    ).select("id", "pos", md5_prefix_long(F.col("gram")).alias("__h"))
+    stats = g.groupBy("__h").agg(
+        F.count_distinct("id").alias("__docs")
+    )
+    over = F.when(
+        F.col("__docs") <= max_gram_docs, F.col("__docs")
+    ).otherwise(
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                f"shared_spans: a gram appears in more than "
+                f"{max_gram_docs} documents; cut corpus-level "
+                "boilerplate first or raise max_gram_docs"
+            ),
+        ).cast("long")
+    )
+    shared = stats.select("__h", over.alias("__docs")).filter(
+        F.col("__docs") >= 2
+    )
+    g = g.join(shared.select("__h"), "__h")
+    a = g.select(
+        F.col("__h"), F.col("id").alias("id_a"), F.col("pos").alias("pos_a")
+    )
+    b = g.select(
+        F.col("__h"), F.col("id").alias("id_b"), F.col("pos").alias("pos_b")
+    )
+    m = a.join(b, "__h").filter(F.col("id_a") < F.col("id_b"))
+    m = m.select(
+        "id_a",
+        "id_b",
+        "pos_a",
+        "pos_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("__diag"),
+    )
+    w = Window.partitionBy("id_a", "id_b", "__diag").orderBy("pos_a")
+    runs = (
+        m.withColumn(
+            "__island", F.col("pos_a") - F.row_number().over(w)
+        )
+        .groupBy("id_a", "id_b", "__diag", "__island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("len_tokens"),
+        )
+        .filter(F.col("len_tokens") >= min_len)
+    )
+    return runs.select(
+        "id_a", "id_b", "start_a", "start_b", "len_tokens"
+    )

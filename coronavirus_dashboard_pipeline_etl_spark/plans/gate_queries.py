@@ -12127,3 +12127,55 @@ LEFT JOIN dup5 d5 USING (doc_id)
 
 QUERIES["t14_gopher_repetition"] = t14_gopher_repetition
 ORACLE["t14_gopher_repetition"] = T14_SQL
+
+
+def d16_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal exact shared token runs per document pair
+    (dedup.shared_spans — Lee et al. 2022's exact-substring pass as
+    inverted-index join + dotplot-diagonal gaps-and-islands, no suffix
+    sort). Returns every >= 16-token maximal run with both start
+    positions and its token length; the oracle replays the identical
+    gram hash, the d >= 2 gram filter, the diagonal islands, and the
+    count + k - 1 length arithmetic."""
+    from ..functions.dedup import shared_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shared_spans(docs, k=8, min_len=16, max_gram_docs=50)
+
+
+D16_SQL = f"""
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+    FROM documents
+),
+g AS (
+    SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+           {_md5int_sql("array_to_string(w[i:i+7], ' ')")} AS h
+    FROM toks, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+),
+sh AS (
+    SELECT h FROM (SELECT h, COUNT(DISTINCT id) AS d FROM g GROUP BY h)
+    WHERE d >= 2
+),
+m AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+           a.pos - b.pos AS diag
+    FROM g a JOIN g b USING (h) SEMI JOIN sh USING (h)
+    WHERE a.id < b.id
+),
+runs AS (
+    SELECT id_a, id_b, diag, pos_a, pos_b,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+    FROM m
+)
+SELECT id_a, id_b,
+       MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       CAST(COUNT(*) + 7 AS BIGINT) AS len_tokens
+FROM runs
+GROUP BY id_a, id_b, diag, island
+HAVING COUNT(*) + 7 >= 16
+"""
+
+QUERIES["d16_shared_spans"] = d16_shared_spans
+ORACLE["d16_shared_spans"] = D16_SQL

@@ -707,3 +707,48 @@ def test_winnow_fingerprints_selection_and_pairs(spark):
     # honoured and must be rejected, not silently wrap
     with _pytest.raises(ValueError, match="20-bit position encoding"):
         winnow_fingerprints(df, max_pos=1 << 21)
+
+
+def test_shared_spans_hand_values(spark):
+    """Maximal-run semantics on constructed docs: exact start/length,
+    separate diagonals for a repeated substring, runs below min_len
+    dropped, and the loud hot-gram guard."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        shared_spans,
+    )
+
+    run = " ".join(f"s{i}" for i in range(6))  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            # doc 1: run at pos 2; doc 2: same run at pos 0 AND pos 8
+            (1, "a b " + run + " c d"),
+            (2, run + " x y " + run),
+            (3, "unrelated words only here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = sorted(
+        (r.id_a, r.id_b, r.start_a, r.start_b, r.len_tokens)
+        for r in shared_spans(
+            docs, k=3, min_len=4, max_gram_docs=50
+        ).collect()
+    )
+    # two maximal runs (one per diagonal), each 6 tokens long
+    assert out == [(1, 2, 2, 0, 6), (1, 2, 2, 8, 6)]
+    # doc2's self-repeat is not a pair (id_a < id_b), doc3 never appears
+
+    # min_len >= k validation and the hot-gram guard
+    with pytest.raises(ValueError, match="min_len"):
+        shared_spans(docs, k=8, min_len=4)
+    hot = spark.createDataFrame(
+        [(i, "same gram everywhere always here") for i in range(5)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="more than"
+    ):
+        shared_spans(hot, k=3, min_len=3, max_gram_docs=3).collect()
