@@ -1801,6 +1801,13 @@ def shared_spans(
     g = df.select(
         F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "gram")
     ).select("id", "pos", md5_prefix_long(F.col("gram")).alias("__h"))
+    # ONE materialisation of the hashed gram index: the stats pass, the
+    # shared-gram semi-join, and BOTH self-join sides read it — without
+    # the checkpoint each consumer re-executes the explode + md5 over
+    # the whole corpus (measured ~4x wall at sf1); lazy, so the stats
+    # aggregation below doubles as the eager step (the
+    # _probe_exploded_guarded pattern)
+    g = g.localCheckpoint(eager=False)
     stats = g.groupBy("__h").agg(
         F.count_distinct("id").alias("__docs")
     )
