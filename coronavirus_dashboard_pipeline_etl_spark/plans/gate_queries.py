@@ -12179,3 +12179,62 @@ HAVING COUNT(*) + 7 >= 16
 
 QUERIES["d16_shared_spans"] = d16_shared_spans
 ORACLE["d16_shared_spans"] = D16_SQL
+
+
+def st7_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched CDC apply through the parquet snapshot store
+    (streaming.ingest.cdc_apply_batch — the foreachBatch sink form of
+    apply_changes): the cdc1 change stream split into its seq-1 and
+    seq-2 waves and applied SEQUENTIALLY, store round-trip between
+    batches, first-batch bootstrap included. The oracle is the same
+    ONE-SHOT union replay as cdc1 — the gate binds, cross-engine, the
+    composability property the streaming sink's correctness rests on
+    (live readStream/foreachBatch parity is pytest territory, the
+    st-family split)."""
+    import shutil
+
+    from ..streaming.ingest import cdc_apply_batch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    changes = _cdc_changes(orders)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_st7_store"
+    shutil.rmtree(path, ignore_errors=True)
+    # seed the store with the snapshot (batch 0 = initial load: all
+    # inserts at seq 0), then the waves in stream order
+    seed = orders.withColumns(
+        {
+            "seq": F.lit(0).cast("long"),
+            "op": F.lit("I"),
+            "src": F.lit("seed"),
+        }
+    )
+    for wave in (
+        seed,
+        changes.filter(F.col("seq") == 1),
+        changes.filter(F.col("seq") == 2),
+    ):
+        cdc_apply_batch(
+            wave,
+            path,
+            keys=("o_orderkey",),
+            tiebreak_cols=("src",),
+        )
+    store = spark.read.parquet(path)
+    return store.groupBy(
+        "o_orderstatus", (F.col("o_orderkey") % 97).alias("key_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("o_orderkey").alias("sum_key"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "sum_price_cents"
+        ),
+    )
+
+
+QUERIES["st7_stream_cdc"] = st7_stream_cdc
+ORACLE["st7_stream_cdc"] = CDC1_SQL

@@ -98,3 +98,61 @@ def stream_release_files(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def cdc_apply_batch(
+    batch: DataFrame,
+    store_path: str,
+    keys: tuple[str, ...],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak_cols: tuple[str, ...] = (),
+) -> None:
+    """Apply one CDC micro-batch to a parquet snapshot store — the
+    ``foreachBatch`` sink form of ``operators.asof.apply_changes``
+    (pass a closure over this to ``stream_release_files`` for a live
+    change-stream upsert).
+
+    Correctness across batches rests on the operator's pinned
+    composability property (sequential wave application == one-shot
+    union apply, ``test_apply_changes_sequential_equals_union``): as
+    long as the stream delivers batches in non-decreasing ``seq``
+    order (file source, oldest-first — the default), the store after
+    the last batch equals ``apply_changes`` over the full stream.
+    Within a batch the usual (seq, tiebreaks) latest-wins rule
+    resolves collisions; ``tiebreak_cols`` must totalise the order
+    inside one batch exactly as in the batch operator.
+
+    First batch bootstraps an empty snapshot with the batch's value
+    columns. The merged frame is eagerly materialised BEFORE the
+    overwrite — its plan reads the store path it is about to replace.
+    On Delta/Iceberg this becomes MERGE INTO; the call-site contract
+    is unchanged.
+    """
+    from ..operators.asof import apply_changes
+
+    spark = batch.sparkSession
+    try:
+        snapshot = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        # same rule as upsert_batch: ONLY a genuinely absent store
+        # means "first write" — any other read failure must propagate
+        # (treating it as first-write would overwrite the whole store
+        # with one batch's rows)
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+            exc
+        ):
+            raise
+        snapshot = batch.drop(seq_col, op_col, *tiebreak_cols).limit(0)
+    merged = apply_changes(
+        snapshot,
+        batch,
+        keys=list(keys),
+        seq_col=seq_col,
+        op_col=op_col,
+        delete_op=delete_op,
+        tiebreak_cols=list(tiebreak_cols),
+    )
+    merged = merged.localCheckpoint(eager=True)
+    merged.write.mode("overwrite").parquet(store_path)

@@ -1528,3 +1528,73 @@ def test_stream_neardup_probe_live_matches_batch(spark, tmp_path):
     assert got == want
     assert got  # the exact-copy and near-copy pairs must be present
     assert any(n == 3 and o == 101 for n, o, _ in got)
+
+
+def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
+    """Live availableNow file stream of CDC waves through
+    cdc_apply_batch (foreachBatch): the final store must equal the
+    one-shot batch apply_changes over the union — the composability
+    property carried onto real streaming rails (two sequential
+    stream runs = two micro-batches, store round-trip between them,
+    checkpointed exactly-once file tracking)."""
+    import json as _json
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        apply_changes,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.ingest import (
+        cdc_apply_batch,
+        stream_release_files,
+    )
+
+    inp, chk, store = tmp_path / "cin", tmp_path / "cchk", tmp_path / "cstore"
+    inp.mkdir()
+    cdc_schema = "id long, val double, seq long, op string, src string"
+
+    snap_rows = [(i, float(i * 10)) for i in range(20)]
+    snap = spark.createDataFrame(snap_rows, "id long, val double")
+    # seed the store with the snapshot
+    snap.write.parquet(str(store))
+
+    wave1 = [
+        {"id": 1, "val": 11.0, "seq": 1, "op": "U", "src": "a"},
+        {"id": 2, "val": 0.0, "seq": 1, "op": "D", "src": "a"},
+        {"id": 50, "val": 500.0, "seq": 1, "op": "I", "src": "a"},
+    ]
+    wave2 = [
+        {"id": 1, "val": 0.0, "seq": 2, "op": "D", "src": "a"},   # delete overrides
+        {"id": 2, "val": 22.0, "seq": 2, "op": "U", "src": "a"},  # reinstate
+        {"id": 3, "val": 33.0, "seq": 2, "op": "U", "src": "a"},
+        {"id": 3, "val": 34.0, "seq": 2, "op": "U", "src": "b"},  # tiebreak: b wins
+    ]
+
+    def sink(batch, batch_id):
+        cdc_apply_batch(
+            batch, str(store), keys=("id",), tiebreak_cols=("src",)
+        )
+
+    for i, wave in enumerate((wave1, wave2)):
+        (inp / f"w{i + 1}.json").write_text(
+            "\n".join(_json.dumps(x) for x in wave)
+        )
+        q = stream_release_files(
+            spark, str(inp), str(chk),
+            transform=lambda df: df,
+            sink=sink, schema=cdc_schema,
+        )
+        q.awaitTermination(60)
+
+    got = {(r.id, r.val) for r in spark.read.parquet(str(store)).collect()}
+    all_changes = spark.createDataFrame(
+        [tuple(w[k] for k in ("id", "val", "seq", "op", "src"))
+         for w in wave1 + wave2],
+        cdc_schema,
+    )
+    expected = {
+        (r.id, r.val)
+        for r in apply_changes(
+            snap, all_changes, keys=["id"], tiebreak_cols=["src"]
+        ).collect()
+    }
+    assert got == expected
+    assert (3, 34.0) in got and (1, 11.0) not in got and (2, 22.0) in got
