@@ -1615,6 +1615,7 @@ def winnow_fingerprints(
     k: int = 5,
     w: int = 4,
     max_pos: int = 1 << 20,
+    assert_unique_ids: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     SIGMOD 2003 — the MOSS local fingerprinting scheme, public
@@ -1633,7 +1634,13 @@ def winnow_fingerprints(
     ``id_col`` must uniquely key ``df`` (one row per document — the
     table shape every caller has): the dedup is per-row
     ``array_distinct``, so duplicate input ids would emit their rows'
-    selections independently rather than globally distinct.
+    selections independently rather than globally distinct, and
+    downstream ``winnow_candidate_pairs`` would attribute the UNION of
+    both rows' fingerprints to the one id (inflated ``n_shared``).
+    ``assert_unique_ids=True`` enforces the precondition loudly — one
+    count-over-id window exchange on the slim (id, selections) frame,
+    so debug/first-run pipelines can pin the contract and drop the
+    flag once the upstream key is trusted.
 
     Spark-first shape: the min-hash-with-rightmost-tie rule collapses
     to ``min(hash * 2^20 + (2^20-1-pos))`` per window — minimising the
@@ -1724,8 +1731,30 @@ def winnow_fingerprints(
     # and binds the result — without this, each window's lambda would
     # inline and RE-EVALUATE the whole hashing transform (O(n^2) md5)
     sel = F.element_at(F.transform(F.array(keys), _select), 1)
+    base = df.select(F.col(id_col), sel.alias("__sel"))
+    if assert_unique_ids:
+        # opt-in precondition check: one count window on the slim
+        # (id, selections) frame; the assert is woven into the
+        # selection column so it cannot be pruned unevaluated
+        w_id = Window.partitionBy(id_col)
+        ok = F.count(F.lit(1)).over(w_id) == 1
+        base = base.select(
+            F.col(id_col),
+            F.when(ok, F.col("__sel"))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        "winnow_fingerprints: duplicate id_col rows "
+                        "violate the unique-id precondition (one row "
+                        "per document); dedup upstream first"
+                    ),
+                ).cast("array<struct<pos:bigint,fp:bigint>>")
+            )
+            .alias("__sel"),
+        )
     return (
-        df.select(F.col(id_col), F.explode(sel).alias("__s"))
+        base.select(F.col(id_col), F.explode("__sel").alias("__s"))
         .select(id_col, F.col("__s.pos").alias("pos"), F.col("__s.fp").alias("fp"))
     )
 
@@ -1739,7 +1768,14 @@ def winnow_candidate_pairs(
     DISTINCT fingerprint VALUES (a value selected at several positions
     counts once — MOSS semantics). Equi-join on ``fp`` — the shuffle
     carries fingerprints (~2/(w+1) of the gram count), never
-    documents."""
+    documents.
+
+    Inherits ``winnow_fingerprints``' unique-id precondition: if the
+    SAME id keyed two input rows upstream, their fingerprints merge
+    into one document here and ``n_shared`` against other docs is
+    inflated by the union — the (id, fp) distinct below cannot undo
+    that. Run the fingerprint pass with ``assert_unique_ids=True`` to
+    pin the contract when the upstream key is untrusted."""
     a = fps.select(F.col(id_col).alias("id_a"), "fp").distinct()
     b = fps.select(F.col(id_col).alias("id_b"), "fp").distinct()
     return (

@@ -797,11 +797,12 @@ def embedding_neardup_pairs_blas(
     Ids: the output schema is derived from ``df.schema[id_col]`` — any
     orderable id type works, same as the expression path. Inside the
     kernel the ``id_l < id_r`` orientation uses numpy/pandas ordering,
-    which matches Spark's for integers/floats/dates and for ASCII
-    strings (Spark compares strings as UTF-8 bytes; non-ASCII ids whose
-    code-point order differs from byte order could orient a pair
-    differently from the expression path — use the expression path for
-    oracle-parity on such ids).
+    which matches Spark's for integers/floats/dates AND for strings:
+    Spark compares strings as UTF-8 bytes, UTF-8 byte order equals
+    code-point order for well-formed text, and Python ``str`` compares
+    by code point — so non-ASCII ids orient identically (pinned by
+    ``test_blas_pairs_non_ascii_ids``). Only ill-formed data (lone
+    surrogates smuggled through a decoder) could diverge.
     """
     import numpy as np
     import pandas as pd

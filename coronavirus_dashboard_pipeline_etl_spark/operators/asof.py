@@ -384,7 +384,10 @@ def apply_changes(
     ``op_col``; ``tiebreak_cols`` totalise the order under sequence
     collisions (same contract as ``scd2_intervals``) — REQUIRED for a
     deterministic result when one key can hold two changes at one
-    sequence number.
+    sequence number. Malformed change rows raise loudly: a NULL ``op``
+    (would silently tombstone) and a NULL value in any key column
+    (could never match the anti-join, so an upsert would append a
+    duplicate row on EVERY application) both fail with ``assert_true``.
 
     Plan shape: one window exchange on ``keys`` reduces the stream to
     its per-key winner (the stream is delta-sized, not table-sized);
@@ -409,9 +412,37 @@ def apply_changes(
     order = [F.col(seq_col).desc()] + [
         F.col(c).desc() for c in tiebreak_cols
     ]
+    # a NULL key value can never match the left-anti join below, so a
+    # NULL-key upsert would APPEND a fresh row on every application
+    # (duplicates accumulating across micro-batches) instead of
+    # upserting — raise loudly, same convention as the NULL-op guard.
+    # The guard is woven into the key columns themselves (an added-
+    # then-dropped assert column would be pruned unevaluated).
+    def _guarded_key(c: str):
+        dt = changes.schema[c].dataType
+        return (
+            F.when(F.col(c).isNotNull(), F.col(c))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        f"apply_changes: NULL value in key column {c!r} "
+                        "in change stream"
+                    ),
+                ).cast(dt)
+            )
+            .alias(c)
+        )
+
+    guarded = changes.select(
+        *[
+            _guarded_key(c) if c in key_list else F.col(c)
+            for c in changes.columns
+        ]
+    )
     w = Window.partitionBy(*key_list).orderBy(*order)
     winners = (
-        changes.withColumn("__rn", F.row_number().over(w))
+        guarded.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )

@@ -100,6 +100,14 @@ def stream_release_files(
     return writer.start()
 
 
+#: per-key applied-sequence state column persisted in CDC stores by
+#: ``cdc_apply_batch`` — the store remembers, for every live key, the
+#: ``seq`` of the change that last wrote it, so a late lower-seq batch
+#: (replayed file, mis-ordered source) is DETECTABLE at apply time
+#: instead of silently overwriting newer rows.
+CDC_SEQ_STATE = "__seq"
+
+
 def cdc_apply_batch(
     batch: DataFrame,
     store_path: str,
@@ -108,6 +116,7 @@ def cdc_apply_batch(
     op_col: str = "op",
     delete_op: str = "D",
     tiebreak_cols: tuple[str, ...] = (),
+    seq_guard: str = "error",
 ) -> None:
     """Apply one CDC micro-batch to a parquet snapshot store — the
     ``foreachBatch`` sink form of ``operators.asof.apply_changes``
@@ -124,6 +133,21 @@ def cdc_apply_batch(
     resolves collisions; ``tiebreak_cols`` must totalise the order
     inside one batch exactly as in the batch operator.
 
+    The in-order precondition is ENFORCED, not assumed: the store
+    persists a per-key ``__seq`` column (``CDC_SEQ_STATE``, the seq of
+    the change that last wrote the key), and an incoming change whose
+    ``seq`` is BELOW the stored value is a protocol violation —
+    ``seq_guard="error"`` (default) raises loudly, ``"skip"`` drops
+    the stale rows (the documented recovery mode for a source that can
+    replay old files), ``"off"`` restores the unguarded behaviour.
+    ``seq == stored`` passes, so foreachBatch's at-least-once redelivery
+    of the SAME batch after a crash stays idempotent. Two bounded gaps,
+    both inherent to snapshot-only state: a tombstone removes its key's
+    row and therefore its seq state (a later stale re-insert of a
+    deleted key is undetectable without a tombstone-retention table),
+    and stores written before this guard carry no ``__seq`` (NULL state
+    passes vacuously until the key is next written).
+
     First batch bootstraps an empty snapshot with the batch's value
     columns. The merged frame is eagerly materialised BEFORE the
     overwrite — its plan reads the store path it is about to replace.
@@ -132,6 +156,17 @@ def cdc_apply_batch(
     """
     from ..operators.asof import apply_changes
 
+    if seq_guard not in ("error", "skip", "off"):
+        raise ValueError(
+            f"cdc_apply_batch: seq_guard must be 'error', 'skip' or "
+            f"'off', got {seq_guard!r}"
+        )
+    if CDC_SEQ_STATE in batch.columns:
+        raise ValueError(
+            f"cdc_apply_batch: batch must not carry the reserved "
+            f"state column {CDC_SEQ_STATE!r}"
+        )
+    seq_type = batch.schema[seq_col].dataType
     spark = batch.sparkSession
     try:
         snapshot = spark.read.parquet(store_path)
@@ -145,9 +180,60 @@ def cdc_apply_batch(
         ):
             raise
         snapshot = batch.drop(seq_col, op_col, *tiebreak_cols).limit(0)
+    if CDC_SEQ_STATE not in snapshot.columns:
+        # pre-guard store (or first-batch bootstrap): unknown
+        # provenance — NULL state passes the guard vacuously and is
+        # replaced by the real seq on the key's next write
+        snapshot = snapshot.withColumn(
+            CDC_SEQ_STATE, F.lit(None).cast(seq_type)
+        )
+    # stale-change detection: key-wise lookup of the stored seq. The
+    # extra pass is a two-column (keys, __seq) pruned scan of the
+    # store; the batch side is delta-sized, so the join broadcasts
+    # whenever the delta does — same cost class as the anti-join
+    # inside apply_changes.
+    stored = snapshot.select(
+        *keys, F.col(CDC_SEQ_STATE).alias("__stored_seq")
+    )
+    guarded = batch.join(stored, on=list(keys), how="left")
+    stale = F.col("__stored_seq").isNotNull() & (
+        F.col(seq_col) < F.col("__stored_seq")
+    )
+    if seq_guard == "error":
+        # weave the assert into the first key column — every change
+        # row's key is evaluated by the window/anti-join downstream,
+        # so a stale row cannot slip through unevaluated (an added-
+        # then-dropped assert column would be pruned away)
+        k0 = keys[0]
+        k0_type = batch.schema[k0].dataType
+        guard = (
+            F.when(~stale, F.col(k0))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        f"cdc_apply_batch: change with {seq_col} below "
+                        f"the stored {CDC_SEQ_STATE} arrived out of "
+                        "order; replay the source in order or pass "
+                        "seq_guard='skip' to drop stale rows"
+                    ),
+                ).cast(k0_type)
+            )
+            .alias(k0)
+        )
+        guarded = guarded.select(
+            *[guard if c == k0 else F.col(c) for c in batch.columns]
+        )
+    elif seq_guard == "skip":
+        guarded = guarded.filter(~stale).select(*batch.columns)
+    else:
+        guarded = guarded.select(*batch.columns)
+    # carry the winning seq into the store as state: __seq is just
+    # another value column for apply_changes, so the per-key winner's
+    # seq lands in the merged snapshot with no extra join
     merged = apply_changes(
         snapshot,
-        batch,
+        guarded.withColumn(CDC_SEQ_STATE, F.col(seq_col).cast(seq_type)),
         keys=list(keys),
         seq_col=seq_col,
         op_col=op_col,

@@ -709,6 +709,47 @@ def test_winnow_fingerprints_selection_and_pairs(spark):
         winnow_fingerprints(df, max_pos=1 << 21)
 
 
+def test_winnow_assert_unique_ids(spark):
+    """The unique-id precondition (round-11 advice): duplicate id_col
+    rows silently merge their selections downstream, so the opt-in
+    guard must raise loudly on dup ids and be a no-op on clean
+    input."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        winnow_fingerprints,
+    )
+
+    clean = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    base = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(clean, k=5, w=4).collect()
+    }
+    guarded = {
+        (r.doc_id, r.pos, r.fp)
+        for r in winnow_fingerprints(
+            clean, k=5, w=4, assert_unique_ids=True
+        ).collect()
+    }
+    assert guarded == base and base
+
+    dup = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (1, "k l m n o p q r s t")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="unique-id"
+    ):
+        winnow_fingerprints(
+            dup, k=5, w=4, assert_unique_ids=True
+        ).collect()
+
+
 def test_shared_spans_hand_values(spark):
     """Maximal-run semantics on constructed docs: exact start/length,
     separate diagonals for a repeated substring, runs below min_len

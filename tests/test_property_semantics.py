@@ -911,6 +911,47 @@ def test_blas_kernel_supports_string_ids(spark):
     assert blas_pairs == expr_pairs and expr_pairs
 
 
+def test_blas_pairs_non_ascii_ids(spark):
+    """Non-ASCII string ids orient pairs IDENTICALLY on the BLAS and
+    expression paths: Spark compares strings as UTF-8 bytes, UTF-8
+    byte order equals code-point order for well-formed text, and
+    Python str compares by code point — closing the round-11 advice
+    question. Ids span 1-byte (z), 2-byte (é, ß) and 3-byte (中)
+    UTF-8 so every width pairing is exercised."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_blas,
+    )
+
+    # near-identical vectors -> every pair clears the threshold, so the
+    # test is entirely about id ORIENTATION, not selection
+    rows = [
+        ("z-doc", [1.0, 0.00]),
+        ("é-doc", [1.0, 0.01]),
+        ("ß-doc", [1.0, 0.02]),
+        ("中-doc", [1.0, 0.03]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    seeds = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "centroid_id long, centroid array<double>"
+    )
+    expr = {
+        (r["id_l"], r["id_r"])
+        for r in embedding_neardup_pairs(
+            emb, seeds, threshold=0.9, nprobe=1
+        ).collect()
+    }
+    blas = {
+        (r["id_l"], r["id_r"])
+        for r in embedding_neardup_pairs_blas(
+            emb, seeds, threshold=0.9, nprobe=1
+        ).collect()
+    }
+    assert blas == expr and len(expr) == 6
+    # and the orientation is the UTF-8/code-point order in every pair
+    assert all(a < b for a, b in expr)
+
+
 # --------------------------------------------------------------------------
 # round 5: EWMA and duplicated-span references
 # --------------------------------------------------------------------------

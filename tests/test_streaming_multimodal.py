@@ -1598,3 +1598,88 @@ def test_streaming_cdc_apply_matches_batch(spark, tmp_path):
     }
     assert got == expected
     assert (3, 34.0) in got and (1, 11.0) not in got and (2, 22.0) in got
+
+
+def test_cdc_apply_batch_seq_guard(spark, tmp_path):
+    """The store persists per-key __seq state and enforces in-order
+    delivery (round-11 advice): a late lower-seq batch raises under
+    the default guard, seq_guard='skip' drops exactly the stale rows,
+    and redelivery of the SAME batch (seq equality) stays idempotent —
+    foreachBatch is at-least-once."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.ingest import (
+        CDC_SEQ_STATE,
+        cdc_apply_batch,
+    )
+
+    store = str(tmp_path / "seqstore")
+    schema = "id long, val double, seq long, op string"
+
+    def apply(rows, **kw):
+        cdc_apply_batch(
+            spark.createDataFrame(rows, schema), store, keys=("id",), **kw
+        )
+
+    def read():
+        return {
+            (r.id, r.val, r[CDC_SEQ_STATE])
+            for r in spark.read.parquet(store).collect()
+        }
+
+    apply([(1, 10.0, 2, "I"), (2, 20.0, 2, "I")])
+    assert read() == {(1, 10.0, 2), (2, 20.0, 2)}
+
+    # stale batch (seq 1 < stored 2) -> loud raise, store untouched
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="out of order"
+    ):
+        apply([(1, 99.0, 1, "U")])
+    assert read() == {(1, 10.0, 2), (2, 20.0, 2)}
+
+    # skip mode: the stale row drops, the fresh row in the same batch
+    # still applies
+    apply([(1, 99.0, 1, "U"), (2, 22.0, 3, "U")], seq_guard="skip")
+    assert read() == {(1, 10.0, 2), (2, 22.0, 3)}
+
+    # redelivery of the last batch: seq == stored passes, result
+    # idempotent (the stale row is still skipped)
+    apply([(1, 99.0, 1, "U"), (2, 22.0, 3, "U")], seq_guard="skip")
+    assert read() == {(1, 10.0, 2), (2, 22.0, 3)}
+
+    # tombstone removes the key AND its seq state: a later re-insert
+    # at a lower seq is the documented undetectable gap — it applies
+    apply([(2, 0.0, 4, "D")])
+    apply([(2, 5.0, 1, "I")])
+    assert read() == {(1, 10.0, 2), (2, 5.0, 1)}
+
+    # a pre-guard store (no __seq column) upgrades in place: NULL
+    # state passes vacuously, the next write stamps real state
+    legacy = str(tmp_path / "legacy")
+    spark.createDataFrame([(7, 70.0)], "id long, val double").write.parquet(
+        legacy
+    )
+    cdc_apply_batch(
+        spark.createDataFrame([(8, 80.0, 1, "I")], schema),
+        legacy,
+        keys=("id",),
+    )
+    got = {
+        (r.id, r.val, r[CDC_SEQ_STATE])
+        for r in spark.read.parquet(legacy).collect()
+    }
+    assert got == {(7, 70.0, None), (8, 80.0, 1)}
+
+    # reserved state column in the batch is rejected up front
+    with pytest.raises(ValueError, match="reserved"):
+        cdc_apply_batch(
+            spark.createDataFrame(
+                [(1, 1.0, 1, "I", 0)], schema + f", {CDC_SEQ_STATE} long"
+            ),
+            store,
+            keys=("id",),
+        )
+    with pytest.raises(ValueError, match="seq_guard"):
+        apply([(3, 1.0, 9, "I")], seq_guard="maybe")

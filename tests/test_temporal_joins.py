@@ -401,3 +401,51 @@ def test_apply_changes_null_op_raises(spark):
             keys=["id"],
             tiebreak_cols=["src"],
         )
+
+
+def test_apply_changes_null_key_raises(spark):
+    """A change with a NULL key value must raise loudly: NULL never
+    matches the left-anti join, so a NULL-key upsert would APPEND a
+    fresh row on every application — duplicates accumulating across
+    micro-batches — instead of upserting (round-11 advice)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.operators.asof import (
+        apply_changes,
+    )
+
+    snap = spark.createDataFrame([(1, 10.0)], "id long, val double")
+    changes = spark.createDataFrame(
+        [(None, 11.0, 1, "U")], "id long, val double, seq long, op string"
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="NULL value in key"
+    ):
+        apply_changes(snap, changes, keys=["id"]).collect()
+
+    # a NULL-key tombstone is equally malformed — and equally caught
+    # (the winner's key is evaluated by the anti-join side too)
+    tomb = spark.createDataFrame(
+        [(None, 0.0, 1, "D")], "id long, val double, seq long, op string"
+    )
+    with pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="NULL value in key"
+    ):
+        apply_changes(snap, tomb, keys=["id"]).collect()
+
+    # NULL keys already IN the snapshot are untouched-rows territory:
+    # they pass through (no change targets them — guard is on the
+    # change stream only)
+    snap_null = spark.createDataFrame(
+        [(1, 10.0), (None, 99.0)], "id long, val double"
+    )
+    ok = spark.createDataFrame(
+        [(1, 11.0, 1, "U")], "id long, val double, seq long, op string"
+    )
+    got = {
+        (r.id, r.val)
+        for r in apply_changes(snap_null, ok, keys=["id"]).collect()
+    }
+    assert got == {(1, 11.0), (None, 99.0)}
