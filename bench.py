@@ -149,6 +149,11 @@ HEADLINE = [
     "cdc1_apply_changes",
     "sk6_kmv_distinct",
     "d16_shared_spans",
+    # round-12: the boilerplate-cut -> shared_spans composition (the
+    # operational exact-substring path on a templated corpus) and the
+    # band-index maintenance round trip (build -> upsert -> probe)
+    "pipe20_boilerplate_spans",
+    "d14b_index_maintenance",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
@@ -453,6 +458,31 @@ def main() -> None:
         out["errors"] = errors
         out["partial_total"] = total
     print(json.dumps(out))
+    # Self-contained archive (round-11 verdict item 5): the driver's
+    # BENCH_r<N>.json capture keeps only a 2000-char TAIL of the stdout
+    # line, which truncates the per-query map once the headline set is
+    # large — so the full record is also written to a committed file.
+    # Round number = next after the newest driver CORRECTNESS file
+    # (overridable via SPARK_GRAFT_ROUND).
+    try:
+        import glob
+        import re
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"r(\d+)\.json$", p))
+        ]
+        rnd = os.environ.get(
+            "SPARK_GRAFT_ROUND", str(max(rounds, default=0) + 1)
+        )
+        local = os.path.join(here, f"BENCH_LOCAL_r{int(rnd):02d}.json")
+        with open(local, "w") as f:
+            json.dump(out, f, indent=1)
+            f.write("\n")
+    except Exception as e:  # noqa: BLE001 — archival must never fail the run
+        print(f"bench: local archive write failed: {e}", file=sys.stderr)
     spark.stop()
 
 

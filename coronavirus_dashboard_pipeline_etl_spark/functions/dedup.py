@@ -969,6 +969,99 @@ def dedup_incremental(
     )
 
 
+def _band_rows(
+    sigs: DataFrame, id_col: str, out_id: str, k: int, bands: int
+) -> DataFrame:
+    """Explode a MinHash signature table into LSH band rows
+    ``(out_id, band, sig)`` — the index/probe-side building block
+    shared by ``minhash_band_index`` and ``minhash_probe_pairs``.
+    Empty-token docs (NULL ``mh0``) emit no rows."""
+    rows_per_band = k // bands
+    cols = []
+    for bidx in range(bands):
+        members = [
+            F.col(f"mh{i}")
+            for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
+        ]
+        cols.append(
+            F.struct(
+                F.lit(bidx).alias("band"),
+                F.concat_ws("_", *members).alias("sig"),
+            )
+        )
+    return (
+        sigs.filter(F.col("mh0").isNotNull())
+        .select(F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("b"))
+        .select(out_id, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    )
+
+
+def minhash_band_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Build the PERSISTED LSH band index over a corpus: one
+    ``(id_col, band, sig)`` row per document per band — the index
+    state ``minhash_probe_pairs(corpus_bands=...)`` probes and
+    ``minhash_index_upsert`` maintains across crawl waves. At corpus
+    scale this table is written once per release (bands x |docs| slim
+    rows, partition/bucket by ``sig`` for the probe equi-join) and
+    every daily batch probes + upserts it instead of re-deriving
+    corpus signatures — the signature build is the probe pipeline's
+    dominant term, so the index turns a corpus-sized pass into a
+    batch-sized one. The ``k``/``bands``/``base_hash`` the index was
+    built with are part of its identity: probes and upserts must use
+    the same values (the rows cannot express them — keep them with the
+    table's metadata)."""
+    if bands < 1 or k % bands:
+        raise ValueError(
+            f"k={k} must be a positive multiple of bands={bands}"
+        )
+    sigs = minhash_signatures(df, id_col, text_col, k, base_hash)
+    return _band_rows(sigs, id_col, id_col, k, bands)
+
+
+def minhash_index_upsert(
+    index: DataFrame,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    base_hash: str = "md5",
+) -> DataFrame:
+    """Maintain a band index across crawl waves: REPLACE-by-document
+    semantics (the ``merge_upsert_store`` rule on the band table) —
+    every batch document's existing index rows drop, its fresh band
+    rows append. The anti-join keys on ALL batch ids, not just ids
+    with fresh rows, so a re-crawl that came back EMPTY (tokenless)
+    correctly deletes the document from the index rather than leaving
+    stale bands behind. Guarantees probe-after-upsert equals
+    probe-against-rebuilt-from-scratch (gated: d14b).
+
+    Shuffle shape: one anti-join of the index against the batch's
+    DISTINCT ids (broadcast when the batch is delta-sized) plus the
+    batch-sized signature build — the index is never re-derived.
+    Returns the new index; persistence (parquet overwrite, MERGE on
+    Delta/Iceberg) stays with the caller like the other pure
+    operators here."""
+    if id_col not in index.columns or not {"band", "sig"} <= set(
+        index.columns
+    ):
+        raise ValueError(
+            f"minhash_index_upsert: index must carry ({id_col!r}, "
+            f"'band', 'sig'), got {index.columns}"
+        )
+    batch_ids = batch.select(F.col(id_col)).distinct()
+    kept = index.join(batch_ids, on=id_col, how="left_anti")
+    fresh = minhash_band_index(batch, id_col, text_col, k, bands, base_hash)
+    return kept.unionByName(fresh)
+
+
 #: rolling-release registry for minhash_probe_pairs' default mode:
 #: id(SparkContext) -> (weakref to the context, RDD ids the LAST
 #: default-mode probe pinned). The next probe on the same context
@@ -986,6 +1079,7 @@ def minhash_probe_pairs(
     threshold: float = 0.5,
     base_hash: str = "md5",
     corpus_sigs: DataFrame | None = None,
+    corpus_bands: DataFrame | None = None,
     cache_out: list | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: probe a new batch against an indexed
@@ -997,7 +1091,12 @@ def minhash_probe_pairs(
     PROBE-shaped for 100 TB: the corpus side is INDEX STATE — its
     signature table (and in production its exploded band-bucket table)
     is computed once per release, persisted, and only ever equi-joined
-    on the band key; pass it via ``corpus_sigs`` to skip recompute.
+    on the band key; pass it via ``corpus_sigs`` to skip recompute, or
+    pass the exploded band-bucket table itself via ``corpus_bands``
+    (``(id_col, band, sig)`` rows — ``minhash_band_index`` builds it,
+    ``minhash_index_upsert`` maintains it across crawl waves; the index
+    MUST have been built with the same ``k``/``bands``/``base_hash``,
+    which its rows cannot express — that contract is the caller's).
     Per-probe cost is then:
 
     * signature build over the BATCH only (map-side expressions);
@@ -1045,32 +1144,21 @@ def minhash_probe_pairs(
             "(bands > k would make every band signature empty and the "
             "candidate join a full cross product)"
         )
-    rows_per_band = k // bands
     sig_b = minhash_signatures(batch, id_col, text_col, k, base_hash)
-    sig_c = (
-        corpus_sigs
-        if corpus_sigs is not None
-        else minhash_signatures(corpus, id_col, text_col, k, base_hash)
-    )
+    if corpus_bands is not None:
+        corpus_band_rows = corpus_bands.select(
+            F.col(id_col).alias("old_id"), "band", "sig"
+        )
+    else:
+        sig_c = (
+            corpus_sigs
+            if corpus_sigs is not None
+            else minhash_signatures(corpus, id_col, text_col, k, base_hash)
+        )
+        corpus_band_rows = _band_rows(sig_c, id_col, "old_id", k, bands)
 
     def band_rows(sigs: DataFrame, out_id: str) -> DataFrame:
-        cols = []
-        for bidx in range(bands):
-            members = [
-                F.col(f"mh{i}")
-                for i in range(bidx * rows_per_band, (bidx + 1) * rows_per_band)
-            ]
-            cols.append(
-                F.struct(
-                    F.lit(bidx).alias("band"),
-                    F.concat_ws("_", *members).alias("sig"),
-                )
-            )
-        return (
-            sigs.filter(F.col("mh0").isNotNull())
-            .select(F.col(id_col).alias(out_id), F.explode(F.array(*cols)).alias("b"))
-            .select(out_id, F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-        )
+        return _band_rows(sigs, id_col, out_id, k, bands)
 
     # Materialise the candidate pairs ONCE (lazy localCheckpoint, the
     # simhash_candidate_pairs pattern): they feed three consumers — the
@@ -1091,7 +1179,7 @@ def minhash_probe_pairs(
     before = _persistent_rdd_ids(sc)
     cand = (
         band_rows(sig_b, "new_id")
-        .join(band_rows(sig_c, "old_id"), ["band", "sig"])
+        .join(corpus_band_rows, ["band", "sig"])
         .select("new_id", "old_id")
         .distinct()
         .localCheckpoint(eager=False)
@@ -1892,4 +1980,80 @@ def shared_spans(
     )
     return runs.select(
         "id_a", "id_b", "start_a", "start_b", "len_tokens"
+    )
+
+
+def cut_hot_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_docs: int = 50,
+) -> DataFrame:
+    """Corpus-level boilerplate cut — the documented PRECONDITION pass
+    for ``shared_spans``: remove every token covered by an occurrence
+    of a k-gram that appears in MORE than ``max_docs`` distinct
+    documents (site templates, licence footers, navigation chrome —
+    the text Lee et al. 2022 §4 note dominates a raw web corpus's
+    duplicate mass). Running this with ``max_docs`` equal to
+    ``shared_spans``' ``max_gram_docs`` guarantees the span pass's
+    hot-gram guard cannot fire on the k-grams that survive the cut:
+    every surviving ORIGINAL gram has document frequency <= max_docs
+    by construction. (Cutting can create NEW grams where surviving
+    tokens become adjacent across a cut; a pathological corpus whose
+    re-concatenations are themselves boilerplate needs a second pass —
+    the span pass's loud guard is what catches that, by design.)
+
+    Returns ``(id_col, text_col)`` with the cleaned text (tokens
+    re-joined with single spaces; docs reduced to nothing carry ``''``).
+
+    Plan shape: ONE gram explode feeds both the document-frequency
+    aggregation and the hot-occurrence lookup (shared lazy
+    localCheckpoint, the ``shared_spans`` pattern); the hot-gram set is
+    tiny (boilerplate VALUES, not occurrences) and broadcasts; the
+    per-doc hot-start lists are slim (id, array<int>) and join back on
+    the id key. No UDF — the token drop is an index-aware ``filter``
+    HOF against the doc's own hot-start array.
+    """
+    if k < 1:
+        raise ValueError(f"cut_hot_spans: k must be >= 1, got {k}")
+    if max_docs < 1:
+        raise ValueError(
+            f"cut_hot_spans: max_docs must be >= 1, got {max_docs}"
+        )
+    toks = F.filter(tokens(text_col), lambda t: t != F.lit(""))
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n_grams = F.size("__toks") - k + 1
+    fps = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda s: F.md5(F.array_join(F.slice("__toks", s, k), " ")),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = base.select(F.col(id_col), F.posexplode(fps).alias("pos", "fp"))
+    # one materialisation feeds the stats pass AND the occurrence join
+    g = g.localCheckpoint(eager=False)
+    hot = (
+        g.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("__d"))
+        .filter(F.col("__d") > max_docs)
+        .select("fp")
+    )
+    starts = (
+        g.join(F.broadcast(hot), "fp")
+        .groupBy(id_col)
+        .agg(F.collect_list("pos").alias("__hot"))
+    )
+    joined = base.join(starts, id_col, "left").withColumn(
+        "__hot", F.coalesce("__hot", F.array().cast("array<int>"))
+    )
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            F.col("__hot"), lambda s: (s <= i) & (i < s + k)
+        ),
+    )
+    return joined.select(
+        F.col(id_col), F.array_join(kept, " ").alias(text_col)
     )

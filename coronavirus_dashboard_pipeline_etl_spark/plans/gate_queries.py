@@ -9657,11 +9657,22 @@ def d14_probe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _probe_sql(
-    batch_pred: str, corpus_pred: str, k: int, bands: int, threshold: float
+    batch_pred: str,
+    corpus_pred: str,
+    k: int,
+    bands: int,
+    threshold: float,
+    index_stats: bool = False,
 ) -> str:
-    """MinHash-probe oracle builder, shared by d14 (batch operator) and
-    st6 (streaming operator, batch semantics): signatures, band rows,
-    distinct band-join candidates, exact-Jaccard verify."""
+    """MinHash-probe oracle builder, shared by d14 (batch operator),
+    st6 (streaming operator, batch semantics) and d14b (index
+    maintenance): signatures, band rows, distinct band-join
+    candidates, exact-Jaccard verify. ``index_stats=True`` appends the
+    rebuilt-from-scratch corpus band table's (row count, doc count) as
+    constant columns — the d14b gate pins the MAINTAINED index against
+    them, so an upsert that appended instead of replacing (stale rows
+    left behind) fails the hash even when the pair set happens to
+    survive."""
     rows_per_band = k // bands
     sig_exprs = ",".join(
         f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
@@ -9678,6 +9689,13 @@ def _probe_sql(
             "FROM SIDE WHERE mh0 IS NOT NULL"
         )
     bands_sql = " UNION ALL ".join(band_sel)
+    stats_cols = (
+        ",\n       (SELECT CAST(COUNT(*) AS BIGINT) FROM bands_c) AS idx_rows,"
+        "\n       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM bands_c)"
+        " AS idx_docs"
+        if index_stats
+        else ""
+    )
     return f"""
 WITH th_b AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE {batch_pred}),
 th_c AS (SELECT doc_id, {_TH_SQL} AS th FROM documents WHERE {corpus_pred}),
@@ -9697,7 +9715,7 @@ toks AS (
 SELECT cand.new_id, cand.old_id,
        CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
        / CAST(len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-         AS jaccard
+         AS jaccard{stats_cols}
 FROM cand
 JOIN toks a ON a.doc_id = cand.new_id
 JOIN toks b ON b.doc_id = cand.old_id
@@ -12238,3 +12256,173 @@ def st7_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["st7_stream_cdc"] = st7_stream_cdc
 ORACLE["st7_stream_cdc"] = CDC1_SQL
+
+
+def d14b_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash band-index MAINTENANCE (round-11 verdict
+    item 7): the index UPDATE half of the daily-crawl loop that
+    d14_probe_pairs' static probe assumes. Crawl wave 1 indexes the
+    60% corpus plus a STALE first crawl of the %5==4 docs ('stale0 '
+    prepended); wave 2 re-crawls those docs with their current text
+    and ``minhash_index_upsert`` replaces their band rows through a
+    parquet store round trip; the %5==0 batch then probes the
+    maintained index via ``minhash_probe_pairs(corpus_bands=...)``.
+    The oracle rebuilds the index FROM SCRATCH over the final corpus —
+    probe-after-update must equal probe-after-rebuild — and the gate
+    also pins the maintained index's (row count, doc count) against
+    the rebuilt one's as constant columns, so an upsert that appended
+    instead of replacing (stale band rows left behind) fails the value
+    hash even if the surviving pair set coincides."""
+    import shutil
+
+    from ..functions.dedup import (
+        minhash_band_index,
+        minhash_index_upsert,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stale = docs.filter(F.col("doc_id") % 5 == 4).select(
+        "doc_id", F.concat(F.lit("stale0 "), F.col("text")).alias("text")
+    )
+    base = docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)).select(
+        "doc_id", "text"
+    )
+    idx0 = minhash_band_index(base.unionByName(stale), k=16, bands=2)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_d14b_index"
+    shutil.rmtree(path, ignore_errors=True)
+    idx0.write.parquet(path)
+    # wave 2: re-crawl of the %5==4 docs with their CURRENT text —
+    # replace-by-document through the store
+    batch1 = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
+    updated = minhash_index_upsert(
+        spark.read.parquet(path), batch1, k=16, bands=2
+    )
+    updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+    index = spark.read.parquet(path)
+    pairs = minhash_probe_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        k=16,
+        bands=2,
+        threshold=0.5,
+        corpus_bands=index,
+    )
+    stats = index.agg(
+        F.count(F.lit(1)).alias("idx_rows"),
+        F.count_distinct("doc_id").alias("idx_docs"),
+    )
+    return pairs.crossJoin(F.broadcast(stats))
+
+
+D14B_SQL = _probe_sql(
+    "doc_id % 5 = 0", "doc_id % 5 <> 0", 16, 2, 0.5, index_stats=True
+)
+
+QUERIES["d14b_index_maintenance"] = d14b_index_maintenance
+ORACLE["d14b_index_maintenance"] = D14B_SQL
+
+
+#: shared boilerplate header for pipe20 — 12 tokens, so its 5 fully-
+#: interior 8-grams appear in EVERY document and trip shared_spans'
+#: max_gram_docs=50 guard at every test sf (100+ docs), while grams
+#: straddling the header/body boundary stay document-unique
+_PIPE20_HDR = (
+    "terms of service apply to all content herein "
+    "all rights reserved worldwide"
+)
+
+
+def pipe20_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-cut -> shared_spans composition (round-11 verdict
+    item 3): the operational remedy for ``shared_spans``' hot-gram
+    abort, proven as a pipeline. Every document gets the shared
+    12-token template header prepended — a corpus templated enough
+    that RAW ``shared_spans(max_gram_docs=50)`` aborts loudly
+    (pytest-pinned: test_pipe20_raw_input_aborts) — then
+    ``cut_hot_spans`` removes every token covered by a k-gram in more
+    than 50 documents, and the span pass converges on the survivors.
+    The gate also carries the hottest gram's document frequency as a
+    constant column, certifying cross-engine that the input really
+    was over the guard. Reference semantics: Lee et al. 2022 §4
+    (boilerplate dominates raw-crawl duplicate mass; cut it corpus-
+    wide before the exact-substring pass)."""
+    from ..functions.dedup import (
+        cut_hot_spans,
+        duplicated_spans,
+        shared_spans,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit(_PIPE20_HDR + " "), F.col("text")).alias("text"),
+    )
+    cleaned = cut_hot_spans(docs, k=8, max_docs=50)
+    runs = shared_spans(cleaned, k=8, min_len=16, max_gram_docs=50)
+    hottest = duplicated_spans(docs, span_tokens=8, min_docs=2).agg(
+        F.max("n_docs").alias("max_gram_df")
+    )
+    return runs.crossJoin(F.broadcast(hottest))
+
+
+PIPE20_SQL = f"""
+WITH raw AS (
+    SELECT doc_id, '{_PIPE20_HDR} ' || text AS text FROM documents
+),
+toks0 AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS w
+    FROM raw
+),
+g0 AS (
+    SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+           md5(array_to_string(w[i:i+7], ' ')) AS h
+    FROM toks0, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+),
+freq AS (SELECT h, COUNT(DISTINCT id) AS d FROM g0 GROUP BY h),
+hot AS (SELECT h FROM freq WHERE d > 50),
+hs AS (
+    SELECT id, list(pos) AS starts
+    FROM g0 SEMI JOIN hot USING (h)
+    GROUP BY id
+),
+cw AS (
+    SELECT t.doc_id,
+           [t.w[i + 1] FOR i IN range(len(t.w))
+            IF len(list_filter(COALESCE(h.starts, []),
+                               s -> s <= i AND i < s + 8)) = 0] AS w
+    FROM toks0 t LEFT JOIN hs h ON h.id = t.doc_id
+),
+g AS (
+    SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+           {_md5int_sql("array_to_string(w[i:i+7], ' ')")} AS h
+    FROM cw, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
+),
+sh AS (
+    SELECT h FROM (SELECT h, COUNT(DISTINCT id) AS d FROM g GROUP BY h)
+    WHERE d >= 2
+),
+m AS (
+    SELECT a.id AS id_a, b.id AS id_b, a.pos AS pos_a, b.pos AS pos_b,
+           a.pos - b.pos AS diag
+    FROM g a JOIN g b USING (h) SEMI JOIN sh USING (h)
+    WHERE a.id < b.id
+),
+runs AS (
+    SELECT id_a, id_b, diag, pos_a, pos_b,
+           pos_a - ROW_NUMBER() OVER (
+               PARTITION BY id_a, id_b, diag ORDER BY pos_a) AS island
+    FROM m
+)
+SELECT id_a, id_b,
+       MIN(pos_a) AS start_a, MIN(pos_b) AS start_b,
+       CAST(COUNT(*) + 7 AS BIGINT) AS len_tokens,
+       (SELECT CAST(MAX(d) AS BIGINT) FROM freq) AS max_gram_df
+FROM runs
+GROUP BY id_a, id_b, diag, island
+HAVING COUNT(*) + 7 >= 16
+"""
+
+QUERIES["pipe20_boilerplate_spans"] = pipe20_boilerplate_spans
+ORACLE["pipe20_boilerplate_spans"] = PIPE20_SQL

@@ -793,3 +793,146 @@ def test_shared_spans_hand_values(spark):
         (SparkRuntimeException, Py4JJavaError), match="more than"
     ):
         shared_spans(hot, k=3, min_len=3, max_gram_docs=3).collect()
+
+
+def test_cut_hot_spans_semantics(spark):
+    """Boilerplate cut: tokens covered by hot-gram occurrences drop,
+    straddling grams survive, docs reduced to nothing carry '', and
+    the composition with shared_spans converges where the raw call
+    aborts (the pipe20 contract)."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        cut_hot_spans,
+        shared_spans,
+    )
+
+    hdr = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11"  # 12 tokens, 5 8-grams
+    shared_tail = " ".join(f"s{j}" for j in range(20))
+    rows = []
+    for i in range(6):
+        body = f"b{i} " + " ".join(f"w{i}x{j}" for j in range(10))
+        if i in (0, 1):
+            body += " " + shared_tail
+        rows.append((i, hdr + " " + body))
+    rows.append((6, hdr))          # pure boilerplate -> cut to nothing
+    rows.append((7, ""))           # empty doc survives as ''
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {r.doc_id: r.text for r in cut_hot_spans(df, k=8, max_docs=3).collect()}
+    assert len(got) == 8
+    # header removed everywhere, bodies intact
+    for i in range(6):
+        assert got[i].startswith(f"b{i} ") and "t0" not in got[i]
+    assert got[6] == "" and got[7] == ""
+
+    # raw span pass aborts on this corpus; cut -> span converges and
+    # equals the span pass over the header-free bodies
+    with _pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="more than"
+    ):
+        shared_spans(df, k=8, min_len=16, max_gram_docs=3).collect()
+    cleaned = cut_hot_spans(df, k=8, max_docs=3)
+    a = {
+        tuple(r)
+        for r in shared_spans(
+            cleaned, k=8, min_len=16, max_gram_docs=3
+        ).collect()
+    }
+    plain = spark.createDataFrame(
+        [(i, t.removeprefix(hdr).strip()) for i, t in rows],
+        "doc_id long, text string",
+    )
+    b = {
+        tuple(r)
+        for r in shared_spans(
+            plain, k=8, min_len=16, max_gram_docs=3
+        ).collect()
+    }
+    assert a == b and a  # the 20-token shared tail between docs 0 and 1
+
+    with _pytest.raises(ValueError, match="k must be >= 1"):
+        cut_hot_spans(df, k=0)
+    with _pytest.raises(ValueError, match="max_docs"):
+        cut_hot_spans(df, max_docs=0)
+
+
+def test_minhash_index_upsert_replaces(spark):
+    """Band-index maintenance: a re-crawled doc's stale rows are
+    REPLACED (not appended), an empty re-crawl deletes the doc from
+    the index, and probe-after-upsert equals probe-after-rebuild."""
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        minhash_band_index,
+        minhash_index_upsert,
+        minhash_probe_pairs,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus_v1 = docs(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six"),
+            (3, "red green blue cyan magenta yellow"),
+        ]
+    )
+    idx = minhash_band_index(corpus_v1, k=8, bands=2)
+    assert {tuple(r) for r in idx.select("doc_id", "band").collect()} == {
+        (1, 0), (1, 1), (2, 0), (2, 1), (3, 0), (3, 1)
+    }
+
+    # wave: doc 2 re-crawled with new text, doc 3 came back EMPTY,
+    # doc 4 is new
+    wave = docs(
+        [
+            (2, "one two three four five six seven"),
+            (3, ""),
+            (4, "lorem ipsum dolor sit amet consectetur"),
+        ]
+    )
+    updated = minhash_index_upsert(idx, wave, k=8, bands=2)
+    by_doc = {
+        r.doc_id: r.n
+        for r in updated.groupBy("doc_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert by_doc == {1: 2, 2: 2, 4: 2}  # 3 deleted, 2 replaced not doubled
+
+    # probe-after-upsert == probe-after-rebuild
+    corpus_v2 = docs(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (4, "lorem ipsum dolor sit amet consectetur"),
+        ]
+    )
+    rebuilt = minhash_band_index(corpus_v2, k=8, bands=2)
+    assert {tuple(r) for r in updated.collect()} == {
+        tuple(r) for r in rebuilt.collect()
+    }
+    batch = docs([(10, "one two three four five six seven")])
+    via_updated = {
+        (r.new_id, r.old_id)
+        for r in minhash_probe_pairs(
+            batch, corpus_v2, k=8, bands=2, threshold=0.5,
+            corpus_bands=updated,
+        ).collect()
+    }
+    via_rebuild = {
+        (r.new_id, r.old_id)
+        for r in minhash_probe_pairs(
+            batch, corpus_v2, k=8, bands=2, threshold=0.5,
+        ).collect()
+    }
+    assert via_updated == via_rebuild == {(10, 2)}
+
+    with _pytest.raises(ValueError, match="must carry"):
+        minhash_index_upsert(idx.drop("sig"), wave, k=8, bands=2)
+    with _pytest.raises(ValueError, match="multiple of bands"):
+        minhash_band_index(corpus_v1, k=8, bands=3)
