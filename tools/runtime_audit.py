@@ -126,6 +126,24 @@ def main() -> None:
                 "include the `spread()` round-robin repartition of the raw docs —\n"
                 "a small-file-layout artifact of the local test parquet (one scan\n"
                 "partition at sf0.01) that is a no-op at real corpus file counts.\n\n"
+                "## 100 TB projection — the codec constant factor (declared floor)\n\n"
+                "The multimodal decode family (m4-m10: PNG inflate+unfilter, GIF\n"
+                "LZW, baseline + progressive JPEG entropy decode, WAV/Y4M) is\n"
+                "DISTRIBUTION-CLEAN — map-only Arrow batches, zero shuffle (the\n"
+                "table's m-rows), embarrassingly parallel at any corpus size — but\n"
+                "its per-task constant factor is per-symbol Python loops, roughly\n"
+                "10-50x a C decoder (sf1 steady: m8 baseline-JPEG 13.0 s, m6 PNG\n"
+                "8.3 s, m10 progressive 1.1 s after the 1-in-5 AC-probe sampling;\n"
+                "5,000 synthetic images). At 100 TB that factor multiplies a\n"
+                "map-only stage whose wall time divides by executor count, so the\n"
+                "design holds; the cost is executor-hours, not a bottleneck stage.\n"
+                "This is the PERMANENT declared floor for the from-scratch codecs:\n"
+                "the remaining order-of-magnitude lives in swapping the per-symbol\n"
+                "loops for a native library (PIL/libjpeg-turbo slot in behind the\n"
+                "same mapInPandas batch interface, unavailable in this container —\n"
+                "multimodal.py names the library at each raise site). No further\n"
+                "pure-Python optimisation is planned; the 1-in-5 sampling win\n"
+                "(round 11) was the last structural one.\n\n"
                 "| query | shuffle MiB | shuffle records | spill MiB | max node rows |\n"
                 "|---|---|---|---|---|\n"
             )
