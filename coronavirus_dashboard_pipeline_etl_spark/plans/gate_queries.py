@@ -12426,3 +12426,56 @@ HAVING COUNT(*) + 7 >= 16
 
 QUERIES["pipe20_boilerplate_spans"] = pipe20_boilerplate_spans
 ORACLE["pipe20_boilerplate_spans"] = PIPE20_SQL
+
+
+def st8_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Micro-batched band-index maintenance through the parquet store
+    (streaming.ingest.index_upsert_batch — the foreachBatch sink form
+    of minhash_index_upsert): the d14b maintenance sequence replayed
+    as three sequential waves — base corpus, STALE first crawl of the
+    %5==4 docs, then their re-crawl with current text — store round
+    trip between waves, first-batch bootstrap included. The final
+    index must equal the rebuilt-from-scratch one (same D14B oracle:
+    probe pairs + index row/doc counts), binding cross-engine the
+    wave-slicing-independence property the streaming sink's
+    correctness rests on (live readStream/foreachBatch parity is
+    pytest territory, the st-family split)."""
+    import shutil
+
+    from ..streaming.ingest import index_upsert_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_st8_index"
+    shutil.rmtree(path, ignore_errors=True)
+    waves = (
+        docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)).select(
+            "doc_id", "text"
+        ),
+        docs.filter(F.col("doc_id") % 5 == 4).select(
+            "doc_id", F.concat(F.lit("stale0 "), F.col("text")).alias("text")
+        ),
+        docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text"),
+    )
+    for wave in waves:
+        index_upsert_batch(wave, path, k=16, bands=2)
+    index = spark.read.parquet(path)
+    pairs = minhash_probe_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        k=16,
+        bands=2,
+        threshold=0.5,
+        corpus_bands=index,
+    )
+    stats = index.agg(
+        F.count(F.lit(1)).alias("idx_rows"),
+        F.count_distinct("doc_id").alias("idx_docs"),
+    )
+    return pairs.crossJoin(F.broadcast(stats))
+
+
+QUERIES["st8_stream_index"] = st8_stream_index
+ORACLE["st8_stream_index"] = D14B_SQL

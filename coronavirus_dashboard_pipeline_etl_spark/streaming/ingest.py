@@ -242,3 +242,62 @@ def cdc_apply_batch(
     )
     merged = merged.localCheckpoint(eager=True)
     merged.write.mode("overwrite").parquet(store_path)
+
+
+def index_upsert_batch(
+    batch: DataFrame,
+    store_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    base_hash: str = "md5",
+) -> None:
+    """Maintain a persisted MinHash LSH band index as crawl waves
+    stream in — the ``foreachBatch`` sink form of
+    ``functions.dedup.minhash_index_upsert`` (pass a closure over this
+    to ``stream_release_files`` for a live crawl-wave stream; the
+    probe side reads the same store via
+    ``minhash_probe_pairs(corpus_bands=...)``).
+
+    Replace-by-document semantics per micro-batch: every batch doc's
+    existing band rows drop (an empty re-crawl deletes the doc), its
+    fresh rows append — so after the last wave the store equals
+    ``minhash_band_index`` rebuilt over each document's LATEST crawl,
+    regardless of how the waves were sliced (gated: st8 replays the
+    d14b maintenance sequence through this sink and compares against
+    the rebuilt-from-scratch oracle). Re-delivery of the same wave is
+    idempotent by construction (replace of identical rows). The
+    ``k``/``bands``/``base_hash`` identity contract is the same as the
+    batch operator's: the store's rows cannot express them, so every
+    writer and prober must agree.
+
+    First batch bootstraps the store. The merged index is eagerly
+    materialised BEFORE the overwrite — its plan reads the store path
+    it is about to replace (the ``cdc_apply_batch`` pattern; MERGE
+    INTO on Delta/Iceberg).
+    """
+    from ..functions.dedup import minhash_band_index, minhash_index_upsert
+
+    spark = batch.sparkSession
+    try:
+        index = spark.read.parquet(store_path)
+    except AnalysisException as exc:
+        # only a genuinely absent store means "first write" (same rule
+        # as upsert_batch/cdc_apply_batch)
+        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
+            exc
+        ):
+            raise
+        index = None
+    if index is None:
+        merged = minhash_band_index(
+            batch, id_col, text_col, k, bands, base_hash
+        )
+    else:
+        merged = minhash_index_upsert(
+            index, batch, id_col, text_col, k, bands, base_hash
+        )
+    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+        store_path
+    )

@@ -1683,3 +1683,67 @@ def test_cdc_apply_batch_seq_guard(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="seq_guard"):
         apply([(3, 1.0, 9, "I")], seq_guard="maybe")
+
+
+def test_streaming_index_upsert_matches_rebuild(spark, tmp_path):
+    """Live availableNow file stream of crawl waves through
+    index_upsert_batch (foreachBatch): the final band index must equal
+    minhash_band_index rebuilt over each doc's LATEST crawl —
+    bootstrap, replace-by-document (including a re-crawl that came
+    back empty), and wave-slicing independence on real streaming
+    rails."""
+    import json as _json
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        minhash_band_index,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.streaming.ingest import (
+        index_upsert_batch,
+        stream_release_files,
+    )
+
+    inp, chk, store = tmp_path / "iin", tmp_path / "ichk", tmp_path / "istore"
+    inp.mkdir()
+    schema = "doc_id long, text string"
+
+    wave1 = [
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta"},
+        {"doc_id": 2, "text": "one two three four five six"},
+        {"doc_id": 3, "text": "red green blue cyan magenta yellow"},
+    ]
+    wave2 = [
+        {"doc_id": 2, "text": "one two three four five six seven"},
+        {"doc_id": 3, "text": ""},  # empty re-crawl -> delete from index
+        {"doc_id": 4, "text": "lorem ipsum dolor sit amet consectetur"},
+    ]
+
+    def sink(batch, batch_id):
+        index_upsert_batch(batch, str(store), k=8, bands=2)
+
+    for i, wave in enumerate((wave1, wave2)):
+        (inp / f"w{i + 1}.json").write_text(
+            "\n".join(_json.dumps(x) for x in wave)
+        )
+        q = stream_release_files(
+            spark, str(inp), str(chk),
+            transform=lambda df: df,
+            sink=sink, schema=schema,
+        )
+        q.awaitTermination(60)
+
+    got = {
+        tuple(r) for r in spark.read.parquet(str(store)).collect()
+    }
+    final = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "one two three four five six seven"),
+            (4, "lorem ipsum dolor sit amet consectetur"),
+        ],
+        schema,
+    )
+    expected = {
+        tuple(r) for r in minhash_band_index(final, k=8, bands=2).collect()
+    }
+    assert got == expected
+    assert not any(r[0] == 3 for r in got)  # empty re-crawl deleted doc 3
