@@ -154,6 +154,7 @@ HEADLINE = [
     # band-index maintenance round trip (build -> upsert -> probe)
     "pipe20_boilerplate_spans",
     "d14b_index_maintenance",
+    "st8_stream_index",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

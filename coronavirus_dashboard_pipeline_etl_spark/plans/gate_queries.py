@@ -12349,21 +12349,18 @@ def pipe20_boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     was over the guard. Reference semantics: Lee et al. 2022 §4
     (boilerplate dominates raw-crawl duplicate mass; cut it corpus-
     wide before the exact-substring pass)."""
-    from ..functions.dedup import (
-        cut_hot_spans,
-        duplicated_spans,
-        shared_spans,
-    )
+    from ..functions.dedup import cut_hot_spans, shared_spans
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         F.concat(F.lit(_PIPE20_HDR + " "), F.col("text")).alias("text"),
     )
-    cleaned = cut_hot_spans(docs, k=8, max_docs=50)
+    stats: list = []
+    cleaned = cut_hot_spans(docs, k=8, max_docs=50, stats_out=stats)
     runs = shared_spans(cleaned, k=8, min_len=16, max_gram_docs=50)
-    hottest = duplicated_spans(docs, span_tokens=8, min_docs=2).agg(
-        F.max("n_docs").alias("max_gram_df")
-    )
+    # the certificate reads the cut pass's own checkpointed gram index
+    # (stats_out) — no second explode of the corpus
+    hottest = stats[0].agg(F.max("__d").alias("max_gram_df"))
     return runs.crossJoin(F.broadcast(hottest))
 
 
@@ -12377,7 +12374,7 @@ toks0 AS (
 ),
 g0 AS (
     SELECT doc_id AS id, CAST(i - 1 AS BIGINT) AS pos,
-           md5(array_to_string(w[i:i+7], ' ')) AS h
+           {_md5int_sql("array_to_string(w[i:i+7], ' ')")} AS h
     FROM toks0, UNNEST(range(1, greatest(len(w) - 7, 0) + 1)) AS t(i)
 ),
 freq AS (SELECT h, COUNT(DISTINCT id) AS d FROM g0 GROUP BY h),
