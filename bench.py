@@ -155,6 +155,7 @@ HEADLINE = [
     "pipe20_boilerplate_spans",
     "d14b_index_maintenance",
     "st8_stream_index",
+    "d8b_incremental_dedup_bloom",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

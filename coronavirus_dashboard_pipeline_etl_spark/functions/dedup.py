@@ -2075,3 +2075,91 @@ def cut_hot_spans(
     return joined.select(
         F.col(id_col), F.array_join(kept, " ").alias(text_col)
     )
+
+
+def dedup_incremental_bloom(
+    new_batch: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    max_maybe_fps: int = 2_000_000,
+) -> DataFrame:
+    """``dedup_incremental`` with a Bloom pre-filter — IDENTICAL output
+    (gated: d8b shares d8's oracle), different 100 TB shape: the
+    corpus-sized fingerprint table is only ever SCANNED, never
+    shuffled.
+
+    Why the plain operator doesn't scale symmetrically: its anti-join
+    is sort-merge once ``seen_fingerprints`` outgrows the broadcast
+    threshold, so every release shuffles the ENTIRE historical
+    fingerprint table (corpus-sized) to dedup a delta-sized batch.
+    Here:
+
+    1. ``bloom_bits`` over the fingerprint table — a constant-size
+       (<= ``m_bits`` rows) mergeable sketch; in production it is
+       built once and persisted NEXT TO the fingerprint table, then
+       merged incrementally (union+distinct) as releases append, so
+       the per-release cost starts at step 2;
+    2. the batch's DISTINCT fingerprints probe the sketch
+       (``bloom_probe``: bit table broadcasts, the exchange carries
+       fp values only). ``maybe_present = false`` is DEFINITIVE
+       absence — those fps skip the corpus entirely;
+    3. the surviving "maybe" set is (true-duplicates + false-positive
+       rate x batch)-sized, i.e. delta-sized — it BROADCASTS against
+       the fingerprint table (broadcast semi-join: one corpus SCAN,
+       zero corpus shuffle) to confirm real hits;
+    4. batch rows drop on the confirmed-hit set (broadcast anti-join),
+       then the same keep-first-within-batch window as the plain
+       operator.
+
+    ``max_maybe_fps`` guards step 3's broadcast: a batch that is
+    mostly duplicates makes the maybe set batch-sized, and silently
+    broadcasting it would OOM executors at scale — raise loudly and
+    point at the plain operator instead (its symmetric shuffle is the
+    right plan exactly when the maybe set is not small). NULL-fp batch
+    rows never probe (a NULL fingerprint matches nothing, as in the
+    plain operator) and fall through to the keep-first window.
+    """
+    from .sketches import bloom_bits, bloom_probe
+
+    bits = bloom_bits(seen_fingerprints, F.col(fp_col), m_bits, k_hashes)
+    batch = new_batch.withColumn("fp", fingerprint(text_col))
+    probed = bloom_probe(
+        bits,
+        batch.filter(F.col("fp").isNotNull()).select("fp").distinct(),
+        F.col("fp"),
+        m_bits,
+        k_hashes,
+    )
+    maybe = probed.filter(F.col("maybe_present")).select("fp")
+    # materialise once: the guard count, the semi-join, and the final
+    # anti-join all read it (lazy localCheckpoint; the count is the
+    # eager step). The count itself is bounded by the LIMIT: it never
+    # scans past max_maybe_fps + 1 rows.
+    maybe = maybe.localCheckpoint(eager=False)
+    n_probe = maybe.limit(max_maybe_fps + 1).count()
+    if n_probe > max_maybe_fps:
+        raise RuntimeError(
+            f"dedup_incremental_bloom: more than {max_maybe_fps} batch "
+            "fingerprints survive the Bloom pre-filter — the maybe set "
+            "is not broadcast-sized, so the pre-filter buys nothing "
+            "here; use dedup_incremental (symmetric shuffle) or raise "
+            "max_maybe_fps if the executors can hold the broadcast"
+        )
+    confirmed = seen_fingerprints.select(
+        F.col(fp_col).alias("fp")
+    ).join(F.broadcast(maybe), "fp", "left_semi").distinct()
+    fresh = batch.join(
+        F.broadcast(confirmed.withColumnRenamed("fp", "__seen_fp")),
+        batch["fp"] == F.col("__seen_fp"),
+        "left_anti",
+    )
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fresh.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

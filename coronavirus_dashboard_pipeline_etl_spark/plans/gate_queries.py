@@ -12476,3 +12476,27 @@ def st8_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["st8_stream_index"] = st8_stream_index
 ORACLE["st8_stream_index"] = D14B_SQL
+
+
+def d8b_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8's daily-crawl incremental dedup on the Bloom-prefiltered path
+    (dedup.dedup_incremental_bloom): the historical fingerprint table
+    is only SCANNED (broadcast semi-join against the delta-sized
+    Bloom-surviving fp set), never shuffled — the 100 TB shape the
+    plain operator's sort-merge anti-join cannot give. Output must be
+    IDENTICAL to d8's (same oracle): the pre-filter has no false
+    negatives, the semi-join confirms every true hit, so the bloom
+    path can only differ if one of those invariants breaks."""
+    from ..functions.dedup import dedup_incremental_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    seen = docs.filter(F.col("doc_id") % 3 == 0).select(
+        F.md5(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")).alias("fp")
+    )
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    out = dedup_incremental_bloom(batch, seen, m_bits=1 << 18)
+    return out.select("doc_id", "lang", "fp")
+
+
+QUERIES["d8b_incremental_dedup_bloom"] = d8b_incremental_dedup_bloom
+ORACLE["d8b_incremental_dedup_bloom"] = D8_SQL

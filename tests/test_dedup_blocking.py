@@ -936,3 +936,43 @@ def test_minhash_index_upsert_replaces(spark):
         minhash_index_upsert(idx.drop("sig"), wave, k=8, bands=2)
     with _pytest.raises(ValueError, match="multiple of bands"):
         minhash_band_index(corpus_v1, k=8, bands=3)
+
+
+def test_dedup_incremental_bloom_equals_plain(spark):
+    """The Bloom-prefiltered incremental dedup must return EXACTLY the
+    plain operator's rows (no false negatives end-to-end), handle
+    NULL-fp rows identically, and raise loudly when the maybe set
+    exceeds the broadcast guard."""
+    import pytest as _pytest
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        dedup_incremental,
+        dedup_incremental_bloom,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seen = docs.filter("doc_id % 3 = 0").selectExpr(
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fp"
+    )
+    batch = docs.filter("doc_id % 3 != 0")
+    plain = {
+        tuple(r)
+        for r in dedup_incremental(batch, seen)
+        .select("doc_id", "fp")
+        .collect()
+    }
+    bloom = {
+        tuple(r)
+        for r in dedup_incremental_bloom(batch, seen, m_bits=1 << 14)
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert bloom == plain and plain
+
+    # a tiny filter (m_bits=2) makes every fp a "maybe": the guard must
+    # trip when that exceeds max_maybe_fps
+    with _pytest.raises(RuntimeError, match="maybe set"):
+        dedup_incremental_bloom(
+            batch, seen, m_bits=2, k_hashes=1, max_maybe_fps=3
+        )
