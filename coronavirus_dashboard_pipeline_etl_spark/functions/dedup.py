@@ -2077,6 +2077,13 @@ def cut_hot_spans(
     )
 
 
+#: rolling-release registry for dedup_incremental_bloom's maybe-set
+#: checkpoint: id(SparkContext) -> (weakref, pinned RDD ids) — same
+#: protocol as _PROBE_PINNED (the next call releases the previous
+#: call's blocks; see minhash_probe_pairs' lifecycle docstring).
+_BLOOM_PINNED: dict[int, tuple] = {}
+
+
 def dedup_incremental_bloom(
     new_batch: DataFrame,
     seen_fingerprints: DataFrame,
@@ -2138,8 +2145,30 @@ def dedup_incremental_bloom(
     # materialise once: the guard count, the semi-join, and the final
     # anti-join all read it (lazy localCheckpoint; the count is the
     # eager step). The count itself is bounded by the LIMIT: it never
-    # scans past max_maybe_fps + 1 rows.
+    # scans past max_maybe_fps + 1 rows. Checkpoint blocks are
+    # session-pinned, so the rolling-release protocol from
+    # ``minhash_probe_pairs`` applies: each call releases the PREVIOUS
+    # call's blocks before pinning its own — a daily-release loop holds
+    # at most one call's (<= max_maybe_fps rows of) blocks. Contract:
+    # finish consuming one call's result before the next call on the
+    # same SparkContext.
+    from .graph import _persistent_rdd_ids, _release_rdds
+
+    sc = new_batch.sparkSession.sparkContext
+    prev = _BLOOM_PINNED.pop(id(sc), None)
+    if prev is not None and prev[0]() is sc:
+        _release_rdds(sc, prev[1])
+    before = _persistent_rdd_ids(sc)
     maybe = maybe.localCheckpoint(eager=False)
+    pinned = None
+    if before is not None:
+        after = _persistent_rdd_ids(sc)
+        if after is not None:
+            pinned = after - before
+    if pinned:
+        import weakref
+
+        _BLOOM_PINNED[id(sc)] = (weakref.ref(sc), pinned)
     n_probe = maybe.limit(max_maybe_fps + 1).count()
     if n_probe > max_maybe_fps:
         raise RuntimeError(
