@@ -156,6 +156,7 @@ HEADLINE = [
     "d14b_index_maintenance",
     "st8_stream_index",
     "d8b_incremental_dedup_bloom",
+    "pipe21_incremental_loop",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

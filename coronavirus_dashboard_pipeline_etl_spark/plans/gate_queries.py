@@ -12500,3 +12500,81 @@ def d8b_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["d8b_incremental_dedup_bloom"] = d8b_incremental_dedup_bloom
 ORACLE["d8b_incremental_dedup_bloom"] = D8_SQL
+
+
+def pipe21_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-dedup DAILY LOOP through the persisted fingerprint
+    table — the operational round trip ``dedup_incremental``'s
+    docstring promises ("append fp to the fingerprint table to advance
+    the corpus state"), proven as a pipeline like st8 proved the band
+    index's: seed the fp store from the historical corpus (%3==0),
+    dedup wave 1 (%3==1) against it, APPEND the survivors' fps (store
+    round trip), dedup wave 2 (%3==2) against the advanced state. The
+    oracle replays both waves sequentially in SQL — wave-2 rows whose
+    fingerprint first appeared in wave 1 must be dropped, which only
+    happens if the append path actually advanced the state."""
+    import shutil
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    ).alias("fp")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_pipe21_fps"
+    shutil.rmtree(path, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 3 == 0).select(fp).distinct().write.parquet(
+        path
+    )
+    out = None
+    for wave_no in (1, 2):
+        wave = docs.filter(F.col("doc_id") % 3 == wave_no)
+        seen = spark.read.parquet(path)
+        kept = dedup_incremental(wave, seen).select(
+            "doc_id", "lang", "fp", F.lit(wave_no).alias("wave")
+        )
+        # advance the state: append the survivors' fps (one slim
+        # column; eager materialise BEFORE touching the store path,
+        # the cdc_apply_batch pattern — append mode never rewrites
+        # existing files, so production appends stay file-sized)
+        kept.select("fp").localCheckpoint(eager=True).write.mode(
+            "append"
+        ).parquet(path)
+        out = kept if out is None else out.unionByName(kept)
+    return out
+
+
+PIPE21_SQL = r"""
+WITH fp AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+seen0 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 3 = 0),
+w1 AS (
+    SELECT doc_id, lang, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+    WHERE doc_id % 3 = 1
+      AND fp NOT IN (SELECT fp FROM seen0)
+),
+kept1 AS (SELECT doc_id, lang, fp FROM w1 WHERE rn = 1),
+seen1 AS (
+    SELECT fp FROM seen0 UNION SELECT fp FROM kept1
+),
+w2 AS (
+    SELECT doc_id, lang, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+    WHERE doc_id % 3 = 2
+      AND fp NOT IN (SELECT fp FROM seen1)
+),
+kept2 AS (SELECT doc_id, lang, fp FROM w2 WHERE rn = 1)
+SELECT doc_id, lang, fp, CAST(1 AS INT) AS wave FROM kept1
+UNION ALL
+SELECT doc_id, lang, fp, CAST(2 AS INT) AS wave FROM kept2
+"""
+
+QUERIES["pipe21_incremental_loop"] = pipe21_incremental_loop
+ORACLE["pipe21_incremental_loop"] = PIPE21_SQL
