@@ -1146,8 +1146,40 @@ def minhash_probe_pairs(
         )
     sig_b = minhash_signatures(batch, id_col, text_col, k, base_hash)
     if corpus_bands is not None:
+        # structural sanity (round-12 advice): an index built with
+        # different k/bands/base_hash silently yields false negatives
+        # (band sigs never collide). The rows can't express those
+        # parameters, but the common mismatch — a different `bands` —
+        # IS detectable: band ids are 0..bands-1 by construction, so
+        # any band >= bands proves the index disagrees. Woven into the
+        # band join key itself so the check rides the probe scan free.
+        if id_col not in corpus_bands.columns or not {"band", "sig"} <= set(
+            corpus_bands.columns
+        ):
+            raise ValueError(
+                f"minhash_probe_pairs: corpus_bands must carry "
+                f"({id_col!r}, 'band', 'sig') rows like "
+                f"minhash_band_index builds, got {corpus_bands.columns}"
+            )
+        band_checked = (
+            F.when(F.col("band") < F.lit(bands), F.col("band"))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        f"minhash_probe_pairs: corpus_bands carries a "
+                        f"band id >= bands={bands} — the index was "
+                        "built with a different bands value; probing a "
+                        "mismatched index silently returns no "
+                        "candidates. Rebuild the index or pass the "
+                        "k/bands/base_hash it was built with."
+                    ),
+                ).cast("int")
+            )
+            .alias("band")
+        )
         corpus_band_rows = corpus_bands.select(
-            F.col(id_col).alias("old_id"), "band", "sig"
+            F.col(id_col).alias("old_id"), band_checked, "sig"
         )
     else:
         sig_c = (
@@ -1991,6 +2023,13 @@ def shared_spans(
     )
 
 
+#: rolling-release registry for cut_hot_spans' gram-index checkpoint:
+#: id(SparkContext) -> (weakref, pinned RDD ids) — same protocol as
+#: _PROBE_PINNED/_BLOOM_PINNED (the next default-mode call releases
+#: the previous call's blocks; stats_out=[] takes ownership instead).
+_CUT_PINNED: dict[int, tuple] = {}
+
+
 def cut_hot_spans(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -2032,6 +2071,17 @@ def cut_hot_spans(
     so a caller wanting corpus diagnostics (the hottest gram's spread,
     a boilerplate report) pays one extra pass over the slim index, not
     a second explode of the corpus.
+
+    Checkpoint lifecycle (round-12 advice): the gram-index checkpoint
+    blocks are session-pinned, so the default is the ROLLING release
+    protocol of ``minhash_probe_pairs`` — each default-mode call
+    releases the PREVIOUS call's blocks before pinning its own (finish
+    consuming one call's result before issuing the next on the same
+    SparkContext). Passing ``stats_out=[]`` transfers OWNERSHIP: the
+    stats frame aliases the pinned blocks, so the call neither
+    releases prior default-mode blocks nor registers its own — the
+    caller keeps them alive for as long as the stats frame is in use
+    (the ``cache_out`` contract, same as ``dedup_components``).
     """
     if k < 1:
         raise ValueError(f"cut_hot_spans: k must be >= 1, got {k}")
@@ -2051,9 +2101,22 @@ def cut_hot_spans(
             ),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
+    from .graph import _persistent_rdd_ids, _release_rdds
+
+    sc = df.sparkSession.sparkContext
+    if stats_out is None:
+        prev = _CUT_PINNED.pop(id(sc), None)
+        if prev is not None and prev[0]() is sc:
+            _release_rdds(sc, prev[1])
+    before = _persistent_rdd_ids(sc)
     g = base.select(F.col(id_col), F.posexplode(fps).alias("pos", "fp"))
     # one materialisation feeds the stats pass AND the occurrence join
     g = g.localCheckpoint(eager=False)
+    pinned = None
+    if before is not None:
+        after = _persistent_rdd_ids(sc)
+        if after is not None:
+            pinned = after - before
     freq = g.groupBy("fp").agg(F.count_distinct(id_col).alias("__d"))
     if stats_out is not None:
         stats_out.append(freq)
@@ -2072,6 +2135,13 @@ def cut_hot_spans(
             F.col("__hot"), lambda s: (s <= i) & (i < s + k)
         ),
     )
+    # rolling-release registration (mirrors minhash_probe_pairs): the
+    # NEXT default-mode call on this context frees this call's gram-
+    # index blocks; stats_out=[] transfers ownership to the caller
+    if stats_out is None and pinned:
+        import weakref
+
+        _CUT_PINNED[id(sc)] = (weakref.ref(sc), pinned)
     return joined.select(
         F.col(id_col), F.array_join(kept, " ").alias(text_col)
     )

@@ -141,7 +141,10 @@ def cdc_apply_batch(
     the stale rows (the documented recovery mode for a source that can
     replay old files), ``"off"`` restores the unguarded behaviour.
     ``seq == stored`` passes, so foreachBatch's at-least-once redelivery
-    of the SAME batch after a crash stays idempotent. Two bounded gaps,
+    of the SAME batch after a crash stays idempotent. A NULL ``seq``
+    in the batch is rejected loudly under ``"error"`` and ``"skip"``
+    (the guard cannot order a NULL sequence — three-valued logic would
+    silently drop it under ``"skip"``); ``"off"`` accepts it unguarded. Two bounded gaps,
     both inherent to snapshot-only state: a tombstone removes its key's
     row and therefore its seq state (a later stale re-insert of a
     deleted key is undetectable without a tombstone-retention table),
@@ -196,6 +199,33 @@ def cdc_apply_batch(
         *keys, F.col(CDC_SEQ_STATE).alias("__stored_seq")
     )
     guarded = batch.join(stored, on=list(keys), how="left")
+    if seq_guard != "off":
+        # the stale predicate is three-valued under a NULL seq: 'skip'
+        # would silently drop the row (filter(~NULL) drops) and 'error'
+        # would raise the misleading out-of-order message — reject NULL
+        # seq loudly with its own message, same convention as the
+        # NULL-op/NULL-key asserts in apply_changes. Woven into seq_col
+        # itself so every downstream use (the stale comparison, the
+        # window ordering) forces the assert before any row can be
+        # filtered away.
+        seq_asserted = (
+            F.when(F.col(seq_col).isNotNull(), F.col(seq_col))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        f"cdc_apply_batch: NULL {seq_col} in change "
+                        "stream — the seq guard cannot order a NULL "
+                        "sequence; fix the source or pass "
+                        "seq_guard='off'"
+                    ),
+                ).cast(seq_type)
+            )
+            .alias(seq_col)
+        )
+        guarded = guarded.select(
+            *[seq_asserted if c == seq_col else F.col(c) for c in guarded.columns]
+        )
     stale = F.col("__stored_seq").isNotNull() & (
         F.col(seq_col) < F.col("__stored_seq")
     )

@@ -858,6 +858,32 @@ def test_cut_hot_spans_semantics(spark):
     with _pytest.raises(ValueError, match="max_docs"):
         cut_hot_spans(df, max_docs=0)
 
+    # checkpoint lifecycle (round-12 advice): default-mode calls use
+    # the rolling-release protocol — the second call frees the first
+    # call's gram-index blocks; stats_out=[] takes ownership and must
+    # neither release the registered default-mode blocks nor register
+    # its own
+    from coronavirus_dashboard_pipeline_etl_spark.functions.graph import (
+        _persistent_rdd_ids,
+    )
+
+    sc = spark.sparkContext
+    before = _persistent_rdd_ids(sc)
+    cut_hot_spans(df, k=8, max_docs=3).count()
+    first = _persistent_rdd_ids(sc) - before
+    assert first, "cut should pin its gram-index checkpoint"
+    cut_hot_spans(df, k=8, max_docs=3).count()
+    after2 = _persistent_rdd_ids(sc)
+    assert first & after2 == set(), "previous cut's blocks leaked"
+    assert after2 - before, "current cut should hold its own blocks"
+    stats: list = []
+    out = cut_hot_spans(df, k=8, max_docs=3, stats_out=stats)
+    out.count()
+    assert len(stats) == 1 and stats[0].count() > 0
+    assert (after2 - before) <= (_persistent_rdd_ids(sc) or set()), (
+        "ownership call must not release default-mode blocks"
+    )
+
 
 def test_minhash_index_upsert_replaces(spark):
     """Band-index maintenance: a re-crawled doc's stale rows are
@@ -936,6 +962,25 @@ def test_minhash_index_upsert_replaces(spark):
         minhash_index_upsert(idx.drop("sig"), wave, k=8, bands=2)
     with _pytest.raises(ValueError, match="multiple of bands"):
         minhash_band_index(corpus_v1, k=8, bands=3)
+
+    # round-12 advice: a structurally wrong corpus_bands is rejected
+    # up front, and the detectable k/bands mismatch (index band ids
+    # >= the probe's bands) raises instead of silently returning no
+    # candidates
+    with _pytest.raises(ValueError, match="corpus_bands must carry"):
+        minhash_probe_pairs(
+            batch, corpus_v2, k=8, bands=2, corpus_bands=updated.drop("sig")
+        )
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    idx_b4 = minhash_band_index(corpus_v2, k=8, bands=4)
+    with _pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="different bands"
+    ):
+        minhash_probe_pairs(
+            batch, corpus_v2, k=8, bands=2, corpus_bands=idx_b4
+        ).collect()
 
 
 def test_dedup_incremental_bloom_equals_plain(spark):

@@ -1684,6 +1684,19 @@ def test_cdc_apply_batch_seq_guard(spark, tmp_path):
     with pytest.raises(ValueError, match="seq_guard"):
         apply([(3, 1.0, 9, "I")], seq_guard="maybe")
 
+    # NULL seq is rejected with its OWN message under error AND skip
+    # (round-12 advice: three-valued stale logic would silently drop
+    # it under 'skip' and mislabel it 'out of order' under 'error');
+    # seq_guard='off' restores the unguarded pass-through
+    for mode in ("error", "skip"):
+        with pytest.raises(
+            (SparkRuntimeException, Py4JJavaError), match="NULL seq"
+        ):
+            apply([(9, 1.0, None, "I")], seq_guard=mode)
+    assert read() == {(1, 10.0, 2), (2, 5.0, 1)}
+    apply([(9, 1.0, None, "I"), (10, 2.0, 5, "I")], seq_guard="off")
+    assert (10, 2.0, 5) in read() and any(r[0] == 9 for r in read())
+
 
 def test_streaming_index_upsert_matches_rebuild(spark, tmp_path):
     """Live availableNow file stream of crawl waves through
