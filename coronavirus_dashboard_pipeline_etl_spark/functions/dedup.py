@@ -20,7 +20,7 @@ b_i) mod P with P = 2^31 - 1 (Mersenne), keeping every intermediate
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from .text import fingerprint, tokens
 
@@ -1060,6 +1060,160 @@ def minhash_index_upsert(
     kept = index.join(batch_ids, on=id_col, how="left_anti")
     fresh = minhash_band_index(batch, id_col, text_col, k, bands, base_hash)
     return kept.unionByName(fresh)
+
+
+#: partition column of the persisted dedup stores (band index and
+#: fingerprint table): a stable hash bucket of the probe key, so a
+#: delta-sized batch prunes its corpus scan to the partitions it can
+#: possibly match instead of reading the whole store every wave
+#: (round-12 verdict item 4). A hash bucket instead of a raw value
+#: prefix because parquet partition-type inference would flip an
+#: all-numeric hex prefix directory set to int and break the probe's
+#: isin filter.
+STORE_BUCKET = "bucket"
+
+
+def _store_bucket(cols: list, buckets: int) -> Column:
+    """``pmod(xxhash64(cols), buckets)`` — the store partition key.
+    xxhash64 (not hash) so the bucket spread is independent of Spark's
+    shuffle hashing; pmod keeps it non-negative."""
+    return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
+
+
+def _touched_buckets(df: DataFrame, bucket: Column, buckets: int) -> list:
+    """The distinct store buckets a batch frame hashes into — a bounded
+    driver collect (<= ``buckets`` ints by construction, never
+    data-sized): the literal partition-filter list for the pruned
+    store scan."""
+    return sorted(
+        r[0]
+        for r in df.select(bucket.alias("__b")).distinct().limit(buckets + 1).collect()
+    )
+
+
+def band_index_write(
+    index: DataFrame,
+    path: str,
+    buckets: int = 64,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a band index PARTITIONED by the (band, sig)-hash bucket —
+    the production layout for ``minhash_band_index``'s output. At
+    corpus scale the band table is data-sized and a daily probe batch
+    is delta-sized: with this layout ``band_index_pruned`` turns the
+    probe's corpus scan into a partition-pruned one (only the buckets
+    the batch's own band rows hash into are read — parquet
+    ``PartitionFilters``, zero rows read from the rest). ``buckets``
+    is part of the store's identity like ``k``/``bands``/``base_hash``:
+    the pruned reader must use the same value (the directory layout
+    cannot express it — keep it with the table's metadata)."""
+    if STORE_BUCKET in index.columns:
+        raise ValueError(
+            f"band_index_write: index already carries the reserved "
+            f"partition column {STORE_BUCKET!r}"
+        )
+    index.withColumn(
+        STORE_BUCKET, _store_bucket([F.col("band"), F.col("sig")], buckets)
+    ).write.partitionBy(STORE_BUCKET).mode(mode).parquet(path)
+
+
+def band_index_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read a persisted band index back as the plain
+    ``(id, band, sig)`` frame every band-index consumer expects (the
+    partition bucket is layout, not data). Tolerates legacy
+    unpartitioned stores."""
+    df = spark.read.parquet(path)
+    return df.drop(STORE_BUCKET) if STORE_BUCKET in df.columns else df
+
+
+def band_index_pruned(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 16,
+    bands: int = 4,
+    base_hash: str = "md5",
+    buckets: int = 64,
+) -> DataFrame:
+    """PRUNED probe-side read of a ``band_index_write`` store: returns
+    only the index partitions the batch's band rows can possibly match
+    — pass the result as ``minhash_probe_pairs(corpus_bands=...)``.
+    Pruning is lossless for the probe's (band, sig) equi-join: a
+    corpus row in an untouched bucket cannot equal any batch band row
+    (same hash, same bucket), so probe-over-pruned == probe-over-full
+    by construction. Cost: one batch-sized signature pass to derive
+    the touched buckets (a <= ``buckets``-int driver collect, bounded
+    by construction) — at corpus scale that trades a full store scan
+    for a batch-bucket one. ``k``/``bands``/``base_hash``/``buckets``
+    must match the writer's (the store-identity contract). A legacy
+    unpartitioned store falls back to the full scan."""
+    df = spark.read.parquet(path)
+    if STORE_BUCKET not in df.columns:
+        return df
+    sig_b = minhash_signatures(batch, id_col, text_col, k, base_hash)
+    bb = _band_rows(sig_b, id_col, id_col, k, bands)
+    touched = _touched_buckets(
+        bb, _store_bucket([F.col("band"), F.col("sig")], buckets), buckets
+    )
+    return df.filter(F.col(STORE_BUCKET).isin(touched)).drop(STORE_BUCKET)
+
+
+def fp_store_write(
+    fps: DataFrame,
+    path: str,
+    fp_col: str = "fp",
+    buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """Persist (or append to) the exact-dedup fingerprint table
+    PARTITIONED by the fp-hash bucket — the production layout for the
+    ``dedup_incremental`` loop's state (``pipe21``). Append mode adds
+    files inside the touched partition directories and never rewrites
+    existing ones, so the daily state-advance stays batch-sized.
+    ``buckets`` is part of the store identity (see
+    ``band_index_write``)."""
+    if STORE_BUCKET in fps.columns:
+        raise ValueError(
+            f"fp_store_write: frame already carries the reserved "
+            f"partition column {STORE_BUCKET!r}"
+        )
+    fps.withColumn(
+        STORE_BUCKET, _store_bucket([F.col(fp_col)], buckets)
+    ).write.partitionBy(STORE_BUCKET).mode(mode).parquet(path)
+
+
+def fp_store_pruned(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    text_col: str = "text",
+    fp_col: str = "fp",
+    buckets: int = 64,
+) -> DataFrame:
+    """PRUNED read of a ``fp_store_write`` fingerprint table: returns
+    only the partitions the batch's own fingerprints hash into — pass
+    the result as ``dedup_incremental(seen_fingerprints=...)``.
+    Lossless for the anti-join (a seen fp equal to some batch fp shares
+    its bucket); the touched-bucket derivation is one batch-sized
+    fingerprint pass plus a <= ``buckets``-int driver collect. A legacy
+    unpartitioned store falls back to the full scan. NOTE: the Bloom
+    path's SKETCH build (``dedup_incremental_bloom`` step 1) needs the
+    FULL table — prune only the confirm scan, or persist the sketch
+    next to the store as its docstring describes."""
+    df = spark.read.parquet(path)
+    if STORE_BUCKET not in df.columns:
+        return df
+    bfp = (
+        batch.select(fingerprint(text_col).alias(fp_col))
+        if fp_col not in batch.columns
+        else batch.select(fp_col)
+    )
+    touched = _touched_buckets(
+        bfp, _store_bucket([F.col(fp_col)], buckets), buckets
+    )
+    return df.filter(F.col(STORE_BUCKET).isin(touched)).drop(STORE_BUCKET)
 
 
 #: rolling-release registry for minhash_probe_pairs' default mode:

@@ -12272,10 +12272,18 @@ def d14b_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     also pins the maintained index's (row count, doc count) against
     the rebuilt one's as constant columns, so an upsert that appended
     instead of replacing (stale band rows left behind) fails the value
-    hash even if the surviving pair set coincides."""
+    hash even if the surviving pair set coincides. The store uses the
+    production PARTITIONED layout (band_index_write: (band, sig)-hash
+    bucket directories) and the probe reads it PRUNED
+    (band_index_pruned — the corpus scan carries PartitionFilters for
+    exactly the buckets the probe batch touches; round-12 verdict
+    item 4)."""
     import shutil
 
     from ..functions.dedup import (
+        band_index_pruned,
+        band_index_read,
+        band_index_write,
         minhash_band_index,
         minhash_index_upsert,
     )
@@ -12293,24 +12301,24 @@ def d14b_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = f"{warehouse}/gate_d14b_index"
     shutil.rmtree(path, ignore_errors=True)
-    idx0.write.parquet(path)
+    band_index_write(idx0, path)
     # wave 2: re-crawl of the %5==4 docs with their CURRENT text —
     # replace-by-document through the store
     batch1 = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
     updated = minhash_index_upsert(
-        spark.read.parquet(path), batch1, k=16, bands=2
+        band_index_read(spark, path), batch1, k=16, bands=2
     )
-    updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
-    index = spark.read.parquet(path)
+    band_index_write(updated.localCheckpoint(eager=True), path)
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0)
     pairs = minhash_probe_pairs(
-        docs.filter(F.col("doc_id") % 5 == 0),
+        probe_batch,
         docs.filter(F.col("doc_id") % 5 != 0),
         k=16,
         bands=2,
         threshold=0.5,
-        corpus_bands=index,
+        corpus_bands=band_index_pruned(spark, path, probe_batch, k=16, bands=2),
     )
-    stats = index.agg(
+    stats = band_index_read(spark, path).agg(
         F.count(F.lit(1)).alias("idx_rows"),
         F.count_distinct("doc_id").alias("idx_docs"),
     )
@@ -12436,9 +12444,12 @@ def st8_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe pairs + index row/doc counts), binding cross-engine the
     wave-slicing-independence property the streaming sink's
     correctness rests on (live readStream/foreachBatch parity is
-    pytest territory, the st-family split)."""
+    pytest territory, the st-family split). The sink writes the
+    production PARTITIONED layout and the probe reads it PRUNED
+    (band_index_pruned; round-12 verdict item 4)."""
     import shutil
 
+    from ..functions.dedup import band_index_pruned, band_index_read
     from ..streaming.ingest import index_upsert_batch
 
     docs = load_table(spark, sf_dir, "documents")
@@ -12458,16 +12469,16 @@ def st8_stream_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for wave in waves:
         index_upsert_batch(wave, path, k=16, bands=2)
-    index = spark.read.parquet(path)
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0)
     pairs = minhash_probe_pairs(
-        docs.filter(F.col("doc_id") % 5 == 0),
+        probe_batch,
         docs.filter(F.col("doc_id") % 5 != 0),
         k=16,
         bands=2,
         threshold=0.5,
-        corpus_bands=index,
+        corpus_bands=band_index_pruned(spark, path, probe_batch, k=16, bands=2),
     )
-    stats = index.agg(
+    stats = band_index_read(spark, path).agg(
         F.count(F.lit(1)).alias("idx_rows"),
         F.count_distinct("doc_id").alias("idx_docs"),
     )
@@ -12512,8 +12523,15 @@ def pipe21_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     round trip), dedup wave 2 (%3==2) against the advanced state. The
     oracle replays both waves sequentially in SQL — wave-2 rows whose
     fingerprint first appeared in wave 1 must be dropped, which only
-    happens if the append path actually advanced the state."""
+    happens if the append path actually advanced the state. The store
+    uses the production PARTITIONED layout (fp_store_write: fp-hash
+    bucket directories; appends land inside touched buckets and never
+    rewrite existing files) and each wave reads it PRUNED
+    (fp_store_pruned — the seen-side scan carries PartitionFilters for
+    the wave's own fp buckets; round-12 verdict item 4)."""
     import shutil
+
+    from ..functions.dedup import fp_store_pruned, fp_store_write
 
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(
@@ -12524,13 +12542,13 @@ def pipe21_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = f"{warehouse}/gate_pipe21_fps"
     shutil.rmtree(path, ignore_errors=True)
-    docs.filter(F.col("doc_id") % 3 == 0).select(fp).distinct().write.parquet(
-        path
+    fp_store_write(
+        docs.filter(F.col("doc_id") % 3 == 0).select(fp).distinct(), path
     )
     out = None
     for wave_no in (1, 2):
         wave = docs.filter(F.col("doc_id") % 3 == wave_no)
-        seen = spark.read.parquet(path)
+        seen = fp_store_pruned(spark, path, wave)
         kept = dedup_incremental(wave, seen).select(
             "doc_id", "lang", "fp", F.lit(wave_no).alias("wave")
         )
@@ -12538,9 +12556,9 @@ def pipe21_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         # column; eager materialise BEFORE touching the store path,
         # the cdc_apply_batch pattern — append mode never rewrites
         # existing files, so production appends stay file-sized)
-        kept.select("fp").localCheckpoint(eager=True).write.mode(
-            "append"
-        ).parquet(path)
+        fp_store_write(
+            kept.select("fp").localCheckpoint(eager=True), path
+        )
         out = kept if out is None else out.unionByName(kept)
     return out
 

@@ -282,6 +282,7 @@ def index_upsert_batch(
     k: int = 16,
     bands: int = 4,
     base_hash: str = "md5",
+    buckets: int = 64,
 ) -> None:
     """Maintain a persisted MinHash LSH band index as crawl waves
     stream in — the ``foreachBatch`` sink form of
@@ -306,12 +307,26 @@ def index_upsert_batch(
     materialised BEFORE the overwrite — its plan reads the store path
     it is about to replace (the ``cdc_apply_batch`` pattern; MERGE
     INTO on Delta/Iceberg).
+
+    The store is written PARTITIONED by the (band, sig)-hash bucket
+    (``band_index_write``) so probes against it prune to the buckets
+    their batch touches (``band_index_pruned``); ``buckets`` joins the
+    ``k``/``bands``/``base_hash`` identity contract. The upsert itself
+    still reads and rewrites the whole store per wave (replace-by-
+    document must find a re-crawled doc's OLD rows, which can live in
+    any bucket) — the layout's win is probe-time pruning; partition-
+    scoped rewrites are the MERGE INTO path on Delta/Iceberg.
     """
-    from ..functions.dedup import minhash_band_index, minhash_index_upsert
+    from ..functions.dedup import (
+        band_index_read,
+        band_index_write,
+        minhash_band_index,
+        minhash_index_upsert,
+    )
 
     spark = batch.sparkSession
     try:
-        index = spark.read.parquet(store_path)
+        index = band_index_read(spark, store_path)
     except AnalysisException as exc:
         # only a genuinely absent store means "first write" (same rule
         # as upsert_batch/cdc_apply_batch)
@@ -328,6 +343,6 @@ def index_upsert_batch(
         merged = minhash_index_upsert(
             index, batch, id_col, text_col, k, bands, base_hash
         )
-    merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-        store_path
+    band_index_write(
+        merged.localCheckpoint(eager=True), store_path, buckets=buckets
     )

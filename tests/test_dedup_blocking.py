@@ -983,6 +983,121 @@ def test_minhash_index_upsert_replaces(spark):
         ).collect()
 
 
+def test_partitioned_store_pruning(spark, tmp_path):
+    """Partitioned store layouts (round-12 verdict item 4): the band
+    index and fingerprint table write hash-bucket partition
+    directories; pruned probe reads carry PartitionFilters and return
+    EXACTLY the full-scan results (pruning is lossless for the equi-/
+    anti-join keys); legacy unpartitioned stores fall back to the full
+    scan; the reserved bucket column is rejected."""
+    import re
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        STORE_BUCKET,
+        band_index_pruned,
+        band_index_read,
+        band_index_write,
+        dedup_incremental,
+        fp_store_pruned,
+        fp_store_write,
+        minhash_band_index,
+        minhash_probe_pairs,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs(
+        [(i, f"w{i}a w{i}b w{i}c common tail tokens here {i % 7}") for i in range(40)]
+        + [(100, "probe target one two three four five six")]
+    )
+    batch = docs([(200, "probe target one two three four five six")])
+
+    # --- band index ---
+    idx_path = str(tmp_path / "bidx")
+    band_index_write(minhash_band_index(corpus, k=8, bands=2), idx_path, buckets=16)
+    assert any(
+        p.name.startswith(f"{STORE_BUCKET}=")
+        for p in (tmp_path / "bidx").iterdir()
+    )
+    pruned = band_index_pruned(
+        spark, idx_path, batch, k=8, bands=2, buckets=16
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN", plan)
+    # pruning really drops partitions for a small batch
+    assert pruned.count() < band_index_read(spark, idx_path).count()
+    via_pruned = {
+        tuple(r)
+        for r in minhash_probe_pairs(
+            batch, corpus, k=8, bands=2, threshold=0.5, corpus_bands=pruned
+        ).collect()
+    }
+    via_full = {
+        tuple(r)
+        for r in minhash_probe_pairs(
+            batch,
+            corpus,
+            k=8,
+            bands=2,
+            threshold=0.5,
+            corpus_bands=band_index_read(spark, idx_path),
+        ).collect()
+    }
+    assert via_pruned == via_full and (200, 100, 1.0) in via_pruned
+
+    # legacy unpartitioned store: falls back to the full scan
+    legacy = str(tmp_path / "legacy_idx")
+    minhash_band_index(corpus, k=8, bands=2).write.parquet(legacy)
+    fb = band_index_pruned(spark, legacy, batch, k=8, bands=2, buckets=16)
+    assert fb.count() == band_index_read(spark, legacy).count()
+
+    with _pytest.raises(ValueError, match="reserved"):
+        band_index_write(
+            minhash_band_index(corpus, k=8, bands=2).withColumn(
+                STORE_BUCKET, F.lit(0)
+            ),
+            str(tmp_path / "nope"),
+        )
+
+    # --- fingerprint store ---
+    fp_path = str(tmp_path / "fps")
+    seen = corpus.filter("doc_id % 2 = 0").selectExpr(
+        "md5(regexp_replace(lower(trim(text)), '\\\\s+', ' ')) AS fp"
+    )
+    fp_store_write(seen.distinct(), fp_path, buckets=16)
+    wave = corpus.filter("doc_id % 2 = 1").unionByName(
+        docs([(300, corpus.filter("doc_id = 0").first().text)])
+    )
+    pruned_seen = fp_store_pruned(spark, fp_path, wave, buckets=16)
+    fplan = pruned_seen._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"PartitionFilters: \[bucket#\d+ IN", fplan)
+    got_pruned = {
+        r.doc_id for r in dedup_incremental(wave, pruned_seen).collect()
+    }
+    got_full = {
+        r.doc_id
+        for r in dedup_incremental(wave, spark.read.parquet(fp_path).drop(
+            STORE_BUCKET
+        )).collect()
+    }
+    assert got_pruned == got_full and 300 not in got_pruned
+    # append advances state inside bucket directories
+    fp_store_write(
+        spark.createDataFrame([("00000000000000000000000000000000",)], "fp string"),
+        fp_path,
+        buckets=16,
+    )
+    assert spark.read.parquet(fp_path).count() == seen.distinct().count() + 1
+    with _pytest.raises(ValueError, match="reserved"):
+        fp_store_write(
+            seen.withColumn(STORE_BUCKET, F.lit(1)), str(tmp_path / "nope2")
+        )
+
+
 def test_dedup_incremental_bloom_equals_plain(spark):
     """The Bloom-prefiltered incremental dedup must return EXACTLY the
     plain operator's rows (no false negatives end-to-end), handle

@@ -1708,6 +1708,8 @@ def test_streaming_index_upsert_matches_rebuild(spark, tmp_path):
     import json as _json
 
     from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        STORE_BUCKET,
+        band_index_read,
         minhash_band_index,
     )
     from coronavirus_dashboard_pipeline_etl_spark.streaming.ingest import (
@@ -1744,8 +1746,18 @@ def test_streaming_index_upsert_matches_rebuild(spark, tmp_path):
         )
         q.awaitTermination(60)
 
+    # the sink persists the production PARTITIONED layout: bucket
+    # directories on disk, plain (id, band, sig) via band_index_read
+    raw = spark.read.parquet(str(store))
+    assert STORE_BUCKET in raw.columns
+    assert any(
+        p.name.startswith(f"{STORE_BUCKET}=") for p in store.iterdir()
+    )
     got = {
-        tuple(r) for r in spark.read.parquet(str(store)).collect()
+        tuple(r)
+        for r in band_index_read(spark, str(store))
+        .select("doc_id", "band", "sig")
+        .collect()
     }
     final = spark.createDataFrame(
         [

@@ -88,6 +88,109 @@ def measure(spark, fn, sf_dir: str) -> dict[str, float]:
     return out
 
 
+def measure_scan(spark, df) -> dict[str, float]:
+    """Execute a pre-built frame against the noop sink and total the
+    parquet scan metrics ('size of files read' / 'number of files
+    read') across its executions — the store-pruning evidence
+    collector. The frame must be fully constructed BEFORE the call so
+    helper jobs (e.g. the pruned reader's bounded touched-bucket
+    collect) don't pollute the measurement."""
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # noqa: BLE001
+        pass
+    store = spark._jsparkSession.sharedState().statusStore()
+    before = store.executionsCount()
+    df.write.format("noop").mode("overwrite").save()
+    spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty()
+    out = {"files_read": 0, "bytes_read": 0.0, "rows": 0}
+    execs = store.executionsList()
+    for i in range(before, execs.size()):
+        e = execs.apply(i)
+        vals = store.executionMetrics(e.executionId())
+        mets = e.metrics()
+        it = mets.iterator()
+        while it.hasNext():
+            m = it.next()
+            if not vals.contains(m.accumulatorId()):
+                continue
+            v = str(vals.apply(m.accumulatorId()))
+            name = m.name()
+            if name == "size of files read":
+                out["bytes_read"] += _parse_bytes(v)
+            elif name == "number of files read":
+                out["files_read"] += _parse_count(v)
+            elif name == "number of output rows":
+                out["rows"] = max(out["rows"], _parse_count(v))
+    return out
+
+
+def prune_report(spark, sf_dir: str) -> list[str]:
+    """Measure the partitioned dedup stores' probe-time pruning
+    (round-12 verdict item 4): build the band index and the
+    fingerprint table in their production partitioned layouts, then
+    compare scan bytes for a FULL store read vs the PRUNED read a
+    small daily probe batch issues. Returns markdown table lines."""
+    import shutil
+    import tempfile
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_pruned,
+        band_index_read,
+        band_index_write,
+        fp_store_pruned,
+        fp_store_write,
+        minhash_band_index,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.functions.text import (
+        fingerprint,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+    import pyspark.sql.functions as F
+
+    tmp = tempfile.mkdtemp(prefix="prune_audit_")
+    docs = load_table(spark, sf_dir, "documents")
+    # the daily-delta shape: a batch ~1% of the corpus
+    batch = docs.filter("doc_id % 97 = 0")
+    lines = []
+
+    idx = f"{tmp}/band_idx"
+    band_index_write(
+        minhash_band_index(docs.filter("doc_id % 5 != 0"), k=16, bands=2),
+        idx,
+    )
+    full = measure_scan(spark, band_index_read(spark, idx))
+    pruned_df = band_index_pruned(spark, idx, batch, k=16, bands=2)
+    pruned = measure_scan(spark, pruned_df)
+    lines.append(
+        f"| band index (d14b/st8 layout) | {full['files_read']} / "
+        f"{full['bytes_read']/2**10:.1f} KiB | {pruned['files_read']} / "
+        f"{pruned['bytes_read']/2**10:.1f} KiB | "
+        f"{pruned['bytes_read']/max(full['bytes_read'],1):.0%} |"
+    )
+
+    fpp = f"{tmp}/fps"
+    fp_store_write(
+        docs.filter("doc_id % 97 <> 0")
+        .select(fingerprint("text").alias("fp"))
+        .distinct(),
+        fpp,
+    )
+    full_fp = measure_scan(
+        spark, spark.read.parquet(fpp).drop("bucket")
+    )
+    pruned_fp_df = fp_store_pruned(spark, fpp, batch)
+    pruned_fp = measure_scan(spark, pruned_fp_df)
+    lines.append(
+        f"| fingerprint table (pipe21 layout) | {full_fp['files_read']} / "
+        f"{full_fp['bytes_read']/2**10:.1f} KiB | {pruned_fp['files_read']} / "
+        f"{pruned_fp['bytes_read']/2**10:.1f} KiB | "
+        f"{pruned_fp['bytes_read']/max(full_fp['bytes_read'],1):.0%} |"
+    )
+    shutil.rmtree(tmp, ignore_errors=True)
+    return lines
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
@@ -107,6 +210,7 @@ def main() -> None:
             f"({m['shuffle_records']:>9,d} rec) spill={m['spill_bytes']/2**20:6.1f} MiB"
         )
     if not only:
+        prune_lines = prune_report(spark, sf_dir)
         with open(
             os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RUNTIME_AUDIT.md"),
             "w",
@@ -144,6 +248,24 @@ def main() -> None:
                 "multimodal.py names the library at each raise site). No further\n"
                 "pure-Python optimisation is planned; the 1-in-5 sampling win\n"
                 "(round 11) was the last structural one.\n\n"
+                "## Store-pruning evidence (round-13)\n\n"
+                "The persisted dedup stores are PARTITIONED by a hash\n"
+                "bucket of their probe key (band index: (band, sig);\n"
+                "fingerprint table: fp) — `band_index_write` /\n"
+                "`fp_store_write`, read back pruned by\n"
+                "`band_index_pruned` / `fp_store_pruned`. A ~1%-of-corpus\n"
+                "probe batch (doc_id % 97 = 0) scans only the buckets it\n"
+                "hashes into; measured at this sf (scan metrics from the\n"
+                "SQL store, noop sink, frames pre-built so the bounded\n"
+                "touched-bucket collect is outside the measurement):\n\n"
+                "| store | full scan files/bytes | pruned probe files/bytes | pruned/full |\n"
+                "|---|---|---|---|\n"
+                + "\n".join(prune_lines)
+                + "\n\nAt corpus scale the ratio tracks\n"
+                "|batch buckets| / buckets, so a daily delta reads a\n"
+                "bounded fraction of the store regardless of corpus\n"
+                "growth; the gates (d14b, st8, pipe21) run this exact\n"
+                "layout and their probe plans carry PartitionFilters.\n\n"
                 "| query | shuffle MiB | shuffle records | spill MiB | max node rows |\n"
                 "|---|---|---|---|---|\n"
             )
