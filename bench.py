@@ -465,8 +465,14 @@ def main() -> None:
     # BENCH_r<N>.json capture keeps only a 2000-char TAIL of the stdout
     # line, which truncates the per-query map once the headline set is
     # large — so the full record is also written to a committed file.
-    # Round number = next after the newest driver CORRECTNESS file
-    # (overridable via SPARK_GRAFT_ROUND).
+    # Round number = next after the newest driver BENCH_r file
+    # (overridable via SPARK_GRAFT_ROUND). NOT CORRECTNESS_r*: the
+    # driver writes CORRECTNESS_r<N> BEFORE its own bench run of the
+    # same round, which made the driver's record land as r<N+1> while
+    # the builder's in-round runs landed as r<N> (round-12 verdict
+    # item 4's off-by-one); BENCH_r<N> only lands after round N fully
+    # closes, so every run inside round N+1 — builder's and driver's —
+    # infers the same N+1.
     try:
         import glob
         import re
@@ -474,7 +480,7 @@ def main() -> None:
         here = os.path.dirname(os.path.abspath(__file__))
         rounds = [
             int(m.group(1))
-            for p in glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
             if (m := re.search(r"r(\d+)\.json$", p))
         ]
         rnd = os.environ.get(
