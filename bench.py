@@ -157,6 +157,10 @@ HEADLINE = [
     "st8_stream_index",
     "d8b_incremental_dedup_bloom",
     "pipe21_incremental_loop",
+    # round-13: the composed crawl-day loop (exact dedup -> band-index
+    # probe -> quality -> pack, two waves with full state advance over
+    # the partitioned stores)
+    "pipe22_crawl_day",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

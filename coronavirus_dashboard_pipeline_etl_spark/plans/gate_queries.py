@@ -12596,3 +12596,251 @@ SELECT doc_id, lang, fp, CAST(2 AS INT) AS wave FROM kept2
 
 QUERIES["pipe21_incremental_loop"] = pipe21_incremental_loop
 ORACLE["pipe21_incremental_loop"] = PIPE21_SQL
+
+
+def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED crawl-day pipeline (round-12 verdict item 6): one
+    synthetic crawl day run TWICE (two waves) through the full
+    incremental stack, with every piece of state advancing between
+    waves — the composition pipe21 pins for exact-only, extended to
+    the whole corpus-maintenance loop:
+
+      exact dedup against the persisted fingerprint table
+        (``dedup_incremental`` over ``fp_store_pruned``)
+      -> near-dup probe against the persisted band index
+        (``minhash_probe_pairs(corpus_bands=band_index_pruned(...))``,
+        threshold 0.9; within-batch near-dups are out of scope per the
+        operator contract)
+      -> quality filter (``quality_stats``: len >= 20 tokens AND
+        distinct-token ratio >= 0.5)
+      -> sequence packing of the survivors (``assign_packs``,
+        context 512, doc_id order, per wave)
+      -> state advance: survivors' fps APPEND to the fp store,
+        survivor docs APPEND to the corpus store, band index UPSERT
+        through the streaming sink (``index_upsert_batch``).
+
+    Seed corpus = docs %3==0; wave 1 = %3==1, wave 2 = %3==2. Each
+    wave also carries PLANTED exact duplicates (the corpus has none
+    naturally): wave 1 re-crawls every %5==0 seed doc under a fresh id
+    (+1,000,000 — must drop against the SEED state), wave 2 re-crawls
+    every %5==1 wave-1 doc (+2,000,000 — drops at the exact stage ONLY
+    if wave 1's survivors actually advanced the fp store; a planted
+    copy of a wave-1 near-dup/quality reject must instead be dropped
+    by the SAME stage that dropped its source). The oracle replays
+    both waves sequentially in SQL, so any stage that fails to advance
+    (or advances with the wrong set) diverges on wave 2.
+
+    100 TB shape: every stage is the individually-audited operator —
+    both stores are hash-bucket partitioned and probe-pruned, probe
+    shuffles are candidate-sized, packing is a per-wave window over
+    the kept set. Per-wave outputs are eagerly materialised before the
+    state writes (the d14b pattern: the band-index overwrite
+    invalidates the prior wave's file listing, and the wave-2 probe's
+    rolling release frees the wave-1 probe's checkpoint blocks)."""
+    import shutil
+
+    from ..functions.curation import assign_packs
+    from ..functions.dedup import (
+        band_index_pruned,
+        band_index_write,
+        fp_store_pruned,
+        fp_store_write,
+        minhash_band_index,
+    )
+    from ..functions.text import quality_stats
+    from ..streaming.ingest import index_upsert_batch
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    corpus0 = docs.filter(F.col("doc_id") % 3 == 0)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    fp_path = f"{warehouse}/gate_pipe22_fps"
+    idx_path = f"{warehouse}/gate_pipe22_index"
+    corpus_path = f"{warehouse}/gate_pipe22_corpus"
+    for p in (fp_path, idx_path, corpus_path):
+        shutil.rmtree(p, ignore_errors=True)
+    fp_store_write(
+        corpus0.select(
+            F.md5(
+                F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+            ).alias("fp")
+        ).distinct(),
+        fp_path,
+    )
+    band_index_write(minhash_band_index(corpus0, k=16, bands=2), idx_path)
+    corpus0.select("doc_id", "text").write.parquet(corpus_path)
+
+    raw1 = docs.filter(F.col("doc_id") % 3 == 1)
+    waves = {
+        1: raw1.unionByName(
+            corpus0.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+            )
+        ),
+        2: docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+            raw1.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang", "text"
+            )
+        ),
+    }
+    out = None
+    for wave_no, batch in waves.items():
+        kept_e = dedup_incremental(
+            batch, fp_store_pruned(spark, fp_path, batch)
+        )
+        corpus_docs = spark.read.parquet(corpus_path)
+        near_ids = (
+            minhash_probe_pairs(
+                kept_e,
+                corpus_docs,
+                k=16,
+                bands=2,
+                threshold=0.9,
+                corpus_bands=band_index_pruned(
+                    spark, idx_path, kept_e, k=16, bands=2
+                ),
+            )
+            .select(F.col("new_id").alias("doc_id"))
+            .distinct()
+        )
+        survivors = kept_e.join(near_ids, "doc_id", "left_anti")
+        q = quality_stats(survivors)
+        kept = q.filter(
+            F.col("len_ok") & (F.col("distinct_ratio") >= 0.5)
+        )
+        packed = assign_packs(
+            kept, tokens_col="n_tokens", context_len=512,
+            order_cols=("doc_id",),
+        ).localCheckpoint(eager=True)
+        # state advance: fps append, corpus append, band-index upsert
+        fp_store_write(packed.select("fp"), fp_path)
+        packed.select("doc_id", "text").write.mode("append").parquet(
+            corpus_path
+        )
+        index_upsert_batch(packed.select("doc_id", "text"), idx_path,
+                           k=16, bands=2)
+        rows = packed.select(
+            "doc_id", "lang", "fp", "n_tokens", "pack_id", "pack_offset",
+            F.lit(wave_no).alias("wave"),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+def _pipe22_sql() -> str:
+    """Two-wave sequential SQL replay of pipe22 — exact dedup, banded
+    MinHash probe + Jaccard-0.9 verify, quality filter, per-wave
+    packing, state advance between waves (same signature construction
+    as _probe_sql, shared with d14/d14b/st6/st8)."""
+    sig_exprs = ",".join(
+        f"list_min(list_transform(th, h -> ({a} * h + {b}) % {MERSENNE_P})) AS mh{i}"
+        for i, (a, b) in enumerate(hash_params(16))
+    )
+    b0 = ", ".join(f"mh{i}" for i in range(8))
+    b1 = ", ".join(f"mh{i}" for i in range(8, 16))
+    jac = (
+        "CAST(len(list_intersect(ta.t, tc.t)) AS DOUBLE) / "
+        "CAST(len(ta.t) + len(tc.t) - len(list_intersect(ta.t, tc.t)) AS DOUBLE)"
+    )
+
+    def wave(n: int, batch: str, seen: str, corpus_ids: str) -> str:
+        return f"""
+ke{n} AS (
+    SELECT b.doc_id, b.lang, f.fp
+    FROM {batch} b JOIN fps f USING (doc_id)
+    WHERE f.fp NOT IN (SELECT fp FROM {seen})
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY b.doc_id) = 1
+),
+nd{n} AS (
+    SELECT DISTINCT a.doc_id
+    FROM bnd a
+    JOIN ke{n} k ON a.doc_id = k.doc_id
+    JOIN bnd c ON a.band = c.band AND a.sig = c.sig
+    JOIN ({corpus_ids}) w ON c.doc_id = w.doc_id
+    JOIN tk ta ON ta.doc_id = a.doc_id
+    JOIN tk tc ON tc.doc_id = c.doc_id
+    WHERE {jac} >= 0.9
+),
+kept{n} AS (
+    SELECT k.doc_id, k.lang, k.fp, q.n_tokens
+    FROM ke{n} k JOIN qual q USING (doc_id)
+    WHERE k.doc_id NOT IN (SELECT doc_id FROM nd{n}) AND q.ok
+),
+pk{n} AS (
+    SELECT doc_id, lang, fp, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM kept{n}
+)"""
+
+    return f"""
+WITH raw AS (SELECT doc_id, lang, text FROM documents),
+w0 AS (SELECT * FROM raw WHERE doc_id % 3 = 0),
+b1 AS (
+    SELECT * FROM raw WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 1000000, lang, text FROM w0 WHERE doc_id % 5 = 0
+),
+b2 AS (
+    SELECT * FROM raw WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 2000000, lang, text FROM raw
+    WHERE doc_id % 3 = 1 AND doc_id % 5 = 1
+),
+ad AS (
+    SELECT * FROM w0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+),
+fps AS (
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+    FROM ad
+),
+th AS (SELECT doc_id, {{TH}} AS th FROM ad),
+sig AS (SELECT doc_id, {sig_exprs} FROM th),
+bnd AS (
+    SELECT doc_id, 0 AS band, concat_ws('_', {b0}) AS sig
+    FROM sig WHERE mh0 IS NOT NULL
+    UNION ALL
+    SELECT doc_id, 1 AS band, concat_ws('_', {b1}) AS sig
+    FROM sig WHERE mh0 IS NOT NULL
+),
+tk AS (
+    SELECT doc_id,
+           list_filter(list_distinct(string_split(text, ' ')), t -> t <> '') AS t
+    FROM ad
+),
+qual AS (
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           len(string_split(text, ' ')) >= 20
+           AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.5 AS ok
+    FROM ad
+),
+seen0 AS (SELECT DISTINCT fp FROM fps JOIN w0 USING (doc_id)),
+{wave(1, "b1", "seen0", "SELECT doc_id FROM w0")},
+seen1 AS (SELECT fp FROM seen0 UNION SELECT fp FROM kept1),
+{wave(2, "b2", "seen1",
+      "SELECT doc_id FROM w0 UNION ALL SELECT doc_id FROM kept1")}
+SELECT doc_id, lang, fp, n_tokens,
+       CAST(prefix // 512 AS BIGINT) AS pack_id,
+       CAST(prefix % 512 AS BIGINT) AS pack_offset,
+       CAST(1 AS INT) AS wave
+FROM pk1
+UNION ALL
+SELECT doc_id, lang, fp, n_tokens,
+       CAST(prefix // 512 AS BIGINT) AS pack_id,
+       CAST(prefix % 512 AS BIGINT) AS pack_offset,
+       CAST(2 AS INT) AS wave
+FROM pk2
+""".replace("{TH}", _TH_SQL)
+
+
+PIPE22_SQL = _pipe22_sql()
+
+QUERIES["pipe22_crawl_day"] = pipe22_crawl_day
+ORACLE["pipe22_crawl_day"] = PIPE22_SQL
