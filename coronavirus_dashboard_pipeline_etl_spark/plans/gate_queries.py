@@ -12844,3 +12844,83 @@ PIPE22_SQL = _pipe22_sql()
 
 QUERIES["pipe22_crawl_day"] = pipe22_crawl_day
 ORACLE["pipe22_crawl_day"] = PIPE22_SQL
+
+
+def j16b_adaptive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The probe-then-decide skew wrapper (operators.skew.adaptive_join,
+    round-12 verdict item 7) on a DELIBERATELY skewed key: ~70% of
+    lineitem rows collapse onto key 0, the rest spread over %97
+    buckets. ``probe_hot_keys`` (exact mode) fires, the join takes the
+    salted path, and — the operator's whole contract — the result is
+    byte-identical to the plain join the oracle runs. The gate carries
+    a SKEW CERTIFICATE (pipe20's pattern): ``max_key_rows`` (the hot
+    key's exact row count) and ``probe_fired`` (max > threshold) as
+    constant columns, certifying cross-engine that the input really
+    was over the probe threshold, so a silently-dead probe cannot pass
+    by running the plain join on easy data. Path selection itself is
+    plan-asserted in pytest (test_adaptive_join_probes_and_salts:
+    __salt in the skewed plan, absent in the uniform one)."""
+    from ..operators.skew import adaptive_join
+
+    threshold = 5_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_suppkey") % 97)
+        .cast("long")
+        .alias("key"),
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("double").alias("qty"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy((F.col("s_suppkey") % 97).cast("long").alias("key"))
+        .agg(F.min("s_name").alias("s_label"))
+    )
+    joined = adaptive_join(
+        li,
+        dim,
+        on=["key"],
+        hot_threshold=threshold,
+        salt_buckets=8,
+        unique_cols=["l_orderkey", "l_linenumber"],
+    )
+    out = joined.groupBy("s_label").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    cert = (
+        li.groupBy("key")
+        .count()
+        .agg(F.max("count").alias("max_key_rows"))
+        .withColumn("probe_fired", F.col("max_key_rows") > threshold)
+    )
+    return out.crossJoin(F.broadcast(cert))
+
+
+J16B_SQL = """
+WITH big AS (
+    SELECT CASE WHEN l_suppkey % 10 < 7 THEN 0
+                ELSE l_suppkey % 97 END AS key,
+           CAST(l_quantity AS DOUBLE) AS qty
+    FROM lineitem
+),
+dim AS (
+    SELECT s_suppkey % 97 AS key, MIN(s_name) AS s_label
+    FROM supplier
+    GROUP BY 1
+),
+cert AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS max_key_rows, MAX(n) > 5000 AS probe_fired
+    FROM (SELECT COUNT(*) AS n FROM big GROUP BY key)
+)
+SELECT d.s_label, COUNT(*) AS n_lines, SUM(b.qty) AS sum_qty,
+       c.max_key_rows, c.probe_fired
+FROM big b
+JOIN dim d ON b.key = d.key
+CROSS JOIN cert c
+GROUP BY 1, 4, 5
+"""
+
+QUERIES["j16b_adaptive_join"] = j16b_adaptive_join
+ORACLE["j16b_adaptive_join"] = J16B_SQL

@@ -372,16 +372,16 @@ def test_adaptive_join_probes_and_salts(spark):
         (r["k"], r["id"], r["v"])
         for r in skewed.join(dim, "k").collect()
     )
-    got = sorted(
-        (r["k"], r["id"], r["v"])
-        for r in adaptive_join(skewed, dim, ["k"], hot_threshold=100).collect()
-    )
+    hot_plan = adaptive_join(skewed, dim, ["k"], hot_threshold=100)
+    got = sorted((r["k"], r["id"], r["v"]) for r in hot_plan.collect())
     assert got == expected
+    # path selection is visible in the plan: the skewed input joins on
+    # the salt sub-key, the uniform one takes the plain join
+    assert "__salt" in hot_plan._jdf.queryExecution().analyzed().toString()
     # uniform input takes the plain path and is equally correct
-    got_u = sorted(
-        (r["k"], r["id"], r["v"])
-        for r in adaptive_join(uniform, dim, ["k"], hot_threshold=100).collect()
-    )
+    plain_plan = adaptive_join(uniform, dim, ["k"], hot_threshold=100)
+    assert "__salt" not in plain_plan._jdf.queryExecution().analyzed().toString()
+    got_u = sorted((r["k"], r["id"], r["v"]) for r in plain_plan.collect())
     assert got_u == sorted(
         (r["k"], r["id"], r["v"]) for r in uniform.join(dim, "k").collect()
     )
