@@ -1112,9 +1112,18 @@ def band_index_write(
             f"band_index_write: index already carries the reserved "
             f"partition column {STORE_BUCKET!r}"
         )
+    # repartition ON the bucket key before the partitioned write: a
+    # partitionBy write fans out one file per (task, bucket) pair, so
+    # without this every writer task sprays all `buckets` directories
+    # (measured: 1,850 files in st8's store at sf0.1, 6x its steady
+    # time in file/task overhead). One slim-index shuffle buys ~1 file
+    # per bucket; at corpus scale bound file size with
+    # spark.sql.files.maxRecordsPerFile instead of fewer buckets.
     index.withColumn(
         STORE_BUCKET, _store_bucket([F.col("band"), F.col("sig")], buckets)
-    ).write.partitionBy(STORE_BUCKET).mode(mode).parquet(path)
+    ).repartition(buckets, F.col(STORE_BUCKET)).write.partitionBy(
+        STORE_BUCKET
+    ).mode(mode).parquet(path)
 
 
 def band_index_read(spark: SparkSession, path: str) -> DataFrame:
@@ -1179,9 +1188,13 @@ def fp_store_write(
             f"fp_store_write: frame already carries the reserved "
             f"partition column {STORE_BUCKET!r}"
         )
+    # repartition on the bucket key first — one file per bucket per
+    # write instead of one per (task, bucket); see band_index_write.
     fps.withColumn(
         STORE_BUCKET, _store_bucket([F.col(fp_col)], buckets)
-    ).write.partitionBy(STORE_BUCKET).mode(mode).parquet(path)
+    ).repartition(buckets, F.col(STORE_BUCKET)).write.partitionBy(
+        STORE_BUCKET
+    ).mode(mode).parquet(path)
 
 
 def fp_store_pruned(
