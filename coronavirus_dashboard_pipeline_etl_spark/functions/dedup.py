@@ -2330,6 +2330,7 @@ def dedup_incremental_bloom(
     m_bits: int = 1 << 20,
     k_hashes: int = 4,
     max_maybe_fps: int = 2_000_000,
+    bits: DataFrame | None = None,
 ) -> DataFrame:
     """``dedup_incremental`` with a Bloom pre-filter — IDENTICAL output
     (gated: d8b shares d8's oracle), different 100 TB shape: the
@@ -2366,10 +2367,52 @@ def dedup_incremental_bloom(
     right plan exactly when the maybe set is not small). NULL-fp batch
     rows never probe (a NULL fingerprint matches nothing, as in the
     plain operator) and fall through to the keep-first window.
+
+    ``bits`` is the production path step 1 describes: pass the
+    PERSISTED set-bit table (``bloom_bits`` output, merged across
+    releases by union+distinct) and the corpus-sized sketch build is
+    skipped entirely — per-release cost starts at the probe. The
+    sketch's ``m_bits``/``k_hashes`` are part of its identity (the
+    rows cannot express them): a sketch built with different
+    parameters yields silent FALSE NEGATIVES (dups slip through), so
+    the detectable half — a stored bit >= this call's ``m_bits``,
+    i.e. the sketch was built with a larger table — raises loudly via
+    an assert woven into the bit column (the corpus_bands guard
+    pattern); the smaller-table direction is undetectable from the
+    rows and stays the caller's contract. Gated: ``pipe23_bloom_loop``
+    runs the persisted-sketch daily loop with planted duplicates, so
+    a sketch OR fingerprint store that fails to advance diverges from
+    the sequential-waves oracle.
     """
     from .sketches import bloom_bits, bloom_probe
 
-    bits = bloom_bits(seen_fingerprints, F.col(fp_col), m_bits, k_hashes)
+    if bits is None:
+        bits = bloom_bits(seen_fingerprints, F.col(fp_col), m_bits, k_hashes)
+    else:
+        if "bit" not in bits.columns:
+            raise ValueError(
+                "dedup_incremental_bloom: bits must be a bloom_bits "
+                f"set-bit table with a 'bit' column, got {bits.columns}"
+            )
+        bit_checked = (
+            F.when(F.col("bit") < F.lit(m_bits), F.col("bit"))
+            .otherwise(
+                F.assert_true(
+                    F.lit(False),
+                    F.lit(
+                        "dedup_incremental_bloom: persisted sketch "
+                        f"carries a bit >= m_bits={m_bits} — it was "
+                        "built with a larger bit table; probing with "
+                        "mismatched parameters silently drops the "
+                        "no-false-negatives guarantee. Rebuild the "
+                        "sketch or pass the m_bits/k_hashes it was "
+                        "built with."
+                    ),
+                ).cast("bigint")
+            )
+            .alias("bit")
+        )
+        bits = bits.select(bit_checked)
     batch = new_batch.withColumn("fp", fingerprint(text_col))
     probed = bloom_probe(
         bits,

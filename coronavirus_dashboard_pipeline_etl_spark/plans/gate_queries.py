@@ -12924,3 +12924,135 @@ GROUP BY 1, 4, 5
 
 QUERIES["j16b_adaptive_join"] = j16b_adaptive_join
 ORACLE["j16b_adaptive_join"] = J16B_SQL
+
+
+def pipe23_bloom_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom-prefiltered exact-dedup DAILY LOOP with the sketch
+    PERSISTED next to the fingerprint table — the production form
+    ``dedup_incremental_bloom``'s step 1 describes, proven as a
+    pipeline the way pipe21 proves the plain loop: seed the
+    partitioned fp store AND the set-bit sketch from the historical
+    corpus (%3==0), then per wave dedup via the persisted sketch
+    (``bits=`` — no corpus-sized sketch rebuild) with the confirm scan
+    pruned to the wave's fp buckets (``fp_store_pruned``), APPEND the
+    survivors' fps, and MERGE their bits into the sketch
+    (union+distinct — bloom_bits' documented merge). Waves carry
+    pipe22's planted re-crawls, so the gate fails if EITHER store
+    stalls: an unadvanced fp table leaves a wave-2 planted dup
+    unconfirmed at step 3 (kept wrongly), an unadvanced sketch answers
+    'definitively absent' at step 2 (kept wrongly) — both diverge from
+    the sequential-waves oracle. Output semantics are identical to the
+    plain loop (no false negatives; confirm removes false positives),
+    so the oracle is pipe21's with the planted rows added."""
+    import shutil
+
+    from ..functions.dedup import (
+        dedup_incremental_bloom,
+        fp_store_pruned,
+        fp_store_write,
+    )
+    from ..functions.sketches import bloom_bits
+
+    m_bits = 1 << 18
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    corpus0 = docs.filter(F.col("doc_id") % 3 == 0)
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    ).alias("fp")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    fp_path = f"{warehouse}/gate_pipe23_fps"
+    sk_path = f"{warehouse}/gate_pipe23_sketch"
+    for p in (fp_path, sk_path):
+        shutil.rmtree(p, ignore_errors=True)
+    seed_fps = corpus0.select(fp).distinct()
+    fp_store_write(seed_fps, fp_path)
+    bloom_bits(seed_fps, F.col("fp"), m_bits).write.parquet(sk_path)
+
+    raw1 = docs.filter(F.col("doc_id") % 3 == 1)
+    waves = {
+        1: raw1.unionByName(
+            corpus0.filter(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"), "lang", "text"
+            )
+        ),
+        2: docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+            raw1.filter(F.col("doc_id") % 5 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"), "lang", "text"
+            )
+        ),
+    }
+    out = None
+    for wave_no, wave in waves.items():
+        kept = dedup_incremental_bloom(
+            wave,
+            fp_store_pruned(spark, fp_path, wave),
+            m_bits=m_bits,
+            bits=spark.read.parquet(sk_path),
+        ).localCheckpoint(eager=True)
+        # advance BOTH pieces of state: fps append into their buckets,
+        # survivor bits OR-merged into the sketch (eager materialise
+        # before overwriting the path the plan reads — d14b pattern)
+        fp_store_write(kept.select("fp"), fp_path)
+        merged = (
+            spark.read.parquet(sk_path)
+            .unionByName(bloom_bits(kept, F.col("fp"), m_bits))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        merged.write.mode("overwrite").parquet(sk_path)
+        rows = kept.select(
+            "doc_id", "lang", "fp", F.lit(wave_no).alias("wave")
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out
+
+
+PIPE23_SQL = r"""
+WITH raw AS (SELECT doc_id, lang, text FROM documents),
+w0 AS (SELECT * FROM raw WHERE doc_id % 3 = 0),
+b1 AS (
+    SELECT * FROM raw WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 1000000, lang, text FROM w0 WHERE doc_id % 5 = 0
+),
+b2 AS (
+    SELECT * FROM raw WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 2000000, lang, text FROM raw
+    WHERE doc_id % 3 = 1 AND doc_id % 5 = 1
+),
+ad AS (
+    SELECT * FROM w0 UNION ALL SELECT * FROM b1 UNION ALL SELECT * FROM b2
+),
+fps AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM ad
+),
+seen0 AS (SELECT DISTINCT fp FROM fps JOIN w0 USING (doc_id)),
+w1 AS (
+    SELECT f.doc_id, f.lang, f.fp,
+           ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+    FROM fps f JOIN b1 USING (doc_id)
+    WHERE f.fp NOT IN (SELECT fp FROM seen0)
+),
+kept1 AS (SELECT doc_id, lang, fp FROM w1 WHERE rn = 1),
+seen1 AS (SELECT fp FROM seen0 UNION SELECT fp FROM kept1),
+w2 AS (
+    SELECT f.doc_id, f.lang, f.fp,
+           ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY f.doc_id) AS rn
+    FROM fps f JOIN b2 USING (doc_id)
+    WHERE f.fp NOT IN (SELECT fp FROM seen1)
+),
+kept2 AS (SELECT doc_id, lang, fp FROM w2 WHERE rn = 1)
+SELECT doc_id, lang, fp, CAST(1 AS INT) AS wave FROM kept1
+UNION ALL
+SELECT doc_id, lang, fp, CAST(2 AS INT) AS wave FROM kept2
+"""
+
+QUERIES["pipe23_bloom_loop"] = pipe23_bloom_loop
+ORACLE["pipe23_bloom_loop"] = PIPE23_SQL

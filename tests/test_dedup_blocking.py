@@ -1136,3 +1136,38 @@ def test_dedup_incremental_bloom_equals_plain(spark):
         dedup_incremental_bloom(
             batch, seen, m_bits=2, k_hashes=1, max_maybe_fps=3
         )
+
+    # the production path: a PERSISTED sketch (bits=) skips the
+    # corpus-sized sketch build and must give identical output; a
+    # structurally wrong frame is rejected up front; a sketch built
+    # with a LARGER bit table (the detectable parameter mismatch —
+    # silent false negatives otherwise) raises loudly
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.sketches import (
+        bloom_bits,
+    )
+    from pyspark.sql import functions as F
+
+    pre = bloom_bits(seen, F.col("fp"), 1 << 14)
+    via_bits = {
+        tuple(r)
+        for r in dedup_incremental_bloom(
+            batch, seen, m_bits=1 << 14, bits=pre
+        )
+        .select("doc_id", "fp")
+        .collect()
+    }
+    assert via_bits == plain
+    with _pytest.raises(ValueError, match="set-bit table"):
+        dedup_incremental_bloom(
+            batch, seen, m_bits=1 << 14, bits=seen
+        )
+    big = bloom_bits(seen, F.col("fp"), 1 << 20)
+    with _pytest.raises(
+        (SparkRuntimeException, Py4JJavaError), match="larger bit table"
+    ):
+        dedup_incremental_bloom(
+            batch, seen, m_bits=1 << 10, bits=big
+        ).collect()
