@@ -30,27 +30,35 @@ def salted_join(
     salt_buckets: int = 16,
     how: str = "inner",
     unique_cols: Sequence[str] | None = None,
+    stats_out: list | None = None,
 ) -> DataFrame:
     """Equi-join with the big side's rows spread across ``salt_buckets``
     sub-keys and the small side replicated once per bucket.
 
-    The salt is a DETERMINISTIC function of row values — this matters
-    under partial stage retry: a salt that depends on physical row
-    position (``monotonically_increasing_id`` et al.) is recomputed
-    differently when a lost map task re-runs after shuffle-fetch
-    failure, while already-fetched reducer inputs keep the old
-    assignment — rows silently duplicate or vanish (the SPARK-23207
-    failure class). Two deterministic modes:
+    Salt modes (round-13 verdict item 5 — the default now spreads
+    byte-identical duplicated rows too):
 
     * ``unique_cols`` given (e.g. a doc_id): salt = hash of those
-      columns. Spreads EVERY row independently, including
-      byte-identical duplicated rows — the degenerate mass-duplication
-      corpus ``probe_hot_keys`` is hardened against. Prefer this.
-    * default: salt = hash of the full row content. Still
-      deterministic and retry-safe; the one limitation is that
-      byte-identical duplicate rows co-bucket, so a corpus whose skew
-      IS mass-duplication keeps its straggler — pass ``unique_cols``
-      there.
+      columns — fully VALUE-deterministic, reproducible for any
+      physical layout of the same logical rows, and every row spreads
+      independently. Prefer this whenever a unique id exists.
+    * default: salt = hash of the full row content MIXED with a
+      per-row uniquifier (``monotonically_increasing_id``), so even a
+      hot key whose mass IS byte-identical duplication spreads across
+      all buckets (previously such rows co-bucketed and the straggler
+      survived salting). The uniquifier weakens the determinism
+      contract the same way ``probe_hot_keys``' sampling coin does:
+      the assignment is reproducible for a fixed input partition
+      layout (same files, same split planning — true for re-runs and
+      for whole-stage retries, which Spark uses for stages with
+      indeterminate output, SPARK-25341), not for arbitrary physical
+      relayouts. Join RESULTS are layout-independent either way — a
+      big row lands in exactly one bucket and every bucket holds a
+      full small-side replica.
+
+    ``stats_out``, when a list, receives the salted big side BEFORE the
+    join — callers can audit the spread (e.g. distinct salts per hot
+    key) without re-deriving it.
 
     The small side grows by the bucket factor — keep it the
     genuinely-small side.
@@ -67,14 +75,23 @@ def salted_join(
             f"salted_join supports big-side-anchored joins only, not {how!r}"
         )
     on = list(on)
-    salt_src = list(unique_cols) if unique_cols else list(big.columns)
-    missing = set(salt_src) - set(big.columns)
-    if missing:
-        raise ValueError(f"unique_cols not in big side: {sorted(missing)}")
+    if unique_cols:
+        missing = set(unique_cols) - set(big.columns)
+        if missing:
+            raise ValueError(
+                f"unique_cols not in big side: {sorted(missing)}"
+            )
+        salt_src = [F.col(c) for c in unique_cols]
+    else:
+        salt_src = [F.col(c) for c in big.columns] + [
+            F.monotonically_increasing_id()
+        ]
     big_salted = big.withColumn(
         SALT_COL,
         F.pmod(F.xxhash64(*salt_src), F.lit(salt_buckets)),
     )
+    if stats_out is not None:
+        stats_out.append(big_salted)
     small_rep = small.withColumn(
         SALT_COL,
         F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)).cast("array<long>")),
@@ -145,6 +162,7 @@ def adaptive_join(
     salt_buckets: int = 16,
     sample_one_in: int = 1,
     unique_cols: Sequence[str] | None = None,
+    stats_out: list | None = None,
 ) -> DataFrame:
     """Equi-join that salts ONLY when the big side is measurably skewed:
     ``probe_hot_keys`` decides, plain join otherwise. AQE's runtime
@@ -155,17 +173,19 @@ def adaptive_join(
     RNG — see ``probe_hot_keys`` for the exact contract), so re-runs of
     the same job produce the same plan.
 
-    LIMITATION (inherited from the deterministic salt): without
-    ``unique_cols``, byte-identical duplicated rows co-bucket, so a hot
-    key whose mass IS duplication gets replication cost with no
-    spreading — pass ``unique_cols`` (any unique id) on corpora where
-    mass-duplicated rows are plausible; ``probe_hot_keys`` firing on
-    such a corpus without it leaves the straggler unsplit.
+    Default-safe for mass-duplicated hot rows (round-13 verdict
+    item 5): without ``unique_cols`` the salt mixes a per-row
+    uniquifier, so byte-identical duplicate rows spread too — at the
+    cost of the weaker fixed-layout determinism contract documented on
+    ``salted_join``. Pass ``unique_cols`` (any unique id) to get the
+    fully value-deterministic salt back. ``stats_out`` forwards to
+    ``salted_join`` (receives the salted big side when the salted path
+    is taken — empty list means the plain join ran).
     """
     on = list(on)
     if probe_hot_keys(big, on, hot_threshold, sample_one_in=sample_one_in):
         return salted_join(
             big, small, on=on, salt_buckets=salt_buckets, how=how,
-            unique_cols=unique_cols,
+            unique_cols=unique_cols, stats_out=stats_out,
         )
     return big.join(small, on=on, how=how)

@@ -1084,6 +1084,33 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# plan-audit hook for composed gates
+# --------------------------------------------------------------------------
+
+#: When tools/plan_audit.py sets this to a dict, gates that EAGERLY
+#: CHECKPOINT intermediate stages (pipe22/pipe23/d14c — their returned
+#: frame is a union of checkpoint reads, so its plan shows none of the
+#: real execution shape) record each stage's PRE-checkpoint DataFrame
+#: here: gate name -> [(stage label, physical plan string), ...]. The
+#: auditor then audits the stage plans alongside the final one
+#: (round-13 verdict item 4: composed gates get real flag rows again).
+#: None (the default, and the state outside the auditor) makes
+#: _audit_stage a no-op — zero cost on the bench/driver path.
+PLAN_STAGES: dict[str, list] | None = None
+
+
+def _audit_stage(gate: str, stage: str, df: DataFrame) -> None:
+    """Record a composed gate's pre-checkpoint stage PLAN for the plan
+    auditor. The physical-plan string is captured immediately (planning
+    only — no job runs): the gate's later store writes overwrite/append
+    the very files this stage's plan references, so a lazily-kept frame
+    would be unplannable by the time the auditor looked."""
+    if PLAN_STAGES is not None:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        PLAN_STAGES.setdefault(gate, []).append((stage, plan))
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -12301,14 +12328,14 @@ def d14b_index_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = f"{warehouse}/gate_d14b_index"
     shutil.rmtree(path, ignore_errors=True)
-    band_index_write(idx0, path)
+    band_index_write(idx0, path, k=16, bands=2)
     # wave 2: re-crawl of the %5==4 docs with their CURRENT text —
     # replace-by-document through the store
     batch1 = docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text")
     updated = minhash_index_upsert(
         band_index_read(spark, path), batch1, k=16, bands=2
     )
-    band_index_write(updated.localCheckpoint(eager=True), path)
+    band_index_write(updated.localCheckpoint(eager=True), path, k=16, bands=2)
     probe_batch = docs.filter(F.col("doc_id") % 5 == 0)
     pairs = minhash_probe_pairs(
         probe_batch,
@@ -12543,7 +12570,9 @@ def pipe21_incremental_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{warehouse}/gate_pipe21_fps"
     shutil.rmtree(path, ignore_errors=True)
     fp_store_write(
-        docs.filter(F.col("doc_id") % 3 == 0).select(fp).distinct(), path
+        docs.filter(F.col("doc_id") % 3 == 0).select(fp).distinct(),
+        path,
+        mode="overwrite",  # explicit SEED mode: never absorb residue
     )
     out = None
     for wave_no in (1, 2):
@@ -12634,9 +12663,12 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     both stores are hash-bucket partitioned and probe-pruned, probe
     shuffles are candidate-sized, packing is a per-wave window over
     the kept set. Per-wave outputs are eagerly materialised before the
-    state writes (the d14b pattern: the band-index overwrite
-    invalidates the prior wave's file listing, and the wave-2 probe's
-    rolling release frees the wave-1 probe's checkpoint blocks)."""
+    state writes (the d14b pattern: the state appends invalidate the
+    prior wave's file listings, and the wave-2 probe's rolling release
+    frees the wave-1 probe's checkpoint blocks). Since round 14 the
+    band-index advance is BATCH-SIZED (``index_upsert_batch`` appends
+    + tombstones via ``band_index_upsert_write``) — no store rewrite
+    anywhere in the loop."""
     import shutil
 
     from ..functions.curation import assign_packs
@@ -12669,8 +12701,11 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("fp")
         ).distinct(),
         fp_path,
+        mode="overwrite",  # explicit SEED mode: never absorb residue
     )
-    band_index_write(minhash_band_index(corpus0, k=16, bands=2), idx_path)
+    band_index_write(
+        minhash_band_index(corpus0, k=16, bands=2), idx_path, k=16, bands=2
+    )
     corpus0.select("doc_id", "text").write.parquet(corpus_path)
 
     raw1 = docs.filter(F.col("doc_id") % 3 == 1)
@@ -12708,13 +12743,24 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         survivors = kept_e.join(near_ids, "doc_id", "left_anti")
         q = quality_stats(survivors)
+        # n_tokens <= 512 joins the quality cut: assign_packs rejects
+        # over-context docs loudly by contract, so cap BOTH sides the
+        # same way (r13 advice — without this a longer doc in future
+        # test data fails the Spark side where the oracle packs on)
         kept = q.filter(
-            F.col("len_ok") & (F.col("distinct_ratio") >= 0.5)
+            F.col("len_ok")
+            & (F.col("distinct_ratio") >= 0.5)
+            & (F.col("n_tokens") <= 512)
         )
-        packed = assign_packs(
+        packed_lazy = assign_packs(
             kept, tokens_col="n_tokens", context_len=512,
             order_cols=("doc_id",),
-        ).localCheckpoint(eager=True)
+        )
+        # the whole wave (exact dedup -> probe -> quality -> pack) is
+        # ONE lazy plan here — hand it to the plan auditor before the
+        # eager checkpoint hides it
+        _audit_stage("pipe22_crawl_day", f"wave{wave_no}", packed_lazy)
+        packed = packed_lazy.localCheckpoint(eager=True)
         # state advance: fps append, corpus append, band-index upsert
         fp_store_write(packed.select("fp"), fp_path)
         packed.select("doc_id", "text").write.mode("append").parquet(
@@ -12768,6 +12814,7 @@ kept{n} AS (
     SELECT k.doc_id, k.lang, k.fp, q.n_tokens
     FROM ke{n} k JOIN qual q USING (doc_id)
     WHERE k.doc_id NOT IN (SELECT doc_id FROM nd{n}) AND q.ok
+      AND q.n_tokens <= 512
 ),
 pk{n} AS (
     SELECT doc_id, lang, fp, n_tokens,
@@ -12969,7 +13016,8 @@ def pipe23_bloom_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in (fp_path, sk_path):
         shutil.rmtree(p, ignore_errors=True)
     seed_fps = corpus0.select(fp).distinct()
-    fp_store_write(seed_fps, fp_path)
+    # explicit SEED mode: never absorb residue from a prior run
+    fp_store_write(seed_fps, fp_path, mode="overwrite")
     bloom_bits(seed_fps, F.col("fp"), m_bits).write.parquet(sk_path)
 
     raw1 = docs.filter(F.col("doc_id") % 3 == 1)
@@ -12987,12 +13035,16 @@ def pipe23_bloom_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     out = None
     for wave_no, wave in waves.items():
-        kept = dedup_incremental_bloom(
+        kept_lazy = dedup_incremental_bloom(
             wave,
             fp_store_pruned(spark, fp_path, wave),
             m_bits=m_bits,
             bits=spark.read.parquet(sk_path),
-        ).localCheckpoint(eager=True)
+        )
+        # hand the wave's real plan (sketch prefilter + pruned confirm
+        # scan) to the plan auditor before the checkpoint hides it
+        _audit_stage("pipe23_bloom_loop", f"wave{wave_no}", kept_lazy)
+        kept = kept_lazy.localCheckpoint(eager=True)
         # advance BOTH pieces of state: fps append into their buckets,
         # survivor bits OR-merged into the sketch (eager materialise
         # before overwriting the path the plan reads — d14b pattern)
@@ -13056,3 +13108,334 @@ SELECT doc_id, lang, fp, CAST(2 AS INT) AS wave FROM kept2
 
 QUERIES["pipe23_bloom_loop"] = pipe23_bloom_loop
 ORACLE["pipe23_bloom_loop"] = PIPE23_SQL
+
+
+def d14c_tombstone_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BATCH-SIZED band-index upsert + compaction fold (round-13
+    verdict item 1): the d14b maintenance sequence replayed through
+    ``band_index_upsert_write`` — the re-crawl wave APPENDS its band
+    rows into their hash buckets and writes a delta-sized TOMBSTONE,
+    never rewriting the store — then probed MERGE-ON-READ (pruned read
+    folds tombstones at read time), then FOLDED by
+    ``compact_dedup_store`` (tombstones applied to the data files and
+    cleared). Oracle = d14b's rebuilt-from-scratch probe, extended:
+
+    * ``idx_rows``/``idx_docs`` pin the MERGE-ON-READ view (before the
+      fold) against the rebuilt index — an upsert whose tombstones
+      failed to hide stale rows diverges here;
+    * ``idx_rows_folded``/``idx_docs_folded`` pin the POST-FOLD store —
+      a compaction that dropped live rows or kept dead ones diverges
+      here;
+    * ``tombs_folded`` pins how many tombstone rows the fold consumed
+      (= the re-crawl wave's distinct doc count), certifying
+      cross-engine that the upsert really took the tombstone path —
+      a fallback to rewrite-on-upsert would fold zero.
+
+    100 TB shape: the daily write is wave-sized (appends + one id-sized
+    tombstone file) instead of corpus-sized — the round-13 verdict's
+    last open scale gap; the corpus-sized rewrite happens only inside
+    the amortised compaction, exactly like Delta/Iceberg merge-on-read
+    with OPTIMIZE. Reference frame: SURVEY §1.1 release-snapshot upsert
+    model (db_etl_upload/uploader.py:320-325 idempotent re-release)."""
+    import shutil
+
+    from ..functions.dedup import (
+        band_index_pruned,
+        band_index_read,
+        band_index_upsert_write,
+        compact_dedup_store,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    stale = docs.filter(F.col("doc_id") % 5 == 4).select(
+        "doc_id", F.concat(F.lit("stale0 "), F.col("text")).alias("text")
+    )
+    base = docs.filter((F.col("doc_id") % 5).isin(1, 2, 3)).select(
+        "doc_id", "text"
+    )
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_d14c_index"
+    shutil.rmtree(path, ignore_errors=True)
+    # wave 1 bootstraps the store (full build, epoch 0, no tombstones)
+    band_index_upsert_write(base.unionByName(stale), path, k=16, bands=2)
+    # wave 2: re-crawl of the %5==4 docs with their CURRENT text —
+    # wave-sized appends + tombstones, the store is never rewritten
+    band_index_upsert_write(
+        docs.filter(F.col("doc_id") % 5 == 4).select("doc_id", "text"),
+        path,
+        k=16,
+        bands=2,
+    )
+    probe_batch = docs.filter(F.col("doc_id") % 5 == 0)
+    pairs_lazy = minhash_probe_pairs(
+        probe_batch,
+        docs.filter(F.col("doc_id") % 5 != 0),
+        k=16,
+        bands=2,
+        threshold=0.5,
+        corpus_bands=band_index_pruned(spark, path, probe_batch, k=16, bands=2),
+    )
+    _audit_stage("d14c_tombstone_upsert", "probe_merge_on_read", pairs_lazy)
+    # materialise the probe and the merge-on-read stats BEFORE the fold
+    # rewrites the files their plans reference
+    pairs = pairs_lazy.localCheckpoint(eager=True)
+    stats_pre = (
+        band_index_read(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("idx_rows"),
+            F.count_distinct("doc_id").alias("idx_docs"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rep = compact_dedup_store(spark, path)
+    stats_post = (
+        band_index_read(spark, path)
+        .agg(
+            F.count(F.lit(1)).alias("idx_rows_folded"),
+            F.count_distinct("doc_id").alias("idx_docs_folded"),
+        )
+        .withColumn(
+            "tombs_folded", F.lit(rep["tombstones_folded"]).cast("long")
+        )
+    )
+    return pairs.crossJoin(F.broadcast(stats_pre)).crossJoin(
+        F.broadcast(stats_post)
+    )
+
+
+D14C_SQL = D14B_SQL.replace(
+    " AS idx_docs",
+    " AS idx_docs,\n"
+    "       (SELECT CAST(COUNT(*) AS BIGINT) FROM bands_c)"
+    " AS idx_rows_folded,\n"
+    "       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM bands_c)"
+    " AS idx_docs_folded,\n"
+    "       (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) FROM documents"
+    " WHERE doc_id % 5 = 4) AS tombs_folded",
+)
+
+QUERIES["d14c_tombstone_upsert"] = d14c_tombstone_upsert
+ORACLE["d14c_tombstone_upsert"] = D14C_SQL
+
+
+def pipe24_fp_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file COMPACTION for the appended fingerprint store
+    (round-13 verdict item 2): pipe21's incremental loop run for THREE
+    waves (~1 file per touched bucket per wave), then
+    ``compact_dedup_store`` folds every bucket back to one file
+    (bucket-scoped: only fat buckets rewrite, via dynamic partition
+    overwrite), then wave 3 REPLAYS against the compacted store and
+    must drop entirely — the state survived the rewrite. Certificate
+    columns (pipe20's pattern — booleans the Spark side derives from
+    REAL file counts, pinned TRUE by the oracle):
+
+    * ``compacted``        — the fold strictly reduced the file count;
+    * ``files_per_bucket_ok`` — every bucket holds exactly one data
+      file afterwards;
+    * ``state_intact``     — the wave-3 replay found every fingerprint
+      still present (zero survivors).
+
+    100 TB shape: the daily append stays file-sized; this maintenance
+    op bounds the store's file count the way ``compact_store`` bounds
+    the long store's (plans/main_pipeline.py:386), rewriting only the
+    buckets that need it."""
+    import os
+    import shutil
+
+    from ..functions.dedup import (
+        compact_dedup_store,
+        fp_store_pruned,
+        fp_store_write,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    ).alias("fp")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix(
+        "file:"
+    )
+    path = f"{warehouse}/gate_pipe24_fps"
+    shutil.rmtree(path, ignore_errors=True)
+    # explicit SEED mode: never absorb residue from a prior run
+    fp_store_write(
+        docs.filter(F.col("doc_id") % 4 == 0).select(fp).distinct(),
+        path,
+        buckets=16,
+        mode="overwrite",
+    )
+    out = None
+    for wave_no in (1, 2, 3):
+        wave = docs.filter(F.col("doc_id") % 4 == wave_no)
+        kept_lazy = dedup_incremental(
+            wave, fp_store_pruned(spark, path, wave)
+        ).select("doc_id", "lang", "fp", F.lit(wave_no).alias("wave"))
+        _audit_stage("pipe24_fp_compact", f"wave{wave_no}", kept_lazy)
+        kept = kept_lazy.localCheckpoint(eager=True)
+        fp_store_write(kept.select("fp"), path)
+        out = kept if out is None else out.unionByName(kept)
+    rep = compact_dedup_store(spark, path, max_files_per_bucket=1)
+    per_bucket = [
+        sum(
+            1
+            for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(("_", "."))
+        )
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+    ]
+    replay = docs.filter(F.col("doc_id") % 4 == 3)
+    cert = (
+        dedup_incremental(replay, fp_store_pruned(spark, path, replay))
+        .agg((F.count(F.lit(1)) == 0).alias("state_intact"))
+        .withColumn(
+            "compacted", F.lit(rep["files_after"] < rep["files_before"])
+        )
+        .withColumn(
+            "files_per_bucket_ok", F.lit(max(per_bucket, default=99) <= 1)
+        )
+    )
+    return out.crossJoin(F.broadcast(cert))
+
+
+PIPE24_SQL = r"""
+WITH fp AS (
+    SELECT doc_id, lang,
+           md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+),
+seen0 AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 4 = 0),
+w1 AS (
+    SELECT doc_id, lang, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+    WHERE doc_id % 4 = 1 AND fp NOT IN (SELECT fp FROM seen0)
+),
+kept1 AS (SELECT doc_id, lang, fp FROM w1 WHERE rn = 1),
+seen1 AS (SELECT fp FROM seen0 UNION SELECT fp FROM kept1),
+w2 AS (
+    SELECT doc_id, lang, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+    WHERE doc_id % 4 = 2 AND fp NOT IN (SELECT fp FROM seen1)
+),
+kept2 AS (SELECT doc_id, lang, fp FROM w2 WHERE rn = 1),
+seen2 AS (SELECT fp FROM seen1 UNION SELECT fp FROM kept2),
+w3 AS (
+    SELECT doc_id, lang, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp
+    WHERE doc_id % 4 = 3 AND fp NOT IN (SELECT fp FROM seen2)
+),
+kept3 AS (SELECT doc_id, lang, fp FROM w3 WHERE rn = 1)
+SELECT doc_id, lang, fp, CAST(1 AS INT) AS wave,
+       TRUE AS state_intact, TRUE AS compacted, TRUE AS files_per_bucket_ok
+FROM kept1
+UNION ALL
+SELECT doc_id, lang, fp, CAST(2 AS INT) AS wave,
+       TRUE AS state_intact, TRUE AS compacted, TRUE AS files_per_bucket_ok
+FROM kept2
+UNION ALL
+SELECT doc_id, lang, fp, CAST(3 AS INT) AS wave,
+       TRUE AS state_intact, TRUE AS compacted, TRUE AS files_per_bucket_ok
+FROM kept3
+"""
+
+QUERIES["pipe24_fp_compact"] = pipe24_fp_compact
+ORACLE["pipe24_fp_compact"] = PIPE24_SQL
+
+
+def j16c_salted_dup_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """adaptive_join on the DEGENERATE skew corpus (round-13 verdict
+    item 5): the hot key's mass is BYTE-IDENTICAL duplicated rows —
+    every hot row is exactly ``(0, 1.0)`` — the one shape the old
+    content-hash default salt could not spread (identical rows
+    co-bucketed, the straggler survived salting). The default salt now
+    mixes a per-row uniquifier, so the probe fires AND the spread is
+    real. Certificates (j16b's pattern):
+
+    * ``max_key_rows``/``probe_fired`` — the input really was over the
+      probe threshold (a dead probe can't pass on easy data);
+    * ``salt_spread`` — the hot key's rows landed on ALL 8 salt
+      buckets (read from the salted frame itself via ``stats_out``;
+      with thousands of identical hot rows, fewer than 8 distinct
+      salts has probability ~(7/8)^4000 — i.e. the old co-bucketing
+      behaviour pins at 1 and fails the hash).
+
+    Result rows must still equal the plain join the oracle runs —
+    salting stays a pure physical rewrite."""
+    from ..operators.skew import SALT_COL, adaptive_join
+
+    threshold = 2_000
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.when(F.col("l_suppkey") % 10 < 7, F.lit(0))
+        .otherwise(F.col("l_suppkey") % 97)
+        .cast("long")
+        .alias("key"),
+        F.lit(1.0).alias("qty"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy((F.col("s_suppkey") % 97).cast("long").alias("key"))
+        .agg(F.min("s_name").alias("s_label"))
+    )
+    stats: list = []
+    joined = adaptive_join(
+        li,
+        dim,
+        on=["key"],
+        hot_threshold=threshold,
+        salt_buckets=8,
+        stats_out=stats,
+    )
+    out = joined.groupBy("s_label").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("qty").alias("sum_qty"),
+    )
+    if not stats:
+        raise AssertionError(
+            "j16c: the probe did not fire on the deliberately skewed "
+            "input — the gate's premise is broken"
+        )
+    spread = (
+        stats[0]
+        .filter(F.col("key") == 0)
+        .agg(F.count_distinct(SALT_COL).alias("salt_spread"))
+    )
+    cert = (
+        li.groupBy("key")
+        .count()
+        .agg(F.max("count").alias("max_key_rows"))
+        .withColumn("probe_fired", F.col("max_key_rows") > threshold)
+    )
+    return out.crossJoin(F.broadcast(cert)).crossJoin(F.broadcast(spread))
+
+
+J16C_SQL = """
+WITH big AS (
+    SELECT CASE WHEN l_suppkey % 10 < 7 THEN 0
+                ELSE l_suppkey % 97 END AS key,
+           CAST(1.0 AS DOUBLE) AS qty
+    FROM lineitem
+),
+dim AS (
+    SELECT s_suppkey % 97 AS key, MIN(s_name) AS s_label
+    FROM supplier
+    GROUP BY 1
+),
+cert AS (
+    SELECT CAST(MAX(n) AS BIGINT) AS max_key_rows, MAX(n) > 2000 AS probe_fired
+    FROM (SELECT COUNT(*) AS n FROM big GROUP BY key)
+)
+SELECT d.s_label, COUNT(*) AS n_lines, SUM(b.qty) AS sum_qty,
+       c.max_key_rows, c.probe_fired, CAST(8 AS BIGINT) AS salt_spread
+FROM big b
+JOIN dim d ON b.key = d.key
+CROSS JOIN cert c
+GROUP BY 1, 4, 5
+"""
+
+QUERIES["j16c_salted_dup_rows"] = j16c_salted_dup_rows
+ORACLE["j16c_salted_dup_rows"] = J16C_SQL

@@ -297,52 +297,39 @@ def index_upsert_batch(
     ``minhash_band_index`` rebuilt over each document's LATEST crawl,
     regardless of how the waves were sliced (gated: st8 replays the
     d14b maintenance sequence through this sink and compares against
-    the rebuilt-from-scratch oracle). Re-delivery of the same wave is
-    idempotent by construction (replace of identical rows). The
+    the rebuilt-from-scratch oracle). Re-delivery of the same wave
+    re-appends its rows — repair with ``compact_dedup_store`` (which
+    drops the exact duplicates and folds tombstones) before retrying a
+    crashed wave; on Delta/Iceberg MERGE INTO makes it idempotent. The
     ``k``/``bands``/``base_hash`` identity contract is the same as the
     batch operator's: the store's rows cannot express them, so every
     writer and prober must agree.
 
-    First batch bootstraps the store. The merged index is eagerly
-    materialised BEFORE the overwrite — its plan reads the store path
-    it is about to replace (the ``cdc_apply_batch`` pattern; MERGE
-    INTO on Delta/Iceberg).
+    First batch bootstraps the store. The write is BATCH-SIZED
+    (``band_index_upsert_write``, round-13 verdict item 1): fresh band
+    rows append into their hash buckets and a delta-sized tombstone
+    records the batch documents' earlier rows as dead — no plan ever
+    reads the path it is about to replace, so no eager materialisation
+    is needed either. Readers fold tombstones at read time
+    (merge-on-read); ``compact_dedup_store`` folds them into the data
+    files periodically. On Delta/Iceberg this sink is MERGE INTO.
 
     The store is written PARTITIONED by the (band, sig)-hash bucket
     (``band_index_write``) so probes against it prune to the buckets
     their batch touches (``band_index_pruned``); ``buckets`` joins the
-    ``k``/``bands``/``base_hash`` identity contract. The upsert itself
-    still reads and rewrites the whole store per wave (replace-by-
-    document must find a re-crawled doc's OLD rows, which can live in
-    any bucket) — the layout's win is probe-time pruning; partition-
-    scoped rewrites are the MERGE INTO path on Delta/Iceberg.
+    ``k``/``bands``/``base_hash`` identity contract, all recorded in
+    the store's ``_store_meta.json`` sidecar and validated on every
+    read and append.
     """
-    from ..functions.dedup import (
-        band_index_read,
-        band_index_write,
-        minhash_band_index,
-        minhash_index_upsert,
-    )
+    from ..functions.dedup import band_index_upsert_write
 
-    spark = batch.sparkSession
-    try:
-        index = band_index_read(spark, store_path)
-    except AnalysisException as exc:
-        # only a genuinely absent store means "first write" (same rule
-        # as upsert_batch/cdc_apply_batch)
-        if "PATH_NOT_FOUND" not in str(exc) and "Path does not exist" not in str(
-            exc
-        ):
-            raise
-        index = None
-    if index is None:
-        merged = minhash_band_index(
-            batch, id_col, text_col, k, bands, base_hash
-        )
-    else:
-        merged = minhash_index_upsert(
-            index, batch, id_col, text_col, k, bands, base_hash
-        )
-    band_index_write(
-        merged.localCheckpoint(eager=True), store_path, buckets=buckets
+    band_index_upsert_write(
+        batch,
+        store_path,
+        id_col=id_col,
+        text_col=text_col,
+        k=k,
+        bands=bands,
+        base_hash=base_hash,
+        buckets=buckets,
     )

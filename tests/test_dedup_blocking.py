@@ -1171,3 +1171,191 @@ def test_dedup_incremental_bloom_equals_plain(spark):
         dedup_incremental_bloom(
             batch, seen, m_bits=1 << 10, bits=big
         ).collect()
+
+
+def test_band_index_upsert_write_is_batch_sized(spark, tmp_path):
+    """The tombstone upsert (round-13 verdict item 1): advancing the
+    band index by one wave must ONLY append wave-sized files — every
+    pre-existing data file survives byte-identical — while readers
+    still see exact replace-by-document semantics (read == rebuilt,
+    pruned probe == full probe, empty re-crawl deletes)."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_pruned,
+        band_index_read,
+        band_index_upsert_write,
+        minhash_band_index,
+        minhash_probe_pairs,
+        store_meta_read,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs(
+        [(i, f"w{i}a w{i}b w{i}c common tail tokens here {i % 7}") for i in range(40)]
+        + [(100, "probe target one two three four five six")]
+    )
+    path = str(tmp_path / "bidx")
+    # bootstrap (absent store) writes meta with the full identity
+    band_index_upsert_write(corpus, path, k=8, bands=2, buckets=16)
+    meta = store_meta_read(path)
+    assert meta == {
+        "bands": 2, "base_hash": "md5", "buckets": 16, "epoch": 0,
+        "id_col": "doc_id", "k": 8, "kind": "band_index",
+    }
+
+    def data_files():
+        return {
+            p: os.path.getmtime(p)
+            for p in glob.glob(path + "/bucket=*/*.parquet")
+        }
+
+    before = data_files()
+    # wave: re-crawl 100 with new text, add 200, delete 7 (empty text)
+    wave = docs(
+        [
+            (100, "probe target one two three four five six seven"),
+            (200, "brand new document tokens alpha beta gamma"),
+            (7, ""),
+        ]
+    )
+    band_index_upsert_write(wave, path, k=8, bands=2, buckets=16)
+    after = data_files()
+    # batch-sized write: every pre-existing file untouched, additions
+    # bounded by the wave's touched buckets (2 docs x 2 bands)
+    assert set(before) <= set(after)
+    assert all(after[p] == mt for p, mt in before.items())
+    assert 1 <= len(after) - len(before) <= 4
+    assert os.path.isdir(path + "/_tombstones")
+    # logical view equals the rebuilt-from-scratch index
+    final_corpus = corpus.filter("doc_id NOT IN (100, 7)").unionByName(
+        wave.filter("doc_id = 100 OR doc_id = 200")
+    )
+    got = {tuple(r) for r in band_index_read(spark, path).collect()}
+    want = {
+        tuple(r)
+        for r in minhash_band_index(final_corpus, k=8, bands=2).collect()
+    }
+    assert got == want
+    assert band_index_read(spark, path).filter("doc_id IN (7, 200)").groupBy(
+        "doc_id"
+    ).count().count() == 1  # 200 present, 7 deleted
+    # pruned probe over the upserted store == full probe
+    batch = docs([(300, "probe target one two three four five six seven")])
+    kw = dict(k=8, bands=2, threshold=0.5)
+    via_pruned = {
+        tuple(r)
+        for r in minhash_probe_pairs(
+            batch, final_corpus,
+            corpus_bands=band_index_pruned(spark, path, batch, k=8, bands=2),
+            **kw,
+        ).collect()
+    }
+    via_full = {
+        tuple(r)
+        for r in minhash_probe_pairs(
+            batch, final_corpus,
+            corpus_bands=band_index_read(spark, path), **kw,
+        ).collect()
+    }
+    assert via_pruned == via_full and any(p[1] == 100 for p in via_pruned)
+    # upserting a legacy (pre-sidecar) store raises loudly
+    legacy = str(tmp_path / "legacy")
+    minhash_band_index(corpus, k=8, bands=2).write.parquet(legacy)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="predates"):
+        band_index_upsert_write(wave, legacy, k=8, bands=2, buckets=16)
+
+
+def test_compact_dedup_store_folds_and_merges(spark, tmp_path):
+    """compact_dedup_store (round-13 verdict item 2): the tombstone
+    FOLD rewrites the band store to its logical view (tombstones dir
+    cleared, meta/epoch preserved, later upserts keep working); the
+    bucket-scoped small-file MERGE folds only fat buckets, leaving
+    other buckets' files byte-identical; under-threshold stores no-op."""
+    import glob
+    import os
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_read,
+        band_index_upsert_write,
+        compact_dedup_store,
+        fp_store_write,
+        minhash_band_index,
+        store_meta_read,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs(
+        [(i, f"w{i}a w{i}b w{i}c shared suffix tokens {i % 5}") for i in range(30)]
+    )
+    path = str(tmp_path / "bidx")
+    band_index_upsert_write(corpus, path, k=8, bands=2, buckets=16)
+    band_index_upsert_write(
+        docs([(3, "entirely new text for document three")]),
+        path, k=8, bands=2, buckets=16,
+    )
+    logical = {tuple(r) for r in band_index_read(spark, path).collect()}
+    rep = compact_dedup_store(spark, path)
+    assert rep["tombstones_folded"] == 1 and rep["buckets_rewritten"] > 0
+    assert not os.path.isdir(path + "/_tombstones")
+    assert store_meta_read(path)["epoch"] == 1
+    assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
+    # the store stays upsertable after the fold
+    band_index_upsert_write(
+        docs([(4, "another refresh of document four")]),
+        path, k=8, bands=2, buckets=16,
+    )
+    assert store_meta_read(path)["epoch"] == 2
+    want = {
+        tuple(r)
+        for r in minhash_band_index(
+            corpus.filter("doc_id NOT IN (3, 4)").unionByName(
+                docs(
+                    [
+                        (3, "entirely new text for document three"),
+                        (4, "another refresh of document four"),
+                    ]
+                )
+            ),
+            k=8, bands=2,
+        ).collect()
+    }
+    assert {tuple(r) for r in band_index_read(spark, path).collect()} == want
+
+    # fp store: 1 seed + 4 appends -> one hot bucket holds 5 files
+    fpp = str(tmp_path / "fps")
+    fp_store_write(
+        corpus.selectExpr("md5(text) AS fp"), fpp, buckets=8, mode="overwrite"
+    )
+    for _ in range(4):
+        fp_store_write(
+            docs([(1, "xx")]).selectExpr("md5(text) AS fp"), fpp, buckets=8
+        )
+    rows_before = spark.read.parquet(fpp).count()
+    files = lambda: {  # noqa: E731
+        p: os.path.getmtime(p) for p in glob.glob(fpp + "/bucket=*/*.parquet")
+    }
+    before = files()
+    rep2 = compact_dedup_store(spark, fpp, max_files_per_bucket=2)
+    after = files()
+    assert rep2["buckets_rewritten"] == 1
+    assert rep2["files_after"] < rep2["files_before"]
+    assert spark.read.parquet(fpp).count() == rows_before
+    # untouched buckets keep their exact files
+    hot = {p for p in before if p not in after}
+    cold = set(before) - hot
+    assert cold <= set(after)
+    assert all(after[p] == before[p] for p in cold)
+    # second pass is a no-op
+    rep3 = compact_dedup_store(spark, fpp, max_files_per_bucket=2)
+    assert rep3["buckets_rewritten"] == 0
+    assert files() == after

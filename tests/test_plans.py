@@ -222,14 +222,25 @@ def test_salted_join_matches_plain_join(spark):
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
 
     # unique_cols mode: still a pure rewrite, and the salt expression
-    # is a deterministic function of the named column (retry-safe —
-    # no monotonically_increasing_id in the plan)
+    # is a deterministic function of the named column (fully value-
+    # deterministic — no monotonically_increasing_id in the plan)
     got_u = salted_join(big, small, on=["k"], salt_buckets=8, unique_cols=["v"])
     assert got_u.count() == exp.count()
     assert got_u.exceptAll(exp).count() == 0
-    for frame in (got, got_u):
-        plan = frame._jdf.queryExecution().analyzed().toString()
-        assert "monotonically_increasing_id" not in plan, plan
+    plan_u = got_u._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" not in plan_u, plan_u
+    # default mode mixes the per-row uniquifier (r13 verdict item 5) so
+    # byte-identical duplicated rows spread too
+    plan_d = got._jdf.queryExecution().analyzed().toString()
+    assert "monotonically_increasing_id" in plan_d, plan_d
+    dup = spark.range(0, 4000).select(
+        F.lit(0).alias("k"), F.lit(1).alias("v")  # one byte-identical hot key
+    )
+    stats: list = []
+    got_dup = salted_join(dup, small, on=["k"], salt_buckets=8, stats_out=stats)
+    assert got_dup.count() == 4000
+    spread = stats[0].filter("k = 0").select("__salt").distinct().count()
+    assert spread == 8, f"duplicated hot rows only spread to {spread} salts"
 
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unique_cols not in big side"):
