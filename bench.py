@@ -161,6 +161,12 @@ HEADLINE = [
     # probe -> quality -> pack, two waves with full state advance over
     # the partitioned stores)
     "pipe22_crawl_day",
+    # round-14: the batch-sized tombstone upsert + compaction fold over
+    # the band store, and the fp-store small-file compaction loop — the
+    # write-side scale work; regressions in the merge-on-read reader or
+    # the fold must show in BENCH_r*
+    "d14c_tombstone_upsert",
+    "pipe24_fp_compact",
 ]
 
 BUCKET_TABLE = "bench_serving_store"

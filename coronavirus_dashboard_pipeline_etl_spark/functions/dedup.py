@@ -1046,9 +1046,13 @@ def minhash_index_upsert(
     Shuffle shape: one anti-join of the index against the batch's
     DISTINCT ids (broadcast when the batch is delta-sized) plus the
     batch-sized signature build — the index is never re-derived.
-    Returns the new index; persistence (parquet overwrite, MERGE on
-    Delta/Iceberg) stays with the caller like the other pure
-    operators here."""
+    Returns the new index; persistence stays with the caller like the
+    other pure operators here. NOTE: persisting this result means a
+    CORPUS-SIZED write every wave — for persisted stores prefer
+    ``band_index_upsert_write`` (wave-sized appends + tombstones,
+    merge-on-read; MERGE INTO on Delta/Iceberg), which this pure
+    operator remains the semantic reference for (gated: d14b vs
+    d14c share the rebuilt-from-scratch oracle)."""
     if id_col not in index.columns or not {"band", "sig"} <= set(
         index.columns
     ):

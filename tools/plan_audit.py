@@ -25,6 +25,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import HEADLINE  # noqa: E402
+import coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries as gq  # noqa: E402
 from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import (  # noqa: E402
     QUERIES,
 )
@@ -59,13 +60,30 @@ def main() -> None:
 
     rows = []
     for name in names:
-        df = QUERIES[name](spark, sf_dir)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        rows.append((name, audit_plan(plan)))
+        # arm the composed-gate stage hook: gates that eagerly
+        # checkpoint intermediate stages (pipe22/pipe23/d14c/pipe24)
+        # record each stage's pre-checkpoint physical plan, which the
+        # final returned frame's plan no longer shows (r13 verdict
+        # item 4). Counters below are summed across final + stages.
+        gq.PLAN_STAGES = {}
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            a = audit_plan(plan)
+            stages = gq.PLAN_STAGES.get(name, [])
+        finally:
+            gq.PLAN_STAGES = None
+        for _, splan in stages:
+            sa = audit_plan(splan)
+            for k in a:
+                a[k] += sa[k]
+        a["stage_plans"] = len(stages)
+        rows.append((name, a))
 
     cols = [
         "hash_exchanges", "single_part_exchanges", "python_stages",
         "scans", "pushed_filters", "nested_loop_joins", "cartesian",
+        "stage_plans",
     ]
     lines = [
         "# PLAN AUDIT — physical-plan checklist for the bench headline set",

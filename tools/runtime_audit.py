@@ -191,6 +191,71 @@ def prune_report(spark, sf_dir: str) -> list[str]:
     return lines
 
 
+def upsert_write_report(spark, sf_dir: str) -> list[str]:
+    """Measure the band-index upsert's WRITE volume (round-14: the
+    write-side analogue of prune_report): seed the store from the
+    corpus, then advance it with a ~1% batch via
+    ``band_index_upsert_write`` and total the bytes/files the wave
+    actually wrote (fresh bucket appends + the tombstone file), vs the
+    full store size the old rewrite-on-upsert path re-wrote every
+    wave. Then run ``compact_dedup_store`` and report the fold.
+    Returns markdown table lines."""
+    import glob
+    import shutil
+    import tempfile
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_upsert_write,
+        compact_dedup_store,
+    )
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    tmp = tempfile.mkdtemp(prefix="upsert_audit_")
+    idx = f"{tmp}/band_idx"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def files() -> dict[str, int]:
+        return {
+            p: os.path.getsize(p)
+            for pat in ("/bucket=*/*.parquet", "/_tombstones/*.parquet")
+            for p in glob.glob(idx + pat)
+        }
+
+    band_index_upsert_write(docs.filter("doc_id % 97 != 0"), idx, k=16, bands=2)
+    seeded = files()
+    store_bytes = sum(seeded.values())
+    store_rows = spark.read.parquet(idx).count()
+    # the daily-delta shape: a re-crawl batch ~1% of the corpus
+    band_index_upsert_write(docs.filter("doc_id % 97 = 0"), idx, k=16, bands=2)
+    after = files()
+    assert set(seeded) <= set(after), "upsert rewrote pre-existing files"
+    new_data = [
+        p for p in after if p not in seeded and "/_tombstones/" not in p
+    ]
+    wave_bytes = sum(sz for p, sz in after.items() if p not in seeded)
+    wave_files = len(after) - len(seeded)
+    wave_rows = (
+        spark.read.parquet(*new_data).count() if new_data else 0
+    ) + spark.read.parquet(idx + "/_tombstones").count()
+    rep = compact_dedup_store(spark, idx)
+    lines = [
+        f"| seeded store | {len(seeded)} files / "
+        f"{store_bytes / 2**10:.1f} KiB / {store_rows} rows | (what "
+        "rewrite-on-upsert re-wrote per wave) |",
+        f"| ~1% wave upsert wrote | {wave_files} files / "
+        f"{wave_bytes / 2**10:.1f} KiB / {wave_rows} rows | "
+        f"{wave_rows / max(store_rows, 1):.1%} of store rows "
+        f"({wave_bytes / max(store_bytes, 1):.1%} of bytes — per-file "
+        "parquet overhead dominates at this toy sf; rows are the "
+        "scale-invariant measure) |",
+        f"| compaction fold | {rep['files_before']} -> "
+        f"{rep['files_after']} files | {rep['tombstones_folded']} "
+        "tombstones folded |",
+    ]
+    shutil.rmtree(tmp, ignore_errors=True)
+    return lines
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = sys.argv[2:]
@@ -211,6 +276,7 @@ def main() -> None:
         )
     if not only:
         prune_lines = prune_report(spark, sf_dir)
+        upsert_lines = upsert_write_report(spark, sf_dir)
         with open(
             os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RUNTIME_AUDIT.md"),
             "w",
@@ -266,6 +332,21 @@ def main() -> None:
                 "bounded fraction of the store regardless of corpus\n"
                 "growth; the gates (d14b, st8, pipe21) run this exact\n"
                 "layout and their probe plans carry PartitionFilters.\n\n"
+                "## Upsert WRITE volume (round-14)\n\n"
+                "The write-side analogue: `band_index_upsert_write`\n"
+                "advances the store with bucket APPENDS + a delta-sized\n"
+                "tombstone (merge-on-read), where the pre-r14 path\n"
+                "rewrote the whole store every wave. Measured at this\n"
+                "sf (file sizes on disk; the assert inside the\n"
+                "collector verifies no pre-existing file was touched):\n\n"
+                "| step | files / bytes | note |\n"
+                "|---|---|---|\n"
+                + "\n".join(upsert_lines)
+                + "\n\nThe wave's write cost tracks the BATCH size\n"
+                "(signature rows + one id-sized tombstone file), not\n"
+                "the store: at 100 TB the daily upsert stays\n"
+                "delta-sized and the corpus-sized rewrite moves into\n"
+                "the amortised compaction (gates: d14c, pipe24).\n\n"
                 "| query | shuffle MiB | shuffle records | spill MiB | max node rows |\n"
                 "|---|---|---|---|---|\n"
             )
