@@ -10,13 +10,19 @@ design scales: more executors absorb it); a time ratio far above the
 candidate ratio would flag a super-linear term the sf0.1->sf1 sweeps
 could not see.
 
-Each gate runs twice per sf in the same session (cache cleared; first
-run pays plan/codegen + store seeding, SECOND run is recorded — the
-timing_sweep steady-state protocol) and the session restarts between
-scale factors so block-manager residue from the small sf never flatters
-the large one.
+Each (sf, gate) pair runs in its OWN PYTHON PROCESS (warm run pays
+plan/codegen + store seeding, the SECOND run is recorded — the
+timing_sweep steady-state protocol): py4j keeps ONE JVM per Python
+process across SparkSession restarts, and the heavy checkpoint-pinning
+gates (st6/pipe22) leave enough non-evictable residue in that shared
+JVM that a later gate starves of execution memory even in a "fresh"
+session (measured: pipe7 OOM'd at sf1 mid-probe while passing
+identically in an isolated process — the same failure class
+timing_sweep's SESSION_GATES restart mitigates, which a process
+boundary eliminates outright).
 
 Usage: python tools/scale_probe.py [out_json] [gate ...]
+       python tools/scale_probe.py --one <sf_dir> <gate>   # internal
 Writes SCALE_SF3.json + SCALE_SF3.md at the repo root by default.
 """
 
@@ -25,13 +31,11 @@ from __future__ import annotations
 import gc
 import json
 import os
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from coronavirus_dashboard_pipeline_etl_spark.session import get_spark  # noqa: E402
-from tools.runtime_audit import measure  # noqa: E402
 
 #: the five heaviest gates of the r13 bench/steady sweeps (VERDICT.md
 #: plan-audit section), i.e. the dedup heavy tail whose 100x claim this
@@ -47,32 +51,59 @@ DEFAULT_GATES = [
 SF_DIRS = {"sf1": "testdata_sf1", "sf3": "testdata_sf3"}
 
 
-def run_sf(label: str, sf_dir: str, gates: list[str]) -> dict[str, dict]:
+def run_one(sf_dir: str, name: str) -> None:
+    """Child-process entry: one gate, one sf, fresh JVM. Prints a
+    single JSON line (the parent parses the LAST stdout line, so Spark
+    progress noise above it is harmless)."""
     from coronavirus_dashboard_pipeline_etl_spark.plans.gate_queries import (
         QUERIES,
     )
+    from coronavirus_dashboard_pipeline_etl_spark.session import get_spark
+    from tools.runtime_audit import measure
 
-    spark = get_spark(app_name=f"scale_probe_{label}")
+    spark = get_spark(app_name=f"scale_probe_{name}")
     spark.sparkContext.setLogLevel("ERROR")
+    fn = QUERIES[name]
+    # warm run: plan/codegen + gate store seeding
+    measure(spark, fn, sf_dir)
+    gc.collect()
+    t0 = time.perf_counter()
+    m = measure(spark, fn, sf_dir)
+    m["sec"] = round(time.perf_counter() - t0, 2)
+    spark.stop()
+    print(json.dumps(m), flush=True)
+
+
+def run_sf(label: str, sf_dir: str, gates: list[str]) -> dict[str, dict]:
     out: dict[str, dict] = {}
     for name in gates:
-        fn = QUERIES[name]
-        try:
-            # warm run: plan/codegen + gate store seeding
-            measure(spark, fn, sf_dir)
-            gc.collect()
-            t0 = time.perf_counter()
-            m = measure(spark, fn, sf_dir)
-            m["sec"] = round(time.perf_counter() - t0, 2)
-            out[name] = m
-        except Exception as e:  # noqa: BLE001
-            out[name] = {"error": f"{type(e).__name__}: {e}"}
+        # 24g heap for every child uniformly (both sfs — ratios stay
+        # comparable): pipe7's sf1 working set (checkpoint-pinned pair
+        # blocks + 32 concurrent hash builds) is BORDERLINE at the 8g
+        # default and OOMs flakily; sizing the executor heap to the
+        # working set is exactly what a real cluster does, and the
+        # probe measures scaling, not minimum-memory fit.
+        env = {**os.environ, "SPARK_GRAFT_DRIVER_MEM": "24g"}
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", sf_dir, name],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            env=env,
+        )
+        if proc.returncode == 0 and proc.stdout.strip():
+            out[name] = json.loads(proc.stdout.strip().splitlines()[-1])
+        else:
+            tail = (proc.stderr or proc.stdout or "").strip().splitlines()
+            out[name] = {"error": " / ".join(tail[-3:]) if tail else "no output"}
         print(label, name, out[name].get("sec", out[name]), flush=True)
-    spark.stop()
     return out
 
 
 def main() -> None:
+    if len(sys.argv) >= 2 and sys.argv[1] == "--one":
+        run_one(sys.argv[2], sys.argv[3])
+        return
     out_json = sys.argv[1] if len(sys.argv) > 1 else "SCALE_SF3.json"
     gates = sys.argv[2:] or DEFAULT_GATES
     results = {
