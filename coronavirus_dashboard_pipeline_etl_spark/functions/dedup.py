@@ -1236,6 +1236,63 @@ def band_index_write(
         store_meta_write(path, meta)
 
 
+#: driver-side size guard for the tombstone broadcast: the latest-
+#: tombstone-per-doc table is bounded by (docs re-crawled since the
+#: last compaction) BY CONTRACT, not by construction — a deployment
+#: that upserts daily but never compacts grows it without bound and
+#: the merge-on-read anti-join broadcast becomes the cliff. The read
+#: path checks the tombstone dir's on-disk bytes (a driver listdir,
+#: no Spark job) and warns past this threshold, naming the fix.
+_TOMB_WARN_BYTES = 256 * 1024 * 1024
+
+
+def _latest_tombstones(
+    spark: SparkSession, path: str, id_col: str
+) -> DataFrame:
+    """The delta-sized latest-tombstone-epoch-per-document table of an
+    upserted store: a store row is dead iff ``row.epoch < latest
+    tombstone epoch`` for its document (some later wave re-crawled or
+    deleted it). Warns when the tombstone dir has grown past the
+    broadcast-comfort threshold — compaction cadence is the knob."""
+    import os
+    import warnings
+
+    tpath = os.path.join(path, _TOMBSTONE_DIR)
+    on_disk = sum(
+        os.path.getsize(os.path.join(tpath, f))
+        for f in os.listdir(tpath)
+        if not f.startswith(("_", "."))
+    )
+    if on_disk > _TOMB_WARN_BYTES:
+        warnings.warn(
+            f"dedup store at {path}: tombstone table is "
+            f"{on_disk >> 20} MiB on disk — the merge-on-read "
+            "anti-join broadcasts it on every read; run "
+            "compact_dedup_store to fold it back into the data files",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+    return (
+        spark.read.parquet(tpath)
+        .groupBy(F.col(id_col).alias("__tomb_id"))
+        .agg(F.max(TOMB_EPOCH_COL).alias(TOMB_EPOCH_COL))
+    )
+
+
+def _store_id_col(path: str, df: DataFrame) -> str:
+    """The recorded id column of an upserted store; raises on a store
+    that has tombstones but predates the epoch/meta sidecar."""
+    meta = store_meta_read(path) or {}
+    id_col = meta.get("id_col")
+    if id_col is None or EPOCH_COL not in df.columns:
+        raise ValueError(
+            f"dedup store at {path} has tombstones but no usable "
+            f"epoch/id metadata — it was mixed with a legacy writer; "
+            "rebuild it with band_index_write"
+        )
+    return id_col
+
+
 def _apply_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFrame:
     """Merge-on-read half of the batch-sized upsert: anti-join the raw
     store rows against the latest tombstone epoch per document — a row
@@ -1249,19 +1306,8 @@ def _apply_tombstones(spark: SparkSession, path: str, df: DataFrame) -> DataFram
     tpath = os.path.join(path, _TOMBSTONE_DIR)
     if not os.path.isdir(tpath):
         return df
-    meta = store_meta_read(path) or {}
-    id_col = meta.get("id_col")
-    if id_col is None or EPOCH_COL not in df.columns:
-        raise ValueError(
-            f"dedup store at {path} has tombstones but no usable "
-            f"epoch/id metadata — it was mixed with a legacy writer; "
-            "rebuild it with band_index_write"
-        )
-    tomb = (
-        spark.read.parquet(tpath)
-        .groupBy(F.col(id_col).alias("__tomb_id"))
-        .agg(F.max(TOMB_EPOCH_COL).alias(TOMB_EPOCH_COL))
-    )
+    id_col = _store_id_col(path, df)
+    tomb = _latest_tombstones(spark, path, id_col)
     cond = (df[id_col] == tomb["__tomb_id"]) & (
         df[EPOCH_COL] < tomb[TOMB_EPOCH_COL]
     )
@@ -1422,31 +1468,52 @@ def compact_dedup_store(
     spark: SparkSession,
     path: str,
     max_files_per_bucket: int = 4,
+    incremental: bool = False,
+    bucket_budget: int | None = None,
 ) -> dict:
     """Maintenance pass for the persisted dedup stores (round-13
     verdict items 1-2): fold merge-on-read debt back into clean data
-    files. Two shapes, picked by what the store has accumulated:
+    files. Three shapes, picked by what the store has accumulated:
 
-    * TOMBSTONES present (a ``band_index_upsert_write`` store): full
-      fold — read the store, apply the tombstone anti-join once, drop
-      exact-duplicate rows (only a replayed crashed wave can create
-      them; live rows are unique per (id, band, epoch) by
-      construction), rewrite every bucket, clear the tombstone dir.
-      This is the amortised corpus-sized op that keeps the DAILY upsert
-      batch-sized — the classic merge-on-read + periodic-compaction
-      split (Delta OPTIMIZE / Iceberg rewrite_data_files).
+    * TOMBSTONES present, ``incremental=False`` (a
+      ``band_index_upsert_write`` store): full fold — read the store,
+      apply the tombstone anti-join once, drop exact-duplicate rows
+      (only a replayed crashed wave can create them; live rows are
+      unique per (id, band, epoch) by construction), rewrite every
+      bucket, clear the tombstone dir. This is the amortised
+      corpus-sized op that keeps the DAILY upsert batch-sized — the
+      classic merge-on-read + periodic-compaction split (Delta
+      OPTIMIZE / Iceberg rewrite_data_files).
+    * TOMBSTONES present, ``incremental=True``: BUCKET-SCOPED fold
+      with a per-run budget — one slim stats pass (bucket, id, epoch
+      columns only) counts each bucket's dead rows, then only the
+      ``bucket_budget`` dirtiest buckets (all dirty buckets when
+      None) are read, folded, and rewritten via dynamic partition
+      overwrite; clean buckets keep their files byte-identical. The
+      tombstone table STAYS until no dead row remains anywhere —
+      kept tombstones are harmless over already-folded buckets (a
+      folded doc's surviving rows carry the tombstone's own epoch, so
+      ``epoch < tomb_epoch`` matches nothing) — and is cleared the
+      moment the store is fully clean. This spreads the corpus-sized
+      rewrite across maintenance windows: each run's write volume is
+      (folded buckets / buckets) of the store, the production cadence
+      knob for stores too large to fold in one window (Iceberg's
+      rewrite_data_files ``where``-scoped form).
     * no tombstones (an append-mode ``fp_store_write`` store): BUCKET-
       SCOPED small-file merge — only buckets whose file count exceeds
       ``max_files_per_bucket`` are read and rewritten (dynamic
       partition overwrite), one file each; untouched buckets keep their
       files byte-identical. After N append waves a bucket holds ~N
       files (``pipe21``/``pipe22``/``pipe23``); this folds them without
-      a corpus-sized rewrite.
+      a corpus-sized rewrite. (``incremental=True`` falls through to
+      this branch on a tombstone-free store, so one maintenance call
+      serves both store kinds.)
 
     Returns a report dict (files/buckets before and after, tombstones
-    folded) for runtime auditing. The rewrite reads the path it
-    replaces, so the surviving rows are eagerly materialised first (the
-    ``cdc_apply_batch`` pattern)."""
+    folded; the incremental path adds dead-row before/folded/remaining
+    counts and ``tombstones_cleared``) for runtime auditing. The
+    rewrite reads the path it replaces, so the surviving rows are
+    eagerly materialised first (the ``cdc_apply_batch`` pattern)."""
     import os
     import shutil
 
@@ -1471,7 +1538,70 @@ def compact_dedup_store(
     tpath = os.path.join(path, _TOMBSTONE_DIR)
     meta = store_meta_read(path)
     buckets = (meta or {}).get("buckets", len(before) or 1)
-    if os.path.isdir(tpath):
+
+    def dynamic_overwrite(df: DataFrame, nparts: int) -> None:
+        # replace ONLY the partitions present in df, leaving every
+        # other bucket's files untouched (byte-identical, pytest-pinned)
+        conf_key = "spark.sql.sources.partitionOverwriteMode"
+        prev = spark.conf.get(conf_key, "STATIC")
+        spark.conf.set(conf_key, "dynamic")
+        try:
+            (
+                df.repartition(nparts, F.col(STORE_BUCKET))
+                .write.partitionBy(STORE_BUCKET)
+                .mode("overwrite")
+                .parquet(path)
+            )
+        finally:
+            spark.conf.set(conf_key, prev)
+
+    if os.path.isdir(tpath) and incremental:
+        raw = spark.read.parquet(path)
+        id_col = _store_id_col(path, raw)
+        tomb = _latest_tombstones(spark, path, id_col)
+        # slim stats pass: count dead rows per bucket reading only the
+        # (bucket, id, epoch) columns — a count-only columnar scan,
+        # cheap next to the rewrite it scopes; <= `buckets` rows back
+        slim = raw.select(STORE_BUCKET, id_col, EPOCH_COL)
+        cond = (slim[id_col] == tomb["__tomb_id"]) & (
+            slim[EPOCH_COL] < tomb[TOMB_EPOCH_COL]
+        )
+        dead_rows = (
+            slim.join(F.broadcast(tomb), cond, "inner")
+            .groupBy(STORE_BUCKET)
+            .agg(F.count(F.lit(1)).alias("__dead"))
+            .limit(buckets + 1)
+            .collect()
+        )
+        # dirtiest first, bucket id tiebreak for determinism
+        dirty = sorted(dead_rows, key=lambda r: (-r["__dead"], r[STORE_BUCKET]))
+        fold = dirty if bucket_budget is None else dirty[:bucket_budget]
+        report["dead_rows_before"] = sum(r["__dead"] for r in dirty)
+        report["dead_rows_folded"] = sum(r["__dead"] for r in fold)
+        report["dead_rows_remaining"] = (
+            report["dead_rows_before"] - report["dead_rows_folded"]
+        )
+        if fold:
+            vals = [r[STORE_BUCKET] for r in fold]
+            chunk = (
+                _apply_tombstones(
+                    spark, path, raw.filter(F.col(STORE_BUCKET).isin(vals))
+                )
+                .dropDuplicates()
+                .localCheckpoint(eager=True)
+            )
+            dynamic_overwrite(chunk, len(vals))
+            report["buckets_rewritten"] = len(vals)
+        report["tombstones_cleared"] = report["dead_rows_remaining"] == 0
+        if report["tombstones_cleared"]:
+            # no row anywhere is older than its doc's latest tombstone,
+            # so the anti-join is a no-op — the tombstone table is debt
+            # fully repaid and the store reverts to plain reads
+            report["tombstones_folded"] = (
+                spark.read.parquet(tpath).select(TOMB_EPOCH_COL).count()
+            )
+            shutil.rmtree(tpath, ignore_errors=True)
+    elif os.path.isdir(tpath):
         raw = spark.read.parquet(path)
         survivors = (
             _apply_tombstones(spark, path, raw)
@@ -1505,18 +1635,7 @@ def compact_dedup_store(
                 .filter(F.col(STORE_BUCKET).isin(fat_vals))
                 .localCheckpoint(eager=True)
             )
-            conf_key = "spark.sql.sources.partitionOverwriteMode"
-            prev = spark.conf.get(conf_key, "STATIC")
-            spark.conf.set(conf_key, "dynamic")
-            try:
-                (
-                    chunk.repartition(len(fat_vals), F.col(STORE_BUCKET))
-                    .write.partitionBy(STORE_BUCKET)
-                    .mode("overwrite")
-                    .parquet(path)
-                )
-            finally:
-                spark.conf.set(conf_key, prev)
+            dynamic_overwrite(chunk, len(fat_vals))
             report["buckets_rewritten"] = len(fat_vals)
     after = bucket_files()
     report["files_after"] = sum(after.values())

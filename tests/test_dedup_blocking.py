@@ -1359,3 +1359,95 @@ def test_compact_dedup_store_folds_and_merges(spark, tmp_path):
     rep3 = compact_dedup_store(spark, fpp, max_files_per_bucket=2)
     assert rep3["buckets_rewritten"] == 0
     assert files() == after
+
+
+def test_compact_dedup_store_incremental_fold(spark, tmp_path, monkeypatch):
+    """Incremental BUCKET-SCOPED tombstone fold (round-14): a per-run
+    ``bucket_budget`` folds only the dirtiest buckets — untouched
+    buckets keep their files byte-identical, the tombstone table stays
+    (still needed by the unfolded buckets, harmless over folded ones) —
+    and the moment no dead row remains anywhere the tombstones clear
+    and the store is physically clean. The logical view is invariant
+    through every step."""
+    import glob
+    import os
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions import dedup
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_read,
+        band_index_upsert_write,
+        compact_dedup_store,
+        store_meta_read,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs(
+        [(i, f"w{i}a w{i}b w{i}c shared suffix tokens {i % 5}") for i in range(30)]
+    )
+    path = str(tmp_path / "bidx")
+    band_index_upsert_write(corpus, path, k=8, bands=2, buckets=16)
+    # re-crawl six docs -> dead rows spread over several buckets
+    wave = docs([(i, f"fresh crawl of document {i} tokens") for i in range(6)])
+    band_index_upsert_write(wave, path, k=8, bands=2, buckets=16)
+    logical = {tuple(r) for r in band_index_read(spark, path).collect()}
+
+    files = lambda: {  # noqa: E731
+        p: os.path.getmtime(p) for p in glob.glob(path + "/bucket=*/*.parquet")
+    }
+    before = files()
+    rep1 = compact_dedup_store(spark, path, incremental=True, bucket_budget=2)
+    after1 = files()
+    # partial by construction: 2 of the dirty buckets folded, debt remains
+    assert rep1["buckets_rewritten"] == 2
+    assert 0 < rep1["dead_rows_folded"] < rep1["dead_rows_before"]
+    assert rep1["dead_rows_remaining"] > 0
+    assert rep1["tombstones_cleared"] is False
+    assert os.path.isdir(path + "/_tombstones")
+    # exactly the 2 folded bucket dirs changed; every other file intact
+    changed = {
+        os.path.dirname(p)
+        for p in set(before) | set(after1)
+        if before.get(p) != after1.get(p)
+    }
+    assert len(changed) == 2
+    assert all(
+        after1[p] == mt
+        for p, mt in before.items()
+        if os.path.dirname(p) not in changed
+    )
+    # merge-on-read view invariant after the partial fold
+    assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
+
+    # second run, no budget: folds the rest and clears the tombstones
+    rep2 = compact_dedup_store(spark, path, incremental=True)
+    assert rep2["dead_rows_folded"] == rep1["dead_rows_remaining"]
+    assert rep2["tombstones_cleared"] is True
+    assert rep2["tombstones_folded"] > 0
+    assert not os.path.isdir(path + "/_tombstones")
+    assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
+    # physically clean: the raw store IS the logical view now
+    assert spark.read.parquet(path).count() == len(logical)
+    # meta survives dynamic overwrites; the store stays upsertable
+    assert store_meta_read(path)["epoch"] == 1
+    band_index_upsert_write(
+        docs([(9, "another refresh nine")]), path, k=8, bands=2, buckets=16
+    )
+    assert store_meta_read(path)["epoch"] == 2
+
+    # budget-less incremental == complete fold: one more run drains the
+    # doc-9 wave's debt in a single pass and clears its tombstones too
+    rep3 = compact_dedup_store(spark, path, incremental=True)
+    assert rep3["tombstones_cleared"] is True
+    assert not os.path.isdir(path + "/_tombstones")
+
+    # broadcast-size guard: a tiny threshold makes the read path warn
+    import pytest as _pytest
+
+    band_index_upsert_write(
+        docs([(10, "refresh ten")]), path, k=8, bands=2, buckets=16
+    )
+    monkeypatch.setattr(dedup, "_TOMB_WARN_BYTES", 1)
+    with _pytest.warns(RuntimeWarning, match="compact_dedup_store"):
+        band_index_read(spark, path).collect()

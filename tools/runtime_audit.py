@@ -225,8 +225,12 @@ def upsert_write_report(spark, sf_dir: str) -> list[str]:
     seeded = files()
     store_bytes = sum(seeded.values())
     store_rows = spark.read.parquet(idx).count()
-    # the daily-delta shape: a re-crawl batch ~1% of the corpus
-    band_index_upsert_write(docs.filter("doc_id % 97 = 0"), idx, k=16, bands=2)
+    # the daily-delta shape: a ~1% wave of NEW docs (%97==0, absent
+    # from the seed) plus a ~1% RE-CRAWL (%97==1, present in the seed
+    # — its old rows become the dead rows the incremental fold folds)
+    band_index_upsert_write(
+        docs.filter("doc_id % 97 IN (0, 1)"), idx, k=16, bands=2
+    )
     after = files()
     assert set(seeded) <= set(after), "upsert rewrote pre-existing files"
     new_data = [
@@ -237,20 +241,35 @@ def upsert_write_report(spark, sf_dir: str) -> list[str]:
     wave_rows = (
         spark.read.parquet(*new_data).count() if new_data else 0
     ) + spark.read.parquet(idx + "/_tombstones").count()
-    rep = compact_dedup_store(spark, idx)
+    # incremental fold under a bucket budget: the write volume of ONE
+    # maintenance window (round-14 — folds only the dirtiest buckets,
+    # keeps the tombstones for the rest), then a budget-less run drains
+    pre_fold = files()
+    rep_inc = compact_dedup_store(spark, idx, incremental=True, bucket_budget=4)
+    mid = files()
+    inc_new = [p for p in mid if p not in pre_fold]
+    inc_bytes = sum(mid[p] for p in inc_new)
+    rep = compact_dedup_store(spark, idx, incremental=True)
     lines = [
         f"| seeded store | {len(seeded)} files / "
         f"{store_bytes / 2**10:.1f} KiB / {store_rows} rows | (what "
         "rewrite-on-upsert re-wrote per wave) |",
-        f"| ~1% wave upsert wrote | {wave_files} files / "
+        f"| ~2% wave upsert (1% new + 1% re-crawl) wrote | {wave_files} files / "
         f"{wave_bytes / 2**10:.1f} KiB / {wave_rows} rows | "
         f"{wave_rows / max(store_rows, 1):.1%} of store rows "
         f"({wave_bytes / max(store_bytes, 1):.1%} of bytes — per-file "
         "parquet overhead dominates at this toy sf; rows are the "
         "scale-invariant measure) |",
-        f"| compaction fold | {rep['files_before']} -> "
-        f"{rep['files_after']} files | {rep['tombstones_folded']} "
-        "tombstones folded |",
+        f"| incremental fold, budget 4/{rep_inc['buckets_before']} "
+        f"buckets | wrote {len(inc_new)} files / "
+        f"{inc_bytes / 2**10:.1f} KiB | "
+        f"{inc_bytes / max(store_bytes, 1):.1%} of store bytes per "
+        f"maintenance window; dead rows {rep_inc['dead_rows_folded']}/"
+        f"{rep_inc['dead_rows_before']} folded, tombstones kept |",
+        f"| budget-less drain | {rep['files_before']} -> "
+        f"{rep['files_after']} files | remaining "
+        f"{rep['dead_rows_folded']} dead rows folded, "
+        f"{rep['tombstones_folded']} tombstones cleared |",
     ]
     shutil.rmtree(tmp, ignore_errors=True)
     return lines
