@@ -167,6 +167,9 @@ HEADLINE = [
     # the fold must show in BENCH_r*
     "d14c_tombstone_upsert",
     "pipe24_fp_compact",
+    # round-14 second half: the incremental bucket-scoped tombstone
+    # fold — two budgeted compaction runs over the upserted store
+    "d14d_incremental_fold",
 ]
 
 BUCKET_TABLE = "bench_serving_store"
