@@ -1489,7 +1489,10 @@ def compact_dedup_store(
       columns only) counts each bucket's dead rows, then only the
       ``bucket_budget`` dirtiest buckets (all dirty buckets when
       None) are read, folded, and rewritten via dynamic partition
-      overwrite; clean buckets keep their files byte-identical. The
+      overwrite; buckets whose file count exceeds
+      ``max_files_per_bucket`` join the candidate set (a rewrite
+      folds either kind of debt), and clean buckets keep their files
+      byte-identical. The
       tombstone table STAYS until no dead row remains anywhere —
       kept tombstones are harmless over already-folded buckets (a
       folded doc's surviving rows carry the tombstone's own epoch, so
@@ -1573,16 +1576,28 @@ def compact_dedup_store(
             .limit(buckets + 1)
             .collect()
         )
-        # dirtiest first, bucket id tiebreak for determinism
-        dirty = sorted(dead_rows, key=lambda r: (-r["__dead"], r[STORE_BUCKET]))
+        dead = {r[STORE_BUCKET]: r["__dead"] for r in dead_rows}
+        # one maintenance call serves BOTH kinds of debt: buckets with
+        # dead rows AND buckets that merely accumulated too many append
+        # files (a rewrite folds either); dead-heaviest first, then
+        # file count, bucket id tiebreak for determinism
+        fat = {
+            int(d.split("=", 1)[1]): n
+            for d, n in before.items()
+            if n > max_files_per_bucket
+        }
+        dirty = sorted(
+            set(dead) | set(fat),
+            key=lambda b: (-dead.get(b, 0), -fat.get(b, 0), b),
+        )
         fold = dirty if bucket_budget is None else dirty[:bucket_budget]
-        report["dead_rows_before"] = sum(r["__dead"] for r in dirty)
-        report["dead_rows_folded"] = sum(r["__dead"] for r in fold)
+        report["dead_rows_before"] = sum(dead.values())
+        report["dead_rows_folded"] = sum(dead.get(b, 0) for b in fold)
         report["dead_rows_remaining"] = (
             report["dead_rows_before"] - report["dead_rows_folded"]
         )
         if fold:
-            vals = [r[STORE_BUCKET] for r in fold]
+            vals = list(fold)
             chunk = (
                 _apply_tombstones(
                     spark, path, raw.filter(F.col(STORE_BUCKET).isin(vals))

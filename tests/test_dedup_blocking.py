@@ -1451,3 +1451,57 @@ def test_compact_dedup_store_incremental_fold(spark, tmp_path, monkeypatch):
     monkeypatch.setattr(dedup, "_TOMB_WARN_BYTES", 1)
     with _pytest.warns(RuntimeWarning, match="compact_dedup_store"):
         band_index_read(spark, path).collect()
+
+
+def test_compact_incremental_folds_fat_buckets_without_dead_rows(spark, tmp_path):
+    """The incremental fold's candidate set also includes buckets whose
+    FILE COUNT exceeds max_files_per_bucket even when they hold no dead
+    rows (waves of brand-new docs tombstone but kill nothing), so one
+    maintenance call serves both kinds of debt on a tombstoned store."""
+    import glob
+    import os
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_read,
+        band_index_upsert_write,
+        compact_dedup_store,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "bidx")
+    band_index_upsert_write(
+        docs([(i, f"w{i}a w{i}b w{i}c tokens {i % 3}") for i in range(20)]),
+        path, k=8, bands=2, buckets=16,
+    )
+    # three waves of NEW docs: tombstones accumulate but no row dies,
+    # while the touched buckets pile up append files
+    for j in range(3):
+        band_index_upsert_write(
+            docs([(100 + j, f"brand new doc {j} alpha beta gamma")]),
+            path, k=8, bands=2, buckets=16,
+        )
+    logical = {tuple(r) for r in band_index_read(spark, path).collect()}
+    fat_before = sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+        and len(glob.glob(os.path.join(path, d, "*.parquet"))) > 1
+    )
+    assert fat_before > 0
+    rep = compact_dedup_store(
+        spark, path, incremental=True, max_files_per_bucket=1
+    )
+    assert rep["dead_rows_before"] == 0
+    assert rep["buckets_rewritten"] == fat_before
+    assert rep["tombstones_cleared"] is True  # zero debt -> clears
+    assert not os.path.isdir(path + "/_tombstones")
+    fat_after = sum(
+        1
+        for d in os.listdir(path)
+        if d.startswith("bucket=")
+        and len(glob.glob(os.path.join(path, d, "*.parquet"))) > 1
+    )
+    assert fat_after == 0
+    assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
