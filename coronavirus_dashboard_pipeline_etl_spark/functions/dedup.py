@@ -1169,6 +1169,57 @@ def _store_bucket(cols: list, buckets: int) -> Column:
     return F.pmod(F.xxhash64(*cols), F.lit(buckets)).cast("int")
 
 
+#: auto-bucket sizing for fresh store writes (``buckets=None``): target
+#: estimated bytes per bucket. Plan-stats bytes are uncompressed
+#: row-size estimates, typically 2-4x the parquet on disk, so this
+#: lands bucket data files in the 128 MB-1 GB range the I/O guide
+#: prescribes at corpus scale, while a KB-scale test store stays at the
+#: 8-bucket floor instead of 64 near-empty files (store reads/writes at
+#: that scale were dominated by per-file open + distributed-listing
+#: overhead: 64 dirs also sat above the 32-dir
+#: parallelPartitionDiscovery threshold, adding a listing JOB to every
+#: read). The count is pure layout — pruning stays lossless at ANY
+#: count (equal keys share a bucket) — so deriving it from data size is
+#: safe by construction.
+_AUTO_BUCKET_TARGET_BYTES = 512 * 1024 * 1024
+_AUTO_BUCKET_MIN = 8
+_AUTO_BUCKET_MAX = 65536
+#: pre-auto default, kept for stores/paths whose size cannot be
+#: estimated and legacy no-sidecar stores (their files were laid out
+#: with the old fixed default).
+_LEGACY_BUCKETS = 64
+#: optimizer sizeInBytes at/above this means "statistics unknown"
+#: (Spark falls back to spark.sql.defaultSizeInBytes = Long.MaxValue
+#: for e.g. LogicalRDD/localCheckpoint inputs).
+_STATS_UNKNOWN_BYTES = 1 << 60
+
+
+def _auto_buckets(df: DataFrame, meta: dict | None = None) -> int:
+    """Scale-adaptive bucket count for a fresh store write: ceil of the
+    optimizer's size estimate over the per-bucket target, clamped to
+    [``_AUTO_BUCKET_MIN``, ``_AUTO_BUCKET_MAX``] and rounded up to a
+    power of two (stores reseeded at slightly different sizes tend to
+    keep their layout). No job runs — the estimate is the logical
+    plan's ``sizeInBytes`` (column-width scaling over the scan size),
+    an order-of-magnitude figure, which is all a layout choice needs.
+    When the estimate is unavailable (checkpointed/RDD-backed input),
+    fall back to the store's previously recorded ``buckets`` (an
+    overwrite keeps its layout) or the legacy fixed default."""
+    try:
+        est = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:  # noqa: BLE001 — e.g. Spark Connect
+        est = _STATS_UNKNOWN_BYTES
+    if est >= _STATS_UNKNOWN_BYTES:
+        if meta and isinstance(meta.get("buckets"), int):
+            return meta["buckets"]
+        return _LEGACY_BUCKETS
+    n = max(1, -(-est // _AUTO_BUCKET_TARGET_BYTES))
+    n = 1 << (int(n) - 1).bit_length()
+    return max(_AUTO_BUCKET_MIN, min(_AUTO_BUCKET_MAX, n))
+
+
 def _touched_buckets(df: DataFrame, bucket: Column, buckets: int) -> list:
     """The distinct store buckets a batch frame hashes into — a bounded
     driver collect (<= ``buckets`` ints by construction, never
@@ -1183,7 +1234,7 @@ def _touched_buckets(df: DataFrame, bucket: Column, buckets: int) -> list:
 def band_index_write(
     index: DataFrame,
     path: str,
-    buckets: int = 64,
+    buckets: int | None = None,
     mode: str = "overwrite",
     k: int | None = None,
     bands: int | None = None,
@@ -1213,6 +1264,22 @@ def band_index_write(
         )
     if mode == "append":
         buckets = _store_params(path, {"buckets": buckets})["buckets"]
+        if buckets is None:
+            # no sidecar to govern the append: an existing store keeps
+            # the legacy fixed layout its files were hashed with; a new
+            # path bootstrapped by append derives from data size
+            import os
+
+            buckets = (
+                _LEGACY_BUCKETS
+                if os.path.isdir(path)
+                else _auto_buckets(index, None)
+            )
+    elif buckets is None:
+        # fresh/overwrite write with no caller-fixed count: derive the
+        # layout from the data size (scale-adaptive — a constant tuned
+        # for either local mode or the cluster is wrong at the other)
+        buckets = _auto_buckets(index, store_meta_read(path))
     # repartition ON the bucket key before the partitioned write: a
     # partitionBy write fans out one file per (task, bucket) pair, so
     # without this every writer task sprays all `buckets` directories
@@ -1386,7 +1453,7 @@ def band_index_upsert_write(
     k: int = 16,
     bands: int = 4,
     base_hash: str = "md5",
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> None:
     """BATCH-SIZED band-index upsert (round-13 verdict item 1): advance
     a persisted ``band_index_write`` store by one crawl wave writing
@@ -1662,7 +1729,7 @@ def fp_store_write(
     fps: DataFrame,
     path: str,
     fp_col: str = "fp",
-    buckets: int = 64,
+    buckets: int | None = None,
     mode: str = "append",
 ) -> None:
     """Persist (or append to) the exact-dedup fingerprint table
@@ -1688,6 +1755,18 @@ def fp_store_write(
     meta = store_meta_read(path)
     if mode == "append" and meta is not None:
         buckets = meta["buckets"]
+    if buckets is None:
+        import os
+
+        # append to an existing legacy no-sidecar store keeps its old
+        # fixed layout; any fresh write (overwrite, or first append to
+        # a new path) derives the bucket count from the data size
+        # (scale-adaptive)
+        buckets = (
+            _LEGACY_BUCKETS
+            if (mode == "append" and meta is None and os.path.isdir(path))
+            else _auto_buckets(fps, meta)
+        )
     # repartition on the bucket key first — one file per bucket per
     # write instead of one per (task, bucket); see band_index_write.
     fps.withColumn(

@@ -282,7 +282,7 @@ def index_upsert_batch(
     k: int = 16,
     bands: int = 4,
     base_hash: str = "md5",
-    buckets: int = 64,
+    buckets: int | None = None,
 ) -> None:
     """Maintain a persisted MinHash LSH band index as crawl waves
     stream in — the ``foreachBatch`` sink form of

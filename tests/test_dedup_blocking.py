@@ -1505,3 +1505,86 @@ def test_compact_incremental_folds_fat_buckets_without_dead_rows(spark, tmp_path
     )
     assert fat_after == 0
     assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
+
+
+def test_store_buckets_auto_derive_from_size(spark, tmp_path):
+    """``buckets=None`` (the default) derives the store layout from the
+    writer frame's size estimate: a KB-scale frame lands at the
+    8-bucket floor (not 64 near-empty files), the count is recorded in
+    the sidecar and governs appends/upserts, an overwrite whose size
+    cannot be estimated keeps the recorded layout, and an explicit
+    caller count still wins."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        _AUTO_BUCKET_MAX,
+        _AUTO_BUCKET_MIN,
+        _auto_buckets,
+        band_index_read,
+        band_index_upsert_write,
+        band_index_write,
+        fp_store_write,
+        minhash_band_index,
+        store_meta_read,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    corpus = docs([(i, f"a{i} b{i} c{i % 3} shared") for i in range(30)])
+    # parquet-backed so plan stats are known (createDataFrame local
+    # relations also estimate, but pin the production shape)
+    src = str(tmp_path / "src")
+    corpus.write.parquet(src)
+    corpus = spark.read.parquet(src)
+    idx = minhash_band_index(corpus, k=8, bands=2)
+    assert _auto_buckets(idx) == _AUTO_BUCKET_MIN
+
+    path = str(tmp_path / "auto_store")
+    band_index_write(idx, path, k=8, bands=2)
+    meta = store_meta_read(path)
+    assert meta["buckets"] == _AUTO_BUCKET_MIN
+    dirs = [d for d in os.listdir(path) if d.startswith("bucket=")]
+    assert 0 < len(dirs) <= _AUTO_BUCKET_MIN
+
+    # the recorded count governs the upsert append (files land in the
+    # same hash mapping) and merge-on-read equals rebuilt-from-scratch
+    wave = docs([(5, "changed text entirely"), (31, "brand new doc")])
+    band_index_upsert_write(wave, path, k=8, bands=2)
+    latest = corpus.filter(~F.col("doc_id").isin(5)).unionByName(wave)
+    got = {tuple(r) for r in band_index_read(spark, path).collect()}
+    want = {
+        tuple(r)
+        for r in minhash_band_index(latest, k=8, bands=2).collect()
+    }
+    assert got == want
+
+    # explicit caller count still wins over auto
+    path2 = str(tmp_path / "fixed_store")
+    band_index_write(idx, path2, k=8, bands=2, buckets=16)
+    assert store_meta_read(path2)["buckets"] == 16
+
+    # when no size estimate is available the overwrite keeps the
+    # store's recorded layout instead of guessing (Spark 4 propagates
+    # stats through localCheckpoint, so force the no-stats branch)
+    class _NoStats:
+        pass
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        _LEGACY_BUCKETS,
+    )
+
+    assert _auto_buckets(_NoStats(), store_meta_read(path2)) == 16
+    assert _auto_buckets(_NoStats(), None) == _LEGACY_BUCKETS
+
+    # fp store: same auto floor + sidecar record
+    fpp = str(tmp_path / "auto_fps")
+    fp_store_write(
+        corpus.select(F.md5("text").alias("fp")), fpp, mode="overwrite"
+    )
+    assert store_meta_read(fpp)["buckets"] == _AUTO_BUCKET_MIN
+
+    # clamp sanity on the pure helper bounds
+    assert _AUTO_BUCKET_MIN >= 1 and _AUTO_BUCKET_MAX >= _AUTO_BUCKET_MIN
