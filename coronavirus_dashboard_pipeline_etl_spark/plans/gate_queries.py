@@ -10790,11 +10790,13 @@ def m10_progressive_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # explicit partition count: the distinct output is tiny, so AQE
     # would coalesce it to ONE task and serialise all 3840 decodes on
-    # one core — spread the expensive stage across the cluster
+    # one core — spread the expensive stage across the cluster, sized
+    # from the cluster's core count (3 waves of tasks smooth the
+    # uneven per-key decode cost), never a constant tuned for one box
     keys = (
         docs.select((F.col("media_id") % 3840).alias("__k"))
         .distinct()
-        .repartition(96, "__k")
+        .repartition(3 * spark.sparkContext.defaultParallelism, "__k")
     )
 
     def build_and_decode(batches):

@@ -43,6 +43,23 @@ def get_spark(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
+        # AQE-gated SMJ->SHJ rewrite (optimization guide §3.1): when every
+        # post-shuffle build partition's map output is under this
+        # threshold, the runtime replaces a sort-merge join with a
+        # shuffled-hash join, skipping both sorts — safe by construction
+        # (the rewrite only fires when the hash table provably fits;
+        # Spark's default 0 disables it). 64m matches
+        # advisoryPartitionSizeInBytes so coalesced partitions stay
+        # eligible. At sf0.1/local[32] the bench joins shuffle KiB-MiB and
+        # an interleaved A/B showed no measurable local delta (host noise
+        # bounds |Δ| at a few %); the win is at corpus scale, where the
+        # sort on each side of every verify/posting join is pure overhead
+        # once partitions hash-fit. Parameterised (env) so a cluster
+        # profile can retune or disable without code changes.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_THRESHOLD", str(64 * 1024 * 1024)),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
