@@ -1262,14 +1262,23 @@ def band_index_write(
             f"band_index_write: index already carries a reserved "
             f"column ({STORE_BUCKET!r} / {EPOCH_COL!r})"
         )
+    import os
+
+    bootstrap_append = False
     if mode == "append":
+        # bootstrapping a NEW path via append must RECORD its layout:
+        # without the sidecar the next append fell back to the legacy
+        # fixed count and rows hashed with different moduli coexisted in
+        # one store, silently making pruned probes lossy (r14 advice —
+        # fp_store_write already handled this case)
+        bootstrap_append = (
+            store_meta_read(path) is None and not os.path.isdir(path)
+        )
         buckets = _store_params(path, {"buckets": buckets})["buckets"]
         if buckets is None:
             # no sidecar to govern the append: an existing store keeps
             # the legacy fixed layout its files were hashed with; a new
             # path bootstrapped by append derives from data size
-            import os
-
             buckets = (
                 _LEGACY_BUCKETS
                 if os.path.isdir(path)
@@ -1287,12 +1296,33 @@ def band_index_write(
     # time in file/task overhead). One slim-index shuffle buys ~1 file
     # per bucket; at corpus scale bound file size with
     # spark.sql.files.maxRecordsPerFile instead of fewer buckets.
+    if mode != "append":
+        # a layout-(re)writing overwrite relies on the whole path being
+        # truncated; under dynamic partitionOverwriteMode only the
+        # partitions present in this frame would be replaced, so
+        # higher-numbered bucket dirs from a previous larger layout
+        # would survive with stale rows hashed under a different
+        # modulus (r14 advice) — refuse loudly instead
+        povm = (
+            index.sparkSession.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            )
+            or "STATIC"
+        )
+        if mode == "overwrite" and povm.upper() == "DYNAMIC":
+            raise ValueError(
+                "band_index_write: overwrite of a bucket-partitioned "
+                "store under spark.sql.sources.partitionOverwriteMode="
+                "dynamic would leave stale bucket dirs from a previous "
+                "layout — set the session back to static (the default) "
+                "for store seeds/rewrites"
+            )
     index.withColumn(EPOCH_COL, F.lit(epoch).cast("int")).withColumn(
         STORE_BUCKET, _store_bucket([F.col("band"), F.col("sig")], buckets)
     ).repartition(buckets, F.col(STORE_BUCKET)).write.partitionBy(
         STORE_BUCKET
     ).mode(mode).parquet(path)
-    if mode != "append":
+    if mode != "append" or bootstrap_append:
         extra = [c for c in index.columns if c not in ("band", "sig")]
         meta = {"kind": "band_index", "buckets": buckets, "epoch": epoch}
         if len(extra) == 1:
@@ -1767,6 +1797,23 @@ def fp_store_write(
             if (mode == "append" and meta is None and os.path.isdir(path))
             else _auto_buckets(fps, meta)
         )
+    if mode == "overwrite":
+        # same stale-bucket-dir hazard as band_index_write: a layout-
+        # changing overwrite must truncate the whole path (r14 advice)
+        povm = (
+            fps.sparkSession.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "STATIC"
+            )
+            or "STATIC"
+        )
+        if povm.upper() == "DYNAMIC":
+            raise ValueError(
+                "fp_store_write: overwrite of a bucket-partitioned "
+                "store under spark.sql.sources.partitionOverwriteMode="
+                "dynamic would leave stale bucket dirs from a previous "
+                "layout — set the session back to static (the default) "
+                "for store seeds/rewrites"
+            )
     # repartition on the bucket key first — one file per bucket per
     # write instead of one per (task, bucket); see band_index_write.
     fps.withColumn(

@@ -1588,3 +1588,83 @@ def test_store_buckets_auto_derive_from_size(spark, tmp_path):
 
     # clamp sanity on the pure helper bounds
     assert _AUTO_BUCKET_MIN >= 1 and _AUTO_BUCKET_MAX >= _AUTO_BUCKET_MIN
+
+
+def test_band_index_append_bootstrap_records_sidecar(spark, tmp_path):
+    """Bootstrapping a NEW band-index path via mode='append' records the
+    derived bucket count in the sidecar (r14 advice): before the fix the
+    next append fell back to the legacy fixed count and rows hashed with
+    different moduli made pruned probes silently lossy."""
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_pruned,
+        band_index_read,
+        band_index_write,
+        minhash_band_index,
+        store_meta_read,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = docs([(i, f"alpha{i} beta{i} shared token") for i in range(20)])
+    b = docs([(100 + i, f"gamma{i} delta{i} other words") for i in range(20)])
+    path = str(tmp_path / "append_bootstrap")
+    band_index_write(minhash_band_index(a, k=8, bands=2), path, mode="append")
+    meta = store_meta_read(path)
+    assert meta is not None and isinstance(meta["buckets"], int)
+    first = meta["buckets"]
+    band_index_write(minhash_band_index(b, k=8, bands=2), path, mode="append")
+    # second append must have used the recorded mapping: every probe
+    # over the pruned read equals the probe over the full read
+    assert store_meta_read(path)["buckets"] == first
+    both = a.unionByName(b)
+    full = {tuple(r) for r in band_index_read(spark, path).collect()}
+    want = {
+        tuple(r) for r in minhash_band_index(both, k=8, bands=2).collect()
+    }
+    assert full == want
+    pruned = {
+        tuple(r)
+        for r in band_index_pruned(spark, path, both, k=8, bands=2).collect()
+    }
+    assert pruned == want  # batch touches every doc => prune is total
+
+
+def test_store_overwrite_refuses_dynamic_partition_mode(spark, tmp_path):
+    """A layout-changing overwrite under dynamic partitionOverwriteMode
+    would leave stale bucket dirs from the previous layout — both store
+    writers refuse loudly (r14 advice)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_write,
+        fp_store_write,
+        minhash_band_index,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "one two three"), (2, "four five six")], "doc_id long, text string"
+    )
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "STATIC")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        with pytest.raises(ValueError, match="dynamic"):
+            band_index_write(
+                minhash_band_index(d, k=8, bands=2),
+                str(tmp_path / "bi"),
+                mode="overwrite",
+            )
+        with pytest.raises(ValueError, match="dynamic"):
+            fp_store_write(
+                d.select(F.md5("text").alias("fp")),
+                str(tmp_path / "fp"),
+                mode="overwrite",
+            )
+    finally:
+        spark.conf.set(conf_key, prev)
+    # append stays allowed under dynamic mode (it never truncates)
+    band_index_write(
+        minhash_band_index(d, k=8, bands=2), str(tmp_path / "bi2"), mode="append"
+    )

@@ -35,8 +35,15 @@ def main() -> None:
         sf_dir, gates = "/root/testdata/sf0.1", args
     spark = get_spark(app_name="time-queries")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM/readers once (bench protocol)
-    QUERIES["q1_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+    # warm the JVM + parquet reader once with NEUTRAL jobs that are
+    # never timed gates (r14 advice: warming with q1 gave q1 itself a
+    # second-execution advantage when it was among the timed gates)
+    spark.range(0, 50_000_000, 1, 32).selectExpr("sum(id * 3 + 1) s").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    from coronavirus_dashboard_pipeline_etl_spark.sources import load_table
+
+    load_table(spark, sf_dir, "region").write.format("noop").mode(
         "overwrite"
     ).save()
     out: dict[str, list] = {}
