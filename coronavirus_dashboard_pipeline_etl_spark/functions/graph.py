@@ -156,7 +156,15 @@ def pagerank_fixed_point(
         .persist()
     )
     try:
-        n_dangling = deg.filter(F.col("outdeg") == 0).count()
+        # one setup job, not two: the dangling guard and the node count
+        # read the same cached frame, so fold them into a single
+        # aggregate (each driver-blocking job between iterations is
+        # dead time for the whole cluster — guide §1.2/§2.6)
+        _counts = deg.agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count_if(F.col("outdeg") == 0).alias("__d"),
+        ).collect()[0]
+        n_nodes, n_dangling = int(_counts["__n"]), int(_counts["__d"])
         if dangling == "raise" and n_dangling:
             raise ValueError(
                 f"pagerank_fixed_point: {n_dangling} node(s) have no "
@@ -164,7 +172,6 @@ def pagerank_fixed_point(
                 "dangling-mass handling), or symmetrise/self-loop the "
                 "edge list first"
             )
-        n_nodes = deg.count()
         # the rank table carries outdeg so the hot loop joins ONE small
         # frame to the edges instead of two
         ranks = deg.select(

@@ -12670,7 +12670,27 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     frees the wave-1 probe's checkpoint blocks). Since round 14 the
     band-index advance is BATCH-SIZED (``index_upsert_batch`` appends
     + tombstones via ``band_index_upsert_write``) — no store rewrite
-    anywhere in the loop."""
+    anywhere in the loop.
+
+    Since round 15 each store is READ once, not once per wave
+    (guide §2.4 — remove jobs outright): both waves' batches are known
+    up front, so ONE touched-bucket derivation over their union prunes
+    ONE read of each seed store, and wave 2's state view is that read
+    UNION the wave-1 survivors already materialised in memory (exactly
+    the oracle's own replay: ``seen1 = seen0 ∪ kept1`` fps, wave-2
+    probe corpus = ``w0 ∪ kept1``). Equivalence is by two superset
+    arguments, both lossless by construction: (a) pruning with the
+    UNION of both batches' touched buckets returns a superset of
+    either wave's pruned rows, and a store row in a bucket the wave's
+    batch does not touch cannot equal any of that batch's keys (equal
+    keys share a bucket), so the exact anti-join and the (band, sig)
+    equi-join are unchanged; (b) wave 2's in-memory state
+    (``packed1`` fps / docs / band rows) is exactly what the state
+    advance appended to the stores, unpruned — a superset of the
+    store-pruned view, with the same no-extra-matches argument. The
+    state-advance WRITES are unchanged (both stores still advance
+    identically — pipe21/st8/d14b keep proving the store round-trips);
+    only the second read round-trip per store is gone."""
     import shutil
 
     from ..functions.curation import assign_packs
@@ -12723,12 +12743,44 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     }
+    # ONE pruned read of each seed store serves BOTH waves (r14 verdict
+    # item 1, guide §2.4): the union of the two statically-defined
+    # batches derives the touched buckets in one pass per store; wave 2
+    # extends the view with the wave-1 survivors held in memory instead
+    # of re-reading the just-advanced store (equivalence argument in
+    # the docstring — it mirrors the oracle's own in-memory replay).
+    both = waves[1].unionByName(waves[2])
+    seen_seed = fp_store_pruned(spark, fp_path, both)
+    bands_seed = band_index_pruned(spark, idx_path, both, k=16, bands=2)
+    corpus0_docs = spark.read.parquet(corpus_path)
+    state_fps = state_docs = state_bands = None
     out = None
     for wave_no, batch in waves.items():
-        kept_e = dedup_incremental(
-            batch, fp_store_pruned(spark, fp_path, batch)
+        seen = (
+            seen_seed
+            if state_fps is None
+            else seen_seed.unionByName(state_fps)
         )
-        corpus_docs = spark.read.parquet(corpus_path)
+        # kept_e feeds FOUR subtrees of the wave plan (the probe's
+        # batch-band build, both verify token fetches, and the
+        # survivors anti-join); materialise the wave-sized frame once
+        # instead of re-running the store anti-join + keep-first window
+        # under each consumer (the pipe14 drop-list pattern)
+        kept_e_lazy = dedup_incremental(batch, seen)
+        _audit_stage(
+            "pipe22_crawl_day", f"wave{wave_no}_kept_e", kept_e_lazy
+        )
+        kept_e = kept_e_lazy.localCheckpoint(eager=True)
+        corpus_docs = (
+            corpus0_docs
+            if state_docs is None
+            else corpus0_docs.unionByName(state_docs)
+        )
+        corpus_bands = (
+            bands_seed
+            if state_bands is None
+            else bands_seed.unionByName(state_bands)
+        )
         near_ids = (
             minhash_probe_pairs(
                 kept_e,
@@ -12736,9 +12788,7 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k=16,
                 bands=2,
                 threshold=0.9,
-                corpus_bands=band_index_pruned(
-                    spark, idx_path, kept_e, k=16, bands=2
-                ),
+                corpus_bands=corpus_bands,
             )
             .select(F.col("new_id").alias("doc_id"))
             .distinct()
@@ -12770,6 +12820,11 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         index_upsert_batch(packed.select("doc_id", "text"), idx_path,
                            k=16, bands=2)
+        # the NEXT wave's state view: exactly the rows the three writes
+        # above appended, already materialised (packed is checkpointed)
+        state_fps = packed.select("fp")
+        state_docs = packed.select("doc_id", "text")
+        state_bands = minhash_band_index(packed, k=16, bands=2)
         rows = packed.select(
             "doc_id", "lang", "fp", "n_tokens", "pack_id", "pack_offset",
             F.lit(wave_no).alias("wave"),
