@@ -1581,24 +1581,36 @@ def compact_dedup_store(
       corpus-sized op that keeps the DAILY upsert batch-sized — the
       classic merge-on-read + periodic-compaction split (Delta
       OPTIMIZE / Iceberg rewrite_data_files).
-    * TOMBSTONES present, ``incremental=True``: BUCKET-SCOPED fold
-      with a per-run budget — one slim stats pass (bucket, id, epoch
-      columns only) counts each bucket's dead rows, then only the
-      ``bucket_budget`` dirtiest buckets (all dirty buckets when
-      None) are read, folded, and rewritten via dynamic partition
-      overwrite; buckets whose file count exceeds
-      ``max_files_per_bucket`` join the candidate set (a rewrite
-      folds either kind of debt), and clean buckets keep their files
-      byte-identical. The
+    * TOMBSTONES present, ``incremental=True``: FILE-SCOPED fold
+      with a per-run bucket budget — one slim stats pass (bucket, id,
+      epoch columns plus ``input_file_name``) counts each DATA FILE's
+      dead rows, then within the ``bucket_budget`` dirtiest buckets
+      (all dirty buckets when None) only the files that actually hold
+      dead rows are read, folded, appended back as clean files, and
+      the originals deleted; clean files keep their bytes even inside
+      a folded bucket (round-14 verdict item: the whole-bucket rewrite
+      amplified writes by bucket-size/dead-file-size). Buckets whose
+      file count exceeds ``max_files_per_bucket`` still take the
+      WHOLE-BUCKET merge (their debt IS the file count, and the merge
+      also drops replayed-wave duplicate rows, which a file-scoped
+      fold cannot see across files — after repairing a crashed wave,
+      fold with ``incremental=False`` or let the file-count trigger
+      pick the bucket up). Crash contract of the fold itself: folded
+      copies APPEND before the originals delete, so a crash between
+      the two leaves both visible — duplicate LIVE rows
+      (over-generation, exact-verified downstream) until a
+      whole-bucket fold repairs the bucket; dead rows stay masked
+      because the tombstone table only clears after the deletes. The
       tombstone table STAYS until no dead row remains anywhere —
       kept tombstones are harmless over already-folded buckets (a
       folded doc's surviving rows carry the tombstone's own epoch, so
       ``epoch < tomb_epoch`` matches nothing) — and is cleared the
       moment the store is fully clean. This spreads the corpus-sized
       rewrite across maintenance windows: each run's write volume is
-      (folded buckets / buckets) of the store, the production cadence
-      knob for stores too large to fold in one window (Iceberg's
-      rewrite_data_files ``where``-scoped form).
+      (dead-file bytes / store bytes), the production cadence knob for
+      stores too large to fold in one window (Iceberg's
+      rewrite_data_files ``where``-scoped form, at its file-level
+      granularity).
     * no tombstones (an append-mode ``fp_store_write`` store): BUCKET-
       SCOPED small-file merge — only buckets whose file count exceeds
       ``max_files_per_bucket`` are read and rewritten (dynamic
@@ -1656,24 +1668,34 @@ def compact_dedup_store(
             spark.conf.set(conf_key, prev)
 
     if os.path.isdir(tpath) and incremental:
+        from urllib.parse import unquote, urlparse
+
         raw = spark.read.parquet(path)
         id_col = _store_id_col(path, raw)
         tomb = _latest_tombstones(spark, path, id_col)
-        # slim stats pass: count dead rows per bucket reading only the
-        # (bucket, id, epoch) columns — a count-only columnar scan,
-        # cheap next to the rewrite it scopes; <= `buckets` rows back
-        slim = raw.select(STORE_BUCKET, id_col, EPOCH_COL)
+        # slim stats pass: count dead rows per DATA FILE reading only
+        # the (bucket, id, epoch) columns — a count-only columnar scan,
+        # cheap next to the rewrite it scopes; one row back per file
+        # that holds a dead row (<= the store's file count, bounded)
+        slim = raw.select(STORE_BUCKET, id_col, EPOCH_COL).withColumn(
+            "__file", F.input_file_name()
+        )
         cond = (slim[id_col] == tomb["__tomb_id"]) & (
             slim[EPOCH_COL] < tomb[TOMB_EPOCH_COL]
         )
+        total_files = report["files_before"]
         dead_rows = (
             slim.join(F.broadcast(tomb), cond, "inner")
-            .groupBy(STORE_BUCKET)
+            .groupBy(STORE_BUCKET, "__file")
             .agg(F.count(F.lit(1)).alias("__dead"))
-            .limit(buckets + 1)
+            .limit(total_files + 1)
             .collect()
         )
-        dead = {r[STORE_BUCKET]: r["__dead"] for r in dead_rows}
+        dead_files: dict[int, list] = {}
+        dead: dict[int, int] = {}
+        for r in dead_rows:
+            dead_files.setdefault(r[STORE_BUCKET], []).append(r["__file"])
+            dead[r[STORE_BUCKET]] = dead.get(r[STORE_BUCKET], 0) + r["__dead"]
         # one maintenance call serves BOTH kinds of debt: buckets with
         # dead rows AND buckets that merely accumulated too many append
         # files (a rewrite folds either); dead-heaviest first, then
@@ -1693,17 +1715,43 @@ def compact_dedup_store(
         report["dead_rows_remaining"] = (
             report["dead_rows_before"] - report["dead_rows_folded"]
         )
-        if fold:
-            vals = list(fold)
+        # fat buckets take the whole-bucket merge (their debt is the
+        # file count; the merge also folds replayed-wave duplicates);
+        # dead-only buckets fold at FILE granularity — only files that
+        # hold a dead row rewrite, clean files keep their bytes
+        bucket_fold = [b for b in fold if b in fat]
+        file_fold = [b for b in fold if b not in fat and b in dead_files]
+        files = sorted(f for b in file_fold for f in dead_files[b])
+        report["files_rewritten"] = len(files)
+        if files:
+            # folded survivors of exactly those files, appended back as
+            # clean files, then the originals deleted (append-before-
+            # delete: see the crash contract in the docstring)
+            chunk = _apply_tombstones(
+                spark,
+                path,
+                spark.read.option("basePath", path).parquet(*files),
+            ).localCheckpoint(eager=True)
+            (
+                chunk.repartition(len(file_fold), F.col(STORE_BUCKET))
+                .write.partitionBy(STORE_BUCKET)
+                .mode("append")
+                .parquet(path)
+            )
+            for f in files:
+                os.remove(unquote(urlparse(f).path))
+        if bucket_fold:
             chunk = (
                 _apply_tombstones(
-                    spark, path, raw.filter(F.col(STORE_BUCKET).isin(vals))
+                    spark,
+                    path,
+                    raw.filter(F.col(STORE_BUCKET).isin(bucket_fold)),
                 )
                 .dropDuplicates()
                 .localCheckpoint(eager=True)
             )
-            dynamic_overwrite(chunk, len(vals))
-            report["buckets_rewritten"] = len(vals)
+            dynamic_overwrite(chunk, len(bucket_fold))
+        report["buckets_rewritten"] = len(bucket_fold) + len(file_fold)
         report["tombstones_cleared"] = report["dead_rows_remaining"] == 0
         if report["tombstones_cleared"]:
             # no row anywhere is older than its doc's latest tombstone,

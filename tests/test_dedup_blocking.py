@@ -1507,6 +1507,68 @@ def test_compact_incremental_folds_fat_buckets_without_dead_rows(spark, tmp_path
     assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
 
 
+def test_compact_incremental_folds_files_not_buckets(spark, tmp_path):
+    """FILE-scoped fold (round-15): inside a folded bucket only the
+    files that actually hold dead rows rewrite — clean files (e.g. the
+    re-crawl wave's own appends) keep their bytes even when their
+    bucket is selected, so the fold's write volume tracks dead-file
+    bytes, not touched-bucket bytes."""
+    import glob
+    import os
+
+    from coronavirus_dashboard_pipeline_etl_spark.functions.dedup import (
+        band_index_read,
+        band_index_upsert_write,
+        compact_dedup_store,
+    )
+
+    def docs(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    path = str(tmp_path / "bidx")
+    band_index_upsert_write(
+        docs([(i, f"w{i}a w{i}b w{i}c tokens {i % 7}") for i in range(24)]),
+        path, k=8, bands=2, buckets=8,
+    )
+    # re-crawl four docs: their epoch-0 rows die (in the seed files),
+    # the re-crawl's own epoch-1 append files stay fully live
+    band_index_upsert_write(
+        docs([(i, f"fresh crawl {i} alpha beta gamma") for i in range(4)]),
+        path, k=8, bands=2, buckets=8,
+    )
+    logical = {tuple(r) for r in band_index_read(spark, path).collect()}
+    files = lambda: {  # noqa: E731
+        p: os.path.getmtime(p) for p in glob.glob(path + "/bucket=*/*.parquet")
+    }
+    before = files()
+    rep = compact_dedup_store(spark, path, incremental=True)
+    after = files()
+    assert rep["tombstones_cleared"] is True
+    assert rep["dead_rows_folded"] == rep["dead_rows_before"] > 0
+    # exactly the dirty files were deleted (rewritten as appends)
+    deleted = set(before) - set(after)
+    assert rep["files_rewritten"] == len(deleted) > 0
+    # the folded buckets still hold PRE-fold files, byte-untouched —
+    # the whole-bucket fold would have rewritten these too
+    folded_dirs = {os.path.dirname(p) for p in deleted}
+    kept_in_folded = [
+        p
+        for p in set(before) & set(after)
+        if os.path.dirname(p) in folded_dirs
+    ]
+    assert kept_in_folded
+    assert all(after[p] == before[p] for p in kept_in_folded)
+    # every file outside the folded buckets is untouched
+    assert all(
+        after[p] == before[p]
+        for p in set(before) & set(after)
+        if os.path.dirname(p) not in folded_dirs
+    )
+    # merge-on-read view invariant; store physically clean
+    assert {tuple(r) for r in band_index_read(spark, path).collect()} == logical
+    assert spark.read.parquet(path).count() == len(logical)
+
+
 def test_store_buckets_auto_derive_from_size(spark, tmp_path):
     """``buckets=None`` (the default) derives the store layout from the
     writer frame's size estimate: a KB-scale frame lands at the
