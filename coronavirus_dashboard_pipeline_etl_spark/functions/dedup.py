@@ -1128,6 +1128,36 @@ def store_meta_read(path: str) -> dict | None:
         return None
 
 
+def _store_data_bytes(path: str) -> int:
+    """Observed parquet bytes of a store's bucket dirs — a driver
+    listdir walk (<= buckets dirs, no Spark job)."""
+    import os
+
+    total = 0
+    try:
+        for d in os.listdir(path):
+            if not d.startswith(f"{STORE_BUCKET}="):
+                continue
+            sub = os.path.join(path, d)
+            for f in os.listdir(sub):
+                if not f.startswith(("_", ".")):
+                    total += os.path.getsize(os.path.join(sub, f))
+    except OSError:
+        return 0
+    return total
+
+
+def _refresh_meta_bytes(path: str) -> None:
+    """Record the store's observed on-disk bytes in the sidecar after a
+    write — the figure ``_auto_buckets`` trusts over the optimizer's
+    estimate on the next reseed (round-14 verdict: a 10x estimate
+    overshoot at 100 TB means 10x too many buckets and small files
+    again). No-op for legacy sidecar-less stores."""
+    meta = store_meta_read(path)
+    if meta is not None:
+        store_meta_write(path, {**meta, "data_bytes": _store_data_bytes(path)})
+
+
 def _store_params(path: str, caller: dict) -> dict:
     """Resolve the EFFECTIVE store-identity params: the sidecar wins.
 
@@ -1182,6 +1212,18 @@ def _store_bucket(cols: list, buckets: int) -> Column:
 #: count (equal keys share a bucket) — so deriving it from data size is
 #: safe by construction.
 _AUTO_BUCKET_TARGET_BYTES = 512 * 1024 * 1024
+#: per-bucket target for OBSERVED parquet bytes (the sidecar's
+#: ``data_bytes``, recorded after every store write): parquet on disk
+#: runs ~2-4x smaller than the optimizer's uncompressed row-size
+#: estimate, so 256 MB on disk lands in the same 128 MB-1 GB file band
+#: as the 512 MB estimate target. Observed bytes GOVERN a reseed when
+#: present — the plan estimate compounds selectivity guesses and can
+#: overshoot 10x on a complex writer frame (round-14 verdict), while
+#: the disk does not lie about the store being replaced. A reseed that
+#: materially changes the store's content size should pass ``buckets``
+#: explicitly (or remove the sidecar) — the observed figure describes
+#: the PREVIOUS contents.
+_AUTO_BUCKET_TARGET_DISK_BYTES = 256 * 1024 * 1024
 _AUTO_BUCKET_MIN = 8
 _AUTO_BUCKET_MAX = 65536
 #: pre-auto default, kept for stores/paths whose size cannot be
@@ -1196,15 +1238,28 @@ _STATS_UNKNOWN_BYTES = 1 << 60
 
 def _auto_buckets(df: DataFrame, meta: dict | None = None) -> int:
     """Scale-adaptive bucket count for a fresh store write: ceil of the
-    optimizer's size estimate over the per-bucket target, clamped to
+    store's size over the per-bucket target, clamped to
     [``_AUTO_BUCKET_MIN``, ``_AUTO_BUCKET_MAX``] and rounded up to a
     power of two (stores reseeded at slightly different sizes tend to
-    keep their layout). No job runs — the estimate is the logical
-    plan's ``sizeInBytes`` (column-width scaling over the scan size),
-    an order-of-magnitude figure, which is all a layout choice needs.
-    When the estimate is unavailable (checkpointed/RDD-backed input),
-    fall back to the store's previously recorded ``buckets`` (an
-    overwrite keeps its layout) or the legacy fixed default."""
+    keep their layout). No job runs. The size figure, best first:
+
+    * the sidecar's OBSERVED ``data_bytes`` (recorded after every
+      store write) when the path already holds a sidecar'd store —
+      ground truth for a reseed, immune to the optimizer's
+      selectivity-compounding overshoot (see
+      ``_AUTO_BUCKET_TARGET_DISK_BYTES``); it overrides the ESTIMATE
+      only, never the no-size-signal fallback below;
+    * else the logical plan's ``sizeInBytes`` estimate (column-width
+      scaling over the scan size) — an order-of-magnitude figure,
+      which is all a layout choice needs;
+    * with no size signal at all (checkpointed/RDD-backed input, no
+      stats) the store's previously recorded ``buckets`` (an overwrite
+      keeps its layout) or the legacy fixed default."""
+
+    def clamp(n: int) -> int:
+        n = 1 << (int(n) - 1).bit_length()
+        return max(_AUTO_BUCKET_MIN, min(_AUTO_BUCKET_MAX, n))
+
     try:
         est = int(
             df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
@@ -1215,9 +1270,10 @@ def _auto_buckets(df: DataFrame, meta: dict | None = None) -> int:
         if meta and isinstance(meta.get("buckets"), int):
             return meta["buckets"]
         return _LEGACY_BUCKETS
-    n = max(1, -(-est // _AUTO_BUCKET_TARGET_BYTES))
-    n = 1 << (int(n) - 1).bit_length()
-    return max(_AUTO_BUCKET_MIN, min(_AUTO_BUCKET_MAX, n))
+    observed = (meta or {}).get("data_bytes")
+    if isinstance(observed, int) and observed > 0:
+        return clamp(max(1, -(-observed // _AUTO_BUCKET_TARGET_DISK_BYTES)))
+    return clamp(max(1, -(-est // _AUTO_BUCKET_TARGET_BYTES)))
 
 
 def _touched_buckets(df: DataFrame, bucket: Column, buckets: int) -> list:
@@ -1331,6 +1387,7 @@ def band_index_write(
             if val is not None:
                 meta[key] = val
         store_meta_write(path, meta)
+    _refresh_meta_bytes(path)
 
 
 #: driver-side size guard for the tombstone broadcast: the latest-
@@ -1558,7 +1615,9 @@ def band_index_upsert_write(
         .write.mode("append")
         .parquet(os.path.join(path, _TOMBSTONE_DIR))
     )
-    store_meta_write(path, {**meta, "epoch": epoch})
+    store_meta_write(
+        path, {**meta, "epoch": epoch, "data_bytes": _store_data_bytes(path)}
+    )
 
 
 def compact_dedup_store(
@@ -1800,6 +1859,7 @@ def compact_dedup_store(
     after = bucket_files()
     report["files_after"] = sum(after.values())
     report["buckets_after"] = len(after)
+    _refresh_meta_bytes(path)
     return report
 
 
@@ -1873,6 +1933,7 @@ def fp_store_write(
         store_meta_write(
             path, {"kind": "fp_store", "buckets": buckets, "fp_col": fp_col}
         )
+    _refresh_meta_bytes(path)
 
 
 def fp_store_pruned(

@@ -1648,6 +1648,25 @@ def test_store_buckets_auto_derive_from_size(spark, tmp_path):
     )
     assert store_meta_read(fpp)["buckets"] == _AUTO_BUCKET_MIN
 
+    # every write records the store's OBSERVED on-disk bytes (r15:
+    # the estimate-overshoot hardening's ground-truth figure)
+    assert store_meta_read(fpp)["data_bytes"] > 0
+    assert store_meta_read(path)["data_bytes"] > 0
+
+    # observed bytes GOVERN a reseed when the writer frame has stats:
+    # a 10x-overshooting plan estimate cannot re-fragment the store
+    # (r14 verdict item: sizeInBytes compounds selectivity guesses).
+    # spark.range(2^31) estimates ~16 GiB — est-derived would be 32
+    # buckets; 1 MiB observed pins the floor instead.
+    big_est = spark.range(1 << 31).selectExpr("cast(id as string) fp")
+    assert _auto_buckets(big_est, None) > _AUTO_BUCKET_MIN
+    assert (
+        _auto_buckets(big_est, {"data_bytes": 1 << 20}) == _AUTO_BUCKET_MIN
+    )
+    # and a genuinely grown store derives MORE buckets from disk truth
+    # than its tiny writer-frame estimate would suggest
+    assert _auto_buckets(idx, {"data_bytes": 4 << 30}) == 16
+
     # clamp sanity on the pure helper bounds
     assert _AUTO_BUCKET_MIN >= 1 and _AUTO_BUCKET_MAX >= _AUTO_BUCKET_MIN
 
