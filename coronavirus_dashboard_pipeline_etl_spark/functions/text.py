@@ -488,6 +488,14 @@ def bigram_lm_score(
     doc_bg = exploded.groupBy(id_col, "__bg").agg(
         F.count(F.lit(1)).alias("__doc_cnt")
     )
+    # the model deliberately re-aggregates `exploded` rather than
+    # rolling up doc_bg: map-side partial aggregation already shrinks
+    # the (bg)-keyed shuffle to distinct bigrams per task, and both
+    # sharing variants measured flat at bench scale with structural
+    # downsides (rollup adds a pair-keyed shuffle while expression-id
+    # divergence under the self-join blocks exchange reuse; a lazy
+    # checkpoint pins data-sized blocks for the session) — r15 A/B,
+    # numbers in OPTIMIZATION_r15.md
     model = exploded.groupBy("__bg").agg(
         F.count(F.lit(1)).alias("__corpus_cnt")
     )

@@ -12813,13 +12813,33 @@ def pipe22_crawl_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         # eager checkpoint hides it
         _audit_stage("pipe22_crawl_day", f"wave{wave_no}", packed_lazy)
         packed = packed_lazy.localCheckpoint(eager=True)
-        # state advance: fps append, corpus append, band-index upsert
-        fp_store_write(packed.select("fp"), fp_path)
-        packed.select("doc_id", "text").write.mode("append").parquet(
-            corpus_path
-        )
-        index_upsert_batch(packed.select("doc_id", "text"), idx_path,
-                           k=16, bands=2)
+        # state advance: fps append, corpus append, band-index upsert.
+        # The three writes are mutually independent (distinct paths,
+        # all reading only the checkpointed wave), so submit them from
+        # a small thread pool and let the short appends back-fill the
+        # cores the upsert's tail leaves idle (guide §2.6); none of
+        # them localCheckpoints, so the iterative-operator
+        # single-thread contract is not in play
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _corpus_append() -> None:
+            packed.select("doc_id", "text").write.mode("append").parquet(
+                corpus_path
+            )
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            for fut in [
+                pool.submit(fp_store_write, packed.select("fp"), fp_path),
+                pool.submit(_corpus_append),
+                pool.submit(
+                    index_upsert_batch,
+                    packed.select("doc_id", "text"),
+                    idx_path,
+                    k=16,
+                    bands=2,
+                ),
+            ]:
+                fut.result()
         # the NEXT wave's state view: exactly the rows the three writes
         # above appended, already materialised (packed is checkpointed)
         state_fps = packed.select("fp")
