@@ -1204,6 +1204,8 @@ def test_band_index_upsert_write_is_batch_sized(spark, tmp_path):
     # bootstrap (absent store) writes meta with the full identity
     band_index_upsert_write(corpus, path, k=8, bands=2, buckets=16)
     meta = store_meta_read(path)
+    # observed on-disk bytes are recorded alongside the identity (r15)
+    assert meta.pop("data_bytes") > 0
     assert meta == {
         "bands": 2, "base_hash": "md5", "buckets": 16, "epoch": 0,
         "id_col": "doc_id", "k": 8, "kind": "band_index",
